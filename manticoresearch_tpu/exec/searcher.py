@@ -1,0 +1,195 @@
+"""Single-index search driver — the MultiQuery analog (sphinx.cpp:15362).
+
+Ties together: FT parse -> plan -> compiled device program -> result
+hydration (docids, attrs from host SoA copies) + per-query meta stats
+(SHOW META semantics: total / total_found / per-word docs & hits).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+import numpy as np
+
+from ..index.builder import PackedIndex
+from ..ops.device_index import DeviceIndex, upload
+from ..ops.search import INT32_MIN, get_search_fn
+from ..query.ftparser import FtQueryParser
+from ..query.planner import AttrFilterDef, CompiledQuery, plan_query
+from ..text.dictionary import Dictionary
+from ..text.tokenizer import Tokenizer
+
+
+@dataclass
+class SearchQuery:
+    match: str = ""
+    filters: list[AttrFilterDef] = dc_field(default_factory=list)
+    limit: int = 20
+    offset: int = 0
+    max_matches: int = 1000
+    ranker: str = "proximity_bm25"
+    field_weights: dict[str, int] = dc_field(default_factory=dict)
+    # sort: list of (key, asc) — key is "weight", "id", or attr name.
+    sort: list[tuple[str, bool]] = dc_field(
+        default_factory=lambda: [("weight", False), ("id", True)]
+    )
+    idf_plain: bool = False
+    tfidf_normalized: bool = True
+    select: list[str] | None = None      # None = * (all attrs)
+    cutoff: int = 0
+
+
+@dataclass
+class WordStat:
+    word: str
+    docs: int
+    hits: int
+
+
+@dataclass
+class Match:
+    docid: int
+    weight: int
+    attrs: dict[str, Any]
+
+
+@dataclass
+class SearchResult:
+    matches: list[Match]
+    total: int            # matches available in the result window (<= max_matches)
+    total_found: int      # total matching docs
+    time_ms: float
+    word_stats: list[WordStat]
+    error: str | None = None
+    warning: str | None = None
+
+
+class SearchIndex:
+    """A searchable index: host PackedIndex + device arrays + text pipeline."""
+
+    def __init__(self, packed: PackedIndex, device=None):
+        self.packed = packed
+        self.device = upload(packed, device)
+        self.tokenizer = Tokenizer(packed.tokenizer_settings)
+        self.dictionary = Dictionary(packed.dict_settings)
+        self.parser = FtQueryParser(
+            self.tokenizer, self.dictionary, packed.schema.fields
+        )
+
+    @property
+    def schema(self):
+        return self.packed.schema
+
+    @property
+    def n_docs(self) -> int:
+        return self.packed.n_docs
+
+    def delete_documents(self, docids: list[int]) -> int:
+        """Dead-row map update (DeadRowMap_c semantics, killlist.h:22)."""
+        import jax.numpy as jnp
+
+        alive = np.array(self.device.alive)  # writable host copy
+        killed = 0
+        for d in docids:
+            r = self.packed.rowid_of_docid(int(d))
+            if r >= 0 and alive[r]:
+                alive[r] = False
+                killed += 1
+        if killed:
+            self.device.alive = jnp.asarray(alive)
+        return killed
+
+    # ------------------------------------------------------------------
+    def plan(self, q: SearchQuery) -> CompiledQuery:
+        ast = self.parser.parse(q.match)
+        order = _resolve_order(q, self.schema)
+        return plan_query(
+            ast, self.packed,
+            filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
+            order=order, field_weights=q.field_weights,
+            idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
+        )
+
+    def search(self, q: SearchQuery) -> SearchResult:
+        t0 = time.perf_counter()
+        try:
+            cq = self.plan(q)
+        except (ValueError, NotImplementedError) as e:
+            return SearchResult([], 0, 0, 0.0, [], error=str(e))
+
+        fn = get_search_fn(
+            cq.sig, self.packed.n_docs, max(self.schema.n_fields, 1),
+            cq.bucket, cq.hit_bucket, cq.n_hit_iters, cq.lim_bucket,
+        )
+        out = fn(self.device.data_pytree(), cq.runtime)
+        rowids = np.asarray(out["rowid"])
+        weights = np.asarray(out["weight"])
+        found = int(out["found"])
+
+        n_avail = min(found, cq.sig.k)
+        rowids = rowids[:n_avail]
+        weights = weights[:n_avail]
+        if cq.sig.order[0] == "rel":
+            keep = weights != INT32_MIN
+            rowids, weights = rowids[keep], weights[keep]
+
+        lo = min(q.offset, len(rowids))
+        hi = min(q.offset + q.limit, len(rowids))
+        rowids, weights = rowids[lo:hi], weights[lo:hi]
+
+        matches = self._hydrate(rowids, weights, q.select)
+        dt = (time.perf_counter() - t0) * 1000.0
+        stats = [
+            WordStat(t, d, h)
+            for t, d, h in zip(cq.slot_terms, cq.slot_df, cq.slot_hits)
+        ]
+        return SearchResult(matches, n_avail, found, dt, stats)
+
+    def _hydrate(self, rowids: np.ndarray, weights: np.ndarray,
+                 select: list[str] | None) -> list[Match]:
+        p = self.packed
+        out = []
+        attr_names = (
+            select if select is not None
+            else [a.name for a in p.schema.attrs]
+        )
+        for r, w in zip(rowids.tolist(), weights.tolist()):
+            attrs: dict[str, Any] = {}
+            for name in attr_names:
+                if name in ("id", "weight()", "weight"):
+                    continue
+                if name in p.attrs_int:
+                    attrs[name] = int(p.attrs_int[name][r])
+                elif name in p.attrs_big:
+                    attrs[name] = int(p.attrs_big[name][r])
+                elif name in p.attrs_float:
+                    attrs[name] = float(p.attrs_float[name][r])
+                elif name in p.attrs_str:
+                    attrs[name] = p.attrs_str[name][r]
+                elif name in p.attrs_json:
+                    attrs[name] = p.attrs_json[name][r]
+                elif name in p.attrs_mva:
+                    off, vals = p.attrs_mva[name]
+                    attrs[name] = [int(x) for x in vals[off[r]:off[r + 1]]]
+            out.append(Match(int(p.doc_ids[r]), int(w), attrs))
+        return out
+
+
+def _resolve_order(q: SearchQuery, schema) -> tuple:
+    sort = q.sort or [("weight", False), ("id", True)]
+    primary, asc = sort[0]
+    if primary in ("weight", "@weight", "weight()"):
+        if not asc:
+            return ("rel",)
+        # ORDER BY weight ASC — rare; treat as attr sort on weight TODO
+        return ("rel",)
+    if primary in ("id", "@id"):
+        # docid order == rowid order; device sorts by rowid via attr path on
+        # a synthetic key — use rel for now when asc (rowids ascending)
+        return ("attr_id", asc)
+    ad = schema.attr(primary)
+    if ad is None:
+        raise ValueError(f"unknown sort attr {primary!r}")
+    is_float = ad.type.value == "float"
+    return ("attr", primary, asc, is_float)

@@ -1,0 +1,382 @@
+"""Index builder: documents -> device-ready SoA posting arrays.
+
+Behavioral model: the reference's offline build pipeline
+(CSphIndex_VLN::Build, /root/reference/src/sphinx.cpp:10129 and
+CSphHitBuilder::cidxHit, sphinx.cpp:8554) which streams sorted
+(wordid, rowid, position) hits into dictionary/doclist/hitlist/skiplist files.
+
+TPU-first redesign: instead of VByte-compressed streams with skiplists, we
+pack postings into flat SoA arrays sorted by (term, rowid) — the device's
+"skip" is simply not gathering — and *eagerly* compute the query-independent
+BM25 factor tf/(tf+K1) per posting (K1=1.2, searchnode.cpp:45) so query-time
+scoring is one gather + scatter-add (BM25S-style eager scoring, with exact
+Manticore semantics preserved because idf multiplies at query time).
+
+Hit (position) packing mirrors Hitman_c (sphinx.h:768-827): bits 0..22 =
+1-based in-field position, bit 23 = field-end flag, bits 24..30 = field id.
+Rowids are assigned in ascending docid order so that index-order tie-breaks
+equal the reference's (weight desc, docid asc) sort (sphinxsort.cpp:4534).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Iterable, Mapping
+
+import numpy as np
+
+from ..schema import AttrDef, AttrType, Schema
+from ..text.dictionary import Dictionary, DictSettings
+from ..text.tokenizer import Tokenizer, TokenizerSettings
+
+SPH_BM25_K1 = 1.2  # reference searchnode.cpp:45
+HITMAN_POS_BITS = 23
+HITMAN_FIELD_SHIFT = 24
+HITMAN_END_FLAG = 1 << 23
+HITMAN_POS_MASK = (1 << 23) - 1
+DOC_BLOCK = 128  # reference DOCINFO_INDEX_FREQ / skiplist block (sphinxint.h:312)
+
+
+def hitman_pack(field_id: int, pos: int, is_end: bool = False) -> int:
+    return (field_id << HITMAN_FIELD_SHIFT) | (HITMAN_END_FLAG if is_end else 0) | pos
+
+
+@dataclass
+class PackedIndex:
+    """Host-side, device-layout index for one shard."""
+
+    schema: Schema
+    n_docs: int
+    doc_ids: np.ndarray          # int64[n_docs], ascending
+    term_strs: list[str]         # sorted
+    term_offsets: np.ndarray     # int32[T+1] into postings
+    term_docs: np.ndarray        # int32[T]  (df)
+    term_hits: np.ndarray        # int32[T]
+    post_rowid: np.ndarray       # int32[P]
+    post_tf: np.ndarray          # int32[P]
+    post_tfq: np.ndarray         # float32[P] = tf/(tf+K1)
+    post_fieldmask: np.ndarray   # int32[P]
+    post_hit_offset: np.ndarray  # int32[P+1] into hits
+    hit_packed: np.ndarray       # int32[H]
+    attrs_int: dict[str, np.ndarray]      # int32[n_docs]
+    attrs_big: dict[str, np.ndarray]      # int64[n_docs]
+    attrs_float: dict[str, np.ndarray]    # float32[n_docs]
+    attrs_str: dict[str, list[str]]
+    attrs_json: dict[str, list[Any]]
+    attrs_mva: dict[str, tuple[np.ndarray, np.ndarray]]  # (offsets[n+1], values)
+    field_lens: np.ndarray       # int32[n_docs, F]
+    total_hits: int
+    tokenizer_settings: TokenizerSettings = dc_field(default_factory=TokenizerSettings)
+    dict_settings: DictSettings = dc_field(default_factory=DictSettings)
+
+    @property
+    def n_terms(self) -> int:
+        return len(self.term_strs)
+
+    @property
+    def n_postings(self) -> int:
+        return len(self.post_rowid)
+
+    def term_id(self, term: str) -> int:
+        """Sorted-terms binary search (CWordlist checkpoint bsearch analog)."""
+        import bisect
+
+        i = bisect.bisect_left(self.term_strs, term)
+        if i < len(self.term_strs) and self.term_strs[i] == term:
+            return i
+        return -1
+
+    def rowid_of_docid(self, docid: int) -> int:
+        """docid -> rowid lookup (.spt analog, secondaryindex.h:52)."""
+        i = int(np.searchsorted(self.doc_ids, docid))
+        if i < self.n_docs and self.doc_ids[i] == docid:
+            return i
+        return -1
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        schema: Schema,
+        tokenizer_settings: TokenizerSettings | None = None,
+        dict_settings: DictSettings | None = None,
+    ):
+        self.schema = schema
+        self.tok_settings = tokenizer_settings or TokenizerSettings()
+        self.dict_settings = dict_settings or DictSettings()
+        self.tokenizer = Tokenizer(self.tok_settings)
+        self.dictionary = Dictionary(self.dict_settings)
+        self._docs: dict[int, dict] = {}  # docid -> doc (REPLACE semantics)
+
+    def add_document(self, doc: Mapping[str, Any]) -> None:
+        if "id" not in doc:
+            raise ValueError("document must have an 'id'")
+        docid = int(doc["id"])
+        if docid <= 0:
+            raise ValueError("document id must be a positive integer")
+        self._docs[docid] = dict(doc)
+
+    def add_documents(self, docs: Iterable[Mapping[str, Any]]) -> None:
+        for d in docs:
+            self.add_document(d)
+
+    def build(self) -> PackedIndex:
+        schema = self.schema
+        F = schema.n_fields
+        doc_ids = np.array(sorted(self._docs), dtype=np.int64)
+        n = len(doc_ids)
+
+        vocab: dict[str, int] = {}
+        hits_tid: list[int] = []
+        hits_row: list[int] = []
+        hits_packed: list[int] = []
+        field_lens = np.zeros((n, F), dtype=np.int32)
+
+        # attribute columns
+        attrs_int: dict[str, list] = {}
+        attrs_big: dict[str, list] = {}
+        attrs_float: dict[str, list] = {}
+        attrs_str: dict[str, list] = {}
+        attrs_json: dict[str, list] = {}
+        attrs_mva: dict[str, list] = {}
+        for a in schema.attrs:
+            if a.type in (AttrType.UINT, AttrType.BOOL, AttrType.TIMESTAMP):
+                attrs_int[a.name] = []
+            elif a.type is AttrType.BIGINT:
+                attrs_big[a.name] = []
+            elif a.type is AttrType.FLOAT:
+                attrs_float[a.name] = []
+            elif a.type is AttrType.STRING:
+                attrs_str[a.name] = []
+            elif a.type is AttrType.JSON:
+                attrs_json[a.name] = []
+            elif a.type in (AttrType.MVA, AttrType.MVA64):
+                attrs_mva[a.name] = []
+
+        for rowid, docid in enumerate(doc_ids.tolist()):
+            doc = self._docs[docid]
+            for fid, fname in enumerate(schema.fields):
+                text = doc.get(fname, "") or ""
+                tokens = self.tokenizer.tokenize(str(text))
+                field_lens[rowid, fid] = len(tokens)
+                last_pos = tokens[-1].position if tokens else 0
+                for t in tokens:
+                    for term in self.dictionary.process(t.text):
+                        tid = vocab.setdefault(term, len(vocab))
+                        hits_tid.append(tid)
+                        hits_row.append(rowid)
+                        hits_packed.append(
+                            hitman_pack(fid, t.position, t.position == last_pos)
+                        )
+            for a in schema.attrs:
+                v = doc.get(a.name)
+                if a.type in (AttrType.UINT, AttrType.BOOL, AttrType.TIMESTAMP):
+                    attrs_int[a.name].append(int(v or 0) & 0xFFFFFFFF)
+                elif a.type is AttrType.BIGINT:
+                    attrs_big[a.name].append(int(v or 0))
+                elif a.type is AttrType.FLOAT:
+                    attrs_float[a.name].append(float(v or 0.0))
+                elif a.type is AttrType.STRING:
+                    attrs_str[a.name].append("" if v is None else str(v))
+                elif a.type is AttrType.JSON:
+                    attrs_json[a.name].append(v)
+                elif a.type in (AttrType.MVA, AttrType.MVA64):
+                    attrs_mva[a.name].append(sorted(int(x) for x in (v or [])))
+
+        # re-map vocab ids to sorted-term order (deterministic; enables
+        # wildcard expansion by prefix bisect, like the .spi sorted wordlist)
+        term_strs = sorted(vocab)
+        remap = np.zeros(len(vocab), dtype=np.int64)
+        for new_id, s in enumerate(term_strs):
+            remap[vocab[s]] = new_id
+
+        tid_arr = remap[np.array(hits_tid, dtype=np.int64)] if hits_tid else np.zeros(0, np.int64)
+        row_arr = np.array(hits_row, dtype=np.int64)
+        pk_arr = np.array(hits_packed, dtype=np.int64)
+
+        order = np.lexsort((pk_arr, row_arr, tid_arr))
+        tid_arr, row_arr, pk_arr = tid_arr[order], row_arr[order], pk_arr[order]
+
+        # posting boundaries: unique (tid, rowid)
+        H = len(tid_arr)
+        if H:
+            new_post = np.empty(H, dtype=bool)
+            new_post[0] = True
+            new_post[1:] = (tid_arr[1:] != tid_arr[:-1]) | (row_arr[1:] != row_arr[:-1])
+            post_starts = np.flatnonzero(new_post)
+            P = len(post_starts)
+            post_hit_offset = np.append(post_starts, H).astype(np.int32)
+            post_rowid = row_arr[post_starts].astype(np.int32)
+            post_tid = tid_arr[post_starts]
+            post_tf = np.diff(post_hit_offset).astype(np.int32)
+            fields_of_hits = (pk_arr >> HITMAN_FIELD_SHIFT).astype(np.int64) & 0x7F
+            post_fieldmask = np.bitwise_or.reduceat(
+                (1 << fields_of_hits).astype(np.int64), post_starts
+            ).astype(np.int32)
+        else:
+            P = 0
+            post_hit_offset = np.zeros(1, dtype=np.int32)
+            post_rowid = np.zeros(0, dtype=np.int32)
+            post_tid = np.zeros(0, dtype=np.int64)
+            post_tf = np.zeros(0, dtype=np.int32)
+            post_fieldmask = np.zeros(0, dtype=np.int32)
+
+        T = len(term_strs)
+        term_offsets = np.searchsorted(post_tid, np.arange(T + 1)).astype(np.int32)
+        term_docs = np.diff(term_offsets).astype(np.int32)
+        term_hits = np.zeros(T, dtype=np.int32)
+        if H:
+            hit_term = tid_arr
+            term_hits = np.bincount(hit_term, minlength=T).astype(np.int32)
+
+        post_tfq = (
+            post_tf.astype(np.float32)
+            / (post_tf.astype(np.float32) + np.float32(SPH_BM25_K1))
+        ).astype(np.float32)
+
+        return PackedIndex(
+            schema=schema,
+            n_docs=n,
+            doc_ids=doc_ids,
+            term_strs=term_strs,
+            term_offsets=term_offsets,
+            term_docs=term_docs,
+            term_hits=term_hits,
+            post_rowid=post_rowid,
+            post_tf=post_tf,
+            post_tfq=post_tfq,
+            post_fieldmask=post_fieldmask,
+            post_hit_offset=post_hit_offset,
+            hit_packed=pk_arr.astype(np.int32),
+            attrs_int={k: np.array(v, dtype=np.int64).astype(np.int32) for k, v in attrs_int.items()},
+            attrs_big={k: np.array(v, dtype=np.int64) for k, v in attrs_big.items()},
+            attrs_float={k: np.array(v, dtype=np.float32) for k, v in attrs_float.items()},
+            attrs_str=attrs_str,
+            attrs_json=attrs_json,
+            attrs_mva={
+                k: _pack_mva(v) for k, v in attrs_mva.items()
+            },
+            field_lens=field_lens,
+            total_hits=H,
+            tokenizer_settings=self.tok_settings,
+            dict_settings=self.dict_settings,
+        )
+
+
+def _pack_mva(lists: list[list[int]]) -> tuple[np.ndarray, np.ndarray]:
+    offsets = np.zeros(len(lists) + 1, dtype=np.int32)
+    for i, l in enumerate(lists):
+        offsets[i + 1] = offsets[i] + len(l)
+    values = np.array(
+        [x for l in lists for x in l], dtype=np.int64
+    )
+    return offsets, values
+
+
+def build_from_pretokenized(
+    schema: Schema,
+    doc_ids: np.ndarray,
+    doc_terms: "np.ndarray",
+    doc_offsets: np.ndarray,
+    attrs: dict[str, np.ndarray] | None = None,
+    vocab: list[str] | None = None,
+) -> PackedIndex:
+    """Fast path for benchmarks: documents given as term-id sequences.
+
+    doc_terms[doc_offsets[i]:doc_offsets[i+1]] are the term ids of doc i,
+    single field, positions 1..len. Term ids must refer to `vocab` (sorted) or
+    a synthetic vocab is generated. Host cost is O(hits) numpy work.
+    """
+    n = len(doc_ids)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids_sorted = np.asarray(doc_ids, dtype=np.int64)[order]
+
+    counts = np.diff(doc_offsets)
+    row_of_hit = np.repeat(np.arange(n), counts[order] if False else counts)
+    # remap docs into sorted-docid rowids
+    rowmap = np.empty(n, dtype=np.int64)
+    rowmap[order] = np.arange(n)
+    row_arr = rowmap[row_of_hit]
+    tid_arr = np.asarray(doc_terms, dtype=np.int64)
+    pos_within = np.arange(len(tid_arr)) - np.repeat(doc_offsets[:-1], counts) + 1
+    end_flag = np.zeros(len(tid_arr), dtype=np.int64)
+    if len(tid_arr):
+        last_idx = np.asarray(doc_offsets[1:], dtype=np.int64) - 1
+        last_idx = last_idx[counts > 0]
+        end_flag[last_idx] = 1
+    pk_arr = (end_flag << 23) | pos_within.astype(np.int64)
+
+    sort_o = np.lexsort((pk_arr, row_arr, tid_arr))
+    tid_arr, row_arr, pk_arr = tid_arr[sort_o], row_arr[sort_o], pk_arr[sort_o]
+
+    H = len(tid_arr)
+    T = int(tid_arr.max()) + 1 if H else 0
+    if vocab is None:
+        width = len(str(max(T - 1, 0)))
+        vocab = [f"t{str(i).zfill(width)}" for i in range(T)]
+    else:
+        T = len(vocab)
+
+    new_post = np.empty(H, dtype=bool)
+    if H:
+        new_post[0] = True
+        new_post[1:] = (tid_arr[1:] != tid_arr[:-1]) | (row_arr[1:] != row_arr[:-1])
+        post_starts = np.flatnonzero(new_post)
+        post_hit_offset = np.append(post_starts, H).astype(np.int32)
+        post_rowid = row_arr[post_starts].astype(np.int32)
+        post_tid = tid_arr[post_starts]
+        post_tf = np.diff(post_hit_offset).astype(np.int32)
+        post_fieldmask = np.ones(len(post_starts), dtype=np.int32)
+    else:
+        post_hit_offset = np.zeros(1, dtype=np.int32)
+        post_rowid = np.zeros(0, np.int32)
+        post_tid = np.zeros(0, np.int64)
+        post_tf = np.zeros(0, np.int32)
+        post_fieldmask = np.zeros(0, np.int32)
+
+    term_offsets = np.searchsorted(post_tid, np.arange(T + 1)).astype(np.int32)
+    term_docs = np.diff(term_offsets).astype(np.int32)
+    term_hits = np.bincount(tid_arr, minlength=T).astype(np.int32) if H else np.zeros(T, np.int32)
+    post_tfq = (post_tf / (post_tf + np.float32(SPH_BM25_K1))).astype(np.float32)
+
+    field_lens = np.zeros((n, 1), dtype=np.int32)
+    field_lens[:, 0] = counts[np.argsort(rowmap, kind="stable")] if n else 0
+    # counts indexed by original doc order; rowid r corresponds to original order[r]
+    if n:
+        field_lens[:, 0] = counts[order]
+
+    a_int, a_big, a_float = {}, {}, {}
+    for name, arr in (attrs or {}).items():
+        arr = np.asarray(arr)[order]
+        ad = schema.attr(name)
+        if ad is None:
+            raise ValueError(f"unknown attr {name}")
+        if ad.type is AttrType.FLOAT:
+            a_float[name] = arr.astype(np.float32)
+        elif ad.type is AttrType.BIGINT:
+            a_big[name] = arr.astype(np.int64)
+        else:
+            a_int[name] = arr.astype(np.int32)
+
+    return PackedIndex(
+        schema=schema,
+        n_docs=n,
+        doc_ids=doc_ids_sorted,
+        term_strs=list(vocab),
+        term_offsets=term_offsets,
+        term_docs=term_docs,
+        term_hits=term_hits,
+        post_rowid=post_rowid,
+        post_tf=post_tf,
+        post_tfq=post_tfq,
+        post_fieldmask=post_fieldmask,
+        post_hit_offset=post_hit_offset,
+        hit_packed=pk_arr.astype(np.int32),
+        attrs_int=a_int,
+        attrs_big=a_big,
+        attrs_float=a_float,
+        attrs_str={},
+        attrs_json={},
+        attrs_mva={},
+        field_lens=field_lens,
+        total_hits=H,
+    )

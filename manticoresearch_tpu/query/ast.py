@@ -1,0 +1,64 @@
+"""Full-text query AST (XQNode_t analog, /root/reference/src/sphinxquery.h:21-310).
+
+Field limits attach to keyword/phrase atoms (XQLimitSpec_t semantics: an
+@field operator applies to everything that follows until the next field
+operator, within the current parenthesized group).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class QTerm:
+    word: str
+    fields: tuple[str, ...] | None = None   # None = all fields
+    exact: bool = False                      # =word operator
+    boost: float = 1.0                       # word^N
+    wildcard: bool = False                   # word* / *word* — expansion
+
+
+@dataclass(frozen=True)
+class QPhrase:
+    words: tuple[str, ...]
+    fields: tuple[str, ...] | None = None
+    proximity: int = 0        # "..."~N ; 0 = exact phrase
+
+
+@dataclass(frozen=True)
+class QQuorum:
+    words: tuple[str, ...]
+    m: int                    # resolved count (fractions resolved at parse)
+    fields: tuple[str, ...] | None = None
+
+
+@dataclass(frozen=True)
+class QAnd:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class QOr:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class QAndNot:
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class QNot:
+    child: object             # only valid as an AND-list member
+
+
+@dataclass(frozen=True)
+class QMaybe:
+    left: object
+    right: object             # MAYBE: match left, rank with right's weight too
+
+
+@dataclass(frozen=True)
+class QAll:
+    """Match-all (empty query / fullscan)."""

@@ -1,0 +1,275 @@
+"""Full-text query syntax parser.
+
+Behavioral model: the reference's bison grammar + hand lexer
+(/root/reference/src/sphinxquery.{y,cpp}; operator list sphinxquery.h:43-62,
+user surface in SURVEY.md Appendix B). Implemented as a recursive-descent
+parser with Sphinx precedence: `|` (OR) binds tighter than the implicit AND;
+NOT applies to the following atom; field limits (@field / @(f1,f2) / @!f /
+@@relaxed) apply to subsequent atoms until the next field operator.
+
+Words are run through the same tokenizer+dictionary as indexing (index-time
+and query-time tokenization must agree — SURVEY §1-L1).
+
+Supported now: implicit AND, |, -/!NOT, "phrase", "phrase"~N, "quorum"/N and
+/0.N, @field limits, =exact, word^boost, MAYBE, parentheses, word* wildcards
+(expansion happens in the planner against the shard dictionary).
+TODO (later rounds/milestones): NEAR/N, NOTNEAR/N, SENTENCE, PARAGRAPH,
+ZONE:/ZONESPAN:, ^/$ field start/end markers.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..text.dictionary import Dictionary
+from ..text.tokenizer import Tokenizer
+from .ast import QAll, QAnd, QMaybe, QNot, QOr, QPhrase, QQuorum, QTerm
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<or>\|)
+  | (?P<not>[-!])
+  | (?P<quote>")
+  | (?P<field>@(?:@relaxed|!?\(\s*[\w,\s]+\s*\)|!?[\w*]+))
+  | (?P<maybe>MAYBE\b)
+  | (?P<word>[^\s()|!\-"@]+)
+  | (?P<space>\s+)
+    """,
+    re.VERBOSE,
+)
+
+_POST_WORD_RE = re.compile(r"^(?P<exact>=?)(?P<body>.*?)(?P<boost>\^\d+(\.\d+)?)?$")
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+def _lex(q: str) -> list[_Tok]:
+    out = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            pos += 1  # skip stray char (reference lexer is permissive)
+            continue
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "space":
+            continue
+        out.append(_Tok(kind, m.group()))
+    return out
+
+
+class FtQueryParser:
+    def __init__(self, tokenizer: Tokenizer, dictionary: Dictionary,
+                 field_names: list[str]):
+        self.tokenizer = tokenizer
+        self.dictionary = dictionary
+        self.field_names = field_names
+
+    def parse(self, query: str):
+        if not query.strip():
+            return QAll()
+        self.toks = _lex(query)
+        self.i = 0
+        self.cur_fields: tuple[str, ...] | None = None
+        node = self._parse_and_list()
+        if self.i < len(self.toks):
+            raise QueryParseError(f"unexpected {self.toks[self.i].text!r}")
+        if node is None:
+            return QAll()
+        return node
+
+    # --- helpers -----------------------------------------------------------
+    def _peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _terms_of(self, word: str, exact: bool) -> list[str]:
+        """Tokenize a raw query word chunk into index terms."""
+        raw_tokens = self.tokenizer.tokenize_terms(word)
+        out = []
+        for t in raw_tokens:
+            term = self.dictionary.process_query_term(t, exact=exact)
+            if term is not None:
+                out.append(term)
+        return out
+
+    def _parse_field_spec(self, text: str) -> tuple[str, ...] | None:
+        body = text[1:]
+        if body == "@relaxed":
+            return self.cur_fields  # ignore-missing-fields flag; keep fields
+        if body == "*":
+            return None
+        negate = body.startswith("!")
+        if negate:
+            body = body[1:]
+        if body.startswith("("):
+            names = [s.strip() for s in body.strip("()").split(",") if s.strip()]
+        else:
+            names = [body]
+        for n in names:
+            if n not in self.field_names:
+                raise QueryParseError(f"no field '{n}' in schema")
+        if negate:
+            names = [f for f in self.field_names if f not in names]
+        return tuple(names)
+
+    # --- grammar -----------------------------------------------------------
+    def _parse_and_list(self):
+        """Implicit-AND list of OR-expressions; NOT members split out."""
+        pos_children = []
+        neg_children = []
+        while True:
+            t = self._peek()
+            if t is None or t.kind == "rparen":
+                break
+            if t.kind == "field":
+                self._next()
+                self.cur_fields = self._parse_field_spec(t.text)
+                continue
+            if t.kind == "maybe":
+                self._next()
+                right = self._parse_or_expr()
+                if not pos_children:
+                    raise QueryParseError("MAYBE needs a left operand")
+                left = pos_children.pop()
+                pos_children.append(QMaybe(left, right))
+                continue
+            if t.kind == "not":
+                self._next()
+                child = self._parse_or_expr()
+                if child is not None:
+                    neg_children.append(child)
+                continue
+            child = self._parse_or_expr()
+            if child is not None:
+                pos_children.append(child)
+
+        if not pos_children and neg_children:
+            raise QueryParseError(
+                "query is non-computable (single NOT operator)"
+            )  # reference error unless not_terms_only_allowed
+        if not pos_children:
+            return None
+        pos = pos_children[0] if len(pos_children) == 1 else QAnd(tuple(pos_children))
+        if not neg_children:
+            return pos
+        neg = neg_children[0] if len(neg_children) == 1 else QOr(tuple(neg_children))
+        from .ast import QAndNot  # local to avoid unused when no NOT
+        return QAndNot(pos, neg)
+
+    def _parse_or_expr(self):
+        left = self._parse_atom()
+        while True:
+            t = self._peek()
+            if t is None or t.kind != "or":
+                break
+            self._next()
+            # allow field spec right after |
+            while self._peek() and self._peek().kind == "field":
+                self.cur_fields = self._parse_field_spec(self._next().text)
+            right = self._parse_atom()
+            if left is None:
+                left = right
+            elif right is not None:
+                lc = left.children if isinstance(left, QOr) else (left,)
+                rc = right.children if isinstance(right, QOr) else (right,)
+                left = QOr(lc + rc)
+        return left
+
+    def _parse_atom(self):
+        t = self._peek()
+        if t is None:
+            return None
+        if t.kind == "lparen":
+            self._next()
+            saved = self.cur_fields
+            node = self._parse_and_list()
+            if self._peek() is None or self._peek().kind != "rparen":
+                raise QueryParseError("missing ')'")
+            self._next()
+            self.cur_fields = saved
+            return node
+        if t.kind == "quote":
+            return self._parse_quoted()
+        if t.kind == "word":
+            self._next()
+            return self._make_term_atom(t.text)
+        if t.kind == "field":
+            self._next()
+            self.cur_fields = self._parse_field_spec(t.text)
+            return self._parse_atom()
+        raise QueryParseError(f"unexpected {t.text!r}")
+
+    def _make_term_atom(self, raw: str):
+        m = _POST_WORD_RE.match(raw)
+        exact = bool(m.group("exact"))
+        body = m.group("body")
+        boost = float(m.group("boost")[1:]) if m.group("boost") else 1.0
+        wildcard = "*" in body or "?" in body
+        if wildcard:
+            return QTerm(body.lower(), self.cur_fields, exact, boost, wildcard=True)
+        terms = self._terms_of(body, exact)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return QTerm(terms[0], self.cur_fields, exact, boost)
+        # a single syntax word expanding to multiple tokens ("t-shirt")
+        # indexes as consecutive positions -> behaves as a phrase
+        return QPhrase(tuple(terms), self.cur_fields)
+
+    def _parse_quoted(self):
+        self._next()  # opening quote
+        words: list[str] = []
+        while True:
+            t = self._peek()
+            if t is None:
+                raise QueryParseError("missing closing '\"'")
+            if t.kind == "quote":
+                self._next()
+                break
+            self._next()
+            if t.kind == "word":
+                words.extend(self._terms_of(t.text, exact=False))
+            # other specials inside quotes are separators
+        # suffix: ~N proximity or /N quorum
+        prox = 0
+        quorum = None
+        rest = self._peek()
+        if rest is not None and rest.kind == "word" and rest.text[:1] in "~/":
+            self._next()
+            txt = rest.text
+            try:
+                if txt.startswith("~"):
+                    prox = int(txt[1:])
+                else:
+                    val = float(txt[1:])
+                    quorum = val
+            except ValueError:
+                raise QueryParseError(f"bad phrase suffix {txt!r}")
+        if not words:
+            return None
+        if quorum is not None:
+            m = int(quorum) if quorum >= 1 else max(1, int(len(words) * quorum))
+            if m >= len(words):
+                return QAnd(tuple(QTerm(w, self.cur_fields) for w in words)) \
+                    if len(words) > 1 else QTerm(words[0], self.cur_fields)
+            return QQuorum(tuple(words), m, self.cur_fields)
+        if len(words) == 1:
+            return QTerm(words[0], self.cur_fields)
+        return QPhrase(tuple(words), self.cur_fields, proximity=prox)

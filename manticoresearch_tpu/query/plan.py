@@ -1,0 +1,89 @@
+"""Device query plan IR.
+
+The host planner (query/planner.py) lowers a parsed full-text AST + filters +
+options into a PlanSig: a fully static, hashable description of the device
+program (the analog of the reference's transformed XQ tree + filter/ranker
+setup, sphinx.cpp:15664 ParsedMultiQuery). PlanSig is the jit-cache key; all
+per-query numbers (CSR offsets, IDFs, filter bounds) are runtime arrays so
+queries with the same *shape* share one compiled program.
+
+Boolean expressions are nested tuples over term slots:
+    ("term", slot)
+    ("and", (e1, e2, ...))       implicit AND / & — ExtAnd_c semantics
+    ("or", (e1, e2, ...))        | — ExtOr_c
+    ("andnot", left, right)      left AND NOT right — ExtAndNot_c
+    ("quorum", (slots...), m)    "..."/m — ExtQuorum_c
+    ("phrase", (slots...))       "..." — exact phrase (hit-level)
+    ("proximity", (slots...), n) "..."~n
+    ("all",)                     fullscan (MultiScan, sphinx.cpp:12739)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class FilterSpec:
+    """Static shape of one attribute filter (ISphFilter analog,
+    sphinxfilter.cpp:40-123). Runtime values live in the runtime args."""
+
+    attr: str
+    kind: str          # "values" | "range_i" | "range_f" | "mva_any" | "mva_all"
+    exclude: bool = False
+    n_values: int = 0  # for "values": padded value-list length (pow2)
+    lo_excl: bool = False  # for range_f
+    hi_excl: bool = False
+
+
+@dataclass(frozen=True)
+class PlanSig:
+    expr: tuple
+    n_slots: int               # number of term slots (<= 32 on fast path)
+    ranker: str                # "ws_bm25" | "ws" | "none" | "wordcount" | "proximity_bm25" | ...
+    filters: tuple[FilterSpec, ...]
+    k: int                     # top-k kept on device (max_matches clamp)
+    order: tuple               # ("rel",) | ("attr", name, is_asc, is_float)
+    slot_limited: tuple = ()   # ((slot, fieldmask), ...): field-limited slots
+                               # evaluated via the hit pass (XQLimitSpec_t
+                               # semantics: tf counts only allowed-field hits)
+
+
+def expr_slots(expr: tuple) -> set[int]:
+    op = expr[0]
+    if op == "term":
+        return {expr[1]}
+    if op == "all":
+        return set()
+    if op in ("and", "or"):
+        out: set[int] = set()
+        for c in expr[1]:
+            out |= expr_slots(c)
+        return out
+    if op == "andnot":
+        return expr_slots(expr[1]) | expr_slots(expr[2])
+    if op in ("quorum", "phrase"):
+        return set(expr[1])
+    if op == "proximity":
+        return set(expr[1])
+    raise ValueError(f"unknown expr op {op!r}")
+
+
+def positive_slots(expr: tuple) -> set[int]:
+    """Slots whose TFIDF contributes to the doc weight: everything except
+    slots under the NOT side of ANDNOT (reference: NOT subtrees never emit
+    docs upward, searchnode.cpp ExtAndNot)."""
+    op = expr[0]
+    if op == "term":
+        return {expr[1]}
+    if op == "all":
+        return set()
+    if op in ("and", "or"):
+        out: set[int] = set()
+        for c in expr[1]:
+            out |= positive_slots(c)
+        return out
+    if op == "andnot":
+        return positive_slots(expr[1])
+    if op in ("quorum", "phrase", "proximity"):
+        return set(expr[1])
+    raise ValueError(f"unknown expr op {op!r}")

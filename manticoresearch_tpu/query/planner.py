@@ -1,0 +1,374 @@
+"""Host planner: parsed AST + options -> PlanSig (static) + runtime arrays.
+
+Covers the reference's query-prep pipeline (sphinx.cpp:15362-15760):
+sphTransformExtendedQuery (flatten/simplify), ExpandPrefix (wildcards -> OR
+over dictionary terms), qword setup (dict lookups -> CSR offsets), IDF
+computation (sphinxsearch.cpp:4295-4360 — implemented literally), ranker
+selection (sphCreateRanker:4167 incl. the single-keyword WeightSum shortcut).
+"""
+from __future__ import annotations
+
+import bisect
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .ast import (QAll, QAnd, QAndNot, QMaybe, QNot, QOr, QPhrase, QQuorum,
+                  QTerm)
+from .plan import FilterSpec, PlanSig
+
+
+@dataclass
+class AttrFilterDef:
+    """Host-level filter (from SQL WHERE / JSON DSL)."""
+    attr: str
+    kind: str                      # "values" | "range_i" | "range_f"
+    values: list = field(default_factory=list)   # for values
+    lo: float | int | None = None
+    hi: float | int | None = None
+    exclude: bool = False
+    lo_excl: bool = False
+    hi_excl: bool = False
+
+
+@dataclass
+class CompiledQuery:
+    sig: PlanSig
+    runtime: dict                  # jit-ready runtime arg pytree
+    slot_terms: list[str]          # slot -> term string (for SHOW META)
+    slot_df: list[int]
+    slot_hits: list[int]
+    bucket: int
+    hit_bucket: int
+    n_hit_iters: int
+    lim_bucket: int = 0
+
+
+def _next_pow2(x: int, lo: int = 128) -> int:
+    n = lo
+    while n < x:
+        n <<= 1
+    return n
+
+
+def compute_idf(df: int, total_docs: int, *, plain: bool = False,
+                normalized_tfidf: bool = True, n_qwords: int = 1,
+                boost: float = 1.0) -> float:
+    """Literal re-implementation of the IDF build in sphCreateRanker
+    (sphinxsearch.cpp:4317-4360)."""
+    if df <= 0:
+        idf = 0.0
+    else:
+        n_total = max(total_docs, df)
+        log_total = math.log(1 + n_total)
+        if plain:
+            idf = math.log(n_total / df) / (2.0 * log_total)
+        else:
+            idf = math.log((n_total - df + 1) / df) / (2.0 * log_total)
+    if normalized_tfidf:
+        idf /= max(n_qwords, 1)
+    return idf * boost
+
+
+def simplify(node):
+    """Flatten nested AND/OR, drop Nones (sphTransformExtendedQuery-lite,
+    sphinx.cpp:15345)."""
+    if isinstance(node, QAnd):
+        out = []
+        for c in node.children:
+            c = simplify(c)
+            if isinstance(c, QAnd):
+                out.extend(c.children)
+            elif c is not None:
+                out.append(c)
+        if not out:
+            return None
+        return out[0] if len(out) == 1 else QAnd(tuple(out))
+    if isinstance(node, QOr):
+        out = []
+        for c in node.children:
+            c = simplify(c)
+            if isinstance(c, QOr):
+                out.extend(c.children)
+            elif c is not None:
+                out.append(c)
+        if not out:
+            return None
+        return out[0] if len(out) == 1 else QOr(tuple(out))
+    if isinstance(node, QAndNot):
+        left = simplify(node.left)
+        right = simplify(node.right)
+        if right is None:
+            return left
+        if left is None:
+            return None
+        return QAndNot(left, right)
+    if isinstance(node, QMaybe):
+        return simplify(node.left)  # MAYBE only affects ranking; TODO weights
+    return node
+
+
+def expand_wildcards(node, term_strs: list[str], expansion_limit: int = 0):
+    """word* / *infix* -> OR over matching dictionary terms (ExpandPrefix,
+    sphinx.cpp:15021). Returns a new AST."""
+    if isinstance(node, QTerm) and node.wildcard:
+        pat = node.word
+        matches: list[str] = []
+        if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+            prefix = pat[:-1]
+            i = bisect.bisect_left(term_strs, prefix)
+            while i < len(term_strs) and term_strs[i].startswith(prefix):
+                matches.append(term_strs[i])
+                i += 1
+                if expansion_limit and len(matches) >= expansion_limit:
+                    break
+        else:
+            import fnmatch
+            for t in term_strs:
+                if fnmatch.fnmatchcase(t, pat):
+                    matches.append(t)
+                    if expansion_limit and len(matches) >= expansion_limit:
+                        break
+        if not matches:
+            return QTerm(pat, node.fields)  # nonexistent term: df=0
+        if len(matches) == 1:
+            return QTerm(matches[0], node.fields, boost=node.boost)
+        return QOr(tuple(QTerm(m, node.fields, boost=node.boost) for m in matches))
+    if isinstance(node, QAnd):
+        return QAnd(tuple(expand_wildcards(c, term_strs, expansion_limit)
+                          for c in node.children))
+    if isinstance(node, QOr):
+        return QOr(tuple(expand_wildcards(c, term_strs, expansion_limit)
+                         for c in node.children))
+    if isinstance(node, QAndNot):
+        return QAndNot(expand_wildcards(node.left, term_strs, expansion_limit),
+                       expand_wildcards(node.right, term_strs, expansion_limit))
+    return node
+
+
+class _SlotTable:
+    """Unique (term, field-limit-mask) -> slot. The same word limited to
+    different fields is a different qword (XQLimitSpec_t is part of node
+    identity in the reference)."""
+
+    def __init__(self, all_fields_mask: int, mask_of):
+        self.slots: dict[tuple, int] = {}
+        self.terms: list[str] = []
+        self.masks: list[int] = []
+        self.mult: list[float] = []
+        self.all_mask = all_fields_mask
+        self.mask_of = mask_of
+
+    def get(self, term: str, fields, positive: bool, weight: float = 1.0) -> int:
+        mask = self.mask_of(fields)
+        key = (term, mask)
+        if key in self.slots:
+            s = self.slots[key]
+        else:
+            s = len(self.terms)
+            self.slots[key] = s
+            self.terms.append(term)
+            self.masks.append(mask)
+            self.mult.append(0.0)
+        if positive:
+            self.mult[s] += weight
+        return s
+
+
+def _lower(node, st: _SlotTable, positive: bool):
+    """AST -> plan expr tuple, assigning slots."""
+    if isinstance(node, QAll) or node is None:
+        return ("all",)
+    if isinstance(node, QTerm):
+        s = st.get(node.word, node.fields, positive, node.boost)
+        return ("term", s)
+    if isinstance(node, QAnd):
+        return ("and", tuple(_lower(c, st, positive) for c in node.children))
+    if isinstance(node, QOr):
+        return ("or", tuple(_lower(c, st, positive) for c in node.children))
+    if isinstance(node, QAndNot):
+        return ("andnot", _lower(node.left, st, positive),
+                _lower(node.right, st, False))
+    if isinstance(node, QQuorum):
+        slots = tuple(st.get(w, node.fields, positive) for w in node.words)
+        return ("quorum", slots, node.m)
+    if isinstance(node, QPhrase):
+        slots = tuple(st.get(w, node.fields, positive) for w in node.words)
+        if node.proximity:
+            return ("proximity", slots, node.proximity)
+        return ("phrase", slots)
+    raise NotImplementedError(f"AST node {type(node).__name__}")
+
+
+def plan_query(
+    ast_root,
+    index,                      # PackedIndex
+    *,
+    filters: list[AttrFilterDef] | None = None,
+    ranker: str = "proximity_bm25",
+    max_matches: int = 1000,
+    order: tuple = ("rel",),
+    field_weights: dict[str, int] | None = None,
+    idf_plain: bool = False,
+    tfidf_normalized: bool = True,
+    total_docs_override: int | None = None,
+    local_df: dict[str, int] | None = None,
+) -> CompiledQuery:
+    node = simplify(ast_root)
+    node = expand_wildcards(node, index.term_strs) if node is not None else None
+    if node is None:
+        node = QAll()
+
+    all_mask = index.schema.field_mask(None) if index.schema.n_fields else 1
+
+    def mask_of(fields):
+        if fields is None:
+            return all_mask
+        return index.schema.field_mask(list(fields))
+
+    st = _SlotTable(all_mask, mask_of)
+    expr = _lower(node, st, True)
+    S = len(st.terms)
+    if S > 32:
+        raise NotImplementedError(
+            f"{S} unique query terms; fast path supports 32 (multi-word "
+            "presence planes land later)")
+
+    total_docs = total_docs_override if total_docs_override is not None \
+        else index.n_docs
+
+    starts = np.zeros(max(S, 1), np.int32)
+    lengths = np.zeros(max(S, 1), np.int32)
+    hit_starts = np.zeros(max(S, 1), np.int32)
+    hit_lengths = np.zeros(max(S, 1), np.int32)
+    idf = np.zeros(max(S, 1), np.float32)
+    mult = np.ones(max(S, 1), np.float32)
+    slot_df: list[int] = []
+    slot_hits: list[int] = []
+
+    n_qwords = S  # hQwords is keyed by word -> unique count
+    for s, term in enumerate(st.terms):
+        tid = index.term_id(term)
+        if tid >= 0:
+            t0, t1 = int(index.term_offsets[tid]), int(index.term_offsets[tid + 1])
+            df = int(index.term_docs[tid])
+            th = int(index.term_hits[tid])
+        else:
+            t0 = t1 = df = th = 0
+        starts[s] = t0
+        lengths[s] = t1 - t0
+        hit_starts[s] = int(index.post_hit_offset[t0]) if t1 > t0 else 0
+        hit_lengths[s] = (int(index.post_hit_offset[t1]) - int(index.post_hit_offset[t0])) if t1 > t0 else 0
+        eff_df = local_df.get(term, df) if local_df else df
+        idf[s] = compute_idf(eff_df, total_docs, plain=idf_plain,
+                             normalized_tfidf=tfidf_normalized,
+                             n_qwords=n_qwords)
+        mult[s] = st.mult[s] if st.mult[s] > 0 else 1.0
+        slot_df.append(df)
+        slot_hits.append(th)
+
+    # field-limited slots: evaluated over hits (tf = allowed-field hits only);
+    # excluded from the postings gather by zeroing their CSR length
+    slot_limited = tuple(
+        (s, st.masks[s]) for s in range(S) if st.masks[s] != all_mask
+    )
+    L = len(slot_limited)
+    lim_starts = np.zeros(max(L, 1), np.int32)
+    lim_lengths = np.zeros(max(L, 1), np.int32)
+    for li, (s, _m) in enumerate(slot_limited):
+        lim_starts[li] = hit_starts[s]
+        lim_lengths[li] = hit_lengths[s]
+        lengths[s] = 0
+        starts[s] = 0
+
+    # ranker resolution (sphCreateRanker:4167): single-keyword
+    # proximity/proximity_bm25 queries shortcut to WeightSum
+    has_positional = _has_positional(expr)
+    eff_ranker = ranker
+    if ranker == "proximity_bm25":
+        eff_ranker = "ws_bm25" if not has_positional and S <= 1 else "proximity_bm25"
+        if eff_ranker == "proximity_bm25":
+            # full proximity ranker lands with the hit engine; bm25+fields
+            # composition is the closest implemented semantic
+            eff_ranker = "ws_bm25"
+    elif ranker == "proximity":
+        eff_ranker = "ws" if not has_positional and S <= 1 else "ws"
+    elif ranker == "bm25":
+        eff_ranker = "ws_bm25"
+    elif ranker in ("none", "fieldmask", "wordcount"):
+        eff_ranker = ranker
+    else:
+        raise NotImplementedError(f"ranker {ranker!r}")
+
+    fspecs = []
+    fvals = []
+    for f in filters or []:
+        ad = index.schema.attr(f.attr)
+        if ad is None and f.attr != "id":
+            raise ValueError(f"unknown attr {f.attr!r} in filter")
+        if f.kind == "values":
+            vals = sorted(int(v) for v in f.values)
+            nv = _next_pow2(len(vals), 1)
+            arr = np.asarray(vals + [vals[-1]] * (nv - len(vals)), np.int32)
+            fspecs.append(FilterSpec(f.attr, "values", f.exclude, n_values=nv))
+            fvals.append(arr)
+        elif f.kind == "range_i":
+            lo = -(2**31) if f.lo is None else int(f.lo) + (1 if f.lo_excl else 0)
+            hi = 2**31 - 1 if f.hi is None else int(f.hi) - (1 if f.hi_excl else 0)
+            fspecs.append(FilterSpec(f.attr, "range_i", f.exclude))
+            fvals.append(np.asarray([lo, hi], np.int32))
+        elif f.kind == "range_f":
+            lo = -np.inf if f.lo is None else float(f.lo)
+            hi = np.inf if f.hi is None else float(f.hi)
+            fspecs.append(FilterSpec(f.attr, "range_f", f.exclude,
+                                     lo_excl=f.lo_excl, hi_excl=f.hi_excl))
+            fvals.append(np.asarray([lo, hi], np.float32))
+        else:
+            raise NotImplementedError(f"filter kind {f.kind}")
+
+    F = index.schema.n_fields
+    fw = np.ones(max(F, 1), np.int32)
+    for name, w in (field_weights or {}).items():
+        fw[index.schema.field_id(name)] = int(w)
+
+    total_post = int(lengths.sum())
+    bucket = _next_pow2(total_post, 128)
+    total_hits_needed = int(hit_lengths.max()) if has_positional else 0
+    hit_bucket = _next_pow2(total_hits_needed, 128) if has_positional else 0
+    lim_bucket = _next_pow2(int(lim_lengths.sum()), 128) if L else 0
+    H = len(index.hit_packed)
+    n_hit_iters = max(1, math.ceil(math.log2(max(H, 2)))) + 1
+
+    k = max(1, min(max_matches, index.n_docs)) if index.n_docs else 1
+
+    sig = PlanSig(
+        expr=expr, n_slots=S, ranker=eff_ranker,
+        filters=tuple(fspecs), k=k, order=order,
+        slot_limited=slot_limited,
+    )
+    runtime = {
+        "starts": starts, "lengths": lengths,
+        "hit_starts": hit_starts, "hit_lengths": hit_lengths,
+        "lim_starts": lim_starts, "lim_lengths": lim_lengths,
+        "idf": idf, "mult": mult,
+        "field_weights": fw,
+        "filter_vals": tuple(fvals),
+    }
+    return CompiledQuery(
+        sig=sig, runtime=runtime, slot_terms=list(st.terms),
+        slot_df=slot_df, slot_hits=slot_hits,
+        bucket=bucket, hit_bucket=hit_bucket, n_hit_iters=n_hit_iters,
+        lim_bucket=lim_bucket,
+    )
+
+
+def _has_positional(expr) -> bool:
+    op = expr[0]
+    if op in ("phrase", "proximity"):
+        return True
+    if op in ("and", "or"):
+        return any(_has_positional(c) for c in expr[1])
+    if op == "andnot":
+        return _has_positional(expr[1]) or _has_positional(expr[2])
+    return False

@@ -1,0 +1,78 @@
+"""Dictionary: token -> term processing (stopwords, morphology, exact forms).
+
+Behavioral model: CSphDict (/root/reference/src/sphinx.h:597,
+sphinx.cpp:16600-19500) in its dict=keywords flavor: terms keep their text
+(we never need CRC wordids — the engine's term identity is the dense term
+index of the shard dictionary). Processing order per token mirrors
+CSphTemplateDictTraits: stopword check (pre-morphology), morphology,
+stopword check again (post-morphology), wordforms.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from .morphology import get_morph
+
+
+@dataclass(frozen=True)
+class DictSettings:
+    stopwords: frozenset[str] = frozenset()
+    morphology: tuple[str, ...] = ()  # e.g. ("stem_en",)
+    wordforms: tuple[tuple[str, str], ...] = ()  # (from, to) pairs
+    index_exact_words: bool = False
+    min_stemming_len: int = 1
+
+    def key(self) -> tuple:
+        return (
+            tuple(sorted(self.stopwords)),
+            self.morphology,
+            self.wordforms,
+            self.index_exact_words,
+            self.min_stemming_len,
+        )
+
+
+class Dictionary:
+    def __init__(self, settings: DictSettings | None = None):
+        self.settings = settings or DictSettings()
+        self._morphs: list[Callable[[str], str]] = [
+            get_morph(m) for m in self.settings.morphology
+        ]
+        self._wordforms = dict(self.settings.wordforms)
+
+    def process(self, token: str) -> list[str]:
+        """Map one raw token to the term(s) actually indexed.
+
+        Returns [] for stopwords. With index_exact_words, emits the exact
+        form as an extra "=token" term (reference CSphDictExact,
+        sphinx.cpp:1020-1033 — exact terms carry a magic prefix).
+        """
+        s = self.settings
+        if token in s.stopwords:
+            return []
+        term = token
+        if self._wordforms and term in self._wordforms:
+            term = self._wordforms[term]
+        elif len(term) >= s.min_stemming_len:
+            for m in self._morphs:
+                stemmed = m(term)
+                if stemmed != term:
+                    term = stemmed
+                    break
+        if term in s.stopwords or not term:
+            return []
+        if s.index_exact_words and term != token:
+            return [term, "=" + token]
+        if s.index_exact_words:
+            return [term, "=" + token]
+        return [term]
+
+    def process_query_term(self, token: str, exact: bool = False) -> str | None:
+        """Query-side term mapping; exact=True means the =term operator."""
+        if exact:
+            return "=" + token
+        out = self.process(token)
+        if not out:
+            return None
+        return out[0]

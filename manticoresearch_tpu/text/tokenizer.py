@@ -1,0 +1,109 @@
+"""UTF-8 tokenizer: charset folding + word-run splitting.
+
+Behavioral model: the reference's CSphTokenizer_UTF8 family
+(/root/reference/src/sphinx.cpp:2671-4875): codepoints fold through the
+charset table (0 = separator); a token is a maximal run of word codepoints,
+clipped at SPH_MAX_WORD_LEN=42 codepoints (sphinx.h:106); tokens shorter than
+min_word_len are skipped but still advance the position counter by
+overshort_step. Positions are 1-based within each field (Hitman packing keeps
+the field id out of band here — the index builder packs it).
+
+Implementation is vectorized numpy (single-core host): fold all codepoints at
+once, find run boundaries with a diff, slice tokens out. N-gram (CJK) chars
+each become their own single-codepoint token (ngram_len=1 semantics).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .charset import DEFAULT_CHARSET, get_lowercaser, parse_charset_spec
+
+SPH_MAX_WORD_LEN = 42  # reference sphinx.h:106
+
+
+@dataclass(frozen=True)
+class TokenizerSettings:
+    charset_table: str = DEFAULT_CHARSET
+    min_word_len: int = 1
+    ngram_chars: str = ""  # charset spec of chars to split as 1-grams
+    ngram_len: int = 1
+    overshort_step: int = 1
+
+    def key(self) -> tuple:
+        return (
+            self.charset_table,
+            self.min_word_len,
+            self.ngram_chars,
+            self.ngram_len,
+            self.overshort_step,
+        )
+
+
+@dataclass
+class Token:
+    text: str
+    position: int
+
+
+class Tokenizer:
+    def __init__(self, settings: TokenizerSettings | None = None):
+        self.settings = settings or TokenizerSettings()
+        self._lc = get_lowercaser(self.settings.charset_table)
+        self._ngram_set: np.ndarray | None = None
+        if self.settings.ngram_chars:
+            ranges = parse_charset_spec(self.settings.ngram_chars)
+            pts = []
+            for r in ranges:
+                pts.extend(range(r.start, r.end + 1))
+            self._ngram_set = np.array(sorted(pts), dtype=np.int32)
+
+    def _is_ngram(self, codes: np.ndarray) -> np.ndarray:
+        if self._ngram_set is None or len(self._ngram_set) == 0:
+            return np.zeros(len(codes), dtype=bool)
+        idx = np.searchsorted(self._ngram_set, codes)
+        idx_c = np.clip(idx, 0, len(self._ngram_set) - 1)
+        return self._ngram_set[idx_c] == codes
+
+    def tokenize(self, text: str) -> list[Token]:
+        """Tokenize one field; returns tokens with 1-based positions."""
+        folded = self._lc.fold_str(text)
+        if len(folded) == 0:
+            return []
+        is_word = folded > 0
+        is_ngram = self._is_ngram(folded) & is_word
+
+        out: list[Token] = []
+        pos = 0
+        n = len(folded)
+        # run boundaries over the word mask, ngram chars break runs
+        # breaks[i] true => position i starts a new run
+        starts = []
+        ends = []
+        prev_word = np.concatenate(([False], is_word[:-1]))
+        prev_ngram = np.concatenate(([False], is_ngram[:-1]))
+        run_start = is_word & (~prev_word | is_ngram | prev_ngram)
+        next_word = np.concatenate((is_word[1:], [False]))
+        next_ngram = np.concatenate((is_ngram[1:], [False]))
+        run_end = is_word & (~next_word | is_ngram | next_ngram)
+        starts = np.flatnonzero(run_start)
+        ends = np.flatnonzero(run_end)
+        assert len(starts) == len(ends)
+
+        min_len = self.settings.min_word_len
+        ov = self.settings.overshort_step
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            length = e - s + 1
+            if length < min_len:
+                pos += ov
+                continue
+            pos += 1
+            clipped = folded[s : s + min(length, SPH_MAX_WORD_LEN)]
+            out.append(
+                Token(clipped.astype(np.uint32).tobytes().decode("utf-32-le"), pos)
+            )
+        return out
+
+    def tokenize_terms(self, text: str) -> list[str]:
+        return [t.text for t in self.tokenize(text)]

@@ -1,0 +1,170 @@
+"""End-to-end single-shard search tests with hand-computed golden weights.
+
+Corpus = the reference's example.sql documents table (4 docs). Golden weights
+computed by hand from the exact reference formulas (SURVEY.md Appendix A):
+  idf = log((N-n+1)/n) / (2*log(1+N)) / num_query_words
+  tfidf_doc = sum over matched terms of tf/(tf+1.2) * idf
+  bm25part = int((tfidf + 0.5) * 1000)
+  weight (WeightSum/bm25 ranker) = bm25part + 1000 * sum(matched field weights)
+"""
+import math
+
+import numpy as np
+import pytest
+
+from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+from manticoresearch_tpu.index.builder import IndexBuilder
+from manticoresearch_tpu.query.planner import AttrFilterDef
+from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
+
+DOCS = [
+    dict(id=1, group_id=1, group_id2=5, title="test one",
+         content="this is my test document number one. also checking "
+                 "search within phrases."),
+    dict(id=2, group_id=1, group_id2=6, title="test two",
+         content="this is my test document number two"),
+    dict(id=3, group_id=2, group_id2=7, title="another doc",
+         content="this is another group"),
+    dict(id=4, group_id=2, group_id2=8, title="doc number four",
+         content="this is to test groups"),
+]
+
+
+@pytest.fixture(scope="module")
+def index():
+    schema = Schema(
+        fields=["title", "content"],
+        attrs=[AttrDef("group_id", AttrType.UINT),
+               AttrDef("group_id2", AttrType.UINT)],
+    )
+    b = IndexBuilder(schema)
+    b.add_documents(DOCS)
+    return SearchIndex(b.build())
+
+
+def ref_idf(df, n_total, n_qwords=1):
+    n = max(n_total, df)
+    return math.log((n - df + 1) / df) / (2 * math.log(1 + n)) / n_qwords
+
+
+def bm25part(tfidf):
+    return int((tfidf + 0.5) * 1000)
+
+
+class TestSingleTerm:
+    def test_match_test(self, index):
+        r = index.search(SearchQuery(match="test"))
+        assert r.error is None
+        assert [m.docid for m in r.matches] == [1, 2, 4]
+        idf = ref_idf(3, 4)
+        w12 = bm25part(2 / 3.2 * idf) + 2000   # tf=2, both fields matched
+        w4 = bm25part(1 / 2.2 * idf) + 1000    # tf=1, content only
+        assert [m.weight for m in r.matches] == [w12, w12, w4]
+        assert r.total_found == 3
+        assert r.word_stats[0].word == "test"
+        assert r.word_stats[0].docs == 3
+        assert r.word_stats[0].hits == 5
+
+    def test_missing_term(self, index):
+        r = index.search(SearchQuery(match="zzzmissing"))
+        assert r.matches == [] and r.total_found == 0
+
+    def test_case_folding(self, index):
+        r = index.search(SearchQuery(match="TEST"))
+        assert [m.docid for m in r.matches] == [1, 2, 4]
+
+
+class TestBoolean:
+    def test_implicit_and(self, index):
+        r = index.search(SearchQuery(match="test one"))
+        assert [m.docid for m in r.matches] == [1]
+        idf_test = ref_idf(3, 4, 2)
+        idf_one = ref_idf(1, 4, 2)
+        tfidf = 2 / 3.2 * idf_test + 2 / 3.2 * idf_one
+        assert r.matches[0].weight == bm25part(tfidf) + 2000
+
+    def test_or(self, index):
+        r = index.search(SearchQuery(match="groups | phrases"))
+        assert sorted(m.docid for m in r.matches) == [1, 4]
+
+    def test_not(self, index):
+        r = index.search(SearchQuery(match="test -two"))
+        assert [m.docid for m in r.matches] == [1, 4]
+
+    def test_and_or_precedence(self, index):
+        # OR binds tighter: test (one | groups)
+        r = index.search(SearchQuery(match="test one | groups"))
+        assert sorted(m.docid for m in r.matches) == [1, 4]
+
+    def test_parens(self, index):
+        r = index.search(SearchQuery(match="(one | two) document"))
+        assert sorted(m.docid for m in r.matches) == [1, 2]
+
+    def test_field_limit(self, index):
+        r = index.search(SearchQuery(match="@title test"))
+        assert sorted(m.docid for m in r.matches) == [1, 2]
+
+    def test_quorum(self, index):
+        r = index.search(SearchQuery(match='"this my document test"/3'))
+        assert sorted(m.docid for m in r.matches) == [1, 2]
+
+
+class TestFilters:
+    def test_eq(self, index):
+        r = index.search(SearchQuery(
+            match="test",
+            filters=[AttrFilterDef("group_id", "values", values=[1])]))
+        assert [m.docid for m in r.matches] == [1, 2]
+
+    def test_range(self, index):
+        r = index.search(SearchQuery(
+            match="",
+            filters=[AttrFilterDef("group_id2", "range_i", lo=6, hi=7)]))
+        assert sorted(m.docid for m in r.matches) == [2, 3]
+
+    def test_exclude(self, index):
+        r = index.search(SearchQuery(
+            match="test",
+            filters=[AttrFilterDef("group_id", "values", values=[1],
+                                   exclude=True)]))
+        assert [m.docid for m in r.matches] == [4]
+
+    def test_fullscan_all(self, index):
+        r = index.search(SearchQuery(match=""))
+        assert [m.docid for m in r.matches] == [1, 2, 3, 4]
+        assert r.total_found == 4
+
+
+class TestOrderingPaging:
+    def test_order_by_attr_desc(self, index):
+        r = index.search(SearchQuery(
+            match="", sort=[("group_id2", False)]))
+        assert [m.docid for m in r.matches] == [4, 3, 2, 1]
+
+    def test_order_by_attr_asc(self, index):
+        r = index.search(SearchQuery(match="test", sort=[("group_id2", True)]))
+        assert [m.docid for m in r.matches] == [1, 2, 4]
+
+    def test_limit_offset(self, index):
+        r = index.search(SearchQuery(match="", limit=2, offset=1))
+        assert [m.docid for m in r.matches] == [2, 3]
+        assert r.total_found == 4
+
+    def test_attrs_hydrated(self, index):
+        r = index.search(SearchQuery(match="test one"))
+        assert r.matches[0].attrs == {"group_id": 1, "group_id2": 5}
+
+
+class TestDelete:
+    def test_delete_doc(self):
+        schema = Schema(fields=["title", "content"],
+                        attrs=[AttrDef("group_id", AttrType.UINT),
+                               AttrDef("group_id2", AttrType.UINT)])
+        b = IndexBuilder(schema)
+        b.add_documents(DOCS)
+        idx = SearchIndex(b.build())
+        assert idx.delete_documents([2]) == 1
+        r = idx.search(SearchQuery(match="test"))
+        assert [m.docid for m in r.matches] == [1, 4]
+        # idempotent
+        assert idx.delete_documents([2]) == 0

@@ -1,0 +1,163 @@
+"""Text pipeline tests: charset folding, tokenizer, morphology, dictionary.
+
+Modeled on the reference's gtests_tokenizer.cpp / gtests_text.cpp coverage
+(SURVEY §4): folding parity cases, token boundaries, min/max word length,
+Porter stemmer vectors.
+"""
+import numpy as np
+import pytest
+
+from manticoresearch_tpu.text.charset import (CharsetError, get_lowercaser,
+                                              parse_charset_spec)
+from manticoresearch_tpu.text.dictionary import Dictionary, DictSettings
+from manticoresearch_tpu.text.morphology import porter_stem, soundex
+from manticoresearch_tpu.text.tokenizer import Tokenizer, TokenizerSettings
+
+
+class TestCharset:
+    def test_english_alias(self):
+        lc = get_lowercaser("english")
+        folded = lc.fold_str("Hello WORLD")
+        assert folded.tolist() == [
+            ord(c) if c != " " else 0 for c in "hello world"
+        ]
+
+    def test_explicit_ranges(self):
+        lc = get_lowercaser("a..z, A..Z->a..z, 0..9, _")
+        assert lc.fold_str("Ab_9 ?").tolist() == [
+            ord("a"), ord("b"), ord("_"), ord("9"), 0, 0
+        ]
+
+    def test_default_non_cjk_accents(self):
+        lc = get_lowercaser()
+        # U+00C9 (É) -> e, U+00F1 (ñ) -> n per non_cjk.txt
+        assert lc.fold_str("É").tolist() == [ord("e")]
+        assert lc.fold_str("ñ").tolist() == [ord("n")]
+        # Russian upper -> lower
+        assert lc.fold_str("Ж").tolist() == [ord("ж")]
+
+    def test_single_remap(self):
+        lc = get_lowercaser("a..z, U+0041->U+0061")
+        assert lc.fold_str("A").tolist() == [ord("a")]
+        assert lc.fold_str("B").tolist() == [0]
+
+    def test_checkerboard(self):
+        # U+0100..U+012F/2 : Ā->ā etc.
+        lc = get_lowercaser("U+0100..U+012F/2")
+        assert lc.fold_str("Ā").tolist() == [0x0101]
+        assert lc.fold_str("ā").tolist() == [0x0101]
+
+    def test_stray_comma_rejected(self):
+        with pytest.raises(CharsetError):
+            parse_charset_spec(", a..z")
+
+    def test_dest_below_space_rejected(self):
+        with pytest.raises(CharsetError):
+            parse_charset_spec("a->U+01")
+
+    def test_length_mismatch_rejected(self):
+        with pytest.raises(CharsetError):
+            parse_charset_spec("a..c->a..b")
+
+
+class TestTokenizer:
+    def test_basic(self):
+        t = Tokenizer()
+        toks = t.tokenize("Hello, World! This is a test.")
+        assert [x.text for x in toks] == ["hello", "world", "this", "is", "a", "test"]
+        assert [x.position for x in toks] == [1, 2, 3, 4, 5, 6]
+
+    def test_numbers_and_punct(self):
+        t = Tokenizer()
+        assert t.tokenize_terms("year-2024 v1.5") == ["year", "2024", "v1", "5"]
+
+    def test_min_word_len(self):
+        t = Tokenizer(TokenizerSettings(min_word_len=3))
+        toks = t.tokenize("a bb ccc dddd")
+        assert [x.text for x in toks] == ["ccc", "dddd"]
+        # overshort tokens still advance positions by overshort_step=1
+        assert [x.position for x in toks] == [3, 4]
+
+    def test_max_word_len_clip(self):
+        t = Tokenizer()
+        long = "x" * 100
+        toks = t.tokenize(long)
+        assert len(toks) == 1
+        assert toks[0].text == "x" * 42  # SPH_MAX_WORD_LEN
+
+    def test_accents_fold(self):
+        t = Tokenizer()
+        assert t.tokenize_terms("Café UPPER") == ["cafe", "upper"]
+
+    def test_empty(self):
+        t = Tokenizer()
+        assert t.tokenize("") == []
+        assert t.tokenize("...!!!") == []
+
+
+class TestMorphology:
+    # classic Porter vectors (matches the reference's stem_en behavior for
+    # plain words; sphinxstemen.cpp implements the same 1980 algorithm)
+    @pytest.mark.parametrize("word,stem", [
+        ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+        ("caress", "caress"), ("cats", "cat"), ("feed", "feed"),
+        ("agreed", "agre"), ("plastered", "plaster"), ("bled", "bled"),
+        ("motoring", "motor"), ("sing", "sing"), ("conflated", "conflat"),
+        ("troubled", "troubl"), ("sized", "size"), ("hopping", "hop"),
+        ("tanned", "tan"), ("falling", "fall"), ("hissing", "hiss"),
+        ("fizzed", "fizz"), ("failing", "fail"), ("filing", "file"),
+        ("happy", "happi"), ("sky", "sky"), ("relational", "relat"),
+        ("conditional", "condit"), ("rational", "ration"),
+        ("valenci", "valenc"), ("hesitanci", "hesit"),
+        ("digitizer", "digit"), ("conformabli", "conform"),
+        ("radicalli", "radic"), ("differentli", "differ"),
+        ("vileli", "vile"), ("analogousli", "analog"),
+        ("vietnamization", "vietnam"), ("predication", "predic"),
+        ("operator", "oper"), ("feudalism", "feudal"),
+        ("decisiveness", "decis"), ("hopefulness", "hope"),
+        ("callousness", "callous"), ("formaliti", "formal"),
+        ("sensitiviti", "sensit"), ("sensibiliti", "sensibl"),
+        ("triplicate", "triplic"), ("formative", "form"),
+        ("formalize", "formal"), ("electriciti", "electr"),
+        ("electrical", "electr"), ("hopeful", "hope"),
+        ("goodness", "good"), ("revival", "reviv"),
+        ("allowance", "allow"), ("inference", "infer"),
+        ("airliner", "airlin"), ("gyroscopic", "gyroscop"),
+        ("adjustable", "adjust"), ("defensible", "defens"),
+        ("irritant", "irrit"), ("replacement", "replac"),
+        ("adjustment", "adjust"), ("dependent", "depend"),
+        ("adoption", "adopt"), ("homologou", "homolog"),
+        ("communism", "commun"), ("activate", "activ"),
+        ("angulariti", "angular"), ("homologous", "homolog"),
+        ("effective", "effect"), ("bowdlerize", "bowdler"),
+        ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+        ("controll", "control"), ("roll", "roll"),
+    ])
+    def test_porter(self, word, stem):
+        assert porter_stem(word) == stem
+
+    def test_soundex(self):
+        assert soundex("robert") == "r163"
+        assert soundex("rupert") == "r163"
+        assert soundex("tymczak") == "t522"
+
+
+class TestDictionary:
+    def test_stopwords(self):
+        d = Dictionary(DictSettings(stopwords=frozenset({"the", "a"})))
+        assert d.process("the") == []
+        assert d.process("cat") == ["cat"]
+
+    def test_morphology_chain(self):
+        d = Dictionary(DictSettings(morphology=("stem_en",)))
+        assert d.process("running") == ["run"]
+
+    def test_exact_words(self):
+        d = Dictionary(DictSettings(morphology=("stem_en",), index_exact_words=True))
+        assert d.process("running") == ["run", "=running"]
+
+    def test_wordforms_priority_over_morph(self):
+        d = Dictionary(DictSettings(
+            morphology=("stem_en",), wordforms=(("running", "jog"),)
+        ))
+        assert d.process("running") == ["jog"]

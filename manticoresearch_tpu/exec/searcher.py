@@ -14,7 +14,7 @@ import numpy as np
 
 from ..index.builder import PackedIndex
 from ..ops.device_index import DeviceIndex, upload
-from ..ops.search import INT32_MIN, get_search_fn
+from ..ops.search import INT32_MIN, get_batched_search_fn, get_search_fn
 from ..query.ftparser import FtQueryParser
 from ..query.planner import AttrFilterDef, CompiledQuery, plan_query
 from ..text.dictionary import Dictionary
@@ -107,6 +107,7 @@ class SearchIndex:
         return plan_query(
             ast, self.packed,
             filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
+            window=q.offset + q.limit,
             order=order, field_weights=q.field_weights,
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
         )
@@ -126,7 +127,61 @@ class SearchIndex:
         rowids = np.asarray(out["rowid"])
         weights = np.asarray(out["weight"])
         found = int(out["found"])
+        return self._finish(q, cq, rowids, weights, found, t0)
 
+    def search_batch(self, queries: list[SearchQuery]) -> list[SearchResult]:
+        """Batched execution: queries grouped by plan shape share ONE device
+        launch and ONE packed result fetch (multi-query optimization,
+        sphinx.cpp:15474 — critical here because each device->host fetch
+        pays the accelerator-link RTT)."""
+        t0 = time.perf_counter()
+        results: list[SearchResult | None] = [None] * len(queries)
+        groups: dict[tuple, list[int]] = {}
+        plans: list[CompiledQuery | None] = [None] * len(queries)
+        for i, q in enumerate(queries):
+            try:
+                cq = self.plan(q)
+            except (ValueError, NotImplementedError) as e:
+                results[i] = SearchResult([], 0, 0, 0.0, [], error=str(e))
+                continue
+            plans[i] = cq
+            key = (cq.sig, cq.bucket, cq.hit_bucket, cq.n_hit_iters,
+                   cq.lim_bucket)
+            groups.setdefault(key, []).append(i)
+
+        import jax
+
+        data = self.device.data_pytree()
+        # phase 1: dispatch every group's launch asynchronously
+        pending = []
+        for (sig, bucket, hb, nhi, lb), idxs in groups.items():
+            fn = get_batched_search_fn(
+                sig, self.packed.n_docs, max(self.schema.n_fields, 1),
+                bucket, hb, nhi, lb)
+            # pad the batch dim to a pow2 so group size doesn't multiply
+            # compile shapes (dummy slots repeat the last query)
+            B = 1
+            while B < len(idxs):
+                B <<= 1
+            padded = [plans[i].runtime for i in idxs]
+            padded += [padded[-1]] * (B - len(padded))
+            rt_b = jax.tree.map(lambda *xs: np.stack(xs), *padded)
+            pending.append((sig, idxs, fn(data, rt_b)))
+        # phase 2: one bulk device->host fetch (amortizes link RTT)
+        fetched = jax.device_get([p[2] for p in pending])
+        # phase 3: unpack
+        for (sig, idxs, _), packed_out in zip(pending, fetched):
+            k = sig.k
+            for bi, i in enumerate(idxs):
+                row = packed_out[bi]
+                results[i] = self._finish(
+                    queries[i], plans[i], row[:k], row[k:2 * k],
+                    int(row[2 * k]), t0)
+        return results  # type: ignore[return-value]
+
+    def _finish(self, q: SearchQuery, cq: CompiledQuery,
+                rowids: np.ndarray, weights: np.ndarray, found: int,
+                t0: float) -> SearchResult:
         n_avail = min(found, cq.sig.k)
         rowids = rowids[:n_avail]
         weights = weights[:n_avail]
@@ -144,7 +199,8 @@ class SearchIndex:
             WordStat(t, d, h)
             for t, d, h in zip(cq.slot_terms, cq.slot_df, cq.slot_hits)
         ]
-        return SearchResult(matches, n_avail, found, dt, stats)
+        total = min(found, q.max_matches)
+        return SearchResult(matches, total, found, dt, stats)
 
     def _hydrate(self, rowids: np.ndarray, weights: np.ndarray,
                  select: list[str] | None) -> list[Match]:

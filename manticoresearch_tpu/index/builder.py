@@ -339,9 +339,8 @@ def build_from_pretokenized(
     post_tfq = (post_tf / (post_tf + np.float32(SPH_BM25_K1))).astype(np.float32)
 
     field_lens = np.zeros((n, 1), dtype=np.int32)
-    field_lens[:, 0] = counts[np.argsort(rowmap, kind="stable")] if n else 0
-    # counts indexed by original doc order; rowid r corresponds to original order[r]
     if n:
+        # counts is in original doc order; rowid r holds original doc order[r]
         field_lens[:, 0] = counts[order]
 
     a_int, a_big, a_float = {}, {}, {}

@@ -33,6 +33,8 @@ class DeviceIndex:
     hit_packed_nokey: jax.Array      # i32[H]  (end flag stripped, for compares)
     hit_rowid: jax.Array             # i32[H]  (posting rowid expanded per hit)
     alive: jax.Array                 # bool[N+1], [N] always False (dead-row map, killlist.h:22)
+    docid_hi: jax.Array              # i32[N+1]: docid >> 31 (for cross-shard tie-break)
+    docid_lo: jax.Array              # i32[N+1]: docid & 0x7fffffff
     attrs: dict[str, jax.Array]      # numeric SoA columns, each [N]
     mva_offsets: dict[str, jax.Array]
     mva_values: dict[str, jax.Array]
@@ -49,6 +51,8 @@ class DeviceIndex:
             "hit_packed_nokey": self.hit_packed_nokey,
             "hit_rowid": self.hit_rowid,
             "alive": self.alive,
+            "docid_hi": self.docid_hi,
+            "docid_lo": self.docid_lo,
             "attrs": self.attrs,
             "mva_offsets": self.mva_offsets,
             "mva_values": self.mva_values,
@@ -82,6 +86,10 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
     hit_rowid = np.repeat(packed.post_rowid, packed.post_tf).astype(np.int32)
     hit_nokey = (packed.hit_packed & ~(1 << 23)).astype(np.int32)
 
+    did = np.append(packed.doc_ids, 2**62)  # pad row sorts last on ties
+    docid_hi = (did >> 31).astype(np.int32)
+    docid_lo = (did & 0x7FFFFFFF).astype(np.int32)
+
     return DeviceIndex(
         n_rows=n,
         n_fields=packed.schema.n_fields,
@@ -94,6 +102,8 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
         hit_packed_nokey=put(hit_nokey),
         hit_rowid=put(hit_rowid),
         alive=put(alive),
+        docid_hi=put(docid_hi),
+        docid_lo=put(docid_lo),
         attrs={k: put(v) for k, v in attrs.items()},
         mva_offsets=mva_off,
         mva_values=mva_val,

@@ -105,7 +105,39 @@ def _eval_filter(spec: FilterSpec, attr, vals):
 def get_search_fn(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                   hit_bucket: int = 0, n_hit_iters: int = 0,
                   lim_bucket: int = 0):
-    """Compile (lazily, cached) the search program for one plan shape."""
+    """Compile (lazily, cached) the single-shard search program."""
+    return jax.jit(build_kernel(sig, n_rows, n_fields, bucket,
+                                hit_bucket, n_hit_iters, lim_bucket))
+
+
+@lru_cache(maxsize=512)
+def get_batched_search_fn(sig: PlanSig, n_rows: int, n_fields: int,
+                          bucket: int, hit_bucket: int = 0,
+                          n_hit_iters: int = 0, lim_bucket: int = 0):
+    """Batched variant: vmap over per-query runtime args, one launch for B
+    same-shape queries, output packed into ONE i32 array [B, 2k+1]
+    (rowid[k] ++ weight[k] ++ found) so a serving host pays a single
+    device->host fetch per batch (the multi-query optimization of
+    CheckMultiQuery/MultiQueryEx, sphinx.cpp:15474, re-cast for a
+    high-RTT accelerator link)."""
+    kern = build_kernel(sig, n_rows, n_fields, bucket, hit_bucket,
+                        n_hit_iters, lim_bucket)
+    vkern = jax.vmap(kern, in_axes=(None, 0))
+
+    def packed(data, rt_batched):
+        out = vkern(data, rt_batched)
+        return jnp.concatenate(
+            [out["rowid"], out["weight"], out["found"][:, None]], axis=1)
+
+    return jax.jit(packed)
+
+
+def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
+                 hit_bucket: int = 0, n_hit_iters: int = 0,
+                 lim_bucket: int = 0):
+    """Build the (pure, unjitted) search program for one plan shape.
+
+    Reused by the sharded path inside shard_map (parallel/sharded.py)."""
     N = n_rows
     F = n_fields
     S = sig.n_slots
@@ -257,7 +289,7 @@ def get_search_fn(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                 "found": total_found,
             }
 
-    return jax.jit(fn)
+    return fn
 
 
 def _eval_expr(expr: tuple, termmask, phrase_results, alive, N):

@@ -1,0 +1,355 @@
+"""Distributed-index search over a device mesh.
+
+Behavioral model: the reference's distributed index + agent fan-out
+(DistributedIndex_t, searchdha.h:679; RunSubset scatter-gather,
+searchd.cpp:6550-6860; per-agent merged chunks searchd.cpp:6737) and the
+global-IDF aggregation (SetupLocalDF, searchd.cpp:5869).
+
+TPU-native redesign (SURVEY §5.8): shards are doc partitions living as
+mesh-sharded SoA arrays (leading axis = mesh axis "shard"). One shard_mapped
+XLA program runs the per-shard search kernel, then merges per-shard top-k
+candidates with an all_gather over ICI + a replicated multi-key sort with the
+exact reference tie-break (weight desc, docid asc — docids carried as i32
+hi/lo pairs so 63-bit ids compare exactly). The entire master/agent protocol
+collapses into one program launch; "local df" aggregation happens host-side
+from per-shard dictionaries (equivalent to the psum formulation because df is
+static per index generation).
+"""
+from __future__ import annotations
+
+import bisect
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.builder import PackedIndex
+from ..ops.search import INT32_MIN, build_kernel
+from ..query.plan import PlanSig
+from ..query.planner import CompiledQuery, plan_query, _next_pow2
+from ..schema import Schema
+from ..text.dictionary import Dictionary
+from ..text.tokenizer import Tokenizer
+
+shard_map = jax.shard_map
+
+
+class _UnionView:
+    """A virtual 'index' exposing the union dictionary of all shards —
+    used by the planner for AST lowering, wildcard expansion and global IDF
+    (df summed across shards = SetupLocalDF semantics)."""
+
+    def __init__(self, shards: list[PackedIndex]):
+        self.schema = shards[0].schema
+        self.n_docs = sum(s.n_docs for s in shards)
+        union: dict[str, tuple[int, int]] = {}
+        for s in shards:
+            for t, df, th in zip(s.term_strs, s.term_docs.tolist(),
+                                 s.term_hits.tolist()):
+                d0, h0 = union.get(t, (0, 0))
+                union[t] = (d0 + df, h0 + th)
+        self.term_strs = sorted(union)
+        self.term_docs = np.array(
+            [union[t][0] for t in self.term_strs], np.int32
+        ) if self.term_strs else np.zeros(0, np.int32)
+        self.term_hits = np.array(
+            [union[t][1] for t in self.term_strs], np.int32
+        ) if self.term_strs else np.zeros(0, np.int32)
+        T = len(self.term_strs)
+        self.term_offsets = np.zeros(T + 1, np.int32)
+        self.post_hit_offset = np.zeros(1, np.int32)
+        self.hit_packed = np.zeros(0, np.int32)
+
+    def term_id(self, term: str) -> int:
+        i = bisect.bisect_left(self.term_strs, term)
+        if i < len(self.term_strs) and self.term_strs[i] == term:
+            return i
+        return -1
+
+
+def _pad_to(arr: np.ndarray, size: int, value) -> np.ndarray:
+    if len(arr) >= size:
+        return arr
+    pad = np.full(size - len(arr), value, dtype=arr.dtype)
+    return np.concatenate([arr, pad])
+
+
+def make_mesh(n_shards: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_shards is None:
+        n_shards = len(devs)
+    return Mesh(np.array(devs[:n_shards]), (axis,))
+
+
+class ShardedIndex:
+    """A distributed index: docs partitioned over mesh devices."""
+
+    def __init__(self, shards: list[PackedIndex], mesh: Mesh | None = None):
+        if not shards:
+            raise ValueError("need at least one shard")
+        self.shards = shards
+        self.mesh = mesh if mesh is not None else make_mesh(len(shards))
+        self.axis = self.mesh.axis_names[0]
+        D = self.mesh.devices.size
+        if len(shards) != D:
+            raise ValueError(f"{len(shards)} shards for {D} mesh devices")
+        self.union = _UnionView(shards)
+        self.schema: Schema = shards[0].schema
+        self.tokenizer = Tokenizer(shards[0].tokenizer_settings)
+        self.dictionary = Dictionary(shards[0].dict_settings)
+        from ..query.ftparser import FtQueryParser
+        self.parser = FtQueryParser(
+            self.tokenizer, self.dictionary, self.schema.fields)
+        self._stack()
+        self._fn_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _stack(self) -> None:
+        shards = self.shards
+        D = len(shards)
+        N = max(s.n_docs for s in shards)
+        Pmax = max(max(s.n_postings for s in shards), 1)
+        Hmax = max(max(len(s.hit_packed) for s in shards), 1)
+        self.n_common = N
+
+        post_rowid = np.full((D, Pmax), N, np.int32)
+        post_tfq = np.zeros((D, Pmax), np.float32)
+        post_tf = np.zeros((D, Pmax), np.int32)
+        post_fm = np.zeros((D, Pmax), np.int32)
+        pho = np.zeros((D, Pmax + 1), np.int32)
+        hitp = np.zeros((D, Hmax), np.int32)
+        hitr = np.full((D, Hmax), N, np.int32)
+        alive = np.zeros((D, N + 1), bool)
+        dhi = np.zeros((D, N + 1), np.int32)
+        dlo = np.zeros((D, N + 1), np.int32)
+        for i, s in enumerate(shards):
+            p = s.n_postings
+            post_rowid[i, :p] = s.post_rowid
+            post_tfq[i, :p] = s.post_tfq
+            post_tf[i, :p] = s.post_tf
+            post_fm[i, :p] = s.post_fieldmask
+            pho[i, : p + 1] = s.post_hit_offset
+            pho[i, p + 1:] = s.post_hit_offset[-1] if p else 0
+            h = len(s.hit_packed)
+            hitp[i, :h] = s.hit_packed
+            hitr[i, :h] = np.repeat(s.post_rowid, s.post_tf)
+            alive[i, : s.n_docs] = True
+            did = np.append(s.doc_ids, np.full(N - s.n_docs + 1, 2**62))
+            dhi[i] = (did >> 31).astype(np.int32)
+            dlo[i] = (did & 0x7FFFFFFF).astype(np.int32)
+
+        attrs = {}
+        for a in self.schema.attrs:
+            if not a.type.is_numeric_device:
+                continue
+            dt = np.float32 if a.type.value == "float" else np.int32
+            col = np.zeros((D, N), dt)
+            for i, s in enumerate(shards):
+                src = (s.attrs_int.get(a.name) if a.name in s.attrs_int
+                       else s.attrs_float.get(a.name)
+                       if a.name in s.attrs_float
+                       else s.attrs_big.get(a.name))
+                if src is not None:
+                    col[i, : len(src)] = np.clip(
+                        src, -(2**31), 2**31 - 1
+                    ).astype(dt) if dt == np.int32 else src.astype(dt)
+            attrs[a.name] = col
+
+        data = {
+            "post_rowid": post_rowid, "post_tfq": post_tfq,
+            "post_tf": post_tf, "post_fieldmask": post_fm,
+            "post_hit_offset": pho, "hit_packed": hitp,
+            "hit_packed_nokey": (hitp & ~(1 << 23)).astype(np.int32),
+            "hit_rowid": hitr, "alive": alive,
+            "docid_hi": dhi, "docid_lo": dlo,
+            "attrs": attrs, "mva_offsets": {}, "mva_values": {},
+        }
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        self.data = jax.tree.map(
+            lambda x: jax.device_put(x, sharding), data)
+
+    # ------------------------------------------------------------------
+    def _sharded_fn(self, sig: PlanSig, bucket, hit_bucket, n_hit_iters,
+                    lim_bucket):
+        key = (sig, bucket, hit_bucket, n_hit_iters, lim_bucket)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+
+        N = self.n_common
+        F = max(self.schema.n_fields, 1)
+        D = len(self.shards)
+        # per-shard top-k is clamped to the shard row space; the merge then
+        # restores the requested k (one pre-merged chunk per shard, like
+        # agents return one chunk each — searchd.cpp:6737)
+        from dataclasses import replace
+        k_local = max(1, min(sig.k, N))
+        kern = build_kernel(replace(sig, k=k_local), N, F, bucket,
+                            hit_bucket, n_hit_iters, lim_bucket)
+        axis = self.axis
+        k = min(sig.k, D * k_local)
+
+        def per_shard(data, rt_shard, rt_repl):
+            # shard_map keeps the sharded axis as a size-1 leading dim
+            data = jax.tree.map(lambda x: x[0], data)
+            rt_shard = jax.tree.map(lambda x: x[0], rt_shard)
+            rt = {**rt_shard, **rt_repl}
+            out = kern(data, rt)
+            rid = out["rowid"]
+            w = out["weight"]
+            hi = data["docid_hi"][rid]
+            lo = data["docid_lo"][rid]
+            gw = jax.lax.all_gather(w, axis).reshape(-1)
+            ghi = jax.lax.all_gather(hi, axis).reshape(-1)
+            glo = jax.lax.all_gather(lo, axis).reshape(-1)
+            grid = jax.lax.all_gather(rid, axis).reshape(-1)
+            gshard = jnp.repeat(
+                jnp.arange(D, dtype=jnp.int32), k_local,
+                total_repeat_length=gw.shape[0])
+            found = jax.lax.psum(out["found"], axis)
+            # merged order: weight desc, docid asc  (MinimizeAggrResult /
+            # MergeAllMatches semantics, searchd.cpp:4816,3990)
+            sw, shi, slo, srid, sshard = jax.lax.sort(
+                (~gw, ghi, glo, grid, gshard), num_keys=3)
+            return {
+                "weight": ~sw[:k],
+                "docid_hi": shi[:k],
+                "docid_lo": slo[:k],
+                "rowid": srid[:k],
+                "shard": sshard[:k],
+                "found": found,
+            }
+
+        smapped = shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        fn = jax.jit(smapped)
+        self._fn_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def plan(self, q) -> CompiledQuery:
+        ast = self.parser.parse(q.match)
+        if (q.sort or [("weight", False)])[0][0] not in ("weight", "@weight"):
+            raise NotImplementedError(
+                "sharded ORDER BY attr lands with the merge upgrade")
+        return plan_query(
+            ast, self.union,
+            filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
+            order=("rel",), field_weights=q.field_weights,
+            idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
+        )
+
+    def search(self, q):
+        from ..exec.searcher import Match, SearchResult, WordStat
+        import time
+        t0 = time.perf_counter()
+        try:
+            cq = self.plan(q)
+        except (ValueError, NotImplementedError) as e:
+            return SearchResult([], 0, 0, 0.0, [], error=str(e))
+
+        S = max(cq.sig.n_slots, 1)
+        D = len(self.shards)
+        limited = {s for s, _ in cq.sig.slot_limited}
+        starts = np.zeros((D, S), np.int32)
+        lengths = np.zeros((D, S), np.int32)
+        hstarts = np.zeros((D, S), np.int32)
+        hlengths = np.zeros((D, S), np.int32)
+        L = max(len(cq.sig.slot_limited), 1)
+        lstarts = np.zeros((D, L), np.int32)
+        llengths = np.zeros((D, L), np.int32)
+        for d, sh in enumerate(self.shards):
+            for s, term in enumerate(cq.slot_terms):
+                tid = sh.term_id(term)
+                if tid < 0:
+                    continue
+                t0_, t1_ = int(sh.term_offsets[tid]), int(sh.term_offsets[tid + 1])
+                hs = int(sh.post_hit_offset[t0_]) if t1_ > t0_ else 0
+                he = int(sh.post_hit_offset[t1_]) if t1_ > t0_ else 0
+                hstarts[d, s] = hs
+                hlengths[d, s] = he - hs
+                if s not in limited:
+                    starts[d, s] = t0_
+                    lengths[d, s] = t1_ - t0_
+            for li, (s, _m) in enumerate(cq.sig.slot_limited):
+                lstarts[d, li] = hstarts[d, s]
+                llengths[d, li] = hlengths[d, s]
+
+        bucket = _next_pow2(int(lengths.sum(axis=1).max()), 128)
+        hit_bucket = (_next_pow2(int(hlengths.max()), 128)
+                      if cq.hit_bucket else 0)
+        lim_bucket = (_next_pow2(int(llengths.sum(axis=1).max()), 128)
+                      if cq.sig.slot_limited else 0)
+        Hmax = int(self.data["hit_packed"].shape[1])
+        n_hit_iters = max(1, math.ceil(math.log2(max(Hmax, 2)))) + 1
+
+        rt_shard = {
+            "starts": starts, "lengths": lengths,
+            "hit_starts": hstarts, "hit_lengths": hlengths,
+            "lim_starts": lstarts, "lim_lengths": llengths,
+        }
+        rt_repl = {
+            "idf": cq.runtime["idf"], "mult": cq.runtime["mult"],
+            "field_weights": cq.runtime["field_weights"],
+            "filter_vals": cq.runtime["filter_vals"],
+        }
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        repl = NamedSharding(self.mesh, P())
+        rt_shard = jax.tree.map(lambda x: jax.device_put(x, sharding), rt_shard)
+        rt_repl = jax.tree.map(lambda x: jax.device_put(np.asarray(x), repl), rt_repl)
+
+        fn = self._sharded_fn(cq.sig, bucket, hit_bucket, n_hit_iters,
+                              lim_bucket)
+        out = fn(self.data, rt_shard, rt_repl)
+
+        w = np.asarray(out["weight"])
+        hi = np.asarray(out["docid_hi"]).astype(np.int64)
+        lo = np.asarray(out["docid_lo"]).astype(np.int64)
+        rid = np.asarray(out["rowid"])
+        shard = np.asarray(out["shard"])
+        found = int(out["found"])
+
+        n_avail = min(found, cq.sig.k)
+        keep = w[:n_avail] != INT32_MIN
+        w, hi, lo, rid, shard = (x[:n_avail][keep] for x in (w, hi, lo, rid, shard))
+        docids = (hi << 31) | lo
+
+        lo_i = min(q.offset, len(w))
+        hi_i = min(q.offset + q.limit, len(w))
+        matches = []
+        for i in range(lo_i, hi_i):
+            sh = self.shards[int(shard[i])]
+            r = int(rid[i])
+            attrs = {}
+            for a in self.schema.attrs:
+                if a.name in sh.attrs_int:
+                    attrs[a.name] = int(sh.attrs_int[a.name][r])
+                elif a.name in sh.attrs_big:
+                    attrs[a.name] = int(sh.attrs_big[a.name][r])
+                elif a.name in sh.attrs_float:
+                    attrs[a.name] = float(sh.attrs_float[a.name][r])
+                elif a.name in sh.attrs_str:
+                    attrs[a.name] = sh.attrs_str[a.name][r]
+            matches.append(Match(int(docids[i]), int(w[i]), attrs))
+
+        dt = (time.perf_counter() - t0) * 1000.0
+        stats = [WordStat(t, d, h) for t, d, h in
+                 zip(cq.slot_terms, cq.slot_df, cq.slot_hits)]
+        return SearchResult(matches, n_avail, found, dt, stats)
+
+
+def partition_documents(docs: list[dict], n_shards: int) -> list[list[dict]]:
+    """Round-robin doc partition (the reference leaves sharding to the user's
+    distributed config; round-robin by id keeps shards balanced)."""
+    out: list[list[dict]] = [[] for _ in range(n_shards)]
+    for d in docs:
+        out[int(d["id"]) % n_shards].append(d)
+    return out

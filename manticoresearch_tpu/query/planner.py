@@ -208,6 +208,7 @@ def plan_query(
     filters: list[AttrFilterDef] | None = None,
     ranker: str = "proximity_bm25",
     max_matches: int = 1000,
+    window: int | None = None,   # offset+limit: device keeps only this many
     order: tuple = ("rel",),
     field_weights: dict[str, int] | None = None,
     idf_plain: bool = False,
@@ -333,14 +334,17 @@ def plan_query(
         fw[index.schema.field_id(name)] = int(w)
 
     total_post = int(lengths.sum())
-    bucket = _next_pow2(total_post, 128)
+    # min bucket 1024 keeps plan-shape diversity (and thus compile count +
+    # batch fragmentation) low; the extra gather work is negligible
+    bucket = _next_pow2(total_post, 1024)
     total_hits_needed = int(hit_lengths.max()) if has_positional else 0
     hit_bucket = _next_pow2(total_hits_needed, 128) if has_positional else 0
     lim_bucket = _next_pow2(int(lim_lengths.sum()), 128) if L else 0
     H = len(index.hit_packed)
     n_hit_iters = max(1, math.ceil(math.log2(max(H, 2)))) + 1
 
-    k = max(1, min(max_matches, index.n_docs)) if index.n_docs else 1
+    k = min(max_matches, window) if window is not None else max_matches
+    k = max(1, min(k, index.n_docs)) if index.n_docs else 1
 
     sig = PlanSig(
         expr=expr, n_slots=S, ranker=eff_ranker,

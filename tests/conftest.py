@@ -2,8 +2,10 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh (multi-chip sharding is validated
 # without real chips); real-TPU paths are exercised by bench.py / the driver.
-# Must be set before jax import — and must override the session's platform.
-os.environ["JAX_PLATFORMS"] = "cpu"
+#
+# NOTE: the environment's sitecustomize imports jax at interpreter startup
+# (TPU tunnel plugin), so JAX_PLATFORMS is already latched — we must override
+# via jax.config, and set XLA_FLAGS before the first backend init.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
@@ -11,3 +13,7 @@ os.environ["XLA_FLAGS"] = (
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

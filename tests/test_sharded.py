@@ -1,0 +1,93 @@
+"""Distributed (mesh-sharded) search: results must equal the single-index
+engine on the same corpus — docids, weights, order, total counts.
+
+This is the reference's agent fan-out path (searchd.cpp:6550) as one XLA
+program over a virtual 8-device CPU mesh.
+"""
+import numpy as np
+import pytest
+
+from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+from manticoresearch_tpu.index.builder import IndexBuilder
+from manticoresearch_tpu.parallel.sharded import (ShardedIndex, make_mesh,
+                                                  partition_documents)
+from manticoresearch_tpu.query.planner import AttrFilterDef
+from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa", "search", "engine", "index", "query"]
+
+
+def make_docs(n=64, seed=3):
+    rng = np.random.RandomState(seed)
+    docs = []
+    for i in range(1, n + 1):
+        nw = rng.randint(3, 12)
+        body = " ".join(WORDS[j] for j in rng.randint(0, len(WORDS), nw))
+        docs.append(dict(
+            id=i,
+            title=" ".join(WORDS[j] for j in rng.randint(0, len(WORDS), 2)),
+            content=body,
+            year=int(2000 + rng.randint(0, 20)),
+            score=float(rng.rand()),
+        ))
+    return docs
+
+
+SCHEMA = Schema(
+    fields=["title", "content"],
+    attrs=[AttrDef("year", AttrType.UINT), AttrDef("score", AttrType.FLOAT)],
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_docs()
+
+
+@pytest.fixture(scope="module")
+def single(corpus):
+    b = IndexBuilder(SCHEMA)
+    b.add_documents(corpus)
+    return SearchIndex(b.build())
+
+
+@pytest.fixture(scope="module")
+def sharded(corpus):
+    parts = partition_documents(corpus, 8)
+    shards = []
+    for part in parts:
+        b = IndexBuilder(SCHEMA)
+        b.add_documents(part)
+        shards.append(b.build())
+    return ShardedIndex(shards, make_mesh(8))
+
+
+QUERIES = [
+    SearchQuery(match="alpha"),
+    SearchQuery(match="search engine"),
+    SearchQuery(match="alpha | omega"),
+    SearchQuery(match="alpha -beta"),
+    SearchQuery(match="query", filters=[
+        AttrFilterDef("year", "range_i", lo=2005, hi=2015)]),
+    SearchQuery(match="", filters=[
+        AttrFilterDef("year", "values", values=[2003, 2007])]),
+    SearchQuery(match="@title kappa"),
+    SearchQuery(match="alpha beta gamma", limit=50),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_sharded_equals_single(single, sharded, qi):
+    q = QUERIES[qi]
+    r1 = single.search(q)
+    r2 = sharded.search(q)
+    assert r1.error is None and r2.error is None, (r1.error, r2.error)
+    assert r2.total_found == r1.total_found
+    assert [m.docid for m in r2.matches] == [m.docid for m in r1.matches]
+    assert [m.weight for m in r2.matches] == [m.weight for m in r1.matches]
+    assert [m.attrs for m in r2.matches] == [m.attrs for m in r1.matches]
+
+
+def test_mesh_is_8_devices(sharded):
+    assert sharded.mesh.devices.size == 8

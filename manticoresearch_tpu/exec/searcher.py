@@ -122,6 +122,7 @@ class SearchIndex:
         fn = get_search_fn(
             cq.sig, self.packed.n_docs, max(self.schema.n_fields, 1),
             cq.bucket, cq.hit_bucket, cq.n_hit_iters, cq.lim_bucket,
+            cq.rh_bucket,
         )
         out = fn(self.device.data_pytree(), cq.runtime)
         rowids = np.asarray(out["rowid"])
@@ -146,7 +147,7 @@ class SearchIndex:
                 continue
             plans[i] = cq
             key = (cq.sig, cq.bucket, cq.hit_bucket, cq.n_hit_iters,
-                   cq.lim_bucket)
+                   cq.lim_bucket, cq.rh_bucket)
             groups.setdefault(key, []).append(i)
 
         import jax
@@ -154,10 +155,10 @@ class SearchIndex:
         data = self.device.data_pytree()
         # phase 1: dispatch every group's launch asynchronously
         pending = []
-        for (sig, bucket, hb, nhi, lb), idxs in groups.items():
+        for (sig, bucket, hb, nhi, lb, rhb), idxs in groups.items():
             fn = get_batched_search_fn(
                 sig, self.packed.n_docs, max(self.schema.n_fields, 1),
-                bucket, hb, nhi, lb)
+                bucket, hb, nhi, lb, rhb)
             # pad the batch dim to a pow2 so group size doesn't multiply
             # compile shapes (dummy slots repeat the last query)
             B = 1

@@ -31,6 +31,10 @@ import numpy as np
 
 from ..query.plan import FilterSpec, PlanSig, expr_slots, positive_slots
 
+import os
+
+_DEBUG_KERNEL = bool(os.environ.get("MT_DEBUG_KERNEL"))
+
 INT32_MIN = -(2**31)
 SPH_BM25_SCALE = 1000  # sphinxsearch.cpp:31
 HITMAN_END_FLAG = 1 << 23
@@ -104,16 +108,18 @@ def _eval_filter(spec: FilterSpec, attr, vals):
 @lru_cache(maxsize=512)
 def get_search_fn(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                   hit_bucket: int = 0, n_hit_iters: int = 0,
-                  lim_bucket: int = 0):
+                  lim_bucket: int = 0, rh_bucket: int = 0):
     """Compile (lazily, cached) the single-shard search program."""
     return jax.jit(build_kernel(sig, n_rows, n_fields, bucket,
-                                hit_bucket, n_hit_iters, lim_bucket))
+                                hit_bucket, n_hit_iters, lim_bucket,
+                                rh_bucket))
 
 
 @lru_cache(maxsize=512)
 def get_batched_search_fn(sig: PlanSig, n_rows: int, n_fields: int,
                           bucket: int, hit_bucket: int = 0,
-                          n_hit_iters: int = 0, lim_bucket: int = 0):
+                          n_hit_iters: int = 0, lim_bucket: int = 0,
+                          rh_bucket: int = 0):
     """Batched variant: vmap over per-query runtime args, one launch for B
     same-shape queries, output packed into ONE i32 array [B, 2k+1]
     (rowid[k] ++ weight[k] ++ found) so a serving host pays a single
@@ -121,7 +127,7 @@ def get_batched_search_fn(sig: PlanSig, n_rows: int, n_fields: int,
     CheckMultiQuery/MultiQueryEx, sphinx.cpp:15474, re-cast for a
     high-RTT accelerator link)."""
     kern = build_kernel(sig, n_rows, n_fields, bucket, hit_bucket,
-                        n_hit_iters, lim_bucket)
+                        n_hit_iters, lim_bucket, rh_bucket)
     vkern = jax.vmap(kern, in_axes=(None, 0))
 
     def packed(data, rt_batched):
@@ -134,7 +140,7 @@ def get_batched_search_fn(sig: PlanSig, n_rows: int, n_fields: int,
 
 def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                  hit_bucket: int = 0, n_hit_iters: int = 0,
-                 lim_bucket: int = 0):
+                 lim_bucket: int = 0, rh_bucket: int = 0):
     """Build the (pure, unjitted) search program for one plan shape.
 
     Reused by the sharded path inside shard_map (parallel/sharded.py)."""
@@ -145,8 +151,12 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
         raise NotImplementedError("more than 32 unique query terms")
 
     need_fieldmask = sig.ranker in ("ws_bm25", "ws", "fieldmask", "matchany")
+    use_lcs = sig.ranker in ("proximity_bm25", "proximity")
     pos_slots = tuple(sorted(positive_slots(sig.expr))) if sig.expr[0] != "all" else ()
     phrase_nodes = _collect_phrase_nodes(sig.expr)
+    from ..query.plan import positive_phrase_nodes, ranker_term_slots
+    rk_slots = ranker_term_slots(sig.expr) if use_lcs else ()
+    rk_phrases = positive_phrase_nodes(sig.expr) if use_lcs else ()
 
     def fn(data, rt):
         attrs = data["attrs"]
@@ -160,6 +170,11 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
             contrib = jnp.where(
                 valid & is_pos, tfq * rt["idf"][slot] * rt["mult"][slot], 0.0
             )
+            # barrier: stop XLA from fusing the multiply into the scatter-add
+            # as an FMA — the reference's float math rounds tf*idf before
+            # accumulating (searchnode.cpp:1579), and the skipped rounding
+            # shifts int weights by 1 near ties
+            contrib = jax.lax.optimization_barrier(contrib)
             tfidf = jnp.zeros(N + 1, jnp.float32).at[rowid].add(contrib)
             bits = jnp.where(valid, jnp.int32(1) << slot, 0)
             termmask = jnp.zeros(N + 1, jnp.int32).at[rowid].add(bits)
@@ -231,8 +246,78 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
         eligible = match & alive & fmask_filters
 
         # ---- weight (exact reference composition) ----
+        # barrier: XLA otherwise fuses the scatter with this epilogue and
+        # reassociates (tfidf+0.5)*1000, flipping int weights by 1 at exact
+        # rounding boundaries (observed on CPU backend; reference float math
+        # rounds each step separately)
+        tfidf = jax.lax.optimization_barrier(tfidf)
         bm25part = jnp.trunc((tfidf + 0.5) * SPH_BM25_SCALE).astype(jnp.int32)
-        if sig.ranker in ("ws_bm25", "ws"):
+        if use_lcs:
+            # RankerState_Proximity_fn (sphinxsearch.cpp:1320-1440), no-dupes
+            # path, reformulated as a segmented scan over the merged hit
+            # stream of all positive term leaves + phrase-node emissions:
+            #   delta_i = pos_with_field_i - querypos_i
+            #   curlcs_i = (linked_i ? curlcs_{i-1} : 0) + weight_i
+            #   linked_i = same doc && pos strictly increased &&
+            #              delta_i == delta_{i-1} + spanlen_{i-1} - 1
+            #   lcs[field] = max(curlcs over hits in field)
+            #   rank = sum_f lcs[f] * field_weight[f]
+            qpos = rt["qpos"]
+            parts_row, parts_pk, parts_qp, parts_w, parts_sp = [], [], [], [], []
+            if rk_slots and rh_bucket:
+                Rn = len(rk_slots)
+                rslot, rgidx, rvalid = _gather_flat(
+                    rt["rh_starts"], rt["rh_lengths"], rh_bucket, Rn)
+                slot_ids = jnp.asarray(rk_slots, jnp.int32)[rslot]
+                parts_row.append(jnp.where(rvalid, data["hit_rowid"][rgidx], N))
+                parts_pk.append(jnp.where(
+                    rvalid, data["hit_packed_nokey"][rgidx], 0))
+                parts_qp.append(qpos[slot_ids])
+                parts_w.append(jnp.where(rvalid, 1, 0).astype(jnp.int32))
+                parts_sp.append(jnp.ones_like(slot_ids))
+            for node in rk_phrases:
+                pm, ptf, a_row, a_key, a_ok = phrase_results[node]
+                n_words = len(node[1])
+                first_slot = node[1][0]
+                # FSMphrase emission (searchnode.cpp:3920-3930): hit at the
+                # phrase START position, qpos of the first atom, weight and
+                # spanlen = word count
+                parts_row.append(jnp.where(a_ok, a_row, N))
+                parts_pk.append(jnp.where(a_ok, a_key, 0))
+                parts_qp.append(jnp.full_like(a_row, 1) * qpos[first_slot])
+                parts_w.append(jnp.where(a_ok, n_words, 0).astype(jnp.int32))
+                parts_sp.append(jnp.full_like(a_row, n_words))
+            if parts_row:
+                hrow = jnp.concatenate(parts_row)
+                hpk = jnp.concatenate(parts_pk)
+                hqp = jnp.concatenate(parts_qp)
+                hw = jnp.concatenate(parts_w)
+                hsp = jnp.concatenate(parts_sp)
+                hrow, hpk, hqp, hw, hsp = jax.lax.sort(
+                    (hrow, hpk, hqp, hw, hsp), num_keys=2)
+                delta = hpk - hqp
+                p_row = jnp.concatenate([jnp.full(1, -1, hrow.dtype), hrow[:-1]])
+                p_pk = jnp.concatenate([jnp.zeros(1, hpk.dtype), hpk[:-1]])
+                p_delta = jnp.concatenate([jnp.zeros(1, delta.dtype), delta[:-1]])
+                p_sp = jnp.concatenate([jnp.zeros(1, hsp.dtype), hsp[:-1]])
+                linked = ((hrow == p_row) & (hpk > p_pk)
+                          & (delta == p_delta + p_sp - 1))
+                M = hrow.shape[0]
+                idx = jnp.arange(M, dtype=jnp.int32)
+                run_start = jax.lax.cummax(jnp.where(linked, 0, idx))
+                cumw = jnp.cumsum(hw)
+                curlcs = cumw - cumw[run_start] + hw[run_start]
+                curlcs = jnp.minimum(curlcs, 255)  # BYTE m_uCurLCS
+                hfield2 = (hpk >> 24) & 0x7F
+                lcs = jnp.zeros((N + 1, F), jnp.int32).at[
+                    hrow, hfield2].max(curlcs)
+            else:
+                lcs = jnp.zeros((N + 1, F), jnp.int32)
+            fw = rt["field_weights"]
+            rank = jnp.sum(lcs * fw[None, :], axis=-1).astype(jnp.int32)
+            weight = (bm25part + rank * SPH_BM25_SCALE
+                      if sig.ranker == "proximity_bm25" else rank)
+        elif sig.ranker in ("ws_bm25", "ws"):
             fw = rt["field_weights"]
             rank = jnp.sum(fieldhit * fw[None, :], axis=-1).astype(jnp.int32)
             weight = bm25part + rank * SPH_BM25_SCALE if sig.ranker == "ws_bm25" else rank
@@ -250,6 +335,8 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
             raise NotImplementedError(f"ranker {sig.ranker}")
 
         total_found = jnp.sum(eligible.astype(jnp.int32))
+        dbg = ({"dbg_tfidf": tfidf, "dbg_bm25part": bm25part,
+                "dbg_weight": weight} if _DEBUG_KERNEL else {})
 
         if sig.order[0] == "rel":
             key = jnp.where(eligible, weight, INT32_MIN)
@@ -258,6 +345,7 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                 "rowid": top_idx.astype(jnp.int32),
                 "weight": top_w,
                 "found": total_found,
+                **dbg,
             }
         elif sig.order[0] == "attr_id":
             is_asc = sig.order[1]
@@ -354,7 +442,15 @@ def _eval_phrase_node(node, data, rt, N, hit_bucket, n_hit_iters):
     their query-position deltas — the FSMphrase (searchnode.cpp:3901)
     reformulated as membership tests over sorted hit arrays.
 
-    Returns (match bool[N+1], tf int32[N+1] = number of phrase occurrences).
+    Returns (match bool[N+1], tf int32[N+1] = phrase occurrences,
+    anchor_row i32[hit_bucket], anchor_key i32[hit_bucket], ok bool) — the
+    anchor arrays feed phrase-hit emission into the proximity ranker stream.
+
+    NOTE (documented divergence): the reference FSM resets after each
+    completed match (searchnode.cpp:3930 ResetFSM) so self-overlapping
+    phrases ("a a" against "a a a") count non-overlapping occurrences only;
+    this formulation counts every anchored occurrence. Differs only for
+    self-overlapping phrases, and only in tf, not match/no-match.
     """
     op = node[0]
     slots_t = node[1]
@@ -389,4 +485,4 @@ def _eval_phrase_node(node, data, rt, N, hit_bucket, n_hit_iters):
 
     row_scatter = jnp.where(ok, a_row, N)
     tf = jnp.zeros(N + 1, jnp.int32).at[row_scatter].add(jnp.where(ok, 1, 0))
-    return tf > 0, tf
+    return tf > 0, tf, a_row, a_key, ok

@@ -174,8 +174,8 @@ class ShardedIndex:
 
     # ------------------------------------------------------------------
     def _sharded_fn(self, sig: PlanSig, bucket, hit_bucket, n_hit_iters,
-                    lim_bucket):
-        key = (sig, bucket, hit_bucket, n_hit_iters, lim_bucket)
+                    lim_bucket, rh_bucket):
+        key = (sig, bucket, hit_bucket, n_hit_iters, lim_bucket, rh_bucket)
         if key in self._fn_cache:
             return self._fn_cache[key]
 
@@ -188,7 +188,7 @@ class ShardedIndex:
         from dataclasses import replace
         k_local = max(1, min(sig.k, N))
         kern = build_kernel(replace(sig, k=k_local), N, F, bucket,
-                            hit_bucket, n_hit_iters, lim_bucket)
+                            hit_bucket, n_hit_iters, lim_bucket, rh_bucket)
         axis = self.axis
         k = min(sig.k, D * k_local)
 
@@ -283,11 +283,24 @@ class ShardedIndex:
                 lstarts[d, li] = hstarts[d, s]
                 llengths[d, li] = hlengths[d, s]
 
-        bucket = _next_pow2(int(lengths.sum(axis=1).max()), 128)
+        from ..query.plan import ranker_term_slots
+        use_lcs = cq.sig.ranker in ("proximity_bm25", "proximity")
+        rk_slots = ranker_term_slots(cq.sig.expr) if use_lcs else ()
+        R = max(len(rk_slots), 1)
+        rh_starts = np.zeros((D, R), np.int32)
+        rh_lengths = np.zeros((D, R), np.int32)
+        for d in range(D):
+            for ri, s in enumerate(rk_slots):
+                rh_starts[d, ri] = hstarts[d, s]
+                rh_lengths[d, ri] = hlengths[d, s]
+
+        bucket = _next_pow2(int(lengths.sum(axis=1).max()), 1024)
         hit_bucket = (_next_pow2(int(hlengths.max()), 128)
                       if cq.hit_bucket else 0)
         lim_bucket = (_next_pow2(int(llengths.sum(axis=1).max()), 128)
                       if cq.sig.slot_limited else 0)
+        rh_bucket = (_next_pow2(int(rh_lengths.sum(axis=1).max()), 1024)
+                     if use_lcs else 0)
         Hmax = int(self.data["hit_packed"].shape[1])
         n_hit_iters = max(1, math.ceil(math.log2(max(Hmax, 2)))) + 1
 
@@ -295,9 +308,11 @@ class ShardedIndex:
             "starts": starts, "lengths": lengths,
             "hit_starts": hstarts, "hit_lengths": hlengths,
             "lim_starts": lstarts, "lim_lengths": llengths,
+            "rh_starts": rh_starts, "rh_lengths": rh_lengths,
         }
         rt_repl = {
             "idf": cq.runtime["idf"], "mult": cq.runtime["mult"],
+            "qpos": cq.runtime["qpos"],
             "field_weights": cq.runtime["field_weights"],
             "filter_vals": cq.runtime["filter_vals"],
         }
@@ -307,7 +322,7 @@ class ShardedIndex:
         rt_repl = jax.tree.map(lambda x: jax.device_put(np.asarray(x), repl), rt_repl)
 
         fn = self._sharded_fn(cq.sig, bucket, hit_bucket, n_hit_iters,
-                              lim_bucket)
+                              lim_bucket, rh_bucket)
         out = fn(self.data, rt_shard, rt_repl)
 
         w = np.asarray(out["weight"])

@@ -68,6 +68,50 @@ def expr_slots(expr: tuple) -> set[int]:
     raise ValueError(f"unknown expr op {op!r}")
 
 
+def ranker_term_slots(expr: tuple) -> tuple[int, ...]:
+    """Slots whose raw hits feed the ranker hit stream: positive term leaves
+    and quorum members — NOT phrase members (the phrase node consumes its
+    children's hits and emits phrase hits instead, searchnode.cpp:3901)."""
+    def walk(e) -> list[int]:
+        op = e[0]
+        if op == "term":
+            return [e[1]]
+        if op == "all":
+            return []
+        if op in ("and", "or"):
+            out = []
+            for c in e[1]:
+                out.extend(walk(c))
+            return out
+        if op == "andnot":
+            return walk(e[1])
+        if op == "quorum":
+            return list(e[1])
+        if op in ("phrase", "proximity"):
+            return []
+        raise ValueError(f"unknown expr op {op!r}")
+    seen: list[int] = []
+    for s in walk(expr):
+        if s not in seen:
+            seen.append(s)
+    return tuple(seen)
+
+
+def positive_phrase_nodes(expr: tuple) -> tuple:
+    """Phrase/proximity nodes not under a NOT branch, in tree order."""
+    op = expr[0]
+    if op in ("phrase", "proximity"):
+        return (expr,)
+    if op in ("and", "or"):
+        out: tuple = ()
+        for c in expr[1]:
+            out = out + positive_phrase_nodes(c)
+        return out
+    if op == "andnot":
+        return positive_phrase_nodes(expr[1])
+    return ()
+
+
 def positive_slots(expr: tuple) -> set[int]:
     """Slots whose TFIDF contributes to the doc weight: everything except
     slots under the NOT side of ANDNOT (reference: NOT subtrees never emit

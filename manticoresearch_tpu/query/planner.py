@@ -43,6 +43,7 @@ class CompiledQuery:
     hit_bucket: int
     n_hit_iters: int
     lim_bucket: int = 0
+    rh_bucket: int = 0
 
 
 def _next_pow2(x: int, lo: int = 128) -> int:
@@ -157,10 +158,13 @@ class _SlotTable:
         self.terms: list[str] = []
         self.masks: list[int] = []
         self.mult: list[float] = []
+        self.qpos: list[int] = []   # query atom position (m_iAtomPos), 1-based
+        self._cursor = 0            # advances per leaf occurrence
         self.all_mask = all_fields_mask
         self.mask_of = mask_of
 
     def get(self, term: str, fields, positive: bool, weight: float = 1.0) -> int:
+        self._cursor += 1
         mask = self.mask_of(fields)
         key = (term, mask)
         if key in self.slots:
@@ -171,6 +175,7 @@ class _SlotTable:
             self.terms.append(term)
             self.masks.append(mask)
             self.mult.append(0.0)
+            self.qpos.append(self._cursor)
         if positive:
             self.mult[s] += weight
         return s
@@ -284,17 +289,19 @@ def plan_query(
         starts[s] = 0
 
     # ranker resolution (sphCreateRanker:4167): single-keyword
-    # proximity/proximity_bm25 queries shortcut to WeightSum
+    # proximity/proximity_bm25 queries shortcut to WeightSum (identical
+    # result for one keyword: lcs[f] is 1 wherever the field matched);
+    # fullscan matches get weight = index_weight (sphinx.cpp:12840) which
+    # the 'none' ranker produces
     has_positional = _has_positional(expr)
     eff_ranker = ranker
-    if ranker == "proximity_bm25":
-        eff_ranker = "ws_bm25" if not has_positional and S <= 1 else "proximity_bm25"
-        if eff_ranker == "proximity_bm25":
-            # full proximity ranker lands with the hit engine; bm25+fields
-            # composition is the closest implemented semantic
-            eff_ranker = "ws_bm25"
+    if expr[0] == "all":
+        eff_ranker = "none"
+    elif ranker == "proximity_bm25":
+        eff_ranker = ("ws_bm25" if not has_positional and S <= 1
+                      else "proximity_bm25")
     elif ranker == "proximity":
-        eff_ranker = "ws" if not has_positional and S <= 1 else "ws"
+        eff_ranker = "ws" if not has_positional and S <= 1 else "proximity"
     elif ranker == "bm25":
         eff_ranker = "ws_bm25"
     elif ranker in ("none", "fieldmask", "wordcount"):
@@ -333,13 +340,30 @@ def plan_query(
     for name, w in (field_weights or {}).items():
         fw[index.schema.field_id(name)] = int(w)
 
+    # ranker hit stream (proximity/LCS rankers): positive term leaves +
+    # quorum members, in plan order; phrase nodes emit their own hits
+    use_lcs = eff_ranker in ("proximity_bm25", "proximity")
+    from .plan import ranker_term_slots
+    rk_slots = ranker_term_slots(expr) if use_lcs else ()
+    R = max(len(rk_slots), 1)
+    rh_starts = np.zeros(R, np.int32)
+    rh_lengths = np.zeros(R, np.int32)
+    for ri, s in enumerate(rk_slots):
+        rh_starts[ri] = hit_starts[s]
+        rh_lengths[ri] = hit_lengths[s]
+    qpos = np.zeros(max(S, 1), np.int32)
+    for s in range(S):
+        qpos[s] = st.qpos[s]
+
     total_post = int(lengths.sum())
     # min bucket 1024 keeps plan-shape diversity (and thus compile count +
     # batch fragmentation) low; the extra gather work is negligible
     bucket = _next_pow2(total_post, 1024)
-    total_hits_needed = int(hit_lengths.max()) if has_positional else 0
-    hit_bucket = _next_pow2(total_hits_needed, 128) if has_positional else 0
+    need_hits = has_positional
+    total_hits_needed = int(hit_lengths.max()) if need_hits else 0
+    hit_bucket = _next_pow2(total_hits_needed, 128) if need_hits else 0
     lim_bucket = _next_pow2(int(lim_lengths.sum()), 128) if L else 0
+    rh_bucket = _next_pow2(int(rh_lengths.sum()), 1024) if use_lcs else 0
     H = len(index.hit_packed)
     n_hit_iters = max(1, math.ceil(math.log2(max(H, 2)))) + 1
 
@@ -355,6 +379,8 @@ def plan_query(
         "starts": starts, "lengths": lengths,
         "hit_starts": hit_starts, "hit_lengths": hit_lengths,
         "lim_starts": lim_starts, "lim_lengths": lim_lengths,
+        "rh_starts": rh_starts, "rh_lengths": rh_lengths,
+        "qpos": qpos,
         "idf": idf, "mult": mult,
         "field_weights": fw,
         "filter_vals": tuple(fvals),
@@ -363,7 +389,7 @@ def plan_query(
         sig=sig, runtime=runtime, slot_terms=list(st.terms),
         slot_df=slot_df, slot_hits=slot_hits,
         bucket=bucket, hit_bucket=hit_bucket, n_hit_iters=n_hit_iters,
-        lim_bucket=lim_bucket,
+        lim_bucket=lim_bucket, rh_bucket=rh_bucket,
     )
 
 

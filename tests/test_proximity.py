@@ -1,0 +1,131 @@
+"""Phrase operator + proximity_bm25 (LCS) ranker golden tests.
+
+Hand-computed from the reference semantics:
+- LCS FSM: RankerState_Proximity_fn (sphinxsearch.cpp:1320-1440)
+- phrase docs carry the member terms' summed TFIDF (searchnode.cpp:3831)
+- phrase nodes emit one ranker hit per occurrence at the phrase start with
+  weight = word count (searchnode.cpp:3901-3930)
+- weight = int((tfidf+0.5)*1000) + 1000 * sum_f lcs[f]*field_weight[f]
+"""
+import math
+
+import pytest
+
+from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+from manticoresearch_tpu.index.builder import IndexBuilder
+from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
+
+import numpy as np
+
+from tests.test_search import DOCS, ref_idf
+
+
+def tfidf32(pairs):
+    """Mirror the engine's float32 chain (the reference is also all-float32:
+    logf/float in sphinxsearch.cpp): pairs of (tf, idf_f64)."""
+    acc = np.float32(0)
+    for tf, idf in pairs:
+        tfq = np.float32(tf) / (np.float32(tf) + np.float32(1.2))
+        acc = np.float32(acc + np.float32(tfq * np.float32(idf)))
+    return acc
+
+
+def bm25part32(pairs):
+    return int(np.trunc((tfidf32(pairs) + np.float32(0.5)) * np.float32(1000)))
+
+
+@pytest.fixture(scope="module")
+def index():
+    schema = Schema(
+        fields=["title", "content"],
+        attrs=[AttrDef("group_id", AttrType.UINT),
+               AttrDef("group_id2", AttrType.UINT)],
+    )
+    b = IndexBuilder(schema)
+    b.add_documents(DOCS)
+    return SearchIndex(b.build())
+
+
+class TestPhrase:
+    def test_exact_phrase(self, index):
+        r = index.search(SearchQuery(match='"test document"'))
+        assert r.error is None
+        assert [m.docid for m in r.matches] == [1, 2]
+        # tfidf = member sum; lcs[content] = 2 (phrase hit weight 2)
+        expect = bm25part32([(2, ref_idf(3, 4, 2)), (1, ref_idf(2, 4, 2))]) + 2 * 1000
+        assert [m.weight for m in r.matches] == [expect, expect]
+
+    def test_phrase_not_matching_scattered(self, index):
+        # both words exist in doc4's index ("document" doesn't; "number four")
+        r = index.search(SearchQuery(match='"number one"'))
+        assert [m.docid for m in r.matches] == [1]
+
+    def test_phrase_wrong_order(self, index):
+        r = index.search(SearchQuery(match='"document test"'))
+        assert r.matches == []
+
+    def test_phrase_single_word_degenerates(self, index):
+        r1 = index.search(SearchQuery(match='"groups"'))
+        r2 = index.search(SearchQuery(match="groups"))
+        assert [m.docid for m in r1.matches] == [m.docid for m in r2.matches]
+        assert [m.weight for m in r1.matches] == [m.weight for m in r2.matches]
+
+
+class TestProximityRanker:
+    def test_and_adjacent_words_lcs(self, index):
+        # doc1/doc2: title has 'test'@1; content 'test'@4 'document'@5 —
+        # adjacent and in query order => lcs[content]=2, lcs[title]=1, rank 3
+        r = index.search(SearchQuery(match="test document"))
+        assert [m.docid for m in r.matches] == [1, 2]
+        expect = bm25part32([(2, ref_idf(3, 4, 2)), (1, ref_idf(2, 4, 2))]) + 3 * 1000
+        assert [m.weight for m in r.matches] == [expect, expect]
+
+    def test_and_non_adjacent_lcs1(self, index):
+        # 'doc number' both in doc4 title: doc@1 number@2 adjacent => lcs 2
+        r = index.search(SearchQuery(match="doc number"))
+        assert [m.docid for m in r.matches] == [4]
+        assert r.matches[0].weight == bm25part32(
+            [(1, ref_idf(2, 4, 2)), (1, ref_idf(3, 4, 2))]) + 2 * 1000
+
+    def test_or_lcs_per_field(self, index):
+        # 'one | two': doc1 matches 'one' in title+content => rank 2
+        r = index.search(SearchQuery(match="one | two"))
+        assert [m.docid for m in r.matches] == [1, 2]
+        expect = bm25part32([(2, ref_idf(1, 4, 2))]) + 2 * 1000
+        assert [m.weight for m in r.matches] == [expect, expect]
+
+    def test_field_weights_scale_lcs(self, index):
+        r = index.search(SearchQuery(match="test document",
+                                     field_weights={"title": 10, "content": 3}))
+        # lcs[title]=1*10, lcs[content]=2*3 => rank 16
+        expect = bm25part32([(2, ref_idf(3, 4, 2)), (1, ref_idf(2, 4, 2))]) + 16 * 1000
+        assert [m.weight for m in r.matches] == [expect, expect]
+
+    def test_reversed_order_words_lcs1(self, index):
+        # 'document test': reversed in doc => no chain, lcs 1 per field
+        r = index.search(SearchQuery(match="document test"))
+        assert [m.docid for m in r.matches] == [1, 2]
+        # title: test only => lcs 1; content: document@5,test@4 no chain => 1
+        expect = bm25part32([(1, ref_idf(2, 4, 2)), (2, ref_idf(3, 4, 2))]) + 2 * 1000
+        assert [m.weight for m in r.matches] == [expect, expect]
+
+    def test_three_word_chain(self, index):
+        # "my test document": content 'my'@3 'test'@4 'document'@5 => lcs 3
+        r = index.search(SearchQuery(match="my test document"))
+        assert [m.docid for m in r.matches] == [1, 2]
+        # content lcs=3; title: 'test'@1 => lcs 1 => rank 4
+        expect = bm25part32([(1, ref_idf(2, 4, 3)), (2, ref_idf(3, 4, 3)),
+                             (1, ref_idf(2, 4, 3))]) + 4 * 1000
+        assert [m.weight for m in r.matches] == [expect, expect]
+
+    def test_phrase_plus_extra_term(self, index):
+        # '"test document" number': phrase hit (w=2,span=2) at content@4
+        # (qpos1, delta 3, expdelta 3+2-1=4); 'number'@6 qpos3 has delta 3
+        # != 4 => NOT linked per the FSM (sphinxsearch.cpp:1366 "why
+        # spanlen??") — chain does not extend across a phrase node, so
+        # lcs[content] = 2. Title 'test' hits are consumed by the phrase.
+        r = index.search(SearchQuery(match='"test document" number'))
+        assert [m.docid for m in r.matches] == [1, 2]
+        expect = bm25part32([(2, ref_idf(3, 4, 3)), (1, ref_idf(2, 4, 3)),
+                             (1, ref_idf(3, 4, 3))]) + 2 * 1000
+        assert [m.weight for m in r.matches] == [expect, expect]

@@ -81,7 +81,9 @@ class TestBoolean:
         idf_test = ref_idf(3, 4, 2)
         idf_one = ref_idf(1, 4, 2)
         tfidf = 2 / 3.2 * idf_test + 2 / 3.2 * idf_one
-        assert r.matches[0].weight == bm25part(tfidf) + 2000
+        # proximity_bm25 LCS: title "test one" adjacent => lcs[title]=2,
+        # content test@4/one@7 => lcs[content]=1, rank 3
+        assert r.matches[0].weight == bm25part(tfidf) + 3000
 
     def test_or(self, index):
         r = index.search(SearchQuery(match="groups | phrases"))

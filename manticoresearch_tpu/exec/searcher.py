@@ -38,6 +38,8 @@ class SearchQuery:
     tfidf_normalized: bool = True
     select: list[str] | None = None      # None = * (all attrs)
     cutoff: int = 0
+    group_by: str | None = None          # attr name or expression
+    having: tuple | None = None          # (colname, op, value) host filter
 
 
 @dataclass
@@ -113,6 +115,8 @@ class SearchIndex:
         )
 
     def search(self, q: SearchQuery) -> SearchResult:
+        if q.group_by:
+            return self._search_grouped(q)
         t0 = time.perf_counter()
         try:
             cq = self.plan(q)
@@ -140,6 +144,9 @@ class SearchIndex:
         groups: dict[tuple, list[int]] = {}
         plans: list[CompiledQuery | None] = [None] * len(queries)
         for i, q in enumerate(queries):
+            if q.group_by:
+                results[i] = self.search(q)
+                continue
             try:
                 cq = self.plan(q)
             except (ValueError, NotImplementedError) as e:
@@ -179,6 +186,109 @@ class SearchIndex:
                     queries[i], plans[i], row[:k], row[k:2 * k],
                     int(row[2 * k]), t0)
         return results  # type: ignore[return-value]
+
+    def _search_grouped(self, q: SearchQuery) -> SearchResult:
+        """GROUP BY execution (CSphKBufferGroupSorter semantics via the
+        sort-segment-reduce tail, ops/groupby.py)."""
+        import re as _re
+
+        from ..ops.groupby import AggSpec, GroupSpec, get_groupby_fn
+        from ..query.expr import infer_is_float, parse_expr
+
+        t0 = time.perf_counter()
+        try:
+            ast = self.parser.parse(q.match)
+            cq = plan_query(
+                ast, self.packed,
+                filters=q.filters, ranker=q.ranker,
+                max_matches=q.max_matches, window=q.offset + q.limit,
+                order=("rel",), field_weights=q.field_weights,
+                idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
+            )
+            key_expr = parse_expr(q.group_by)
+
+            agg_re = _re.compile(
+                r"^\s*(count|sum|min|max|avg)\s*\(\s*(distinct\s+)?(.*?)\s*\)\s*$",
+                _re.IGNORECASE)
+            aggs: list[AggSpec] = []
+            agg_names: list[str] = []
+            plain_cols: list[str] = []
+            for sel in (q.select or ["count(*)"]):
+                m = agg_re.match(sel)
+                if not m:
+                    if sel not in ("id", "weight()", "*") and sel != q.group_by:
+                        plain_cols.append(sel)
+                    continue
+                kind = m.group(1).lower()
+                arg = m.group(3)
+                if kind == "count" and m.group(2):
+                    aggs.append(AggSpec("count_distinct", parse_expr(arg)))
+                elif kind == "count":
+                    aggs.append(AggSpec("count", None))
+                else:
+                    tree = parse_expr(arg)
+                    aggs.append(AggSpec(
+                        kind, tree, infer_is_float(tree, self.schema)))
+                agg_names.append(sel)
+            if "count(*)" not in [a.lower().replace(" ", "")
+                                  for a in agg_names]:
+                aggs.append(AggSpec("count", None))
+                agg_names.append("count(*)")
+
+            order = _resolve_group_order(q, self.schema)
+            k = max(1, min(q.max_matches, q.offset + q.limit,
+                           max(self.packed.n_docs, 1)))
+            gspec = GroupSpec(key_expr=key_expr, aggs=tuple(aggs),
+                              order=order, k=k)
+        except (ValueError, NotImplementedError) as e:
+            return SearchResult([], 0, 0, 0.0, [], error=str(e))
+
+        fn = get_groupby_fn(
+            cq.sig, gspec, self.packed.n_docs, max(self.schema.n_fields, 1),
+            cq.bucket, cq.hit_bucket, cq.n_hit_iters, cq.lim_bucket,
+            cq.rh_bucket)
+        out = fn(self.device.data_pytree(), cq.runtime)
+
+        rep_rowid = np.asarray(out["rep_rowid"])
+        rep_weight = np.asarray(out["rep_weight"])
+        gkey = np.asarray(out["group_key"])
+        count = np.asarray(out["count"])
+        n_groups = int(out["n_groups"])
+
+        n_avail = min(n_groups, k)
+        rows = []
+        for i in range(n_avail):
+            r = int(rep_rowid[i])
+            attrs: dict = {q.group_by: int(gkey[i])}
+            for j, name in enumerate(agg_names):
+                a = aggs[j]
+                if a.kind == "count":
+                    attrs[name] = int(count[i])
+                else:
+                    v = np.asarray(out[f"agg{j}"])[i]
+                    attrs[name] = float(v) if a.kind == "avg" or a.is_float \
+                        else int(v)
+            base = self._hydrate(np.asarray([r]), np.asarray([rep_weight[i]]),
+                                 plain_cols or [])
+            attrs.update(base[0].attrs)
+            rows.append(Match(base[0].docid, int(rep_weight[i]), attrs))
+
+        if q.having is not None:
+            col, op_s, val = q.having
+            import operator as _op
+            ops = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
+                   "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+            rows = [m for m in rows
+                    if ops[op_s](m.attrs.get(col, m.weight
+                                 if col in ("weight()", "@weight") else 0),
+                                 val)]
+
+        rows = rows[q.offset:q.offset + q.limit]
+        dt = (time.perf_counter() - t0) * 1000.0
+        stats = [WordStat(t, d, h) for t, d, h in
+                 zip(cq.slot_terms, cq.slot_df, cq.slot_hits)]
+        return SearchResult(rows, min(n_groups, q.max_matches), n_groups,
+                            dt, stats)
 
     def _finish(self, q: SearchQuery, cq: CompiledQuery,
                 rowids: np.ndarray, weights: np.ndarray, found: int,
@@ -231,6 +341,22 @@ class SearchIndex:
                     attrs[name] = [int(x) for x in vals[off[r]:off[r + 1]]]
             out.append(Match(int(p.doc_ids[r]), int(w), attrs))
         return out
+
+
+def _resolve_group_order(q: SearchQuery, schema) -> tuple:
+    sort = q.sort or [("weight", False), ("id", True)]
+    primary, asc = sort[0]
+    p = primary.lower().replace(" ", "")
+    if p in ("weight", "@weight", "weight()"):
+        return ("rel",)
+    if p in ("@count", "count(*)"):
+        return ("count", asc)
+    if p in ("@groupby", "groupby()") or primary == q.group_by:
+        return ("gkey", asc)
+    ad = schema.attr(primary)
+    if ad is not None:
+        return ("attr", primary, asc, ad.type.value == "float")
+    raise ValueError(f"unsupported group ORDER BY {primary!r}")
 
 
 def _resolve_order(q: SearchQuery, schema) -> tuple:

@@ -1,0 +1,178 @@
+"""Group-by / aggregation tail over the match core.
+
+Behavioral model: the reference's group-by sorters (CSphKBufferGroupSorter
+family, /root/reference/src/sphinxsort.cpp:1690-3000): hash groups by key,
+keep the best row per group (within-group order: weight desc, docid asc),
+maintain aggregates (COUNT(*)/@count, COUNT(DISTINCT), SUM/MIN/MAX/AVG),
+then order groups for output.
+
+TPU-native redesign: replace the hash table with sort-segment-reduce —
+  1. sort rows by (group key, ~weight, rowid): within-group best-first
+  2. segment boundaries = group starts; segment id by cumsum
+  3. aggregates = scatter-reduce over segment ids
+  4. group ordering + top-k over the boundary rows only
+COUNT(DISTINCT x) uses a second sort keyed (group, x) and counts value
+boundaries per group.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+from ..query.expr import eval_expr
+from ..query.plan import PlanSig
+from .search import INT32_MIN, build_match_core
+
+INT32_MAX = 2**31 - 1
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    kind: str            # "count" | "sum" | "min" | "max" | "avg" | "count_distinct"
+    expr: tuple | None   # expr tree (None for count)
+    is_float: bool = False
+
+
+@dataclass(frozen=True)
+class GroupSpec:
+    key_expr: tuple                  # expr tree producing the group key (int)
+    aggs: tuple[AggSpec, ...]
+    order: tuple                     # ("rel",) | ("gkey", asc) | ("count", asc)
+                                     # | ("agg", idx, asc) | ("attr", name, asc, is_float)
+    k: int                           # max groups returned
+
+
+@lru_cache(maxsize=512)
+def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
+                   n_fields: int, bucket: int, hit_bucket: int = 0,
+                   n_hit_iters: int = 0, lim_bucket: int = 0,
+                   rh_bucket: int = 0):
+    core = build_match_core(sig, n_rows, n_fields, bucket, hit_bucket,
+                            n_hit_iters, lim_bucket, rh_bucket)
+    N = n_rows
+    k = gspec.k
+
+    def fn(data, rt):
+        eligible, weight, attrs, _dbg = core(data, rt)
+        key = eval_expr(gspec.key_expr, attrs, weight)
+        key = jnp.broadcast_to(key, (N + 1,)).astype(jnp.int32)
+
+        iota = jnp.arange(N + 1, dtype=jnp.int32)
+        sk = jnp.where(eligible, key, INT32_MAX)
+        # within-group order: weight desc, rowid asc (sphinxsort.cpp:4534)
+        s_key, s_w_inv, s_row = jax.lax.sort(
+            (sk, ~weight, iota), num_keys=3)
+        s_w = ~s_w_inv
+        s_elig = s_key != INT32_MAX
+
+        prev_key = jnp.concatenate([jnp.full(1, INT32_MIN, jnp.int32),
+                                    s_key[:-1]])
+        new_group = (s_key != prev_key) & s_elig
+        gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # [-1 for pre-first]
+        gid = jnp.maximum(gid, 0)
+        gid_scatter = jnp.where(s_elig, gid, N)  # ineligible -> sink
+        n_groups = jnp.sum(new_group.astype(jnp.int32))
+
+        counts = jnp.zeros(N + 1, jnp.int32).at[gid_scatter].add(
+            jnp.where(s_elig, 1, 0))
+
+        agg_results = []
+        for a in gspec.aggs:
+            if a.kind == "count":
+                agg_results.append(counts)
+                continue
+            if a.kind == "count_distinct":
+                dv = eval_expr(a.expr, attrs, weight)
+                dv = jnp.broadcast_to(dv, (N + 1,)).astype(jnp.int32)
+                d_key, d_val = jax.lax.sort(
+                    (sk, dv), num_keys=2)
+                d_elig = d_key != INT32_MAX
+                dp_key = jnp.concatenate(
+                    [jnp.full(1, INT32_MIN, jnp.int32), d_key[:-1]])
+                dp_val = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int32), d_val[:-1]])
+                d_new = ((d_key != dp_key) | (d_val != dp_val)) & d_elig
+                d_gid = jnp.cumsum(((d_key != dp_key) & d_elig
+                                    ).astype(jnp.int32)) - 1
+                d_gid = jnp.where(d_elig, jnp.maximum(d_gid, 0), N)
+                agg_results.append(
+                    jnp.zeros(N + 1, jnp.int32).at[d_gid].add(
+                        jnp.where(d_new, 1, 0)))
+                continue
+            v = eval_expr(a.expr, attrs, weight)
+            v = jnp.broadcast_to(v, (N + 1,))
+            v_sorted = v[s_row]
+            if a.kind in ("sum", "avg"):
+                dt = jnp.float32 if (a.is_float or a.kind == "avg") else jnp.int32
+                acc = jnp.zeros(N + 1, dt).at[gid_scatter].add(
+                    jnp.where(s_elig, v_sorted, 0).astype(dt))
+                if a.kind == "avg":
+                    acc = acc / jnp.maximum(counts, 1).astype(jnp.float32)
+                agg_results.append(acc)
+            elif a.kind == "min":
+                big = jnp.asarray(
+                    jnp.inf if a.is_float else INT32_MAX, v_sorted.dtype)
+                acc = jnp.full(N + 1, big, v_sorted.dtype).at[gid_scatter].min(
+                    jnp.where(s_elig, v_sorted, big))
+                agg_results.append(acc)
+            elif a.kind == "max":
+                small = jnp.asarray(
+                    -jnp.inf if a.is_float else INT32_MIN, v_sorted.dtype)
+                acc = jnp.full(N + 1, small, v_sorted.dtype).at[gid_scatter].max(
+                    jnp.where(s_elig, v_sorted, small))
+                agg_results.append(acc)
+            else:
+                raise NotImplementedError(f"aggregate {a.kind}")
+
+        # ---- order groups, take top-k (boundary rows represent groups) ----
+        if gspec.order[0] == "rel":
+            okey = jnp.where(new_group, s_w, INT32_MIN)
+            top_key, top_pos = jax.lax.top_k(okey, k)
+        elif gspec.order[0] == "gkey":
+            asc = gspec.order[1]
+            okey = jnp.where(new_group, s_key if not asc else ~s_key,
+                             INT32_MIN)
+            top_key, top_pos = jax.lax.top_k(okey, k)
+        elif gspec.order[0] == "count":
+            asc = gspec.order[1]
+            cnt_b = counts[gid]
+            okey = jnp.where(new_group, cnt_b if not asc else ~cnt_b,
+                             INT32_MIN)
+            top_key, top_pos = jax.lax.top_k(okey, k)
+        elif gspec.order[0] == "attr":
+            _, name, asc, is_float = gspec.order
+            v = attrs[name][s_row]
+            if is_float:
+                vi = _f32_sortable_i32(v)
+            else:
+                vi = v.astype(jnp.int32)
+            okey = jnp.where(new_group, vi if not asc else ~vi, INT32_MIN)
+            top_key, top_pos = jax.lax.top_k(okey, k)
+        else:
+            raise NotImplementedError(f"group order {gspec.order}")
+
+        valid_out = top_key != INT32_MIN
+        out_gid = gid[top_pos]
+        out = {
+            "rep_rowid": jnp.where(valid_out, s_row[top_pos], N),
+            "rep_weight": jnp.where(valid_out, s_w[top_pos], 0),
+            "group_key": jnp.where(valid_out, s_key[top_pos], 0),
+            "count": jnp.where(valid_out, counts[out_gid], 0),
+            "n_groups": n_groups,
+            "found": jnp.sum(eligible.astype(jnp.int32)),
+        }
+        for i, acc in enumerate(agg_results):
+            out[f"agg{i}"] = jnp.where(valid_out, acc[out_gid], 0)
+        return out
+
+    return jax.jit(fn)
+
+
+def _f32_sortable_i32(v):
+    """Map float32 bits to int32 preserving float order (IEEE754 trick:
+    positives keep their bit pattern, negatives are complemented)."""
+    b = jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.int32)
+    return jnp.where(b >= 0, b, (~b) ^ jnp.int32(-(2**31)))

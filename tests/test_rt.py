@@ -1,0 +1,178 @@
+"""RT index: insert/commit/delete/replace/update, segment merge, WAL replay,
+snapshot save/load (RtIndex_c / RtBinlog_c behavioral tests)."""
+import os
+
+import pytest
+
+from manticoresearch_tpu.exec.searcher import SearchQuery
+from manticoresearch_tpu.index.rt import RtIndex
+from manticoresearch_tpu.index.storage import load_packed, save_packed
+from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
+
+SCHEMA = Schema(fields=["title", "content"],
+                attrs=[AttrDef("gid", AttrType.UINT),
+                       AttrDef("price", AttrType.FLOAT)])
+
+
+def make_rt(tmp=None):
+    return RtIndex("t", SCHEMA, data_dir=tmp)
+
+
+class TestRtBasics:
+    def test_insert_commit_search(self):
+        rt = make_rt()
+        rt.insert(dict(id=1, title="hello world", content="first doc", gid=1))
+        rt.insert(dict(id=2, title="hello there", content="second doc", gid=2))
+        assert rt.commit() == 2
+        r = rt.search(SearchQuery(match="hello"))
+        assert [m.docid for m in r.matches] == [1, 2]
+        assert r.total_found == 2
+
+    def test_uncommitted_not_visible(self):
+        rt = make_rt()
+        rt.insert(dict(id=1, title="x", content="y", gid=1))
+        r = rt.search(SearchQuery(match="x"))
+        assert r.matches == []
+        rt.commit()
+        assert len(rt.search(SearchQuery(match="x")).matches) == 1
+
+    def test_duplicate_insert_rejected(self):
+        rt = make_rt()
+        rt.insert(dict(id=1, title="a", content="", gid=1))
+        rt.commit()
+        with pytest.raises(ValueError):
+            rt.insert(dict(id=1, title="b", content="", gid=1))
+
+    def test_replace(self):
+        rt = make_rt()
+        rt.insert(dict(id=1, title="old text", content="", gid=1))
+        rt.commit()
+        rt.insert(dict(id=1, title="new text", content="", gid=1),
+                  replace=True)
+        rt.commit()
+        assert rt.search(SearchQuery(match="old")).matches == []
+        r = rt.search(SearchQuery(match="new"))
+        assert [m.docid for m in r.matches] == [1]
+        assert rt.n_docs == 1
+
+    def test_delete(self):
+        rt = make_rt()
+        for i in range(1, 5):
+            rt.insert(dict(id=i, title=f"doc {i}", content="word", gid=i))
+        rt.commit()
+        assert rt.delete([2, 3]) == 2
+        rt.commit()
+        r = rt.search(SearchQuery(match="word"))
+        assert [m.docid for m in r.matches] == [1, 4]
+
+    def test_multi_segment_search_and_global_idf(self):
+        rt = make_rt()
+        # two commits -> two segments; results must merge and rank globally
+        rt.insert(dict(id=1, title="apple pie", content="", gid=1))
+        rt.commit()
+        rt.insert(dict(id=2, title="apple sauce", content="", gid=2))
+        rt.insert(dict(id=3, title="banana", content="", gid=3))
+        rt.commit()
+        assert len(rt.segments) == 2
+        r = rt.search(SearchQuery(match="apple"))
+        assert [m.docid for m in r.matches] == [1, 2]
+        # same weight in both segments (global df=2, total=3)
+        assert r.matches[0].weight == r.matches[1].weight
+
+    def test_update_attrs(self):
+        rt = make_rt()
+        rt.insert(dict(id=1, title="a", content="", gid=1, price=10.0))
+        rt.commit()
+        assert rt.update_attrs([1], {"price": 99.5, "gid": 7}) == 1
+        r = rt.search(SearchQuery(match="a"))
+        assert r.matches[0].attrs["price"] == pytest.approx(99.5)
+        assert r.matches[0].attrs["gid"] == 7
+
+    def test_truncate(self):
+        rt = make_rt()
+        rt.insert(dict(id=1, title="a", content="", gid=1))
+        rt.commit()
+        rt.truncate()
+        assert rt.n_docs == 0
+        assert rt.search(SearchQuery(match="a")).matches == []
+
+    def test_optimize_merges_to_one(self):
+        rt = make_rt()
+        for i in range(1, 6):
+            rt.insert(dict(id=i, title=f"word{i} common", content="", gid=i))
+            rt.commit()
+        assert len(rt.segments) == 5
+        rt.optimize()
+        assert len(rt.segments) == 1
+        r = rt.search(SearchQuery(match="common"))
+        assert r.total_found == 5
+
+    def test_progressive_merge_caps_segments(self):
+        rt = make_rt()
+        for i in range(1, 16):
+            rt.insert(dict(id=i, title=f"t{i} shared", content="", gid=i))
+            rt.commit()
+        assert len(rt.segments) <= rt.MERGE_SEGMENT_LIMIT + 1
+        assert rt.search(SearchQuery(match="shared")).total_found == 15
+
+
+class TestWalAndSnapshot:
+    def test_binlog_replay(self, tmp_path):
+        d = str(tmp_path / "idx")
+        rt = make_rt(d)
+        rt.insert(dict(id=1, title="persisted doc", content="", gid=1))
+        rt.commit()
+        rt.insert(dict(id=2, title="another persisted", content="", gid=2))
+        rt.commit()
+        rt.delete([1])
+        rt.commit()
+        # simulate crash: new instance replays WAL
+        rt2 = make_rt(d)
+        r = rt2.search(SearchQuery(match="persisted"))
+        assert [m.docid for m in r.matches] == [2]
+
+    def test_flush_snapshot_and_reload(self, tmp_path):
+        d = str(tmp_path / "idx2")
+        rt = make_rt(d)
+        for i in range(1, 4):
+            rt.insert(dict(id=i, title=f"snap doc{i}", content="", gid=i))
+        rt.commit()
+        rt.flush()
+        # binlog reset; snapshot should carry the data
+        rt2 = make_rt(d)
+        assert rt2.n_docs == 3
+        assert rt2.search(SearchQuery(match="snap")).total_found == 3
+
+    def test_torn_binlog_tail_ignored(self, tmp_path):
+        d = str(tmp_path / "idx3")
+        rt = make_rt(d)
+        rt.insert(dict(id=1, title="good record", content="", gid=1))
+        rt.commit()
+        with open(os.path.join(d, "binlog.jsonl"), "a") as f:
+            f.write('{"op": "commit", "docs": [{"id": 2')  # torn write
+        rt2 = make_rt(d)
+        assert rt2.n_docs == 1
+
+
+class TestPackedStorage:
+    def test_save_load_roundtrip(self, tmp_path):
+        from manticoresearch_tpu.exec.searcher import SearchIndex
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from tests.test_search import DOCS
+
+        schema = Schema(fields=["title", "content"],
+                        attrs=[AttrDef("group_id", AttrType.UINT),
+                               AttrDef("group_id2", AttrType.UINT)])
+        b = IndexBuilder(schema)
+        b.add_documents(DOCS)
+        packed = b.build()
+        path = str(tmp_path / "plain")
+        save_packed(packed, path)
+        loaded = load_packed(path)
+        idx1 = SearchIndex(packed)
+        idx2 = SearchIndex(loaded)
+        for match in ("test", "test one", '"test document"', ""):
+            r1 = idx1.search(SearchQuery(match=match))
+            r2 = idx2.search(SearchQuery(match=match))
+            assert [(m.docid, m.weight) for m in r1.matches] == \
+                   [(m.docid, m.weight) for m in r2.matches]

@@ -1,0 +1,620 @@
+"""SQL session: statement dispatch + catalog (searchd's CSphinxqlSession).
+
+Behavioral model: CSphinxqlSession::Execute (/root/reference/src/
+searchd.cpp:15180-15700): parse -> dispatch per statement kind; SHOW META
+reports the last SELECT's stats (per-term docs/hits included); transactions
+control RT accumulator commit timing; the catalog mirrors RT-mode
+manticore.json table registry (searchdconfig.cpp:481).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field, replace as dc_replace
+from typing import Any
+
+from ..index.rt import RtIndex
+from ..query.expr import ExprError, eval_expr_host, parse_expr
+from ..query.planner import AttrFilterDef
+from ..query.sphinxql import (CallStmt, Cond, CreateTableStmt, DeleteStmt,
+                              FacetStmt, InsertStmt, SelectStmt, SetStmt,
+                              SimpleStmt, SqlParseError, UpdateStmt,
+                              parse_sql)
+from ..schema import AttrDef, AttrType, Schema
+from .searcher import SearchQuery
+
+_COLUMN_TYPES = {
+    "text": "field", "string": AttrType.STRING, "uint": AttrType.UINT,
+    "int": AttrType.UINT, "integer": AttrType.UINT,
+    "bigint": AttrType.BIGINT, "float": AttrType.FLOAT,
+    "bool": AttrType.BOOL, "boolean": AttrType.BOOL,
+    "timestamp": AttrType.TIMESTAMP, "json": AttrType.JSON,
+    "multi": AttrType.MVA, "multi64": AttrType.MVA64,
+}
+
+
+@dataclass
+class QLResult:
+    columns: list[str] = field(default_factory=list)
+    rows: list[tuple] = field(default_factory=list)
+    error: str | None = None
+    warning: str | None = None
+    affected: int = 0
+
+    @staticmethod
+    def ok(affected: int = 0) -> "QLResult":
+        return QLResult(affected=affected)
+
+    @staticmethod
+    def err(msg: str) -> "QLResult":
+        return QLResult(error=msg)
+
+
+class Catalog:
+    """Table registry (manticore.json analog)."""
+
+    def __init__(self, data_dir: str | None = None):
+        self.data_dir = data_dir
+        self.tables: dict[str, RtIndex] = {}
+        if data_dir:
+            os.makedirs(data_dir, exist_ok=True)
+            self._load_manifest()
+
+    def _manifest_path(self):
+        return os.path.join(self.data_dir, "catalog.json")
+
+    def _load_manifest(self):
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return
+        with open(p) as f:
+            man = json.load(f)
+        for name, meta in man.get("tables", {}).items():
+            schema = Schema.from_json(meta["schema"])
+            self.tables[name] = RtIndex(
+                name, schema, data_dir=os.path.join(self.data_dir, name))
+
+    def _save_manifest(self):
+        if not self.data_dir:
+            return
+        man = {"tables": {n: {"schema": t.schema.to_json()}
+                          for n, t in self.tables.items()}}
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path())
+
+    def create(self, name: str, schema: Schema) -> RtIndex:
+        if name in self.tables:
+            raise ValueError(f"table '{name}' already exists")
+        ddir = os.path.join(self.data_dir, name) if self.data_dir else None
+        self.tables[name] = RtIndex(name, schema, data_dir=ddir)
+        self._save_manifest()
+        return self.tables[name]
+
+    def drop(self, name: str) -> None:
+        t = self.tables.pop(name)
+        self._save_manifest()
+        if t.data_dir and os.path.isdir(t.data_dir):
+            import shutil
+            shutil.rmtree(t.data_dir)
+
+    def get(self, name: str) -> RtIndex:
+        if name not in self.tables:
+            raise ValueError(f"no such table '{name}'")
+        return self.tables[name]
+
+
+class Session:
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self.autocommit = True
+        self.in_txn = False
+        self.txn_tables: set[str] = set()
+        self.last_meta: list[tuple[str, str]] = []
+        self.last_warning: str | None = None
+        self.variables: dict[str, Any] = {}
+        self.start_time = time.time()
+        self.queries_done = 0
+
+    # ------------------------------------------------------------------
+    def execute(self, sql: str) -> list[QLResult]:
+        try:
+            stmts = parse_sql(sql)
+        except SqlParseError as e:
+            return [QLResult.err(f"sphinxql: syntax error: {e}")]
+        out: list[QLResult] = []
+        for st in stmts:
+            try:
+                out.extend(self._dispatch(st))
+            except (ValueError, ExprError, NotImplementedError, KeyError) as e:
+                out.append(QLResult.err(str(e)))
+        return out
+
+    def _dispatch(self, st) -> list[QLResult]:
+        if isinstance(st, SelectStmt):
+            return self._select(st)
+        if isinstance(st, InsertStmt):
+            return [self._insert(st)]
+        if isinstance(st, DeleteStmt):
+            return [self._delete(st)]
+        if isinstance(st, UpdateStmt):
+            return [self._update(st)]
+        if isinstance(st, CreateTableStmt):
+            return [self._create_table(st)]
+        if isinstance(st, SetStmt):
+            if st.name == "autocommit":
+                self.autocommit = bool(int(st.value))
+            else:
+                self.variables[st.name] = st.value
+            return [QLResult.ok()]
+        if isinstance(st, CallStmt):
+            return [self._call(st)]
+        if isinstance(st, SimpleStmt):
+            return [self._simple(st)]
+        return [QLResult.err(f"unhandled statement {type(st).__name__}")]
+
+    # -- SELECT ---------------------------------------------------------
+    def _select(self, st: SelectStmt) -> list[QLResult]:
+        if not st.indexes:
+            # SELECT <exprs> without FROM
+            cols, row = [], []
+            for it in st.items:
+                tree = parse_expr(it.expr)
+                cols.append(it.alias or it.expr)
+                row.append(eval_expr_host(tree, {}))
+            return [QLResult(columns=cols, rows=[tuple(row)])]
+
+        q, err = self._build_query(st)
+        if err:
+            return [QLResult.err(err)]
+
+        tables = [self.catalog.get(n) for n in st.indexes]
+        if len(tables) == 1:
+            res = tables[0].search(q)
+        else:
+            from .multi import merge_part_results
+            parts = [t.search(dc_replace(q, offset=0,
+                                         limit=q.offset + q.limit))
+                     for t in tables]
+            res = merge_part_results(parts, q, tables[0].schema)
+        self.queries_done += 1
+        if res.error:
+            return [QLResult.err(res.error)]
+        self._store_meta(res)
+        self.last_warning = res.warning
+
+        main = self._project(st, res, tables[0].schema)
+        out = [main]
+        for fc in st.facets:
+            out.append(self._facet(st, fc, tables))
+        return out
+
+    def _build_query(self, st: SelectStmt):
+        match = ""
+        filters: list[AttrFilterDef] = []
+        for c in st.conds:
+            if c.kind == "match":
+                match = c.value
+                continue
+            f, err = _cond_to_filter(c)
+            if err:
+                return None, err
+            filters.append(f)
+
+        sort = [(col, asc) for col, asc in st.order] or \
+            [("weight", False), ("id", True)]
+        opts = st.options
+        q = SearchQuery(
+            match=match,
+            filters=filters,
+            offset=st.offset,
+            limit=st.limit,
+            max_matches=int(opts.get("max_matches", 1000)),
+            ranker=str(opts.get("ranker", "proximity_bm25")),
+            field_weights={k: int(v) for k, v in
+                           opts.get("field_weights", {}).items()},
+            sort=sort,
+            idf_plain="plain" in str(opts.get("idf", "")),
+            tfidf_normalized="tfidf_unnormalized" not in str(opts.get("idf", "")),
+            select=[it.alias or it.expr for it in st.items],
+            group_by=st.group_by,
+            having=st.having,
+        )
+        if st.group_by:
+            # aggregates are recognized from raw expr text
+            q.select = [it.expr for it in st.items]
+        return q, None
+
+    def _project(self, st: SelectStmt, res, schema) -> QLResult:
+        cols: list[str] = []
+        getters = []
+        for it in st.items:
+            name = it.alias or it.expr
+            raw = it.expr
+            if raw == "*":
+                cols.append("id")
+                getters.append(lambda m: m.docid)
+                for a in schema.attrs:
+                    cols.append(a.name)
+                    getters.append(lambda m, n=a.name: m.attrs.get(n))
+                continue
+            cols.append(name)
+            lraw = raw.lower().replace(" ", "")
+            if lraw in ("id", "@id"):
+                getters.append(lambda m: m.docid)
+            elif lraw in ("weight()", "@weight"):
+                getters.append(lambda m: m.weight)
+            elif lraw in ("count(*)", "@count") or lraw.startswith(
+                    ("count(", "sum(", "min(", "max(", "avg(")):
+                getters.append(lambda m, n=raw, n2=name:
+                               m.attrs.get(n, m.attrs.get(
+                                   n.replace(" ", ""), m.attrs.get(n2))))
+            elif schema.attr(raw) is not None or raw == st.group_by:
+                getters.append(lambda m, n=raw: m.attrs.get(n))
+            else:
+                tree = parse_expr(raw)
+                getters.append(
+                    lambda m, t=tree: eval_expr_host(
+                        t, m.attrs, m.weight, m.docid))
+        rows = []
+        for m in res.matches:
+            rows.append(tuple(g(m) for g in getters))
+        return QLResult(columns=cols, rows=rows, warning=res.warning)
+
+    def _facet(self, base: SelectStmt, fc: FacetStmt, tables) -> QLResult:
+        by = fc.by or fc.items[0].expr
+        fsel = [it.expr for it in fc.items]
+        if not any(s.lower().replace(" ", "").startswith("count(")
+                   for s in fsel):
+            fsel = fsel + ["count(*)"]
+        fq, err = self._build_query(base)
+        if err:
+            return QLResult.err(err)
+        fq = dc_replace(
+            fq, group_by=by, select=fsel, offset=fc.offset, limit=fc.limit,
+            sort=[(c, a) for c, a in fc.order] or [("weight", False)],
+            having=None)
+        if len(tables) > 1:
+            return QLResult.err("FACET over multiple indexes: TODO")
+        res = tables[0].search(fq)
+        if res.error:
+            return QLResult.err(res.error)
+        cols = [it.alias or it.expr for it in fc.items] + ["count(*)"]
+        seen = set()
+        dedup_cols = []
+        for c in cols:
+            if c not in seen:
+                seen.add(c)
+                dedup_cols.append(c)
+        rows = []
+        for m in res.matches:
+            row = []
+            for c in dedup_cols:
+                lc = c.lower().replace(" ", "")
+                if lc == "count(*)":
+                    row.append(m.attrs.get("count(*)"))
+                elif c == by or c in m.attrs:
+                    row.append(m.attrs.get(c if c in m.attrs else by))
+                else:
+                    row.append(m.attrs.get(by))
+            rows.append(tuple(row))
+        return QLResult(columns=dedup_cols, rows=rows)
+
+    def _store_meta(self, res) -> None:
+        meta = [("total", str(res.total)),
+                ("total_found", str(res.total_found)),
+                ("time", f"{res.time_ms / 1000.0:.3f}")]
+        for i, ws in enumerate(res.word_stats):
+            meta.append((f"keyword[{i}]", ws.word))
+            meta.append((f"docs[{i}]", str(ws.docs)))
+            meta.append((f"hits[{i}]", str(ws.hits)))
+        self.last_meta = meta
+
+    # -- writes ----------------------------------------------------------
+    def _insert(self, st: InsertStmt) -> QLResult:
+        t = self.catalog.get(st.index)
+        cols = st.columns
+        if not cols:
+            cols = ["id"] + t.schema.fields + [a.name for a in t.schema.attrs]
+        n = 0
+        for row in st.rows:
+            if len(row) != len(cols):
+                return QLResult.err(
+                    f"column count mismatch: {len(cols)} vs {len(row)}")
+            doc = dict(zip(cols, row))
+            t.insert(doc, replace=st.replace)
+            n += 1
+        if self.autocommit and not self.in_txn:
+            t.commit()
+        else:
+            self.txn_tables.add(st.index)
+        return QLResult.ok(n)
+
+    def _delete(self, st: DeleteStmt) -> QLResult:
+        t = self.catalog.get(st.index)
+        ids = _extract_id_list(st.conds)
+        if ids is None:
+            q, err = self._build_query(SelectStmt(
+                items=[], indexes=[st.index], conds=st.conds))
+            if err:
+                return QLResult.err(err)
+            q.limit = q.max_matches = 10**6
+            res = t.search(q)
+            if res.error:
+                return QLResult.err(res.error)
+            ids = [m.docid for m in res.matches]
+        n = t.delete(ids)
+        if self.autocommit and not self.in_txn:
+            t.commit()
+        else:
+            self.txn_tables.add(st.index)
+        return QLResult.ok(n)
+
+    def _update(self, st: UpdateStmt) -> QLResult:
+        t = self.catalog.get(st.index)
+        ids = _extract_id_list(st.conds)
+        if ids is None:
+            q, err = self._build_query(SelectStmt(
+                items=[], indexes=[st.index], conds=st.conds))
+            if err:
+                return QLResult.err(err)
+            q.limit = q.max_matches = 10**6
+            res = t.search(q)
+            if res.error:
+                return QLResult.err(res.error)
+            ids = [m.docid for m in res.matches]
+        return QLResult.ok(t.update_attrs(ids, st.values))
+
+    def _create_table(self, st: CreateTableStmt) -> QLResult:
+        if st.name in self.catalog.tables:
+            if st.if_not_exists:
+                return QLResult.ok()
+            return QLResult.err(f"table '{st.name}' already exists")
+        fields_ = []
+        attrs = []
+        for cname, ctype in st.columns:
+            if cname == "id":
+                continue
+            ct = _COLUMN_TYPES.get(ctype)
+            if ct is None:
+                return QLResult.err(f"unknown column type '{ctype}'")
+            if ct == "field":
+                fields_.append(cname)
+            else:
+                attrs.append(AttrDef(cname, ct))
+        if not fields_:
+            fields_ = []
+        schema = Schema(fields=fields_, attrs=attrs)
+        self.catalog.create(st.name, schema)
+        return QLResult.ok()
+
+    # -- CALL / admin ----------------------------------------------------
+    def _call(self, st: CallStmt) -> QLResult:
+        if st.func == "KEYWORDS":
+            if len(st.args) < 2:
+                return QLResult.err("CALL KEYWORDS(text, index) required")
+            text, index = st.args[0], st.args[1]
+            t = self.catalog.get(str(index))
+            toks = []
+            from ..text.tokenizer import Tokenizer
+            from ..text.dictionary import Dictionary
+            tok = Tokenizer(t.tok_settings)
+            dic = Dictionary(t.dict_settings)
+            total_docs, df = t.global_stats()
+            rows = []
+            qpos = 0
+            for token in tok.tokenize(str(text)):
+                for term in dic.process(token.text) or [None]:
+                    if term is None:
+                        continue
+                    qpos += 1
+                    docs = df.get(term, 0)
+                    hits = 0
+                    for seg in t.segments:
+                        tid = seg.packed.term_id(term)
+                        if tid >= 0:
+                            hits += int(seg.packed.term_hits[tid])
+                    rows.append((str(qpos), token.text, term,
+                                 str(docs), str(hits)))
+            return QLResult(
+                columns=["qpos", "tokenized", "normalized", "docs", "hits"],
+                rows=rows)
+        if st.func == "SUGGEST" or st.func == "QSUGGEST":
+            return self._suggest(st)
+        return QLResult.err(f"unsupported CALL {st.func}")
+
+    def _suggest(self, st: CallStmt) -> QLResult:
+        """CALL SUGGEST(word, index): trigram+levenshtein candidates
+        (ISphWordlistSuggest semantics, sphinxint.h:1472)."""
+        if len(st.args) < 2:
+            return QLResult.err("CALL SUGGEST(word, index) required")
+        word, index = str(st.args[0]).lower(), str(st.args[1])
+        t = self.catalog.get(index)
+        _, df = t.global_stats()
+
+        def trigrams(w):
+            w2 = f"__{w}__"
+            return {w2[i:i + 3] for i in range(len(w2) - 2)}
+
+        wt = trigrams(word)
+        cands = []
+        for term, docs in df.items():
+            if abs(len(term) - len(word)) > 3:
+                continue
+            overlap = len(wt & trigrams(term))
+            if overlap == 0:
+                continue
+            d = _levenshtein(word, term, 4)
+            if d <= 4:
+                cands.append((d, -docs, term, docs))
+        cands.sort()
+        rows = [(term, str(d), str(docs)) for d, _nd, term, docs in cands[:5]]
+        return QLResult(columns=["suggest", "distance", "docs"], rows=rows)
+
+    def _simple(self, st: SimpleStmt) -> QLResult:
+        k = st.kind
+        if k == "show_tables":
+            return QLResult(columns=["Index", "Type"],
+                            rows=[(n, "rt") for n in
+                                  sorted(self.catalog.tables)])
+        if k == "show_meta":
+            return QLResult(columns=["Variable_name", "Value"],
+                            rows=list(self.last_meta))
+        if k == "show_warnings":
+            rows = []
+            if self.last_warning:
+                rows.append(("warning", "1000", self.last_warning))
+            return QLResult(columns=["Level", "Code", "Message"], rows=rows)
+        if k == "show_status":
+            up = int(time.time() - self.start_time)
+            return QLResult(
+                columns=["Counter", "Value"],
+                rows=[("uptime", str(up)),
+                      ("queries", str(self.queries_done)),
+                      ("tables", str(len(self.catalog.tables)))])
+        if k == "show_variables":
+            rows = [("autocommit", str(int(self.autocommit)))]
+            rows += [(k2, str(v)) for k2, v in sorted(self.variables.items())]
+            return QLResult(columns=["Variable_name", "Value"], rows=rows)
+        if k == "show_version":
+            from .. import __version__
+            return QLResult(columns=["Component", "Version"],
+                            rows=[("Daemon", f"manticoresearch-tpu "
+                                             f"{__version__}")])
+        if k == "show_databases":
+            return QLResult(columns=["Databases"], rows=[("Manticore",)])
+        if k == "show_collation":
+            return QLResult(columns=["Collation", "Charset"],
+                            rows=[("utf8_general_ci", "utf8")])
+        if k == "show_threads":
+            return QLResult(columns=["Tid", "Name", "Proto", "State", "Time"],
+                            rows=[("1", "work_0", "mysql", "query", "0.000")])
+        if k in ("show_profile", "show_plan", "show_agent_status"):
+            return QLResult(columns=["Status"], rows=[("TODO",)])
+        if k == "desc":
+            t = self.catalog.get(st.args[0])
+            rows = [("id", "bigint")]
+            rows += [(f, "text") for f in t.schema.fields]
+            rows += [(a.name, a.type.value) for a in t.schema.attrs]
+            return QLResult(columns=["Field", "Type"], rows=rows)
+        if k == "show_create_table":
+            t = self.catalog.get(st.args[0])
+            cols = [f"{f} text" for f in t.schema.fields]
+            cols += [f"{a.name} {a.type.value}" for a in t.schema.attrs]
+            ddl = f"CREATE TABLE {st.args[0]} (\n" + ",\n".join(cols) + "\n)"
+            return QLResult(columns=["Table", "Create Table"],
+                            rows=[(st.args[0], ddl)])
+        if k == "show_index_status":
+            t = self.catalog.get(st.args[0])
+            return QLResult(
+                columns=["Variable_name", "Value"],
+                rows=[("index_type", "rt"),
+                      ("indexed_documents", str(t.n_docs)),
+                      ("ram_chunk_segments_count", str(len(t.segments)))])
+        if k == "drop_table":
+            name, if_exists = st.args
+            if name not in self.catalog.tables:
+                if if_exists:
+                    return QLResult.ok()
+                return QLResult.err(f"no such table '{name}'")
+            self.catalog.drop(name)
+            return QLResult.ok()
+        if k == "truncate":
+            self.catalog.get(st.args[0]).truncate()
+            return QLResult.ok()
+        if k == "optimize":
+            self.catalog.get(st.args[0]).optimize()
+            return QLResult.ok()
+        if k == "flush":
+            self.catalog.get(st.args[0]).flush()
+            return QLResult.ok()
+        if k in ("flush_attributes", "flush_logs", "flush_hostnames",
+                 "set_names"):
+            return QLResult.ok()
+        if k == "begin":
+            self._commit_txn()
+            self.in_txn = True
+            return QLResult.ok()
+        if k == "commit":
+            self._commit_txn()
+            self.in_txn = False
+            return QLResult.ok()
+        if k == "rollback":
+            for n in self.txn_tables:
+                self.catalog.get(n).rollback()
+            self.txn_tables = set()
+            self.in_txn = False
+            return QLResult.ok()
+        if k == "explain":
+            idx, qtext = st.args
+            t = self.catalog.get(idx)
+            parts = t.searchable_parts()
+            if not parts:
+                return QLResult(columns=["Variable", "Value"],
+                                rows=[("transformed_tree", "EMPTY")])
+            cq = parts[0].plan(SearchQuery(match=qtext))
+            return QLResult(columns=["Variable", "Value"],
+                            rows=[("transformed_tree", repr(cq.sig.expr)),
+                                  ("ranker", cq.sig.ranker)])
+        return QLResult.err(f"unhandled statement kind {k}")
+
+    def _commit_txn(self):
+        for n in self.txn_tables:
+            self.catalog.get(n).commit()
+        self.txn_tables = set()
+
+
+def _cond_to_filter(c: Cond):
+    if c.kind == "cmp":
+        if c.op == "=":
+            return AttrFilterDef(c.attr, "values", values=[c.value]), None
+        if c.op in ("!=", "<>"):
+            return AttrFilterDef(c.attr, "values", values=[c.value],
+                                 exclude=True), None
+        is_f = isinstance(c.value, float)
+        kind = "range_f" if is_f else "range_i"
+        if c.op == "<":
+            return AttrFilterDef(c.attr, kind, hi=c.value, hi_excl=True), None
+        if c.op == "<=":
+            return AttrFilterDef(c.attr, kind, hi=c.value), None
+        if c.op == ">":
+            return AttrFilterDef(c.attr, kind, lo=c.value, lo_excl=True), None
+        if c.op == ">=":
+            return AttrFilterDef(c.attr, kind, lo=c.value), None
+    if c.kind == "in":
+        return AttrFilterDef(c.attr, "values", values=c.values,
+                             exclude=c.negate), None
+    if c.kind == "between":
+        is_f = isinstance(c.lo, float) or isinstance(c.hi, float)
+        return AttrFilterDef(c.attr, "range_f" if is_f else "range_i",
+                             lo=c.lo, hi=c.hi, exclude=c.negate), None
+    return None, f"unsupported condition {c.kind}"
+
+
+def _extract_id_list(conds: list[Cond]):
+    """id=N / id IN (...) fast path for DELETE/UPDATE."""
+    if len(conds) != 1:
+        return None
+    c = conds[0]
+    if c.attr != "id":
+        return None
+    if c.kind == "cmp" and c.op == "=":
+        return [int(c.value)]
+    if c.kind == "in" and not c.negate:
+        return [int(v) for v in c.values]
+    return None
+
+
+def _levenshtein(a: str, b: str, cap: int) -> int:
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

@@ -239,8 +239,13 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
 
         fmask_filters = jnp.ones(N + 1, dtype=bool)
         for i, spec in enumerate(sig.filters):
-            attr = attrs[spec.attr]
-            attr = jnp.concatenate([attr, attr[-1:]]) if len(attr) == N else attr
+            if spec.attr == "id":
+                # filter on document id: docids carried as i32 lo bits
+                # (ids >= 2^31 need the hi-word path, TODO)
+                attr = data["docid_lo"]
+            else:
+                attr = attrs[spec.attr]
+                attr = jnp.concatenate([attr, attr[-1:]]) if len(attr) == N else attr
             fmask_filters &= _eval_filter(spec, attr, rt["filter_vals"][i])
 
         eligible = match & alive & fmask_filters

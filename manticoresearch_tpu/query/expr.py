@@ -336,6 +336,106 @@ def _call(name: str, vals, raw_args):
     raise ExprError(f"unimplemented function {name}()")
 
 
+def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
+    """Host-side scalar evaluation over one result row (the reference's
+    final-stage calc split, sphinx.cpp:15905 — presentation expressions run
+    on the final top-k only)."""
+    op = tree[0]
+    if op == "num":
+        v = tree[1]
+        return int(v) if float(v).is_integer() else v
+    if op == "attr":
+        if tree[1] not in row:
+            raise ExprError(f"unknown attribute {tree[1]!r}")
+        return row[tree[1]]
+    if op == "weight":
+        return weight
+    if op == "id":
+        return docid
+    if op == "neg":
+        return -eval_expr_host(tree[1], row, weight, docid)
+    if op == "not":
+        return int(eval_expr_host(tree[1], row, weight, docid) == 0)
+    if op in ("add", "sub", "mul", "div", "mod", "and", "or",
+              "cmp_eq", "cmp_ne", "cmp_lt", "cmp_le", "cmp_gt", "cmp_ge"):
+        a = eval_expr_host(tree[1], row, weight, docid)
+        b = eval_expr_host(tree[2], row, weight, docid)
+        if op == "add":
+            return a + b
+        if op == "sub":
+            return a - b
+        if op == "mul":
+            return a * b
+        if op == "div":
+            if b == 0:
+                return (float("inf") if a > 0 else
+                        float("-inf") if a < 0 else float("nan"))
+            return float(a) / float(b)
+        if op == "mod":
+            return a % b
+        if op == "and":
+            return int(bool(a) and bool(b))
+        if op == "or":
+            return int(bool(a) or bool(b))
+        import operator as _o
+        t = {"cmp_eq": _o.eq, "cmp_ne": _o.ne, "cmp_lt": _o.lt,
+             "cmp_le": _o.le, "cmp_gt": _o.gt, "cmp_ge": _o.ge}
+        return int(t[op](a, b))
+    if op == "call":
+        name, args = tree[1], tree[2]
+        vals = [eval_expr_host(a, row, weight, docid) for a in args]
+        return _call_host(name, vals)
+    raise ExprError(f"bad expr node {op!r}")
+
+
+def _call_host(name: str, vals):
+    if name == "ABS":
+        return abs(vals[0])
+    if name == "CEIL":
+        return int(math.ceil(vals[0]))
+    if name == "FLOOR":
+        return int(math.floor(vals[0]))
+    if name in ("SIN", "COS", "EXP", "SQRT"):
+        return {"SIN": math.sin, "COS": math.cos, "EXP": math.exp,
+                "SQRT": math.sqrt}[name](vals[0])
+    if name == "LN":
+        return math.log(vals[0])
+    if name == "LOG2":
+        return math.log2(vals[0])
+    if name == "LOG10":
+        return math.log10(vals[0])
+    if name in ("BIGINT", "SINT", "INTEGER", "UINT"):
+        return int(vals[0])
+    if name == "DOUBLE":
+        return float(vals[0])
+    if name == "MIN":
+        return min(vals[0], vals[1])
+    if name == "MAX":
+        return max(vals[0], vals[1])
+    if name == "POW":
+        return math.pow(vals[0], vals[1])
+    if name == "IDIV":
+        return int(vals[0] // vals[1])
+    if name == "IF":
+        return vals[1] if vals[0] else vals[2]
+    if name == "IN":
+        return int(vals[0] in vals[1:])
+    if name == "INTERVAL":
+        return sum(1 for v in vals[1:] if vals[0] >= v)
+    if name == "GEODIST":
+        lat1, lon1, lat2, lon2 = map(float, vals)
+        r = 6371000.0
+        dlat = (lat2 - lat1) * 0.5
+        dlon = (lon2 - lon1) * 0.5
+        a = math.sin(dlat) ** 2 + math.cos(lat1) * math.cos(lat2) * math.sin(dlon) ** 2
+        return 2 * r * math.asin(math.sqrt(a))
+    if name == "MADD":
+        return vals[0] * vals[1] + vals[2]
+    if name == "MUL3":
+        return vals[0] * vals[1] * vals[2]
+    raise ExprError(f"unimplemented function {name}() on host")
+
+
 def infer_is_float(tree: tuple, schema) -> bool:
     """Rough result-type inference (float vs int) for sort-key handling."""
     op = tree[0]

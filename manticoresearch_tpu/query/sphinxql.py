@@ -1,0 +1,679 @@
+"""SphinxQL parser: MySQL-dialect SQL -> statement objects.
+
+Behavioral model: the reference's bison grammar + statement enum
+(/root/reference/src/sphinxql.y, searchdsql.h:71-138 — ~60 STMT_* kinds) and
+the SELECT grammar (sphinxselect.y:206). Hand-rolled recursive descent; the
+statement surface mirrors the reference's SphinxQL dialect:
+
+SELECT select_list FROM idx[,idx2] [WHERE MATCH('...') AND conds]
+    [GROUP [N] BY col] [WITHIN GROUP ORDER BY ...] [HAVING cond]
+    [ORDER BY col {ASC|DESC}, ...] [LIMIT [off,]n] [OPTION k=v,...]
+    [FACET ...]*
+INSERT/REPLACE INTO idx [(cols)] VALUES (...),(...)
+DELETE FROM idx WHERE ...
+UPDATE idx SET a=v,... WHERE ...
+CREATE TABLE / DROP TABLE / DESC / SHOW ... / SET ... / transactions /
+TRUNCATE / OPTIMIZE / FLUSH / CALL ...
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+
+class SqlParseError(ValueError):
+    pass
+
+
+_SQL_TOK = re.compile(r"""
+    (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<num>\d+\.\d*|\.\d+|\d+)
+  | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
+  | (?P<op><=|>=|<>|!=|:=|=|<|>|\(|\)|,|\*|\+|-|/|%|;)
+  | (?P<ws>\s+|--[^\n]*|\#[^\n]*|/\*.*?\*/)
+""", re.VERBOSE | re.DOTALL)
+
+
+def sql_tokenize(s: str) -> list[tuple[str, str, int, int]]:
+    """Returns (kind, text, start, end) — spans let expression text be
+    recovered verbatim from the source."""
+    out = []
+    i = 0
+    while i < len(s):
+        m = _SQL_TOK.match(s, i)
+        if not m:
+            raise SqlParseError(f"bad character {s[i]!r} at offset {i}")
+        i = m.end()
+        if m.lastgroup != "ws":
+            out.append((m.lastgroup, m.group(), m.start(), m.end()))
+    return out
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+# ---- statement objects -----------------------------------------------------
+
+@dataclass
+class SelectItem:
+    expr: str                 # raw expression text
+    alias: str | None = None
+
+
+@dataclass
+class Cond:
+    """One WHERE condition."""
+    kind: str                 # "match" | "cmp" | "in" | "between"
+    attr: str = ""
+    op: str = ""
+    value: Any = None
+    values: list = field(default_factory=list)
+    lo: Any = None
+    hi: Any = None
+    negate: bool = False
+
+
+@dataclass
+class SelectStmt:
+    items: list[SelectItem]
+    indexes: list[str]
+    conds: list[Cond]
+    group_by: str | None = None
+    group_n: int = 1
+    within_order: list[tuple[str, bool]] = field(default_factory=list)
+    having: tuple | None = None
+    order: list[tuple[str, bool]] = field(default_factory=list)
+    offset: int = 0
+    limit: int = 20
+    options: dict[str, Any] = field(default_factory=dict)
+    facets: list["FacetStmt"] = field(default_factory=list)
+
+
+@dataclass
+class FacetStmt:
+    items: list[SelectItem]
+    by: str | None
+    order: list[tuple[str, bool]]
+    offset: int
+    limit: int
+
+
+@dataclass
+class InsertStmt:
+    index: str
+    columns: list[str]
+    rows: list[list[Any]]
+    replace: bool = False
+
+
+@dataclass
+class DeleteStmt:
+    index: str
+    conds: list[Cond]
+
+
+@dataclass
+class UpdateStmt:
+    index: str
+    values: dict[str, Any]
+    conds: list[Cond]
+
+
+@dataclass
+class CreateTableStmt:
+    name: str
+    columns: list[tuple[str, str]]     # (name, type)
+    options: dict[str, str] = field(default_factory=dict)
+    if_not_exists: bool = False
+
+
+@dataclass
+class SimpleStmt:
+    kind: str                  # "show_tables", "show_meta", "desc", ...
+    args: list[Any] = field(default_factory=list)
+
+
+@dataclass
+class SetStmt:
+    name: str
+    value: Any
+    is_global: bool = False
+
+
+@dataclass
+class CallStmt:
+    func: str
+    args: list[Any]
+
+
+# ---- parser ---------------------------------------------------------------
+
+class SqlParser:
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.toks = sql_tokenize(sql)
+        self.i = 0
+
+    # token helpers
+    def peek(self, k=0):
+        j = self.i + k
+        return self.toks[j][:2] if j < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def at_kw(self, *words) -> bool:
+        k, v = self.peek()
+        return k == "name" and v.upper() in words
+
+    def eat_kw(self, *words) -> str | None:
+        if self.at_kw(*words):
+            return self.next()[1].upper()
+        return None
+
+    def expect_kw(self, word):
+        if not self.eat_kw(word):
+            raise SqlParseError(f"expected {word}, got {self.peek()[1]!r}")
+
+    def expect_op(self, op):
+        k, v = self.next()
+        if k != "op" or v != op:
+            raise SqlParseError(f"expected {op!r}, got {v!r}")
+
+    def name(self) -> str:
+        k, v = self.next()
+        if k != "name":
+            raise SqlParseError(f"expected identifier, got {v!r}")
+        return v
+
+    def value(self):
+        k, v = self.next()
+        if k == "str":
+            return _unquote(v)
+        if k == "num":
+            return float(v) if "." in v else int(v)
+        if k == "op" and v == "-":
+            k2, v2 = self.next()
+            if k2 != "num":
+                raise SqlParseError("expected number after '-'")
+            return -(float(v2) if "." in v2 else int(v2))
+        if k == "op" and v == "(":
+            vals = [self.value()]
+            while self.peek() == ("op", ","):
+                self.next()
+                vals.append(self.value())
+            self.expect_op(")")
+            return vals
+        if k == "name" and v.upper() in ("TRUE", "FALSE"):
+            return 1 if v.upper() == "TRUE" else 0
+        if k == "name" and v.upper() == "NULL":
+            return None
+        raise SqlParseError(f"expected value, got {v!r}")
+
+    # entry
+    def parse(self):
+        stmts = [self.parse_statement()]
+        while self.peek() == ("op", ";"):
+            self.next()
+            if self.peek()[0] is None:
+                break
+            stmts.append(self.parse_statement())
+        if self.peek()[0] is not None:
+            raise SqlParseError(f"unexpected {self.peek()[1]!r}")
+        return stmts
+
+    def parse_statement(self):
+        k, v = self.peek()
+        if k != "name":
+            raise SqlParseError(f"expected statement, got {v!r}")
+        head = v.upper()
+        fn = {
+            "SELECT": self.parse_select,
+            "INSERT": lambda: self.parse_insert(False),
+            "REPLACE": lambda: self.parse_insert(True),
+            "DELETE": self.parse_delete,
+            "UPDATE": self.parse_update,
+            "CREATE": self.parse_create,
+            "DROP": self.parse_drop,
+            "DESC": self.parse_desc,
+            "DESCRIBE": self.parse_desc,
+            "SHOW": self.parse_show,
+            "SET": self.parse_set,
+            "BEGIN": lambda: (self.next(), SimpleStmt("begin"))[1],
+            "START": self.parse_start,
+            "COMMIT": lambda: (self.next(), SimpleStmt("commit"))[1],
+            "ROLLBACK": lambda: (self.next(), SimpleStmt("rollback"))[1],
+            "TRUNCATE": self.parse_truncate,
+            "OPTIMIZE": self.parse_optimize,
+            "FLUSH": self.parse_flush,
+            "CALL": self.parse_call,
+            "ATTACH": self.parse_attach,
+            "EXPLAIN": self.parse_explain,
+        }.get(head)
+        if fn is None:
+            raise SqlParseError(f"unsupported statement {head}")
+        return fn()
+
+    # --- SELECT ---
+    def parse_select(self):
+        self.expect_kw("SELECT")
+        items = [self.parse_select_item()]
+        while self.peek() == ("op", ","):
+            self.next()
+            items.append(self.parse_select_item())
+
+        if not self.at_kw("FROM"):
+            return SelectStmt(items=items, indexes=[], conds=[])
+        self.next()
+        indexes = [self.name()]
+        while self.peek() == ("op", ","):
+            self.next()
+            indexes.append(self.name())
+
+        conds: list[Cond] = []
+        if self.eat_kw("WHERE"):
+            conds = self.parse_conds()
+
+        st = SelectStmt(items=items, indexes=indexes, conds=conds)
+
+        if self.eat_kw("GROUP"):
+            k, v = self.peek()
+            if k == "num":
+                st.group_n = int(self.next()[1])
+            self.expect_kw("BY")
+            st.group_by = self.parse_expr_text(stop_kw=(
+                "WITHIN", "HAVING", "ORDER", "LIMIT", "OPTION", "FACET"))
+        if self.eat_kw("WITHIN"):
+            self.expect_kw("GROUP")
+            self.expect_kw("ORDER")
+            self.expect_kw("BY")
+            st.within_order = self.parse_order_list()
+        if self.eat_kw("HAVING"):
+            col = self.parse_expr_text(stop_op=("=", "!=", "<>", "<", "<=",
+                                                ">", ">="))
+            k, op = self.next()
+            if k != "op":
+                raise SqlParseError("bad HAVING")
+            st.having = (col.strip(), op, self.value())
+        if self.eat_kw("ORDER"):
+            self.expect_kw("BY")
+            st.order = self.parse_order_list()
+        if self.eat_kw("LIMIT"):
+            a = self.value()
+            if self.peek() == ("op", ","):
+                self.next()
+                st.offset, st.limit = int(a), int(self.value())
+            else:
+                st.limit = int(a)
+                if self.eat_kw("OFFSET"):
+                    st.offset = int(self.value())
+        if self.eat_kw("OPTION"):
+            while True:
+                n = self.name()
+                self.expect_op("=")
+                if self.peek()[0] == "op" and self.peek()[1] == "(":
+                    # named-value list: field_weights=(title=10, body=3)
+                    self.next()
+                    d = {}
+                    while True:
+                        fn_ = self.name()
+                        self.expect_op("=")
+                        d[fn_] = self.value()
+                        if self.peek() == ("op", ","):
+                            self.next()
+                            continue
+                        break
+                    self.expect_op(")")
+                    st.options[n.lower()] = d
+                else:
+                    st.options[n.lower()] = self.value() \
+                        if self.peek()[0] in ("num", "str") or \
+                        self.peek() == ("op", "-") else self.name()
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+        while self.at_kw("FACET"):
+            st.facets.append(self.parse_facet())
+        return st
+
+    def parse_select_item(self) -> SelectItem:
+        expr = self.parse_expr_text(
+            stop_kw=("AS", "FROM", "ORDER", "BY", "LIMIT", "FACET", "WHERE",
+                     "GROUP", "OPTION", "HAVING", "WITHIN"),
+            stop_comma=True)
+        alias = None
+        if self.eat_kw("AS"):
+            alias = self.name()
+        return SelectItem(expr.strip(), alias)
+
+    def parse_expr_text(self, stop_kw=(), stop_op=(), stop_comma=False) -> str:
+        """Collect source text until a stop keyword/op at depth 0."""
+        start_tok = self.i
+        depth = 0
+        while True:
+            k, v = self.peek()
+            if k is None:
+                break
+            if depth == 0:
+                if k == "name" and v.upper() in stop_kw:
+                    break
+                if k == "op" and v in stop_op:
+                    break
+                if k == "op" and (v == ";" or (stop_comma and v == ",")):
+                    break
+                if k == "op" and v == ")":
+                    break
+            if k == "op" and v == "(":
+                depth += 1
+            if k == "op" and v == ")":
+                depth -= 1
+            self.next()
+        if self.i == start_tok:
+            raise SqlParseError(f"expected expression near {self.peek()[1]!r}")
+        s0 = self.toks[start_tok][2]
+        s1 = self.toks[self.i - 1][3]
+        return self.sql[s0:s1]
+
+    def parse_order_list(self) -> list[tuple[str, bool]]:
+        out = []
+        while True:
+            col = self.parse_expr_text(
+                stop_kw=("ASC", "DESC", "LIMIT", "OPTION", "FACET", "WITHIN",
+                         "HAVING"),
+                stop_comma=True)
+            asc = True
+            if self.eat_kw("DESC"):
+                asc = False
+            elif self.eat_kw("ASC"):
+                asc = True
+            out.append((col.strip(), asc))
+            if self.peek() == ("op", ","):
+                self.next()
+                continue
+            break
+        return out
+
+    def parse_conds(self) -> list[Cond]:
+        conds = [self.parse_cond()]
+        while self.eat_kw("AND"):
+            conds.append(self.parse_cond())
+        return conds
+
+    def parse_cond(self) -> Cond:
+        if self.at_kw("MATCH"):
+            self.next()
+            self.expect_op("(")
+            k, v = self.next()
+            if k != "str":
+                raise SqlParseError("MATCH() needs a quoted query string")
+            self.expect_op(")")
+            return Cond("match", value=_unquote(v))
+        attr = self.name()
+        neg = bool(self.eat_kw("NOT"))
+        if self.eat_kw("IN"):
+            self.expect_op("(")
+            vals = [self.value()]
+            while self.peek() == ("op", ","):
+                self.next()
+                vals.append(self.value())
+            self.expect_op(")")
+            return Cond("in", attr=attr, values=vals, negate=neg)
+        if self.eat_kw("BETWEEN"):
+            lo = self.value()
+            self.expect_kw("AND")
+            hi = self.value()
+            return Cond("between", attr=attr, lo=lo, hi=hi, negate=neg)
+        if neg:
+            raise SqlParseError("expected IN or BETWEEN after NOT")
+        k, op = self.next()
+        if k != "op" or op not in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            raise SqlParseError(f"bad condition operator {op!r}")
+        return Cond("cmp", attr=attr, op=op, value=self.value())
+
+    def parse_facet(self) -> FacetStmt:
+        self.expect_kw("FACET")
+        items = [self.parse_select_item()]
+        while self.peek() == ("op", ","):
+            self.next()
+            items.append(self.parse_select_item())
+        by = None
+        if self.eat_kw("BY"):
+            by = self.parse_expr_text(stop_kw=("ORDER", "LIMIT", "FACET"),
+                                      stop_comma=False).strip()
+        order: list[tuple[str, bool]] = []
+        if self.eat_kw("ORDER"):
+            self.expect_kw("BY")
+            order = self.parse_order_list()
+        offset, limit = 0, 20
+        if self.eat_kw("LIMIT"):
+            a = self.value()
+            if self.peek() == ("op", ","):
+                self.next()
+                offset, limit = int(a), int(self.value())
+            else:
+                limit = int(a)
+        return FacetStmt(items, by, order, offset, limit)
+
+    # --- writes ---
+    def parse_insert(self, replace: bool):
+        self.next()  # INSERT/REPLACE
+        self.expect_kw("INTO")
+        index = self.name()
+        columns: list[str] = []
+        if self.peek() == ("op", "("):
+            self.next()
+            columns.append(self.name())
+            while self.peek() == ("op", ","):
+                self.next()
+                columns.append(self.name())
+            self.expect_op(")")
+        self.expect_kw("VALUES")
+        rows = []
+        while True:
+            self.expect_op("(")
+            row = [self.value()]
+            while self.peek() == ("op", ","):
+                self.next()
+                row.append(self.value())
+            self.expect_op(")")
+            rows.append(row)
+            if self.peek() == ("op", ","):
+                self.next()
+                continue
+            break
+        return InsertStmt(index, columns, rows, replace)
+
+    def parse_delete(self):
+        self.expect_kw("DELETE")
+        self.expect_kw("FROM")
+        index = self.name()
+        self.expect_kw("WHERE")
+        return DeleteStmt(index, self.parse_conds())
+
+    def parse_update(self):
+        self.expect_kw("UPDATE")
+        index = self.name()
+        self.expect_kw("SET")
+        values = {}
+        while True:
+            n = self.name()
+            self.expect_op("=")
+            values[n] = self.value()
+            if self.peek() == ("op", ","):
+                self.next()
+                continue
+            break
+        self.expect_kw("WHERE")
+        return UpdateStmt(index, values, self.parse_conds())
+
+    # --- DDL / admin ---
+    def parse_create(self):
+        self.expect_kw("CREATE")
+        self.expect_kw("TABLE")
+        ine = False
+        if self.eat_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            ine = True
+        name = self.name()
+        cols: list[tuple[str, str]] = []
+        if self.peek() == ("op", "("):
+            self.next()
+            while True:
+                cn = self.name()
+                k, v = self.peek()
+                ct = "text"
+                if k == "name":
+                    ct = self.name().lower()
+                    # swallow extra col options like 'indexed stored'
+                    while self.at_kw("INDEXED", "STORED", "ATTRIBUTE"):
+                        self.next()
+                cols.append((cn, ct))
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+            self.expect_op(")")
+        options = {}
+        while self.peek()[0] == "name":
+            n = self.name()
+            self.expect_op("=")
+            options[n.lower()] = str(self.value())
+        return CreateTableStmt(name, cols, options, ine)
+
+    def parse_drop(self):
+        self.expect_kw("DROP")
+        self.expect_kw("TABLE")
+        if_exists = False
+        if self.eat_kw("IF"):
+            self.expect_kw("EXISTS")
+            if_exists = True
+        return SimpleStmt("drop_table", [self.name(), if_exists])
+
+    def parse_desc(self):
+        self.next()
+        return SimpleStmt("desc", [self.name()])
+
+    def parse_show(self):
+        self.expect_kw("SHOW")
+        if self.eat_kw("TABLES"):
+            return SimpleStmt("show_tables")
+        if self.eat_kw("META"):
+            return SimpleStmt("show_meta")
+        if self.eat_kw("WARNINGS"):
+            return SimpleStmt("show_warnings")
+        if self.eat_kw("STATUS"):
+            return SimpleStmt("show_status")
+        if self.eat_kw("VARIABLES"):
+            return SimpleStmt("show_variables")
+        if self.eat_kw("VERSION"):
+            return SimpleStmt("show_version")
+        if self.eat_kw("PROFILE"):
+            return SimpleStmt("show_profile")
+        if self.eat_kw("PLAN"):
+            return SimpleStmt("show_plan")
+        if self.eat_kw("THREADS"):
+            return SimpleStmt("show_threads")
+        if self.eat_kw("AGENT"):
+            self.eat_kw("STATUS")
+            return SimpleStmt("show_agent_status")
+        if self.eat_kw("CREATE"):
+            self.expect_kw("TABLE")
+            return SimpleStmt("show_create_table", [self.name()])
+        if self.eat_kw("INDEX", "TABLE"):
+            n = self.name()
+            self.expect_kw("STATUS")
+            return SimpleStmt("show_index_status", [n])
+        if self.eat_kw("DATABASES"):
+            return SimpleStmt("show_databases")
+        if self.eat_kw("COLLATION"):
+            return SimpleStmt("show_collation")
+        raise SqlParseError(f"unsupported SHOW {self.peek()[1]!r}")
+
+    def parse_set(self):
+        self.expect_kw("SET")
+        is_global = bool(self.eat_kw("GLOBAL"))
+        if self.eat_kw("NAMES"):
+            self.value() if self.peek()[0] in ("str", "num") else self.name()
+            return SimpleStmt("set_names")
+        if self.eat_kw("AUTOCOMMIT"):
+            self.expect_op("=")
+            return SetStmt("autocommit", self.value(), is_global)
+        name = self.name()
+        self.expect_op("=")
+        k, v = self.peek()
+        if k == "name":
+            val = self.name()
+        else:
+            val = self.value()
+        return SetStmt(name.lower(), val, is_global)
+
+    def parse_start(self):
+        self.expect_kw("START")
+        self.expect_kw("TRANSACTION")
+        return SimpleStmt("begin")
+
+    def parse_truncate(self):
+        self.expect_kw("TRUNCATE")
+        self.eat_kw("RTINDEX", "TABLE")
+        st = SimpleStmt("truncate", [self.name()])
+        if self.eat_kw("WITH"):
+            self.expect_kw("RECONFIGURE")
+        return st
+
+    def parse_optimize(self):
+        self.expect_kw("OPTIMIZE")
+        self.eat_kw("INDEX", "TABLE")
+        return SimpleStmt("optimize", [self.name()])
+
+    def parse_flush(self):
+        self.expect_kw("FLUSH")
+        if self.eat_kw("RTINDEX", "RAMCHUNK", "TABLE"):
+            return SimpleStmt("flush", [self.name()])
+        if self.eat_kw("ATTRIBUTES"):
+            return SimpleStmt("flush_attributes")
+        if self.eat_kw("LOGS"):
+            return SimpleStmt("flush_logs")
+        if self.eat_kw("HOSTNAMES"):
+            return SimpleStmt("flush_hostnames")
+        raise SqlParseError("unsupported FLUSH")
+
+    def parse_call(self):
+        self.expect_kw("CALL")
+        func = self.name().upper()
+        self.expect_op("(")
+        args = []
+        if self.peek() != ("op", ")"):
+            args.append(self.value())
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.value())
+        self.expect_op(")")
+        return CallStmt(func, args)
+
+    def parse_attach(self):
+        self.expect_kw("ATTACH")
+        self.expect_kw("INDEX")
+        src = self.name()
+        self.expect_kw("TO")
+        self.eat_kw("RTINDEX", "TABLE")
+        return SimpleStmt("attach", [src, self.name()])
+
+    def parse_explain(self):
+        self.expect_kw("EXPLAIN")
+        self.eat_kw("QUERY")
+        idx = self.name()
+        k, v = self.next()
+        if k != "str":
+            raise SqlParseError("EXPLAIN QUERY needs a quoted query")
+        return SimpleStmt("explain", [idx, _unquote(v)])
+
+
+def parse_sql(sql: str):
+    return SqlParser(sql).parse()

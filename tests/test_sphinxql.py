@@ -1,0 +1,244 @@
+"""SphinxQL end-to-end: parse -> session -> engine (the CSphinxqlSession
+surface, searchd.cpp:15180). Drives the full SQL dialect subset."""
+import pytest
+
+from manticoresearch_tpu.exec.session import Catalog, QLResult, Session
+
+
+@pytest.fixture()
+def sess():
+    return Session(Catalog())
+
+
+@pytest.fixture()
+def loaded(sess):
+    r = sess.execute(
+        "CREATE TABLE products (title text, descr text, price float, "
+        "cat uint, qty uint)")
+    assert r[0].error is None
+    r = sess.execute(
+        "INSERT INTO products (id, title, descr, price, cat, qty) VALUES "
+        "(1, 'red apple', 'fresh red apple fruit', 10.5, 1, 5), "
+        "(2, 'green apple', 'tasty green apple', 8.0, 1, 3), "
+        "(3, 'banana', 'yellow banana fruit', 3.5, 2, 10), "
+        "(4, 'cherry pie', 'sweet cherry dessert', 15.0, 3, 2)")
+    assert r[0].error is None
+    assert r[0].affected == 4
+    return sess
+
+
+def one(sess, sql) -> QLResult:
+    rs = sess.execute(sql)
+    assert len(rs) >= 1
+    return rs[0]
+
+
+class TestDDL:
+    def test_create_show_desc_drop(self, sess):
+        assert one(sess, "CREATE TABLE t1 (body text, gid uint)").error is None
+        r = one(sess, "SHOW TABLES")
+        assert ("t1", "rt") in r.rows
+        r = one(sess, "DESC t1")
+        assert ("id", "bigint") in r.rows
+        assert ("body", "text") in r.rows
+        assert ("gid", "uint") in r.rows
+        assert one(sess, "DROP TABLE t1").error is None
+        assert one(sess, "SHOW TABLES").rows == []
+        assert one(sess, "DROP TABLE t1").error is not None
+        assert one(sess, "DROP TABLE IF EXISTS t1").error is None
+
+    def test_create_duplicate(self, sess):
+        one(sess, "CREATE TABLE t1 (body text)")
+        assert one(sess, "CREATE TABLE t1 (body text)").error is not None
+        assert one(sess, "CREATE TABLE IF NOT EXISTS t1 (body text)").error \
+            is None
+
+
+class TestSelect:
+    def test_match_select(self, loaded):
+        r = one(loaded, "SELECT id, weight() FROM products "
+                        "WHERE MATCH('apple')")
+        assert r.error is None
+        assert r.columns == ["id", "weight()"]
+        assert [row[0] for row in r.rows] == [1, 2]
+
+    def test_star(self, loaded):
+        r = one(loaded, "SELECT * FROM products WHERE MATCH('banana')")
+        assert r.columns[0] == "id"
+        assert "price" in r.columns
+        assert r.rows[0][0] == 3
+
+    def test_where_attr_filters(self, loaded):
+        r = one(loaded, "SELECT id FROM products WHERE cat=1")
+        assert [row[0] for row in r.rows] == [1, 2]
+        r = one(loaded, "SELECT id FROM products WHERE price >= 8.0 "
+                        "AND price <= 12.0")
+        assert [row[0] for row in r.rows] == [1, 2]
+        r = one(loaded, "SELECT id FROM products WHERE qty BETWEEN 3 AND 5")
+        assert [row[0] for row in r.rows] == [1, 2]
+        r = one(loaded, "SELECT id FROM products WHERE cat IN (2, 3)")
+        assert [row[0] for row in r.rows] == [3, 4]
+
+    def test_id_filter(self, loaded):
+        r = one(loaded, "SELECT id FROM products WHERE id IN (2, 4)")
+        assert [row[0] for row in r.rows] == [2, 4]
+
+    def test_order_limit(self, loaded):
+        r = one(loaded, "SELECT id, price FROM products "
+                        "ORDER BY price DESC LIMIT 2")
+        assert [row[0] for row in r.rows] == [4, 1]
+        r = one(loaded, "SELECT id FROM products ORDER BY price ASC "
+                        "LIMIT 1, 2")
+        assert [row[0] for row in r.rows] == [2, 1]
+
+    def test_select_expression(self, loaded):
+        r = one(loaded, "SELECT id, price * qty AS total FROM products "
+                        "WHERE MATCH('banana')")
+        assert r.rows[0] == (3, 35.0)
+
+    def test_select_no_from(self, sess):
+        r = one(sess, "SELECT 1+2")
+        assert r.rows == [(3,)]
+
+    def test_group_by(self, loaded):
+        r = one(loaded, "SELECT cat, count(*) FROM products "
+                        "GROUP BY cat ORDER BY cat ASC")
+        assert r.rows == [(1, 2), (2, 1), (3, 1)]
+
+    def test_group_by_having(self, loaded):
+        r = one(loaded, "SELECT cat, count(*) FROM products GROUP BY cat "
+                        "HAVING count(*) > 1 ORDER BY cat ASC")
+        assert r.rows == [(1, 2)]
+
+    def test_facet(self, loaded):
+        rs = loaded.execute(
+            "SELECT id FROM products WHERE MATCH('fruit') "
+            "FACET cat ORDER BY cat ASC")
+        assert len(rs) == 2
+        assert rs[0].error is None and rs[1].error is None
+        # fruit matches docs 1, 3 -> cats 1 and 2
+        assert rs[1].rows == [(1, 1), (2, 1)]
+
+    def test_option_ranker(self, loaded):
+        r = one(loaded, "SELECT id, weight() FROM products "
+                        "WHERE MATCH('apple') OPTION ranker=none")
+        assert all(row[1] == 1 for row in r.rows)
+
+    def test_option_field_weights(self, loaded):
+        r = one(loaded, "SELECT id, weight() FROM products WHERE "
+                        "MATCH('apple') OPTION field_weights=(title=10, "
+                        "descr=1)")
+        assert r.error is None
+        assert r.rows[0][1] > 10000  # title lcs * 10 * 1000
+
+    def test_show_meta_after_select(self, loaded):
+        one(loaded, "SELECT id FROM products WHERE MATCH('apple')")
+        r = one(loaded, "SHOW META")
+        d = dict(r.rows)
+        assert d["total_found"] == "2"
+        assert d["keyword[0]"] == "apple"
+        assert d["docs[0]"] == "2"
+
+    def test_syntax_error(self, sess):
+        r = one(sess, "SELEKT nonsense")
+        assert r.error is not None
+
+    def test_unknown_table(self, sess):
+        r = one(sess, "SELECT id FROM missing_table")
+        assert "no such table" in r.error
+
+
+class TestWrites:
+    def test_delete_by_id(self, loaded):
+        r = one(loaded, "DELETE FROM products WHERE id = 2")
+        assert r.affected == 1
+        r = one(loaded, "SELECT id FROM products WHERE MATCH('apple')")
+        assert [row[0] for row in r.rows] == [1]
+
+    def test_delete_by_match(self, loaded):
+        r = one(loaded, "DELETE FROM products WHERE MATCH('fruit')")
+        assert r.affected == 2
+        assert one(loaded, "SELECT id FROM products").rows == [(2,), (4,)]
+
+    def test_replace(self, loaded):
+        one(loaded, "REPLACE INTO products (id, title, descr, price, cat, "
+                    "qty) VALUES (1, 'blue grape', 'juicy', 9.9, 4, 1)")
+        r = one(loaded, "SELECT id FROM products WHERE MATCH('grape')")
+        assert [row[0] for row in r.rows] == [1]
+        assert one(loaded, "SELECT id FROM products "
+                           "WHERE MATCH('apple')").rows == [(2,)]
+
+    def test_update(self, loaded):
+        r = one(loaded, "UPDATE products SET price=99.0, qty=7 WHERE id=3")
+        assert r.affected == 1
+        r = one(loaded, "SELECT price, qty FROM products WHERE MATCH('banana')")
+        assert r.rows == [(99.0, 7)]
+
+    def test_update_where_filter(self, loaded):
+        r = one(loaded, "UPDATE products SET qty=0 WHERE cat=1")
+        assert r.affected == 2
+
+    def test_transactions(self, loaded):
+        one(loaded, "BEGIN")
+        one(loaded, "INSERT INTO products (id, title, descr, price, cat, qty)"
+                    " VALUES (10, 'pending doc', 'x', 1.0, 9, 1)")
+        assert one(loaded, "SELECT id FROM products "
+                           "WHERE MATCH('pending')").rows == []
+        one(loaded, "COMMIT")
+        assert one(loaded, "SELECT id FROM products "
+                           "WHERE MATCH('pending')").rows == [(10,)]
+
+    def test_rollback(self, loaded):
+        one(loaded, "BEGIN")
+        one(loaded, "INSERT INTO products (id, title, descr, price, cat, qty)"
+                    " VALUES (11, 'ghost', 'x', 1.0, 9, 1)")
+        one(loaded, "ROLLBACK")
+        assert one(loaded, "SELECT id FROM products "
+                           "WHERE MATCH('ghost')").rows == []
+
+    def test_truncate(self, loaded):
+        one(loaded, "TRUNCATE TABLE products")
+        assert one(loaded, "SELECT id FROM products").rows == []
+
+    def test_duplicate_id_insert(self, loaded):
+        r = one(loaded, "INSERT INTO products (id, title, descr, price, cat, "
+                        "qty) VALUES (1, 'dup', 'x', 1.0, 1, 1)")
+        assert "duplicate id" in r.error
+
+
+class TestAdmin:
+    def test_show_status_version_variables(self, sess):
+        assert one(sess, "SHOW STATUS").error is None
+        assert one(sess, "SHOW VERSION").error is None
+        assert one(sess, "SHOW VARIABLES").error is None
+        assert one(sess, "SET autocommit = 0").error is None
+        assert sess.autocommit is False
+
+    def test_show_create_and_index_status(self, loaded):
+        r = one(loaded, "SHOW CREATE TABLE products")
+        assert "price float" in r.rows[0][1]
+        r = one(loaded, "SHOW TABLE products STATUS")
+        d = dict(r.rows)
+        assert d["indexed_documents"] == "4"
+
+    def test_optimize_flush(self, loaded):
+        one(loaded, "INSERT INTO products (id, title, descr, price, cat, qty)"
+                    " VALUES (5, 'kiwi', 'green kiwi', 2.0, 2, 4)")
+        assert one(loaded, "OPTIMIZE INDEX products").error is None
+        t = loaded.catalog.get("products")
+        assert len(t.segments) == 1
+
+    def test_call_keywords(self, loaded):
+        r = one(loaded, "CALL KEYWORDS('red apples', 'products')")
+        assert r.error is None
+        assert r.columns[0] == "qpos"
+        assert len(r.rows) == 2
+
+    def test_call_suggest(self, loaded):
+        r = one(loaded, "CALL SUGGEST('aple', 'products')")
+        assert r.error is None
+        assert r.rows and r.rows[0][0] == "apple"
+
+    def test_explain(self, loaded):
+        r = one(loaded, "EXPLAIN QUERY products 'apple banana'")
+        assert r.error is None

@@ -319,7 +319,7 @@ class SearchIndex:
         out = []
         attr_names = (
             select if select is not None
-            else [a.name for a in p.schema.attrs]
+            else [a.name for a in p.schema.attrs] + list(p.stored_fields)
         )
         for r, w in zip(rowids.tolist(), weights.tolist()):
             attrs: dict[str, Any] = {}
@@ -339,6 +339,9 @@ class SearchIndex:
                 elif name in p.attrs_mva:
                     off, vals = p.attrs_mva[name]
                     attrs[name] = [int(x) for x in vals[off[r]:off[r + 1]]]
+                elif name in p.stored_fields:
+                    # docstore hydration (stored full-text fields)
+                    attrs[name] = p.stored_fields[name][r]
             out.append(Match(int(p.doc_ids[r]), int(w), attrs))
         return out
 

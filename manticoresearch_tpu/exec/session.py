@@ -236,6 +236,9 @@ class Session:
             if raw == "*":
                 cols.append("id")
                 getters.append(lambda m: m.docid)
+                for fname in schema.fields:
+                    cols.append(fname)
+                    getters.append(lambda m, n=fname: m.attrs.get(n))
                 for a in schema.attrs:
                     cols.append(a.name)
                     getters.append(lambda m, n=a.name: m.attrs.get(n))
@@ -251,7 +254,8 @@ class Session:
                 getters.append(lambda m, n=raw, n2=name:
                                m.attrs.get(n, m.attrs.get(
                                    n.replace(" ", ""), m.attrs.get(n2))))
-            elif schema.attr(raw) is not None or raw == st.group_by:
+            elif (schema.attr(raw) is not None or raw in schema.fields
+                  or raw == st.group_by):
                 getters.append(lambda m, n=raw: m.attrs.get(n))
             else:
                 tree = parse_expr(raw)

@@ -63,6 +63,8 @@ class PackedIndex:
     attrs_str: dict[str, list[str]]
     attrs_json: dict[str, list[Any]]
     attrs_mva: dict[str, tuple[np.ndarray, np.ndarray]]  # (offsets[n+1], values)
+    stored_fields: dict[str, list[str]]  # docstore analog (docstore.h:16):
+                                         # original field text, row-aligned
     field_lens: np.ndarray       # int32[n_docs, F]
     total_hits: int
     tokenizer_settings: TokenizerSettings = dc_field(default_factory=TokenizerSettings)
@@ -130,6 +132,7 @@ class IndexBuilder:
         hits_row: list[int] = []
         hits_packed: list[int] = []
         field_lens = np.zeros((n, F), dtype=np.int32)
+        stored_fields: dict[str, list[str]] = {f: [] for f in schema.fields}
 
         # attribute columns
         attrs_int: dict[str, list] = {}
@@ -156,6 +159,7 @@ class IndexBuilder:
             doc = self._docs[docid]
             for fid, fname in enumerate(schema.fields):
                 text = doc.get(fname, "") or ""
+                stored_fields[fname].append(str(text))
                 tokens = self.tokenizer.tokenize(str(text))
                 field_lens[rowid, fid] = len(tokens)
                 last_pos = tokens[-1].position if tokens else 0
@@ -255,6 +259,7 @@ class IndexBuilder:
             attrs_mva={
                 k: _pack_mva(v) for k, v in attrs_mva.items()
             },
+            stored_fields=stored_fields,
             field_lens=field_lens,
             total_hits=H,
             tokenizer_settings=self.tok_settings,
@@ -376,6 +381,7 @@ def build_from_pretokenized(
         attrs_str={},
         attrs_json={},
         attrs_mva={},
+        stored_fields={},
         field_lens=field_lens,
         total_hits=H,
     )

@@ -100,6 +100,7 @@ def save_packed(packed: PackedIndex, path: str) -> None:
         "terms": packed.term_strs,
         "attrs_str": packed.attrs_str,
         "attrs_json": packed.attrs_json,
+        "stored_fields": packed.stored_fields,
     }
     with open(os.path.join(path, "strings.json"), "w") as f:
         json.dump(side, f)
@@ -146,6 +147,7 @@ def load_packed(path: str) -> PackedIndex:
         attrs_str=side["attrs_str"],
         attrs_json=side["attrs_json"],
         attrs_mva={k: (v[0], v[1]) for k, v in attrs_mva.items()},
+        stored_fields=side.get("stored_fields", {}),
         field_lens=z["field_lens"],
         total_hits=header["total_hits"],
         tokenizer_settings=tok,

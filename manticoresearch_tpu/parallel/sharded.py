@@ -353,6 +353,8 @@ class ShardedIndex:
                     attrs[a.name] = float(sh.attrs_float[a.name][r])
                 elif a.name in sh.attrs_str:
                     attrs[a.name] = sh.attrs_str[a.name][r]
+            for fname, vals in sh.stored_fields.items():
+                attrs[fname] = vals[r]
             matches.append(Match(int(docids[i]), int(w[i]), attrs))
 
         dt = (time.perf_counter() - t0) * 1000.0

@@ -1,0 +1,76 @@
+"""searchd analog: one process serving MySQL-wire SphinxQL + HTTP JSON.
+
+Usage:
+    python -m manticoresearch_tpu.server.daemon \
+        --data-dir ./data --listen-mysql 9306 --listen-http 9308
+
+Behavioral model: the reference daemon's listener set (searchd.cpp main:
+mysql41 + http + sphinx-api listeners on one net loop). Periodic tasks
+(taskflush*, sphinxrt auto-flush) map to asyncio background tasks.
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import signal
+
+from ..exec.session import Catalog
+from .http import HttpServer
+from .mysql import MysqlServer
+
+
+class Daemon:
+    def __init__(self, data_dir: str | None = None,
+                 mysql_port: int = 9306, http_port: int = 9308,
+                 host: str = "127.0.0.1", flush_period: float = 60.0):
+        self.catalog = Catalog(data_dir)
+        self.mysql = MysqlServer(self.catalog, host, mysql_port)
+        self.http = HttpServer(self.catalog, host, http_port)
+        self.flush_period = flush_period
+
+    async def _periodic_flush(self) -> None:
+        """rt_flush_period analog (taskflushmutable/taskflushbinlog)."""
+        while True:
+            await asyncio.sleep(self.flush_period)
+            for t in list(self.catalog.tables.values()):
+                try:
+                    if t.data_dir:
+                        t.flush()
+                except Exception:  # noqa: BLE001 — keep the daemon alive
+                    pass
+
+    async def run(self) -> None:
+        await self.mysql.start()
+        await self.http.start()
+        flusher = asyncio.create_task(self._periodic_flush())
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except NotImplementedError:
+                pass
+        await stop.wait()
+        flusher.cancel()
+        await self.mysql.stop()
+        await self.http.stop()
+        for t in self.catalog.tables.values():
+            if t.data_dir:
+                t.flush()
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="manticoresearch-tpu daemon")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--listen-mysql", type=int, default=9306)
+    ap.add_argument("--listen-http", type=int, default=9308)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--rt-flush-period", type=float, default=60.0)
+    args = ap.parse_args(argv)
+    d = Daemon(args.data_dir, args.listen_mysql, args.listen_http,
+               args.host, args.rt_flush_period)
+    asyncio.run(d.run())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,263 @@
+"""HTTP frontend: /sql, /cli, /json/* endpoints.
+
+Behavioral model: the reference's HTTP layer (netreceive_http.cpp,
+searchdhttp.cpp:1230-1311 endpoint dispatch): /sql (SphinxQL passthrough),
+/cli, /json/search, /json/insert, /json/replace, /json/update, /json/delete,
+/json/bulk. asyncio replaces the epoll net loop (CSphNetLoop,
+networking_daemon.h:72) — queries naturally batch per event-loop tick.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import urllib.parse
+from typing import Any
+
+from ..exec.session import Catalog, Session
+from ..query.jsonquery import (JsonQueryError, parse_json_query,
+                               render_result)
+
+
+class HttpServer:
+    def __init__(self, catalog: Catalog, host: str = "127.0.0.1",
+                 port: int = 9308):
+        self.catalog = catalog
+        self.host = host
+        self.port = port
+        self.session = Session(catalog)
+        self._server: asyncio.AbstractServer | None = None
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle_conn, self.host, self.port)
+
+    async def stop(self) -> None:
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+
+    async def serve_forever(self) -> None:
+        await self.start()
+        async with self._server:
+            await self._server.serve_forever()
+
+    # ------------------------------------------------------------------
+    async def _handle_conn(self, reader: asyncio.StreamReader,
+                           writer: asyncio.StreamWriter) -> None:
+        try:
+            while True:
+                req = await self._read_request(reader)
+                if req is None:
+                    break
+                method, path, headers, body = req
+                status, ctype, payload = self.handle_request(
+                    method, path, headers, body)
+                resp = (
+                    f"HTTP/1.1 {status}\r\n"
+                    f"Content-Type: {ctype}\r\n"
+                    f"Content-Length: {len(payload)}\r\n"
+                    f"Connection: keep-alive\r\n\r\n"
+                ).encode() + payload
+                writer.write(resp)
+                await writer.drain()
+        except (ConnectionError, asyncio.IncompleteReadError):
+            pass
+        finally:
+            writer.close()
+
+    async def _read_request(self, reader: asyncio.StreamReader):
+        try:
+            line = await reader.readline()
+        except (ConnectionError, asyncio.LimitOverrunError):
+            return None
+        if not line:
+            return None
+        parts = line.decode("latin1").strip().split()
+        if len(parts) < 2:
+            return None
+        method, path = parts[0], parts[1]
+        headers = {}
+        while True:
+            h = await reader.readline()
+            if h in (b"\r\n", b"\n", b""):
+                break
+            k, _, v = h.decode("latin1").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", 0))
+        body = await reader.readexactly(length) if length else b""
+        return method, path, headers, body
+
+    # ------------------------------------------------------------------
+    def handle_request(self, method: str, path: str, headers: dict,
+                       body: bytes) -> tuple[str, str, bytes]:
+        """Dispatch one request; returns (status, content_type, payload).
+        Synchronous — callable directly from tests."""
+        parsed = urllib.parse.urlsplit(path)
+        route = parsed.path.rstrip("/") or "/"
+        qs = urllib.parse.parse_qs(parsed.query)
+        try:
+            if route in ("/sql", "/cli"):
+                return self._handle_sql(route, qs, body)
+            if route == "/json/search" or route == "/search":
+                return self._json(self._handle_search(body))
+            if route in ("/json/insert", "/insert", "/json/replace",
+                         "/replace"):
+                return self._json(self._handle_insert(
+                    body, replace="replace" in route))
+            if route in ("/json/update", "/update"):
+                return self._json(self._handle_update(body))
+            if route in ("/json/delete", "/delete"):
+                return self._json(self._handle_delete(body))
+            if route in ("/json/bulk", "/bulk"):
+                return self._json(self._handle_bulk(body))
+            return ("404 Not Found", "application/json",
+                    json.dumps({"error": f"unknown endpoint {route}"})
+                    .encode())
+        except (JsonQueryError, ValueError, KeyError,
+                json.JSONDecodeError) as e:
+            return ("400 Bad Request", "application/json",
+                    json.dumps({"error": str(e)}).encode())
+
+    def _json(self, obj: Any, status: str = "200 OK"):
+        return (status, "application/json",
+                json.dumps(obj, default=str).encode())
+
+    def _handle_sql(self, route, qs, body: bytes):
+        if route == "/cli":
+            sql = body.decode("utf-8")
+        else:
+            raw = body.decode("utf-8")
+            if raw.startswith("query=") or "query" in qs:
+                if raw.startswith("query="):
+                    sql = urllib.parse.unquote_plus(raw[6:])
+                else:
+                    sql = qs["query"][0]
+            else:
+                sql = raw
+        results = self.session.execute(sql)
+        out = []
+        for r in results:
+            if r.error:
+                out.append({"error": r.error})
+            elif r.columns:
+                out.append({
+                    "columns": [{c: {"type": "string"}} for c in r.columns],
+                    "data": [dict(zip(r.columns, row)) for row in r.rows],
+                    "total": len(r.rows),
+                })
+            else:
+                out.append({"total": r.affected, "error": "", "warning":
+                            r.warning or ""})
+        return self._json(out if len(out) != 1 else out[0])
+
+    def _handle_search(self, body: bytes) -> dict:
+        req = json.loads(body or b"{}")
+        index, sq, aggs = parse_json_query(req)
+        table = self.catalog.get(index)
+        res = table.search(sq)
+        if res.error:
+            raise JsonQueryError(res.error)
+        aggs_out = {}
+        for name, spec in aggs.items():
+            terms = spec.get("terms")
+            if not terms:
+                raise JsonQueryError(f"unsupported agg {name!r}")
+            from dataclasses import replace as dc_replace
+            gq = dc_replace(
+                sq, group_by=terms["field"],
+                select=["count(*)"], offset=0,
+                limit=int(terms.get("size", 20)),
+                sort=[("count(*)", False)])
+            gres = table.search(gq)
+            if gres.error:
+                raise JsonQueryError(gres.error)
+            aggs_out[name] = {
+                "buckets": [
+                    {"key": m.attrs.get(terms["field"]),
+                     "doc_count": m.attrs.get("count(*)")}
+                    for m in gres.matches
+                ]
+            }
+        return render_result(res, aggs_out or None, source=sq.select)
+
+    def _handle_insert(self, body: bytes, replace: bool) -> dict:
+        req = json.loads(body)
+        index = req.get("index") or req.get("table")
+        table = self.catalog.get(index)
+        doc = dict(req.get("doc") or {})
+        doc["id"] = req.get("id") or doc.get("id")
+        if not doc.get("id"):
+            doc["id"] = max(table.docid_seg, default=0) + \
+                len(table.accum) + 1
+        table.insert(doc, replace=replace)
+        table.commit()
+        return {"_index": index, "_id": doc["id"], "created": not replace,
+                "result": "updated" if replace else "created", "status": 201}
+
+    def _handle_update(self, body: bytes) -> dict:
+        req = json.loads(body)
+        index = req.get("index") or req.get("table")
+        table = self.catalog.get(index)
+        n = table.update_attrs([int(req["id"])], dict(req["doc"]))
+        return {"_index": index, "updated": n}
+
+    def _handle_delete(self, body: bytes) -> dict:
+        req = json.loads(body)
+        index = req.get("index") or req.get("table")
+        table = self.catalog.get(index)
+        if "id" in req:
+            n = table.delete([int(req["id"])])
+        elif "query" in req:
+            _, sq, _ = parse_json_query({"index": index,
+                                         "query": req["query"]})
+            sq.limit = sq.max_matches = 10**6
+            res = table.search(sq)
+            if res.error:
+                raise JsonQueryError(res.error)
+            n = table.delete([m.docid for m in res.matches])
+        else:
+            raise JsonQueryError("delete needs 'id' or 'query'")
+        table.commit()
+        return {"_index": index, "deleted": n}
+
+    def _handle_bulk(self, body: bytes) -> dict:
+        items = []
+        errors = False
+        touched: set[str] = set()
+        for line in body.decode("utf-8").splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            op = json.loads(line)
+            try:
+                if "insert" in op or "replace" in op or "index" in op:
+                    key = ("insert" if "insert" in op else
+                           "replace" if "replace" in op else "index")
+                    spec = op[key]
+                    index = spec.get("index") or spec.get("table")
+                    t = self.catalog.get(index)
+                    doc = dict(spec.get("doc") or {})
+                    doc["id"] = spec.get("id") or doc.get("id")
+                    t.insert(doc, replace=key != "insert")
+                    touched.add(index)
+                    items.append({key: {"_id": doc["id"], "status": 201}})
+                elif "delete" in op:
+                    spec = op["delete"]
+                    index = spec.get("index") or spec.get("table")
+                    t = self.catalog.get(index)
+                    n = t.delete([int(spec["id"])])
+                    touched.add(index)
+                    items.append({"delete": {"deleted": n, "status": 200}})
+                else:
+                    raise JsonQueryError(f"unsupported bulk op {list(op)}")
+            except (ValueError, KeyError, JsonQueryError) as e:
+                errors = True
+                items.append({"error": str(e)})
+        for index in touched:
+            self.catalog.get(index).commit()
+        return {"items": items, "errors": errors}
+
+
+def run_http_server(catalog: Catalog, host="127.0.0.1", port=9308):
+    srv = HttpServer(catalog, host, port)
+    asyncio.run(srv.serve_forever())

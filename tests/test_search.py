@@ -154,7 +154,10 @@ class TestOrderingPaging:
 
     def test_attrs_hydrated(self, index):
         r = index.search(SearchQuery(match="test one"))
-        assert r.matches[0].attrs == {"group_id": 1, "group_id2": 5}
+        attrs = r.matches[0].attrs
+        assert attrs["group_id"] == 1 and attrs["group_id2"] == 5
+        # stored fields (docstore) hydrate too
+        assert attrs["title"] == "test one"
 
 
 class TestDelete:

@@ -1,0 +1,354 @@
+"""Protocol frontends end-to-end: HTTP JSON API + MySQL wire protocol,
+over real sockets (the reference tests its daemon with real connections —
+helpers.inc StartSearchd; same idea in-process)."""
+import asyncio
+import json
+import socket
+import struct
+import threading
+import time
+
+import pytest
+
+from manticoresearch_tpu.exec.session import Catalog, Session
+from manticoresearch_tpu.server.http import HttpServer
+from manticoresearch_tpu.server.mysql import MysqlServer
+
+
+def _seed(catalog):
+    s = Session(catalog)
+    for r in s.execute(
+            "CREATE TABLE films (title text, plot text, year uint, "
+            "rating float)"):
+        assert r.error is None, r.error
+    r = s.execute(
+        "INSERT INTO films (id, title, plot, year, rating) VALUES "
+        "(1, 'The Matrix', 'hacker discovers reality', 1999, 8.7), "
+        "(2, 'The Matrix Reloaded', 'hacker fights machines', 2003, 7.2), "
+        "(3, 'Inception', 'dream within a dream heist', 2010, 8.8), "
+        "(4, 'Blade Runner', 'replicant hunter in future city', 1982, 8.1)")
+    assert r[0].error is None
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    c = Catalog()
+    _seed(c)
+    return c
+
+
+# ---------------- HTTP (direct dispatch, no socket) ----------------
+
+@pytest.fixture(scope="module")
+def http(catalog):
+    return HttpServer(catalog)
+
+
+def http_json(http, route, payload):
+    status, _, body = http.handle_request(
+        "POST", route, {}, json.dumps(payload).encode())
+    return status, json.loads(body)
+
+
+class TestHttpJson:
+    def test_search_match(self, http):
+        status, out = http_json(http, "/json/search", {
+            "index": "films",
+            "query": {"match": {"title": "matrix"}},
+        })
+        assert status.startswith("200")
+        assert out["hits"]["total"] == 2
+        ids = [h["_id"] for h in out["hits"]["hits"]]
+        assert sorted(ids) == [1, 2]
+
+    def test_search_bool_and_range(self, http):
+        _, out = http_json(http, "/json/search", {
+            "index": "films",
+            "query": {"bool": {
+                "must": [{"match": {"_all": "hacker"}}],
+                "filter": [{"range": {"year": {"gte": 2000}}}],
+            }},
+        })
+        assert [h["_id"] for h in out["hits"]["hits"]] == [2]
+
+    def test_search_must_not(self, http):
+        _, out = http_json(http, "/json/search", {
+            "index": "films",
+            "query": {"bool": {
+                "must": [{"match": {"title": "matrix"}}],
+                "must_not": [{"match": {"title": "reloaded"}}],
+            }},
+        })
+        assert [h["_id"] for h in out["hits"]["hits"]] == [1]
+
+    def test_match_phrase(self, http):
+        _, out = http_json(http, "/json/search", {
+            "index": "films",
+            "query": {"match_phrase": {"plot": "within heist"}},
+        })
+        assert out["hits"]["total"] == 0
+        _, out = http_json(http, "/json/search", {
+            "index": "films",
+            "query": {"match_phrase": {"plot": "a dream heist"}},
+        })
+        assert [h["_id"] for h in out["hits"]["hits"]] == [3]
+
+    def test_sort_and_source(self, http):
+        _, out = http_json(http, "/json/search", {
+            "index": "films",
+            "query": {"match_all": {}},
+            "sort": [{"rating": "desc"}],
+            "_source": ["year"],
+            "limit": 2,
+        })
+        hits = out["hits"]["hits"]
+        assert [h["_id"] for h in hits] == [3, 1]
+        assert hits[0]["_source"] == {"year": 2010}
+
+    def test_aggs(self, http):
+        _, out = http_json(http, "/json/search", {
+            "index": "films",
+            "query": {"match": {"_all": "hacker | dream | replicant"}},
+            "aggs": {"by_year": {"terms": {"field": "year", "size": 10}}},
+        })
+        buckets = out["aggregations"]["by_year"]["buckets"]
+        assert {b["key"]: b["doc_count"] for b in buckets} == {
+            1999: 1, 2003: 1, 2010: 1, 1982: 1}
+
+    def test_insert_and_delete(self, http):
+        status, out = http_json(http, "/json/insert", {
+            "index": "films", "id": 100,
+            "doc": {"title": "Alien", "plot": "space horror", "year": 1979,
+                    "rating": 8.5}})
+        assert out["result"] == "created"
+        _, out = http_json(http, "/json/search", {
+            "index": "films", "query": {"match": {"_all": "alien"}}})
+        assert out["hits"]["total"] == 1
+        _, out = http_json(http, "/json/delete", {
+            "index": "films", "id": 100})
+        assert out["deleted"] == 1
+
+    def test_bulk(self, http):
+        body = "\n".join([
+            json.dumps({"insert": {"index": "films", "id": 201,
+                                   "doc": {"title": "Dune", "plot": "desert",
+                                           "year": 2021, "rating": 8.0}}}),
+            json.dumps({"delete": {"index": "films", "id": 201}}),
+        ])
+        status, _, payload = http.handle_request("POST", "/json/bulk", {},
+                                                 body.encode())
+        out = json.loads(payload)
+        assert not out["errors"]
+
+    def test_sql_endpoint(self, http):
+        status, _, payload = http.handle_request(
+            "POST", "/sql", {},
+            b"query=SELECT id FROM films WHERE MATCH('inception')")
+        out = json.loads(payload)
+        assert out["data"] == [{"id": 3}]
+
+    def test_error_unknown_index(self, http):
+        status, out = http_json(http, "/json/search", {
+            "index": "nope", "query": {"match_all": {}}})
+        assert status.startswith("400")
+        assert "no such table" in out["error"]
+
+    def test_unknown_endpoint(self, http):
+        status, _, _ = http.handle_request("GET", "/whatever", {}, b"")
+        assert status.startswith("404")
+
+
+# ---------------- HTTP over a real socket ----------------
+
+class TestHttpSocket:
+    def test_real_socket_roundtrip(self, catalog):
+        import requests
+
+        srv = HttpServer(catalog, port=0)
+        loop = asyncio.new_event_loop()
+        started = threading.Event()
+        port_holder = {}
+
+        def run():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(srv.start())
+            port_holder["port"] = srv._server.sockets[0].getsockname()[1]
+            started.set()
+            loop.run_forever()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        assert started.wait(10)
+        port = port_holder["port"]
+        resp = requests.post(
+            f"http://127.0.0.1:{port}/json/search",
+            json={"index": "films", "query": {"match": {"title": "matrix"}}},
+            timeout=10)
+        assert resp.status_code == 200
+        assert resp.json()["hits"]["total"] == 2
+        loop.call_soon_threadsafe(loop.stop)
+
+
+# ---------------- MySQL wire over a real socket ----------------
+
+class MiniMysqlClient:
+    """Just enough of the client side of the MySQL protocol for tests."""
+
+    def __init__(self, host, port):
+        self.sock = socket.create_connection((host, port), timeout=10)
+        self.seq = 0
+        self._handshake()
+
+    def _read_packet(self):
+        head = self._recv(4)
+        length = head[0] | (head[1] << 8) | (head[2] << 16)
+        self.seq = head[3]
+        return self._recv(length)
+
+    def _recv(self, n):
+        out = b""
+        while len(out) < n:
+            chunk = self.sock.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError("closed")
+            out += chunk
+        return out
+
+    def _send_packet(self, payload):
+        self.seq = (self.seq + 1) % 256
+        self.sock.sendall(
+            struct.pack("<I", len(payload))[:3] + bytes([self.seq]) + payload)
+
+    def _handshake(self):
+        greeting = self._read_packet()
+        assert greeting[0] == 0x0A  # protocol 10
+        resp = (struct.pack("<I", 0x0200) + struct.pack("<I", 2**24)
+                + b"\x21" + b"\x00" * 23 + b"root\x00" + b"\x00")
+        self._send_packet(resp)
+        ok = self._read_packet()
+        assert ok[0] == 0x00
+
+    def _lenenc(self, data, pos):
+        b = data[pos]
+        if b < 251:
+            return b, pos + 1
+        if b == 0xFC:
+            return struct.unpack_from("<H", data, pos + 1)[0], pos + 3
+        if b == 0xFD:
+            return (data[pos+1] | data[pos+2] << 8 | data[pos+3] << 16,
+                    pos + 4)
+        return struct.unpack_from("<Q", data, pos + 1)[0], pos + 9
+
+    def query(self, sql):
+        self.seq = 255
+        self._send_packet(b"\x03" + sql.encode())
+        first = self._read_packet()
+        if first[0] == 0xFF:
+            return {"error": first[9:].decode()}
+        if first[0] == 0x00:
+            affected, _ = self._lenenc(first, 1)
+            return {"ok": True, "affected": affected}
+        ncols, _ = self._lenenc(first, 0)
+        cols = []
+        for _ in range(ncols):
+            pkt = self._read_packet()
+            pos = 0
+            vals = []
+            for _f in range(6):
+                ln, pos = self._lenenc(pkt, pos)
+                vals.append(pkt[pos:pos + ln])
+                pos += ln
+            cols.append(vals[4].decode())
+        eof = self._read_packet()
+        assert eof[0] == 0xFE
+        rows = []
+        while True:
+            pkt = self._read_packet()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                break
+            pos = 0
+            row = []
+            for _c in range(ncols):
+                if pkt[pos] == 0xFB:
+                    row.append(None)
+                    pos += 1
+                else:
+                    ln, pos = self._lenenc(pkt, pos)
+                    row.append(pkt[pos:pos + ln].decode())
+                    pos += ln
+            rows.append(row)
+        return {"columns": cols, "rows": rows}
+
+    def close(self):
+        try:
+            self.seq = 255
+            self._send_packet(b"\x01")
+        finally:
+            self.sock.close()
+
+
+class TestMysqlWire:
+    @pytest.fixture(scope="class")
+    def server_port(self, catalog):
+        srv = MysqlServer(catalog, port=0)
+        loop = asyncio.new_event_loop()
+        started = threading.Event()
+        holder = {}
+
+        def run():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(srv.start())
+            holder["port"] = srv._server.sockets[0].getsockname()[1]
+            started.set()
+            loop.run_forever()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        assert started.wait(10)
+        yield holder["port"]
+        loop.call_soon_threadsafe(loop.stop)
+
+    def test_select_over_wire(self, server_port):
+        c = MiniMysqlClient("127.0.0.1", server_port)
+        try:
+            out = c.query("SELECT id, title, year FROM films "
+                          "WHERE MATCH('matrix') ORDER BY year ASC")
+            assert out.get("error") is None
+            assert out["columns"] == ["id", "title", "year"]
+            assert [r[0] for r in out["rows"]] == ["1", "2"]
+            assert out["rows"][0][1] == "The Matrix"
+        finally:
+            c.close()
+
+    def test_insert_and_show_meta(self, server_port):
+        c = MiniMysqlClient("127.0.0.1", server_port)
+        try:
+            out = c.query("INSERT INTO films (id, title, plot, year, rating)"
+                          " VALUES (50, 'Arrival', 'aliens language', 2016,"
+                          " 7.9)")
+            assert out.get("ok")
+            out = c.query("SELECT id FROM films WHERE MATCH('arrival')")
+            assert out["rows"] == [["50"]]
+            out = c.query("SHOW META")
+            meta = dict((r[0], r[1]) for r in out["rows"])
+            assert meta["total_found"] == "1"
+            c.query("DELETE FROM films WHERE id = 50")
+        finally:
+            c.close()
+
+    def test_error_over_wire(self, server_port):
+        c = MiniMysqlClient("127.0.0.1", server_port)
+        try:
+            out = c.query("SELECT FROM nothing")
+            assert "error" in out
+        finally:
+            c.close()
+
+    def test_ping(self, server_port):
+        c = MiniMysqlClient("127.0.0.1", server_port)
+        try:
+            c.seq = 255
+            c._send_packet(b"\x0e")
+            assert c._read_packet()[0] == 0x00
+        finally:
+            c.close()

@@ -82,6 +82,30 @@ def _lex_binary_search_pair(key_a, key_b, arr_a, arr_b, lo, hi, n_iters):
     return found
 
 
+def _lex_search_le(key_a, key_b, arr_a, arr_b, lo, hi, n_iters):
+    """Vectorized predecessor search: for each query i, the index of the
+    RIGHTMOST element with (arr_a, arr_b) <= (key_a[i], key_b[i]) within
+    [lo[i], hi[i]), or lo[i]-1 if none. Returns (idx, exists)."""
+
+    def body(_, state):
+        lo_c, hi_c = state
+        mid = (lo_c + hi_c) // 2
+        mid_c = jnp.clip(mid, 0, len(arr_a) - 1)
+        a = arr_a[mid_c]
+        b = arr_b[mid_c]
+        le = (a < key_a) | ((a == key_a) & (b <= key_b))
+        go_right = le & (lo_c < hi_c)
+        new_lo = jnp.where(go_right, mid + 1, lo_c)
+        new_hi = jnp.where(go_right | (lo_c >= hi_c), hi_c, mid)
+        return new_lo, new_hi
+
+    lo0 = lo
+    lo_f, _ = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    idx = lo_f - 1
+    exists = idx >= lo0
+    return jnp.clip(idx, 0, len(arr_a) - 1), exists
+
+
 def _eval_filter(spec: FilterSpec, attr, vals):
     """One attribute filter as a dense mask (ISphFilter::Eval semantics,
     sphinxfilter.cpp:123,234)."""
@@ -433,7 +457,7 @@ def _eval_expr(expr: tuple, termmask, phrase_results, alive, N):
         for s in slots_t:
             cnt = cnt + ((termmask >> s) & 1)
         return cnt >= m_need
-    if op in ("phrase", "proximity"):
+    if op in ("phrase", "proximity", "near"):
         return phrase_results[expr][0]
     raise ValueError(f"unknown expr op {op!r}")
 
@@ -450,7 +474,7 @@ def _slot_membership(slot, member_slots: tuple, n_slots: int):
 
 def _collect_phrase_nodes(expr: tuple) -> list[tuple]:
     op = expr[0]
-    if op in ("phrase", "proximity"):
+    if op in ("phrase", "proximity", "near"):
         return [expr]
     if op in ("and", "or"):
         out = []
@@ -479,23 +503,43 @@ def _eval_phrase_node(node, data, rt, N, hit_bucket, n_hit_iters):
     """
     op = node[0]
     slots_t = node[1]
-    anchor = slots_t[0]
-    # gather the anchor term's hits: CSR range given by rt per slot
-    s_idx = list(slots_t).index(anchor)
     h_starts = rt["hit_starts"]
     h_lens = jnp.maximum(rt["hit_lengths"], 0)
-
     bh = hit_bucket
-    j = jnp.arange(bh, dtype=jnp.int32)
-    valid = j < h_lens[anchor]
-    hidx = jnp.where(valid, h_starts[anchor] + j, 0)
-    a_row = data["hit_rowid"][hidx]
-    a_key = data["hit_packed"][hidx] & HITMAN_KEY_MASK
 
-    ok = valid
-    if op == "phrase":
+    if op == "near":
+        # binary NEAR/N / NOTNEAR/N over keywords (ExtMultinear twofer,
+        # searchnode.cpp FSMmultinear): anchor on the left word's hits; match
+        # iff the right word has a hit within |delta| <= n in the same field.
+        # NOTNEAR: left matches with NO right hit within the zone.
+        sa, sb = slots_t
+        ndist, not_near = node[2], node[3]
+        j = jnp.arange(bh, dtype=jnp.int32)
+        valid = j < h_lens[sa]
+        hidx = jnp.where(valid, h_starts[sa] + j, 0)
+        a_row = data["hit_rowid"][hidx]
+        a_key = data["hit_packed_nokey"][hidx]
+        lo = rt["hit_starts"][sb] * jnp.ones_like(a_row)
+        hi = lo + h_lens[sb]
+        idx, exists = _lex_search_le(
+            a_row, a_key + ndist, data["hit_rowid"],
+            data["hit_packed_nokey"], lo, hi, n_hit_iters)
+        val_row = data["hit_rowid"][idx]
+        val_key = data["hit_packed_nokey"][idx]
+        within = exists & (val_row == a_row) & \
+            (jnp.abs(a_key - val_key) <= ndist)
+        ok = valid & (~within if not_near else within)
+    elif op == "phrase":
+        anchor = slots_t[0]
+        j = jnp.arange(bh, dtype=jnp.int32)
+        valid = j < h_lens[anchor]
+        hidx = jnp.where(valid, h_starts[anchor] + j, 0)
+        a_row = data["hit_rowid"][hidx]
+        a_key = data["hit_packed"][hidx] & HITMAN_KEY_MASK
+
+        ok = valid
         for qi, s in enumerate(slots_t):
-            if s == anchor and qi == 0:
+            if qi == 0:
                 continue
             tgt_key = a_key + qi  # position shifted by query distance
             lo = rt["hit_starts"][s] * jnp.ones_like(a_row)
@@ -505,8 +549,37 @@ def _eval_phrase_node(node, data, rt, N, hit_bucket, n_hit_iters):
                 data["hit_packed_nokey"], lo, hi, n_hit_iters,
             )
             ok &= found
-    else:  # proximity "..."~n — defer exact min-window; conservative TODO
-        raise NotImplementedError("proximity operator lands with the hit engine")
+    else:
+        # proximity "..."~n (FSMproximity_c, searchnode.cpp:3958): all words
+        # within a per-field window: max_pos - min_pos <= qlen + n - 1 where
+        # qlen = query position span (n_words-1 for plain quoted text).
+        # Reformulation: a doc matches iff some hit p of ANY member word (the
+        # window END) has, for every word, an occurrence in
+        # [p - (qlen + n - 1), p] — any covering window shrinks to one whose
+        # end is a hit. tf counts window-end candidates (the FSM counts
+        # non-overlapping completions; match/no-match identical, tf may
+        # differ on overlaps — same caveat as phrase).
+        ndist = node[2]
+        qlen = len(slots_t) - 1
+        W = qlen + ndist  # exclusive lower bound: key - val < W
+        sel = jnp.asarray(slots_t, jnp.int32)
+        starts_sel = h_starts[sel]
+        lens_sel = h_lens[sel]
+        slotH, gidxH, valid = _gather_flat(starts_sel, lens_sel, bh,
+                                           len(slots_t))
+        a_row = data["hit_rowid"][gidxH]
+        a_key = data["hit_packed_nokey"][gidxH]
+        ok = valid
+        for s in slots_t:
+            lo = rt["hit_starts"][s] * jnp.ones_like(a_row)
+            hi = lo + h_lens[s]
+            idx, exists = _lex_search_le(
+                a_row, a_key, data["hit_rowid"],
+                data["hit_packed_nokey"], lo, hi, n_hit_iters)
+            val_row = data["hit_rowid"][idx]
+            val_key = data["hit_packed_nokey"][idx]
+            # same doc + within window (cross-field deltas exceed 2^24 > W)
+            ok &= exists & (val_row == a_row) & (a_key - val_key < W)
 
     row_scatter = jnp.where(ok, a_row, N)
     tf = jnp.zeros(N + 1, jnp.int32).at[row_scatter].add(jnp.where(ok, 1, 0))

@@ -33,6 +33,14 @@ class QQuorum:
 
 
 @dataclass(frozen=True)
+class QNear:
+    left: object              # QTerm (v1 restriction)
+    right: object             # QTerm
+    n: int
+    not_near: bool = False    # NOTNEAR/N
+
+
+@dataclass(frozen=True)
 class QAnd:
     children: tuple
 

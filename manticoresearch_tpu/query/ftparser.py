@@ -23,7 +23,8 @@ from dataclasses import dataclass
 
 from ..text.dictionary import Dictionary
 from ..text.tokenizer import Tokenizer
-from .ast import QAll, QAnd, QMaybe, QNot, QOr, QPhrase, QQuorum, QTerm
+from .ast import (QAll, QAnd, QMaybe, QNear, QNot, QOr, QPhrase, QQuorum,
+                  QTerm)
 
 
 class QueryParseError(ValueError):
@@ -157,6 +158,20 @@ class FtQueryParser:
                     neg_children.append(child)
                 continue
             child = self._parse_or_expr()
+            # NEAR/N / NOTNEAR/N infix operators (sphinxquery.h:43-62)
+            while True:
+                nxt = self._peek()
+                m = None
+                if nxt is not None and nxt.kind == "word":
+                    m = re.match(r"^(NEAR|NOTNEAR)/(\d+)$", nxt.text)
+                if not m:
+                    break
+                self._next()
+                right = self._parse_or_expr()
+                if child is None or right is None:
+                    raise QueryParseError(f"{m.group(1)} needs two operands")
+                child = QNear(child, right, int(m.group(2)),
+                              not_near=m.group(1) == "NOTNEAR")
             if child is not None:
                 pos_children.append(child)
 

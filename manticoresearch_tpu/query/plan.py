@@ -63,7 +63,7 @@ def expr_slots(expr: tuple) -> set[int]:
         return expr_slots(expr[1]) | expr_slots(expr[2])
     if op in ("quorum", "phrase"):
         return set(expr[1])
-    if op == "proximity":
+    if op in ("proximity", "near"):
         return set(expr[1])
     raise ValueError(f"unknown expr op {op!r}")
 
@@ -87,7 +87,7 @@ def ranker_term_slots(expr: tuple) -> tuple[int, ...]:
             return walk(e[1])
         if op == "quorum":
             return list(e[1])
-        if op in ("phrase", "proximity"):
+        if op in ("phrase", "proximity", "near"):
             return []
         raise ValueError(f"unknown expr op {op!r}")
     seen: list[int] = []
@@ -100,7 +100,7 @@ def ranker_term_slots(expr: tuple) -> tuple[int, ...]:
 def positive_phrase_nodes(expr: tuple) -> tuple:
     """Phrase/proximity nodes not under a NOT branch, in tree order."""
     op = expr[0]
-    if op in ("phrase", "proximity"):
+    if op in ("phrase", "proximity", "near"):
         return (expr,)
     if op in ("and", "or"):
         out: tuple = ()
@@ -130,4 +130,7 @@ def positive_slots(expr: tuple) -> set[int]:
         return positive_slots(expr[1])
     if op in ("quorum", "phrase", "proximity"):
         return set(expr[1])
+    if op == "near":
+        # NOTNEAR's right side never contributes weight
+        return {expr[1][0]} if expr[3] else set(expr[1])
     raise ValueError(f"unknown expr op {op!r}")

@@ -14,8 +14,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .ast import (QAll, QAnd, QAndNot, QMaybe, QNot, QOr, QPhrase, QQuorum,
-                  QTerm)
+from .ast import (QAll, QAnd, QAndNot, QMaybe, QNear, QNot, QOr, QPhrase,
+                  QQuorum, QTerm)
 from .plan import FilterSpec, PlanSig
 
 
@@ -203,6 +203,14 @@ def _lower(node, st: _SlotTable, positive: bool):
         if node.proximity:
             return ("proximity", slots, node.proximity)
         return ("phrase", slots)
+    if isinstance(node, QNear):
+        if not (isinstance(node.left, QTerm) and isinstance(node.right, QTerm)):
+            raise NotImplementedError(
+                "NEAR between non-keyword operands lands later")
+        sa = st.get(node.left.word, node.left.fields, positive)
+        sb = st.get(node.right.word, node.right.fields,
+                    positive and not node.not_near)
+        return ("near", (sa, sb), node.n, node.not_near)
     raise NotImplementedError(f"AST node {type(node).__name__}")
 
 
@@ -360,7 +368,8 @@ def plan_query(
     # batch fragmentation) low; the extra gather work is negligible
     bucket = _next_pow2(total_post, 1024)
     need_hits = has_positional
-    total_hits_needed = int(hit_lengths.max()) if need_hits else 0
+    total_hits_needed = _positional_hits_need(expr, hit_lengths) \
+        if need_hits else 0
     hit_bucket = _next_pow2(total_hits_needed, 128) if need_hits else 0
     lim_bucket = _next_pow2(int(lim_lengths.sum()), 128) if L else 0
     rh_bucket = _next_pow2(int(rh_lengths.sum()), 1024) if use_lcs else 0
@@ -393,9 +402,28 @@ def plan_query(
     )
 
 
+def _positional_hits_need(expr, hit_lengths) -> int:
+    """Hit-gather bucket requirement: phrase anchors = first slot's hits;
+    proximity windows scan all member slots' hits."""
+    op = expr[0]
+    if op == "phrase":
+        return int(hit_lengths[expr[1][0]])
+    if op == "near":
+        return int(hit_lengths[expr[1][0]])
+    if op == "proximity":
+        return int(sum(hit_lengths[s] for s in expr[1]))
+    if op in ("and", "or"):
+        return max((_positional_hits_need(c, hit_lengths) for c in expr[1]),
+                   default=0)
+    if op == "andnot":
+        return max(_positional_hits_need(expr[1], hit_lengths),
+                   _positional_hits_need(expr[2], hit_lengths))
+    return 0
+
+
 def _has_positional(expr) -> bool:
     op = expr[0]
-    if op in ("phrase", "proximity"):
+    if op in ("phrase", "proximity", "near"):
         return True
     if op in ("and", "or"):
         return any(_has_positional(c) for c in expr[1])

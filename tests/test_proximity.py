@@ -129,3 +129,57 @@ class TestProximityRanker:
         expect = bm25part32([(2, ref_idf(3, 4, 3)), (1, ref_idf(2, 4, 3)),
                              (1, ref_idf(3, 4, 3))]) + 2 * 1000
         assert [m.weight for m in r.matches] == [expect, expect]
+
+
+class TestProximityOperator:
+    def test_proximity_adjacent_any_order(self, index):
+        # "document test"~1: adjacent any order; doc1/2 content has
+        # test@4 document@5 -> span 1 <= qlen(1)+1-1 = 1 => match
+        r = index.search(SearchQuery(match='"document test"~1'))
+        assert sorted(m.docid for m in r.matches) == [1, 2]
+
+    def test_proximity_window_too_small(self, index):
+        # 'my'@3 ... 'number'@6: span 3; "my number"~1 needs span <= 1
+        r = index.search(SearchQuery(match='"my number"~1'))
+        assert r.matches == []
+
+    def test_proximity_window_large_enough(self, index):
+        # span 3 <= qlen(1) + 3 - 1 = 3 => match
+        r = index.search(SearchQuery(match='"my number"~3'))
+        assert sorted(m.docid for m in r.matches) == [1, 2]
+
+    def test_proximity_three_words(self, index):
+        # doc1 content: my@3 test@4 document@5 number@6
+        r = index.search(SearchQuery(match='"number my test"~2'))
+        # need window span <= qlen(2)+2-1=3: positions {3,4,6} span 3 => ok
+        assert sorted(m.docid for m in r.matches) == [1, 2]
+        r = index.search(SearchQuery(match='"checking number test"~2'))
+        # doc1: checking@9, number@6, test@4 span 5 > 3 => no match
+        assert r.matches == []
+
+    def test_proximity_cross_field_no_match(self, index):
+        # 'one' in doc2? no. doc1 title 'test one'; content 'document';
+        # "one document"~5 only matches if same field
+        r = index.search(SearchQuery(match='"two document"~5'))
+        # doc2: two@title2 and two@content7, document@content5: content has
+        # two@7, document@5: span 2 <= 1+5-1 => match via content field
+        assert sorted(m.docid for m in r.matches) == [2]
+
+
+class TestNear:
+    def test_near_window(self, index):
+        # doc1/2 content: my@3 ... number@6 -> |delta| 3
+        r = index.search(SearchQuery(match="my NEAR/3 number"))
+        assert sorted(m.docid for m in r.matches) == [1, 2]
+        r = index.search(SearchQuery(match="my NEAR/2 number"))
+        assert r.matches == []
+
+    def test_near_any_order(self, index):
+        r = index.search(SearchQuery(match="document NEAR/1 test"))
+        assert sorted(m.docid for m in r.matches) == [1, 2]
+
+    def test_notnear(self, index):
+        # test NOTNEAR/1 document: doc1/2 test@title1 qualifies (no document
+        # in title); doc4 test@content4 (no document at all)
+        r = index.search(SearchQuery(match="test NOTNEAR/1 document"))
+        assert sorted(m.docid for m in r.matches) == [1, 2, 4]

@@ -106,6 +106,55 @@ def _lex_search_le(key_a, key_b, arr_a, arr_b, lo, hi, n_iters):
     return jnp.clip(idx, 0, len(arr_a) - 1), exists
 
 
+def _eval_mva_filter(spec: FilterSpec, offsets, values, vals, N, n_iters):
+    """Multi-value attribute filters (Filter_MVA ANY/ALL semantics,
+    sphinxfilter.cpp): per-doc sorted value segments in CSR; membership and
+    range checks via per-row predecessor searches.
+
+    offsets: i32[N(+1?)] CSR (length n_docs+1); values: sorted per segment.
+    vals: for *_values: sorted filter values [n_values]; for *_range: [lo,hi].
+    """
+    n_rows_csr = offsets.shape[0] - 1
+    rows = jnp.arange(N + 1, dtype=jnp.int32)
+    rows_c = jnp.clip(rows, 0, max(n_rows_csr - 1, 0))
+    lo_idx = offsets[rows_c]
+    hi_idx = offsets[jnp.clip(rows_c + 1, 0, n_rows_csr)]
+    has_any = hi_idx > lo_idx
+    zero = jnp.zeros_like(rows)
+
+    def present(v):
+        # is v in the doc's sorted segment?
+        idx, exists = _lex_search_le(zero, jnp.full_like(rows, v),
+                                     jnp.zeros_like(values), values,
+                                     lo_idx, hi_idx, n_iters)
+        return exists & (values[idx] == v)
+
+    if spec.kind in ("mva_any", "mva_all"):
+        acc = None
+        combine = (lambda a, b: a | b) if spec.kind == "mva_any" \
+            else (lambda a, b: a & b)
+        for j in range(spec.n_values):
+            p = present(vals[j])
+            acc = p if acc is None else combine(acc, p)
+        mask = acc & (has_any if spec.kind == "mva_all" else True)
+    elif spec.kind == "mva_any_range":
+        lo_v, hi_v = vals[0], vals[1]
+        idx, exists = _lex_search_le(zero, jnp.full_like(rows, 0) + hi_v,
+                                     jnp.zeros_like(values), values,
+                                     lo_idx, hi_idx, n_iters)
+        mask = exists & (values[idx] >= lo_v)
+    elif spec.kind == "mva_all_range":
+        lo_v, hi_v = vals[0], vals[1]
+        first = values[jnp.clip(lo_idx, 0, max(len(values) - 1, 0))]
+        last = values[jnp.clip(hi_idx - 1, 0, max(len(values) - 1, 0))]
+        mask = has_any & (first >= lo_v) & (last <= hi_v)
+    else:
+        raise NotImplementedError(f"mva filter {spec.kind}")
+    if spec.exclude:
+        mask = ~mask
+    return mask
+
+
 def _eval_filter(spec: FilterSpec, attr, vals):
     """One attribute filter as a dense mask (ISphFilter::Eval semantics,
     sphinxfilter.cpp:123,234)."""
@@ -174,8 +223,9 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
     if S > 32:
         raise NotImplementedError("more than 32 unique query terms")
 
-    need_fieldmask = sig.ranker in ("ws_bm25", "ws", "fieldmask", "matchany")
-    use_lcs = sig.ranker in ("proximity_bm25", "proximity")
+    from ..query.plan import RANKERS_WITH_HITS
+    need_fieldmask = sig.ranker in ("ws_bm25", "ws", "fieldmask")
+    use_lcs = sig.ranker in RANKERS_WITH_HITS
     pos_slots = tuple(sorted(positive_slots(sig.expr))) if sig.expr[0] != "all" else ()
     phrase_nodes = _collect_phrase_nodes(sig.expr)
     from ..query.plan import positive_phrase_nodes, ranker_term_slots
@@ -263,6 +313,12 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
 
         fmask_filters = jnp.ones(N + 1, dtype=bool)
         for i, spec in enumerate(sig.filters):
+            if spec.kind.startswith("mva_"):
+                fmask_filters &= _eval_mva_filter(
+                    spec, data["mva_offsets"][spec.attr],
+                    data["mva_values"][spec.attr],
+                    rt["filter_vals"][i], N, n_hit_iters or 32)
+                continue
             if spec.attr == "id":
                 # filter on document id: docids carried as i32 lo bits
                 # (ids >= 2^31 need the hi-word path, TODO)
@@ -316,36 +372,64 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                 parts_qp.append(jnp.full_like(a_row, 1) * qpos[first_slot])
                 parts_w.append(jnp.where(a_ok, n_words, 0).astype(jnp.int32))
                 parts_sp.append(jnp.full_like(a_row, n_words))
+            fw = rt["field_weights"]
             if parts_row:
                 hrow = jnp.concatenate(parts_row)
                 hpk = jnp.concatenate(parts_pk)
                 hqp = jnp.concatenate(parts_qp)
                 hw = jnp.concatenate(parts_w)
                 hsp = jnp.concatenate(parts_sp)
-                hrow, hpk, hqp, hw, hsp = jax.lax.sort(
-                    (hrow, hpk, hqp, hw, hsp), num_keys=2)
-                delta = hpk - hqp
-                p_row = jnp.concatenate([jnp.full(1, -1, hrow.dtype), hrow[:-1]])
-                p_pk = jnp.concatenate([jnp.zeros(1, hpk.dtype), hpk[:-1]])
-                p_delta = jnp.concatenate([jnp.zeros(1, delta.dtype), delta[:-1]])
-                p_sp = jnp.concatenate([jnp.zeros(1, hsp.dtype), hsp[:-1]])
-                linked = ((hrow == p_row) & (hpk > p_pk)
-                          & (delta == p_delta + p_sp - 1))
-                M = hrow.shape[0]
-                idx = jnp.arange(M, dtype=jnp.int32)
-                run_start = jax.lax.cummax(jnp.where(linked, 0, idx))
-                cumw = jnp.cumsum(hw)
-                curlcs = cumw - cumw[run_start] + hw[run_start]
-                curlcs = jnp.minimum(curlcs, 255)  # BYTE m_uCurLCS
-                hfield2 = (hpk >> 24) & 0x7F
-                lcs = jnp.zeros((N + 1, F), jnp.int32).at[
-                    hrow, hfield2].max(curlcs)
+                if sig.ranker == "wordcount":
+                    # RankerState_Wordcount_fn (sphinxsearch.cpp:1620):
+                    # weight = sum of field_weight over every stream hit
+                    wfield = (hpk >> 24) & 0x7F
+                    weight = jnp.zeros(N + 1, jnp.int32).at[hrow].add(
+                        jnp.where(hrow < N, fw[wfield], 0))
+                    total_rank = None
+                else:
+                    hrow, hpk, hqp, hw, hsp = jax.lax.sort(
+                        (hrow, hpk, hqp, hw, hsp), num_keys=2)
+                    delta = hpk - hqp
+                    p_row = jnp.concatenate([jnp.full(1, -1, hrow.dtype), hrow[:-1]])
+                    p_pk = jnp.concatenate([jnp.zeros(1, hpk.dtype), hpk[:-1]])
+                    p_delta = jnp.concatenate([jnp.zeros(1, delta.dtype), delta[:-1]])
+                    p_sp = jnp.concatenate([jnp.zeros(1, hsp.dtype), hsp[:-1]])
+                    linked = ((hrow == p_row) & (hpk > p_pk)
+                              & (delta == p_delta + p_sp - 1))
+                    M = hrow.shape[0]
+                    idx = jnp.arange(M, dtype=jnp.int32)
+                    run_start = jax.lax.cummax(jnp.where(linked, 0, idx))
+                    cumw = jnp.cumsum(hw)
+                    curlcs = cumw - cumw[run_start] + hw[run_start]
+                    curlcs = jnp.minimum(curlcs, 255)  # BYTE m_uCurLCS
+                    hfield2 = (hpk >> 24) & 0x7F
+                    lcs = jnp.zeros((N + 1, F), jnp.int32).at[
+                        hrow, hfield2].max(curlcs)
+                    if sig.ranker == "matchany":
+                        # RankerState_MatchAny_fn (sphinxsearch.cpp:1578):
+                        # rank = sum_f (popcount(qposmask_f) +
+                        #               (lcs_f-1)*phraseK) * w_f
+                        # phraseK = sum_f w_f * n_qwords
+                        Q = max(S, 1)
+                        qd = jnp.clip(hqp - 1, 0, Q - 1)
+                        seen = jnp.zeros((N + 1, F, Q), jnp.int32).at[
+                            hrow, hfield2, qd].max(
+                            jnp.where(hrow < N, 1, 0))
+                        match_cnt = jnp.sum(seen, axis=-1)
+                        phrase_k = jnp.sum(fw) * S
+                        weight = jnp.sum(
+                            jnp.where(
+                                match_cnt > 0,
+                                (match_cnt + (lcs - 1) * phrase_k) * fw[None, :],
+                                0), axis=-1).astype(jnp.int32)
+                        total_rank = None
+                    else:
+                        rank = jnp.sum(lcs * fw[None, :], axis=-1).astype(jnp.int32)
+                        weight = (bm25part + rank * SPH_BM25_SCALE
+                                  if sig.ranker == "proximity_bm25" else rank)
             else:
-                lcs = jnp.zeros((N + 1, F), jnp.int32)
-            fw = rt["field_weights"]
-            rank = jnp.sum(lcs * fw[None, :], axis=-1).astype(jnp.int32)
-            weight = (bm25part + rank * SPH_BM25_SCALE
-                      if sig.ranker == "proximity_bm25" else rank)
+                weight = (bm25part if sig.ranker == "proximity_bm25"
+                          else jnp.zeros(N + 1, jnp.int32))
         elif sig.ranker in ("ws_bm25", "ws"):
             fw = rt["field_weights"]
             rank = jnp.sum(fieldhit * fw[None, :], axis=-1).astype(jnp.int32)
@@ -356,10 +440,6 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
             # ranker=fieldmask returns the matched-field bitmask itself
             fw_pow = (jnp.int32(1) << jnp.arange(F, dtype=jnp.int32))
             weight = jnp.sum(fieldhit * fw_pow[None, :], axis=-1).astype(jnp.int32)
-        elif sig.ranker == "wordcount":
-            # sum of keyword occurrences weighted by field weight is approximated
-            # by plain hit count for now (ExtRanker_Wordcount semantics TODO)
-            weight = bm25part * 0 + 1
         else:
             raise NotImplementedError(f"ranker {sig.ranker}")
 

@@ -283,8 +283,8 @@ class ShardedIndex:
                 lstarts[d, li] = hstarts[d, s]
                 llengths[d, li] = hlengths[d, s]
 
-        from ..query.plan import ranker_term_slots
-        use_lcs = cq.sig.ranker in ("proximity_bm25", "proximity")
+        from ..query.plan import RANKERS_WITH_HITS, ranker_term_slots
+        use_lcs = cq.sig.ranker in RANKERS_WITH_HITS
         rk_slots = ranker_term_slots(cq.sig.expr) if use_lcs else ()
         R = max(len(rk_slots), 1)
         rh_starts = np.zeros((D, R), np.int32)

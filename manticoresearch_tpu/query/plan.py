@@ -48,6 +48,10 @@ class PlanSig:
                                # semantics: tf counts only allowed-field hits)
 
 
+RANKERS_WITH_HITS = frozenset(
+    {"proximity_bm25", "proximity", "wordcount", "matchany"})
+
+
 def expr_slots(expr: tuple) -> set[int]:
     op = expr[0]
     if op == "term":

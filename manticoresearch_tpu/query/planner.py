@@ -312,7 +312,7 @@ def plan_query(
         eff_ranker = "ws" if not has_positional and S <= 1 else "proximity"
     elif ranker == "bm25":
         eff_ranker = "ws_bm25"
-    elif ranker in ("none", "fieldmask", "wordcount"):
+    elif ranker in ("none", "fieldmask", "wordcount", "matchany"):
         eff_ranker = ranker
     else:
         raise NotImplementedError(f"ranker {ranker!r}")
@@ -323,6 +323,27 @@ def plan_query(
         ad = index.schema.attr(f.attr)
         if ad is None and f.attr != "id":
             raise ValueError(f"unknown attr {f.attr!r} in filter")
+        f_kind = f.kind
+        if ad is not None and ad.type.value in ("multi", "multi64"):
+            # generic conds on MVA attrs get ANY semantics (reference
+            # default for MVA filters, sphinxfilter.cpp Filter_MVAValues)
+            f_kind = {"values": "mva_any", "range_i": "mva_any_range",
+                      "range_f": "mva_any_range"}.get(f_kind, f_kind)
+        if f_kind.startswith("mva_"):
+            if f_kind in ("mva_any", "mva_all"):
+                vals = sorted(int(v) for v in f.values)
+                nv = _next_pow2(len(vals), 1)
+                arr = np.asarray(vals + [vals[-1]] * (nv - len(vals)),
+                                 np.int32)
+                fspecs.append(FilterSpec(f.attr, f_kind, f.exclude,
+                                         n_values=nv))
+                fvals.append(arr)
+            else:
+                lo = -(2**31) if f.lo is None else int(f.lo) + (1 if f.lo_excl else 0)
+                hi = 2**31 - 1 if f.hi is None else int(f.hi) - (1 if f.hi_excl else 0)
+                fspecs.append(FilterSpec(f.attr, f_kind, f.exclude))
+                fvals.append(np.asarray([lo, hi], np.int32))
+            continue
         if f.kind == "values":
             vals = sorted(int(v) for v in f.values)
             nv = _next_pow2(len(vals), 1)
@@ -350,8 +371,8 @@ def plan_query(
 
     # ranker hit stream (proximity/LCS rankers): positive term leaves +
     # quorum members, in plan order; phrase nodes emit their own hits
-    use_lcs = eff_ranker in ("proximity_bm25", "proximity")
-    from .plan import ranker_term_slots
+    from .plan import RANKERS_WITH_HITS, ranker_term_slots
+    use_lcs = eff_ranker in RANKERS_WITH_HITS
     rk_slots = ranker_term_slots(expr) if use_lcs else ()
     R = max(len(rk_slots), 1)
     rh_starts = np.zeros(R, np.int32)
@@ -374,7 +395,9 @@ def plan_query(
     lim_bucket = _next_pow2(int(lim_lengths.sum()), 128) if L else 0
     rh_bucket = _next_pow2(int(rh_lengths.sum()), 1024) if use_lcs else 0
     H = len(index.hit_packed)
-    n_hit_iters = max(1, math.ceil(math.log2(max(H, 2)))) + 1
+    mva_max = max((len(v[1]) for v in getattr(index, "attrs_mva", {}).values()),
+                  default=0)
+    n_hit_iters = max(1, math.ceil(math.log2(max(H, mva_max, 2)))) + 1
 
     k = min(max_matches, window) if window is not None else max_matches
     k = max(1, min(k, index.n_docs)) if index.n_docs else 1

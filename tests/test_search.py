@@ -173,3 +173,82 @@ class TestDelete:
         assert [m.docid for m in r.matches] == [1, 4]
         # idempotent
         assert idx.delete_documents([2]) == 0
+
+
+class TestRankers:
+    def test_ranker_none(self, index):
+        r = index.search(SearchQuery(match="test", ranker="none"))
+        assert all(m.weight == 1 for m in r.matches)
+
+    def test_ranker_wordcount(self, index):
+        # weight = sum of field_weight per hit: doc1 'test' hits title+content
+        r = index.search(SearchQuery(match="test", ranker="wordcount"))
+        assert r.error is None
+        w = {m.docid: m.weight for m in r.matches}
+        assert w[1] == 2 and w[2] == 2 and w[4] == 1
+        r = index.search(SearchQuery(match="test", ranker="wordcount",
+                                     field_weights={"title": 10, "content": 3}))
+        w = {m.docid: m.weight for m in r.matches}
+        assert w[1] == 13 and w[4] == 3
+
+    def test_ranker_fieldmask(self, index):
+        r = index.search(SearchQuery(match="test", ranker="fieldmask"))
+        w = {m.docid: m.weight for m in r.matches}
+        assert w[1] == 3 and w[4] == 2  # title|content vs content only
+
+    def test_ranker_matchany(self, index):
+        r = index.search(SearchQuery(match="test one", ranker="matchany"))
+        assert r.error is None
+        assert [m.docid for m in r.matches] == [1]
+        # phraseK = (1+1)*2 = 4; title: mask {test,one} cnt 2 lcs 2 ->
+        # (2 + 1*4)*1 = 6; content: cnt 2 lcs 1 -> (2+0)*1 = 2; rank 8
+        assert r.matches[0].weight == 8
+
+
+class TestMva:
+    @pytest.fixture(scope="class")
+    def mva_index(self):
+        schema = Schema(fields=["t"],
+                        attrs=[AttrDef("tags", AttrType.MVA)])
+        b = IndexBuilder(schema)
+        # the example.sql tags table pattern
+        b.add_documents([
+            dict(id=1, t="one", tags=[1, 3, 5, 7]),
+            dict(id=2, t="two", tags=[6, 4, 2]),
+            dict(id=3, t="three", tags=[15]),
+            dict(id=4, t="four", tags=[7, 40]),
+        ])
+        return SearchIndex(b.build())
+
+    def test_mva_any_value(self, mva_index):
+        r = mva_index.search(SearchQuery(
+            match="", filters=[AttrFilterDef("tags", "values", values=[7])]))
+        assert [m.docid for m in r.matches] == [1, 4]
+
+    def test_mva_any_multi_values(self, mva_index):
+        r = mva_index.search(SearchQuery(
+            match="", filters=[AttrFilterDef("tags", "values",
+                                             values=[2, 15])]))
+        assert [m.docid for m in r.matches] == [2, 3]
+
+    def test_mva_any_range(self, mva_index):
+        r = mva_index.search(SearchQuery(
+            match="", filters=[AttrFilterDef("tags", "range_i",
+                                             lo=10, hi=20)]))
+        assert [m.docid for m in r.matches] == [3]
+
+    def test_mva_all(self, mva_index):
+        r = mva_index.search(SearchQuery(
+            match="", filters=[AttrFilterDef("tags", "mva_all",
+                                             values=[1, 5])]))
+        assert [m.docid for m in r.matches] == [1]
+
+    def test_mva_exclude(self, mva_index):
+        r = mva_index.search(SearchQuery(
+            match="", filters=[AttrFilterDef("tags", "values", values=[7],
+                                             exclude=True)]))
+        assert [m.docid for m in r.matches] == [2, 3]
+
+    def test_mva_hydrates(self, mva_index):
+        r = mva_index.search(SearchQuery(match="one"))
+        assert r.matches[0].attrs["tags"] == [1, 3, 5, 7]

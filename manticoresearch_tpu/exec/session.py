@@ -72,24 +72,39 @@ class Catalog:
             man = json.load(f)
         for name, meta in man.get("tables", {}).items():
             schema = Schema.from_json(meta["schema"])
-            self.tables[name] = RtIndex(
-                name, schema, data_dir=os.path.join(self.data_dir, name))
+            ddir = os.path.join(self.data_dir, name)
+            if meta.get("type") == "percolate":
+                from ..index.percolate import PercolateIndex
+                self.tables[name] = PercolateIndex(name, schema,
+                                                   data_dir=ddir)
+            else:
+                self.tables[name] = RtIndex(name, schema, data_dir=ddir)
+
+    @staticmethod
+    def table_type(t) -> str:
+        from ..index.percolate import PercolateIndex
+        return "percolate" if isinstance(t, PercolateIndex) else "rt"
 
     def _save_manifest(self):
         if not self.data_dir:
             return
-        man = {"tables": {n: {"schema": t.schema.to_json()}
+        man = {"tables": {n: {"schema": t.schema.to_json(),
+                              "type": self.table_type(t)}
                           for n, t in self.tables.items()}}
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(man, f)
         os.replace(tmp, self._manifest_path())
 
-    def create(self, name: str, schema: Schema) -> RtIndex:
+    def create(self, name: str, schema: Schema, table_type: str = "rt"):
         if name in self.tables:
             raise ValueError(f"table '{name}' already exists")
         ddir = os.path.join(self.data_dir, name) if self.data_dir else None
-        self.tables[name] = RtIndex(name, schema, data_dir=ddir)
+        if table_type in ("percolate", "pq"):
+            from ..index.percolate import PercolateIndex
+            self.tables[name] = PercolateIndex(name, schema, data_dir=ddir)
+        else:
+            self.tables[name] = RtIndex(name, schema, data_dir=ddir)
         self._save_manifest()
         return self.tables[name]
 
@@ -171,6 +186,15 @@ class Session:
             return [QLResult.err(err)]
 
         tables = [self.catalog.get(n) for n in st.indexes]
+        from ..index.percolate import PercolateIndex
+        if len(tables) == 1 and isinstance(tables[0], PercolateIndex):
+            pq = tables[0]
+            rows = [(q.qid, q.query, ",".join(q.tags), q.filters)
+                    for q in sorted(pq.queries.values(),
+                                    key=lambda x: x.qid)]
+            rows = rows[st.offset:st.offset + st.limit]
+            return [QLResult(columns=["id", "query", "tags", "filters"],
+                             rows=rows)]
         if len(tables) == 1:
             res = tables[0].search(q)
         else:
@@ -185,7 +209,7 @@ class Session:
         self._store_meta(res)
         self.last_warning = res.warning
 
-        main = self._project(st, res, tables[0].schema)
+        main = self._project(st, res, tables[0].schema, tables[0])
         out = [main]
         for fc in st.facets:
             out.append(self._facet(st, fc, tables))
@@ -227,9 +251,26 @@ class Session:
             q.select = [it.expr for it in st.items]
         return q, None
 
-    def _project(self, st: SelectStmt, res, schema) -> QLResult:
+    def _project(self, st: SelectStmt, res, schema, table=None) -> QLResult:
         cols: list[str] = []
         getters = []
+        match_text = next((c.value for c in st.conds if c.kind == "match"),
+                          "")
+
+        def make_highlighter():
+            from .snippets import SnippetOptions, build_snippet
+            from ..text.dictionary import Dictionary
+            from ..text.tokenizer import Tokenizer
+            tok = Tokenizer(table.tok_settings)
+            dic = Dictionary(table.dict_settings)
+            opts = SnippetOptions()
+
+            def hl(m):
+                text = " | ".join(
+                    str(m.attrs.get(f, "")) for f in schema.fields
+                    if m.attrs.get(f))
+                return build_snippet(text, match_text, tok, dic, opts)
+            return hl
         for it in st.items:
             name = it.alias or it.expr
             raw = it.expr
@@ -247,6 +288,10 @@ class Session:
             lraw = raw.lower().replace(" ", "")
             if lraw in ("id", "@id"):
                 getters.append(lambda m: m.docid)
+            elif lraw.startswith("highlight("):
+                if table is None:
+                    return QLResult.err("HIGHLIGHT() needs a table")
+                getters.append(make_highlighter())
             elif lraw in ("weight()", "@weight"):
                 getters.append(lambda m: m.weight)
             elif lraw in ("count(*)", "@count") or lraw.startswith(
@@ -319,6 +364,20 @@ class Session:
     # -- writes ----------------------------------------------------------
     def _insert(self, st: InsertStmt) -> QLResult:
         t = self.catalog.get(st.index)
+        from ..index.percolate import PercolateIndex
+        if isinstance(t, PercolateIndex):
+            cols = st.columns or ["query"]
+            n = 0
+            for row in st.rows:
+                d = dict(zip(cols, row))
+                tags = d.get("tags")
+                if isinstance(tags, str):
+                    tags = [x.strip() for x in tags.split(",") if x.strip()]
+                t.add_query(str(d.get("query", "")),
+                            str(d.get("filters", "")), tags,
+                            qid=int(d["id"]) if "id" in d else None)
+                n += 1
+            return QLResult.ok(n)
         cols = st.columns
         if not cols:
             cols = ["id"] + t.schema.fields + [a.name for a in t.schema.attrs]
@@ -338,6 +397,12 @@ class Session:
 
     def _delete(self, st: DeleteStmt) -> QLResult:
         t = self.catalog.get(st.index)
+        from ..index.percolate import PercolateIndex
+        if isinstance(t, PercolateIndex):
+            ids = _extract_id_list(st.conds)
+            if ids is None:
+                return QLResult.err("percolate DELETE needs id conditions")
+            return QLResult.ok(t.delete_query(ids))
         ids = _extract_id_list(st.conds)
         if ids is None:
             q, err = self._build_query(SelectStmt(
@@ -391,7 +456,8 @@ class Session:
         if not fields_:
             fields_ = []
         schema = Schema(fields=fields_, attrs=attrs)
-        self.catalog.create(st.name, schema)
+        ttype = st.options.get("type", "rt")
+        self.catalog.create(st.name, schema, ttype)
         return QLResult.ok()
 
     # -- CALL / admin ----------------------------------------------------
@@ -427,7 +493,70 @@ class Session:
                 rows=rows)
         if st.func == "SUGGEST" or st.func == "QSUGGEST":
             return self._suggest(st)
+        if st.func == "SNIPPETS":
+            return self._snippets(st)
+        if st.func == "PQ":
+            return self._call_pq(st)
         return QLResult.err(f"unsupported CALL {st.func}")
+
+    def _snippets(self, st: CallStmt) -> QLResult:
+        """CALL SNIPPETS((data...), index, query [, opt AS name...])
+        (HandleMysqlCallSnippets, searchd.cpp:10448)."""
+        from .snippets import SnippetOptions, build_snippet
+        from ..text.dictionary import Dictionary
+        from ..text.tokenizer import Tokenizer
+
+        if len(st.args) < 3:
+            return QLResult.err(
+                "CALL SNIPPETS(data, index, query) required")
+        data, index, query = st.args[0], str(st.args[1]), str(st.args[2])
+        texts = data if isinstance(data, list) else [data]
+        t = self.catalog.get(index)
+        opts = SnippetOptions()
+        for k, v in st.named.items():
+            if hasattr(opts, k):
+                cur = getattr(opts, k)
+                setattr(opts, k, type(cur)(v) if cur is not None else v)
+        tok = Tokenizer(t.tok_settings)
+        dic = Dictionary(t.dict_settings)
+        rows = [(build_snippet(str(x), query, tok, dic, opts),)
+                for x in texts]
+        return QLResult(columns=["snippet"], rows=rows)
+
+    def _call_pq(self, st: CallStmt) -> QLResult:
+        """CALL PQ(index, docs [, options]) (sphinxpq.cpp MatchDocuments)."""
+        from ..index.percolate import PercolateIndex
+
+        if len(st.args) < 2:
+            return QLResult.err("CALL PQ(index, docs) required")
+        t = self.catalog.get(str(st.args[0]))
+        if not isinstance(t, PercolateIndex):
+            return QLResult.err(f"'{st.args[0]}' is not a percolate table")
+        raw_docs = st.args[1]
+        if not isinstance(raw_docs, list):
+            raw_docs = [raw_docs]
+        as_json = bool(int(st.named.get("docs_json", 0)))
+        docs = []
+        for rd in raw_docs:
+            if as_json:
+                d = json.loads(rd) if isinstance(rd, str) else dict(rd)
+            else:
+                field_name = t.schema.fields[0] if t.schema.fields else "text"
+                d = {field_name: str(rd)}
+            docs.append(d)
+        matches = t.match_documents(docs)
+        want_docs = bool(int(st.named.get("docs", 0)))
+        rows = []
+        for qid, doc_ords in matches:
+            q = t.queries[qid]
+            if want_docs:
+                rows.append((qid, ",".join(map(str, doc_ords)), q.query,
+                             ",".join(q.tags), q.filters))
+            else:
+                rows.append((qid, q.query, ",".join(q.tags), q.filters))
+        cols = (["id", "documents", "query", "tags", "filters"] if want_docs
+                else ["id", "query", "tags", "filters"])
+        return QLResult(columns=cols, rows=rows)
 
     def _suggest(self, st: CallStmt) -> QLResult:
         """CALL SUGGEST(word, index): trigram+levenshtein candidates

@@ -147,6 +147,7 @@ class SetStmt:
 class CallStmt:
     func: str
     args: list[Any]
+    named: dict[str, Any] = field(default_factory=dict)
 
 
 # ---- parser ---------------------------------------------------------------
@@ -649,13 +650,22 @@ class SqlParser:
         func = self.name().upper()
         self.expect_op("(")
         args = []
+        named = {}
+
+        def one_arg():
+            v = self.value()
+            if self.eat_kw("AS"):
+                named[self.name().lower()] = v
+            else:
+                args.append(v)
+
         if self.peek() != ("op", ")"):
-            args.append(self.value())
+            one_arg()
             while self.peek() == ("op", ","):
                 self.next()
-                args.append(self.value())
+                one_arg()
         self.expect_op(")")
-        return CallStmt(func, args)
+        return CallStmt(func, args, named)
 
     def parse_attach(self):
         self.expect_kw("ATTACH")

@@ -45,6 +45,8 @@ class TokenizerSettings:
 class Token:
     text: str
     position: int
+    start: int = 0      # char offset of the raw token in the source text
+    end: int = 0        # char offset past the raw token
 
 
 class Tokenizer:
@@ -101,7 +103,8 @@ class Tokenizer:
             pos += 1
             clipped = folded[s : s + min(length, SPH_MAX_WORD_LEN)]
             out.append(
-                Token(clipped.astype(np.uint32).tobytes().decode("utf-32-le"), pos)
+                Token(clipped.astype(np.uint32).tobytes().decode("utf-32-le"),
+                      pos, s, e + 1)
             )
         return out
 

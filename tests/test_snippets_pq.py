@@ -1,0 +1,125 @@
+"""Snippets/highlighting + percolate index end-to-end."""
+import pytest
+
+from manticoresearch_tpu.exec.session import Catalog, Session
+from manticoresearch_tpu.exec.snippets import SnippetOptions, build_snippet
+from manticoresearch_tpu.text.dictionary import Dictionary
+from manticoresearch_tpu.text.tokenizer import Tokenizer
+
+
+@pytest.fixture()
+def sess():
+    return Session(Catalog())
+
+
+def one(sess, sql):
+    rs = sess.execute(sql)
+    assert len(rs) >= 1
+    return rs[0]
+
+
+class TestSnippets:
+    tok = Tokenizer()
+    dic = Dictionary()
+
+    def test_basic_highlight(self):
+        out = build_snippet("The quick brown fox jumps over the lazy dog",
+                            "fox", self.tok, self.dic)
+        assert "<b>fox</b>" in out
+        assert "quick brown" in out
+
+    def test_around_window_and_separator(self):
+        text = " ".join(f"w{i}" for i in range(50)) + " target " + \
+            " ".join(f"x{i}" for i in range(50))
+        out = build_snippet(text, "target", self.tok, self.dic,
+                            SnippetOptions(around=3))
+        assert "<b>target</b>" in out
+        assert out.startswith("... ")
+        assert out.endswith(" ...")
+        assert "w46" not in out and "w47" in out
+
+    def test_no_match_returns_doc_start(self):
+        out = build_snippet("some document text here", "missing",
+                            self.tok, self.dic)
+        assert out.startswith("some document")
+
+    def test_multiple_matches_merge(self):
+        out = build_snippet("alpha beta gamma beta delta", "beta",
+                            self.tok, self.dic)
+        assert out.count("<b>beta</b>") == 2
+
+    def test_custom_tags(self):
+        out = build_snippet("hello world", "world", self.tok, self.dic,
+                            SnippetOptions(before_match="[", after_match="]"))
+        assert "[world]" in out
+
+    def test_call_snippets_sql(self, sess):
+        one(sess, "CREATE TABLE t (content text)")
+        r = one(sess, "CALL SNIPPETS('The quick brown fox', 't', 'fox')")
+        assert r.error is None
+        assert "<b>fox</b>" in r.rows[0][0]
+
+    def test_call_snippets_options(self, sess):
+        one(sess, "CREATE TABLE t (content text)")
+        r = one(sess, "CALL SNIPPETS('a b c fox d', 't', 'fox', "
+                      "'[m]' AS before_match, '[/m]' AS after_match)")
+        assert "[m]fox[/m]" in r.rows[0][0]
+
+    def test_highlight_in_select(self, sess):
+        one(sess, "CREATE TABLE art (title text, body text)")
+        one(sess, "INSERT INTO art (id, title, body) VALUES "
+                  "(1, 'fox story', 'the quick brown fox ran away')")
+        r = one(sess, "SELECT id, HIGHLIGHT() FROM art WHERE MATCH('fox')")
+        assert r.error is None
+        assert "<b>fox</b>" in r.rows[0][1]
+
+
+class TestPercolate:
+    def test_pq_create_insert_match(self, sess):
+        one(sess, "CREATE TABLE pq (content text, gid uint) type='pq'")
+        r = one(sess, "INSERT INTO pq (query) VALUES ('shoes | boots')")
+        assert r.error is None
+        one(sess, "INSERT INTO pq (query, filters) VALUES "
+                  "('@content red', 'gid>5')")
+        r = one(sess, "SELECT * FROM pq")
+        assert len(r.rows) == 2
+
+        r = one(sess, "CALL PQ('pq', ('i love my red shoes', "
+                      "'blue sky above'), 1 AS docs)")
+        assert r.error is None
+        # only query 1 matches doc 1 ('red' query has filter gid>5, and the
+        # bare-text doc has gid=0)
+        assert [(row[0], row[1]) for row in r.rows] == [(1, "1")]
+
+    def test_pq_json_docs_with_attrs(self, sess):
+        one(sess, "CREATE TABLE pq2 (content text, gid uint) type='pq'")
+        one(sess, "INSERT INTO pq2 (query, filters) VALUES "
+                  "('alert', 'gid=7')")
+        r = one(sess, 'CALL PQ(\'pq2\', (\'{"content": "alert now", '
+                      '"gid": 7}\', \'{"content": "alert", "gid": 1}\'), '
+                      "1 AS docs, 1 AS docs_json)")
+        assert r.error is None
+        assert [(row[0], row[1]) for row in r.rows] == [(1, "1")]
+
+    def test_pq_delete(self, sess):
+        one(sess, "CREATE TABLE pq3 (content text) type='pq'")
+        one(sess, "INSERT INTO pq3 (query) VALUES ('a'), ('b')")
+        r = one(sess, "DELETE FROM pq3 WHERE id = 1")
+        assert r.affected == 1
+        assert len(one(sess, "SELECT * FROM pq3").rows) == 1
+
+    def test_pq_bad_query_rejected(self, sess):
+        one(sess, "CREATE TABLE pq4 (content text) type='pq'")
+        r = one(sess, "INSERT INTO pq4 (query) VALUES ('\\\"unbalanced')")
+        assert r.error is not None
+
+    def test_pq_persistence(self, tmp_path):
+        c1 = Catalog(str(tmp_path))
+        s1 = Session(c1)
+        one(s1, "CREATE TABLE p (content text) type='pq'")
+        one(s1, "INSERT INTO p (query) VALUES ('hello world')")
+        c2 = Catalog(str(tmp_path))
+        s2 = Session(c2)
+        r = one(s2, "SELECT * FROM p")
+        assert len(r.rows) == 1
+        assert r.rows[0][1] == "hello world"

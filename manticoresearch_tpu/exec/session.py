@@ -236,7 +236,7 @@ class Session:
             offset=st.offset,
             limit=st.limit,
             max_matches=int(opts.get("max_matches", 1000)),
-            ranker=str(opts.get("ranker", "proximity_bm25")),
+            ranker=opts.get("ranker", "proximity_bm25"),
             field_weights={k: int(v) for k, v in
                            opts.get("field_weights", {}).items()},
             sort=sort,

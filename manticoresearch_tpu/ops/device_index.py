@@ -33,6 +33,7 @@ class DeviceIndex:
     hit_packed_nokey: jax.Array      # i32[H]  (end flag stripped, for compares)
     hit_rowid: jax.Array             # i32[H]  (posting rowid expanded per hit)
     alive: jax.Array                 # bool[N+1], [N] always False (dead-row map, killlist.h:22)
+    field_lens: jax.Array            # i32[N+1, F] tokens per field (index_field_lengths)
     docid_hi: jax.Array              # i32[N+1]: docid >> 31 (for cross-shard tie-break)
     docid_lo: jax.Array              # i32[N+1]: docid & 0x7fffffff
     attrs: dict[str, jax.Array]      # numeric SoA columns, each [N]
@@ -51,6 +52,7 @@ class DeviceIndex:
             "hit_packed_nokey": self.hit_packed_nokey,
             "hit_rowid": self.hit_rowid,
             "alive": self.alive,
+            "field_lens": self.field_lens,
             "docid_hi": self.docid_hi,
             "docid_lo": self.docid_lo,
             "attrs": self.attrs,
@@ -86,6 +88,10 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
     hit_rowid = np.repeat(packed.post_rowid, packed.post_tf).astype(np.int32)
     hit_nokey = (packed.hit_packed & ~(1 << 23)).astype(np.int32)
 
+    fl = np.zeros((n + 1, max(packed.schema.n_fields, 1)), np.int32)
+    if packed.field_lens.size:
+        fl[:n, : packed.field_lens.shape[1]] = packed.field_lens
+
     did = np.append(packed.doc_ids, 2**62)  # pad row sorts last on ties
     docid_hi = (did >> 31).astype(np.int32)
     docid_lo = (did & 0x7FFFFFFF).astype(np.int32)
@@ -102,6 +108,7 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
         hit_packed_nokey=put(hit_nokey),
         hit_rowid=put(hit_rowid),
         alive=put(alive),
+        field_lens=put(fl),
         docid_hi=put(docid_hi),
         docid_lo=put(docid_lo),
         attrs={k: put(v) for k, v in attrs.items()},

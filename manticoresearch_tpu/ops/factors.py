@@ -1,0 +1,270 @@
+"""Expression ranker factors (OPTION ranker=expr('...')).
+
+Behavioral model: RankerState_Expr_fn + factor expressions
+(/root/reference/src/sphinxsearch.cpp:1964, factor list 2861-2995,
+Expr_BM25F_T:2562). Factors are computed from the ranker hit stream as dense
+per-doc / per-(doc,field) / per-(doc,qword) arrays; the formula then
+evaluates as vector ops and truncates to the int match weight.
+
+Implemented factors:
+  doc-level:  bm25, max_lcs, field_mask, query_word_count, doc_word_count,
+              bm25a(k1,b), bm25f(k1,b[,{field=w,...}])
+  field-level (inside sum(...)): lcs, user_weight, hit_count, word_count,
+              tf_idf, min_hit_pos, exact_hit
+BM25F follows Expr_BM25F_T::Eval literally: weighted tf summed over fields,
+fres += tf/(tf + k1*(1-b+b*dl/avgdl))*idf, + 0.5.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+DOC_FACTORS = {"bm25", "max_lcs", "field_mask", "query_word_count",
+               "doc_word_count"}
+FIELD_FACTORS = {"lcs", "user_weight", "hit_count", "word_count", "tf_idf",
+                 "min_hit_pos", "exact_hit"}
+
+
+def factor_names(tree) -> set[str]:
+    op = tree[0]
+    if op == "attr":
+        return {tree[1]}
+    if op == "call":
+        out = {tree[1].lower()}
+        for a in tree[2]:
+            out |= factor_names(a)
+        return out
+    out = set()
+    for c in tree[1:]:
+        if isinstance(c, tuple):
+            out |= factor_names(c)
+    return out
+
+
+class FactorContext:
+    """Computes factor arrays from the sorted ranker hit stream."""
+
+    def __init__(self, *, N, F, S, stream, lcs, bm25part, termmask, rt,
+                 field_lens):
+        # stream: (hrow, hpk, hqp, hslot, valid_mask) — sorted not required
+        self.N, self.F, self.S = N, F, S
+        self.stream = stream
+        self.lcs = lcs                  # [N+1, F]
+        self.bm25part = bm25part        # [N+1] int
+        self.termmask = termmask        # [N+1] int
+        self.rt = rt
+        self.field_lens = field_lens    # [N+1, F]
+        self._cache: dict[str, jax.Array] = {}
+
+    def _scatter_field(self, vals, reduce="add", init=0):
+        hrow, hpk, hqp, hslot, valid = self.stream
+        hfield = (hpk >> 24) & 0x7F
+        row = jnp.where(valid, hrow, self.N)
+        if reduce == "add":
+            return jnp.zeros((self.N + 1, self.F), vals.dtype).at[
+                row, hfield].add(jnp.where(valid, vals, 0))
+        if reduce == "min":
+            big = jnp.asarray(init, vals.dtype)
+            return jnp.full((self.N + 1, self.F), big, vals.dtype).at[
+                row, hfield].min(jnp.where(valid, vals, big))
+        raise ValueError(reduce)
+
+    def get(self, name: str):
+        if name in self._cache:
+            return self._cache[name]
+        v = self._compute(name)
+        self._cache[name] = v
+        return v
+
+    def _seen_qword_field(self):
+        """[N+1, F, S] 0/1: qword slot seen in (doc, field)."""
+        if "_seen" in self._cache:
+            return self._cache["_seen"]
+        hrow, hpk, hqp, hslot, valid = self.stream
+        hfield = (hpk >> 24) & 0x7F
+        row = jnp.where(valid, hrow, self.N)
+        seen = jnp.zeros((self.N + 1, self.F, max(self.S, 1)),
+                         jnp.int32).at[
+            row, hfield, jnp.clip(hslot, 0, max(self.S - 1, 0))].max(
+            jnp.where(valid, 1, 0))
+        self._cache["_seen"] = seen
+        return seen
+
+    def _field_tf(self):
+        """[N+1, F, S]: per-(doc, field, qword) hit counts."""
+        if "_ftf" in self._cache:
+            return self._cache["_ftf"]
+        hrow, hpk, hqp, hslot, valid = self.stream
+        hfield = (hpk >> 24) & 0x7F
+        row = jnp.where(valid, hrow, self.N)
+        ftf = jnp.zeros((self.N + 1, self.F, max(self.S, 1)),
+                        jnp.int32).at[
+            row, hfield, jnp.clip(hslot, 0, max(self.S - 1, 0))].add(
+            jnp.where(valid, 1, 0))
+        self._cache["_ftf"] = ftf
+        return ftf
+
+    def _compute(self, name: str):
+        N, F, S = self.N, self.F, self.S
+        rt = self.rt
+        hrow, hpk, hqp, hslot, valid = self.stream
+        if name == "bm25":
+            return self.bm25part
+        if name == "max_lcs":
+            # maximum possible LCS over the query (reference m_iMaxLCS):
+            # number of keywords for plain bag-of-words queries
+            return jnp.int32(S)
+        if name == "field_mask":
+            seen = self._seen_qword_field()
+            anyf = (jnp.sum(seen, axis=-1) > 0).astype(jnp.int32)
+            bits = anyf * (jnp.int32(1) << jnp.arange(F, dtype=jnp.int32)
+                           )[None, :]
+            return jnp.sum(bits, axis=-1)
+        if name == "query_word_count":
+            return jnp.int32(S)
+        if name == "doc_word_count":
+            # unique matched keywords in doc = popcount(termmask)
+            cnt = jnp.zeros(N + 1, jnp.int32)
+            for s in range(S):
+                cnt = cnt + ((self.termmask >> s) & 1)
+            return cnt
+        if name == "lcs":
+            return self.lcs
+        if name == "user_weight":
+            return jnp.broadcast_to(rt["field_weights"][None, :], (N + 1, F))
+        if name == "hit_count":
+            return self._scatter_field(jnp.ones_like(hrow))
+        if name == "word_count":
+            return jnp.sum(self._seen_qword_field(), axis=-1)
+        if name == "tf_idf":
+            # sum of idf over stream hit occurrences per field
+            # (factor docs: sum(tf(w)*idf(w)) = sum idf over occurrences)
+            return self._scatter_field(rt["idf"][jnp.clip(hslot, 0, S - 1)])
+        if name == "min_hit_pos":
+            pos = hpk & ((1 << 23) - 1)
+            mh = self._scatter_field(pos, reduce="min", init=2**22)
+            return jnp.where(mh >= 2**22, 0, mh)
+        if name == "exact_hit":
+            # field content == query: first hit at pos 1 and the field's
+            # token count equals the lcs span (approximation of the
+            # reference's exact-hit flag; TODO end-flag-based exactness)
+            mh = self.get("min_hit_pos")
+            return ((mh == 1) & (self.field_lens[:, :F] <= self.lcs)
+                    ).astype(jnp.int32)
+        raise NotImplementedError(f"ranking factor {name!r}")
+
+    # ---- BM25 variants ------------------------------------------------
+    def bm25a(self, k1: float, b: float):
+        ftf = self._field_tf()                       # [N+1, F, S]
+        tf = jnp.sum(ftf, axis=1).astype(jnp.float32)  # [N+1, S]
+        dl = jnp.sum(self.field_lens[:, : self.F], axis=1
+                     ).astype(jnp.float32)
+        avgdl = self.rt["avg_doc_len"][0]
+        idf = self.rt["idf"][: self.S][None, :]
+        norm = jnp.float32(k1) * (1.0 - b + b * dl[:, None] /
+                                  jnp.maximum(avgdl, 1e-6))
+        res = jnp.sum(jnp.where(tf > 0, tf / (tf + norm) * idf, 0.0),
+                      axis=-1)
+        return res + jnp.float32(0.5)
+
+    def bm25f(self, k1: float, b: float, weights=None):
+        # Expr_BM25F_T::Eval — literal
+        ftf = self._field_tf().astype(jnp.float32)   # [N+1, F, S]
+        if weights is None:
+            w = jnp.ones(self.F, jnp.float32)
+        else:
+            w = weights.astype(jnp.float32)
+        tf = jnp.sum(ftf * w[None, :, None], axis=1)  # [N+1, S]
+        dl = jnp.sum(self.field_lens[:, : self.F].astype(jnp.float32)
+                     * w[None, :], axis=1)
+        # weighted avgdl = sum_f total_field_len_f * w_f / total_docs
+        avgdl = jnp.sum(self.rt["total_field_lens"] * w) / \
+            jnp.maximum(self.rt["total_docs"][0], 1.0)
+        idf = self.rt["idf"][: self.S][None, :]
+        denom = tf + jnp.float32(k1) * (1.0 - b + b * dl[:, None] /
+                                        jnp.maximum(avgdl, 1e-6))
+        res = jnp.sum(jnp.where(tf > 0, tf / denom * idf, 0.0), axis=-1)
+        return res + jnp.float32(0.5)
+
+
+def eval_ranker_expr(tree, ctx: FactorContext, per_field: bool = False):
+    """Evaluate a ranker formula tree to a [N+1] (or [N+1,F] inside sum)."""
+    op = tree[0]
+    if op == "num":
+        return jnp.float32(tree[1])
+    if op == "attr":
+        name = tree[1].lower()
+        if per_field:
+            if name in FIELD_FACTORS:
+                return ctx.get(name)
+            if name in DOC_FACTORS:
+                v = ctx.get(name)
+                return v[..., None] if getattr(v, "ndim", 0) == 1 else v
+            raise NotImplementedError(f"factor {name!r}")
+        if name in DOC_FACTORS:
+            return ctx.get(name)
+        if name in FIELD_FACTORS:
+            raise ValueError(
+                f"field factor {name!r} only valid inside sum()")
+        raise NotImplementedError(f"factor {name!r}")
+    if op == "neg":
+        return -eval_ranker_expr(tree[1], ctx, per_field)
+    if op in ("add", "sub", "mul", "div", "cmp_gt", "cmp_ge", "cmp_lt",
+              "cmp_le", "cmp_eq", "cmp_ne", "and", "or", "mod"):
+        a = eval_ranker_expr(tree[1], ctx, per_field)
+        b = eval_ranker_expr(tree[2], ctx, per_field)
+        if op == "add":
+            return a + b
+        if op == "sub":
+            return a - b
+        if op == "mul":
+            return a * b
+        if op == "div":
+            return a / b
+        if op == "mod":
+            return a % b
+        if op == "and":
+            return ((a != 0) & (b != 0)).astype(jnp.float32)
+        if op == "or":
+            return ((a != 0) | (b != 0)).astype(jnp.float32)
+        t = {"cmp_gt": a > b, "cmp_ge": a >= b, "cmp_lt": a < b,
+             "cmp_le": a <= b, "cmp_eq": a == b, "cmp_ne": a != b}
+        return t[op].astype(jnp.float32)
+    if op == "call":
+        name = tree[1].upper()
+        args = tree[2]
+        if name == "SUM":
+            inner = eval_ranker_expr(args[0], ctx, per_field=True)
+            return jnp.sum(inner.astype(jnp.float32), axis=-1)
+        if name == "BM25A":
+            k1 = args[0][1]
+            b = args[1][1]
+            return ctx.bm25a(float(k1), float(b))
+        if name == "BM25F":
+            k1 = float(args[0][1])
+            b = float(args[1][1])
+            weights = None
+            if len(args) > 2 and args[2][0] == "fieldweights":
+                # planner resolved {field=w,...} to schema field order
+                weights = jnp.asarray(list(args[2][1]), jnp.float32)
+            return ctx.bm25f(k1, b, weights)
+        if name in ("MIN", "MAX"):
+            a = eval_ranker_expr(args[0], ctx, per_field)
+            b = eval_ranker_expr(args[1], ctx, per_field)
+            return jnp.minimum(a, b) if name == "MIN" else jnp.maximum(a, b)
+        if name == "ABS":
+            return jnp.abs(eval_ranker_expr(args[0], ctx, per_field))
+        if name == "IF":
+            c = eval_ranker_expr(args[0], ctx, per_field)
+            a = eval_ranker_expr(args[1], ctx, per_field)
+            b = eval_ranker_expr(args[2], ctx, per_field)
+            return jnp.where(c != 0, a, b)
+        if name in ("LN", "LOG2", "LOG10", "SQRT", "EXP"):
+            f = {"LN": jnp.log, "LOG2": jnp.log2, "LOG10": jnp.log10,
+                 "SQRT": jnp.sqrt, "EXP": jnp.exp}[name]
+            return f(eval_ranker_expr(args[0], ctx, per_field))
+        if name == "POW":
+            return jnp.power(eval_ranker_expr(args[0], ctx, per_field),
+                             eval_ranker_expr(args[1], ctx, per_field))
+        raise NotImplementedError(f"ranker function {name}()")
+    raise NotImplementedError(f"ranker expr node {op!r}")

@@ -349,6 +349,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
             #   rank = sum_f lcs[f] * field_weight[f]
             qpos = rt["qpos"]
             parts_row, parts_pk, parts_qp, parts_w, parts_sp = [], [], [], [], []
+            parts_slot = []
             if rk_slots and rh_bucket:
                 Rn = len(rk_slots)
                 rslot, rgidx, rvalid = _gather_flat(
@@ -360,6 +361,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                 parts_qp.append(qpos[slot_ids])
                 parts_w.append(jnp.where(rvalid, 1, 0).astype(jnp.int32))
                 parts_sp.append(jnp.ones_like(slot_ids))
+                parts_slot.append(slot_ids)
             for node in rk_phrases:
                 pm, ptf, a_row, a_key, a_ok = phrase_results[node]
                 n_words = len(node[1])
@@ -372,6 +374,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                 parts_qp.append(jnp.full_like(a_row, 1) * qpos[first_slot])
                 parts_w.append(jnp.where(a_ok, n_words, 0).astype(jnp.int32))
                 parts_sp.append(jnp.full_like(a_row, n_words))
+                parts_slot.append(jnp.full_like(a_row, first_slot))
             fw = rt["field_weights"]
             if parts_row:
                 hrow = jnp.concatenate(parts_row)
@@ -379,6 +382,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                 hqp = jnp.concatenate(parts_qp)
                 hw = jnp.concatenate(parts_w)
                 hsp = jnp.concatenate(parts_sp)
+                hslot = jnp.concatenate(parts_slot)
                 if sig.ranker == "wordcount":
                     # RankerState_Wordcount_fn (sphinxsearch.cpp:1620):
                     # weight = sum of field_weight over every stream hit
@@ -387,8 +391,8 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                         jnp.where(hrow < N, fw[wfield], 0))
                     total_rank = None
                 else:
-                    hrow, hpk, hqp, hw, hsp = jax.lax.sort(
-                        (hrow, hpk, hqp, hw, hsp), num_keys=2)
+                    hrow, hpk, hqp, hw, hsp, hslot = jax.lax.sort(
+                        (hrow, hpk, hqp, hw, hsp, hslot), num_keys=2)
                     delta = hpk - hqp
                     p_row = jnp.concatenate([jnp.full(1, -1, hrow.dtype), hrow[:-1]])
                     p_pk = jnp.concatenate([jnp.zeros(1, hpk.dtype), hpk[:-1]])
@@ -423,6 +427,19 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                                 (match_cnt + (lcs - 1) * phrase_k) * fw[None, :],
                                 0), axis=-1).astype(jnp.int32)
                         total_rank = None
+                    elif sig.ranker == "expr":
+                        # ranker=expr('formula'): evaluate factor expression
+                        # (RankerState_Expr_fn, sphinxsearch.cpp:1964);
+                        # weight = (int)result
+                        from .factors import FactorContext, eval_ranker_expr
+                        ctx = FactorContext(
+                            N=N, F=F, S=S,
+                            stream=(hrow, hpk, hqp, hslot, hrow < N),
+                            lcs=lcs, bm25part=bm25part, termmask=termmask,
+                            rt=rt, field_lens=data["field_lens"])
+                        res = eval_ranker_expr(sig.ranker_expr, ctx)
+                        weight = jnp.trunc(res.astype(jnp.float32)
+                                           ).astype(jnp.int32)
                     else:
                         rank = jnp.sum(lcs * fw[None, :], axis=-1).astype(jnp.int32)
                         weight = (bm25part + rank * SPH_BM25_SCALE

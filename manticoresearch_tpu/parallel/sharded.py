@@ -63,6 +63,10 @@ class _UnionView:
         self.term_offsets = np.zeros(T + 1, np.int32)
         self.post_hit_offset = np.zeros(1, np.int32)
         self.hit_packed = np.zeros(0, np.int32)
+        fls = [s.field_lens for s in shards if s.field_lens.size]
+        self.field_lens = (np.concatenate(fls) if fls
+                           else np.zeros((0, 1), np.int32))
+        self.attrs_mva = {}
 
     def term_id(self, term: str) -> int:
         i = bisect.bisect_left(self.term_strs, term)
@@ -124,6 +128,8 @@ class ShardedIndex:
         hitp = np.zeros((D, Hmax), np.int32)
         hitr = np.full((D, Hmax), N, np.int32)
         alive = np.zeros((D, N + 1), bool)
+        Fn = max(self.schema.n_fields, 1)
+        flens = np.zeros((D, N + 1, Fn), np.int32)
         dhi = np.zeros((D, N + 1), np.int32)
         dlo = np.zeros((D, N + 1), np.int32)
         for i, s in enumerate(shards):
@@ -138,6 +144,8 @@ class ShardedIndex:
             hitp[i, :h] = s.hit_packed
             hitr[i, :h] = np.repeat(s.post_rowid, s.post_tf)
             alive[i, : s.n_docs] = True
+            if s.field_lens.size:
+                flens[i, : s.n_docs, : s.field_lens.shape[1]] = s.field_lens
             did = np.append(s.doc_ids, np.full(N - s.n_docs + 1, 2**62))
             dhi[i] = (did >> 31).astype(np.int32)
             dlo[i] = (did & 0x7FFFFFFF).astype(np.int32)
@@ -164,7 +172,7 @@ class ShardedIndex:
             "post_tf": post_tf, "post_fieldmask": post_fm,
             "post_hit_offset": pho, "hit_packed": hitp,
             "hit_packed_nokey": (hitp & ~(1 << 23)).astype(np.int32),
-            "hit_rowid": hitr, "alive": alive,
+            "hit_rowid": hitr, "alive": alive, "field_lens": flens,
             "docid_hi": dhi, "docid_lo": dlo,
             "attrs": attrs, "mva_offsets": {}, "mva_values": {},
         }

@@ -33,14 +33,14 @@ class ExprError(ValueError):
 _TOK = re.compile(r"""
     (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
-  | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,)
+  | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,|\{|\})
   | (?P<ws>\s+)
 """, re.VERBOSE)
 
 _FUNCS_1 = {"ABS", "CEIL", "FLOOR", "SIN", "COS", "LN", "LOG2", "LOG10",
             "EXP", "SQRT", "BIGINT", "SINT", "INTEGER", "DOUBLE", "UINT"}
 _FUNCS_N = {"MIN", "MAX", "POW", "IDIV", "IF", "IN", "INTERVAL", "GEODIST",
-            "BITDOT", "MADD", "MUL3"}
+            "BITDOT", "MADD", "MUL3", "SUM", "TOP", "BM25A", "BM25F"}
 KNOWN_FUNCS = _FUNCS_1 | _FUNCS_N
 
 
@@ -159,6 +159,24 @@ class ExprParser:
         k, v = self.next()
         if k == "num":
             return ("num", float(v))
+        if k == "op" and v == "{":
+            # {field=weight, ...} map argument (bm25f)
+            pairs = []
+            while True:
+                nk, nv = self.next()
+                if nk != "name":
+                    raise ExprError("expected field name in {...} map")
+                self.expect("=")
+                vk, vv = self.next()
+                if vk != "num":
+                    raise ExprError("expected number in {...} map")
+                pairs.append((nv, float(vv)))
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+            self.expect("}")
+            return ("fieldmap", tuple(pairs))
         if k == "op" and v == "(":
             e = self.parse_or()
             self.expect(")")

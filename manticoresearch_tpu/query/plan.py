@@ -46,10 +46,11 @@ class PlanSig:
     slot_limited: tuple = ()   # ((slot, fieldmask), ...): field-limited slots
                                # evaluated via the hit pass (XQLimitSpec_t
                                # semantics: tf counts only allowed-field hits)
+    ranker_expr: tuple = ()    # formula tree for ranker=expr('...')
 
 
 RANKERS_WITH_HITS = frozenset(
-    {"proximity_bm25", "proximity", "wordcount", "matchany"})
+    {"proximity_bm25", "proximity", "wordcount", "matchany", "expr"})
 
 
 def expr_slots(expr: tuple) -> set[int]:

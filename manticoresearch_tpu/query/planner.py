@@ -303,7 +303,13 @@ def plan_query(
     # the 'none' ranker produces
     has_positional = _has_positional(expr)
     eff_ranker = ranker
-    if expr[0] == "all":
+    ranker_expr: tuple = ()
+    if isinstance(ranker, tuple) and ranker[0] == "expr":
+        from .expr import parse_expr as _parse_expr
+        tree = _parse_expr(ranker[1])
+        ranker_expr = _resolve_fieldmaps(tree, index.schema)
+        eff_ranker = "expr"
+    elif expr[0] == "all":
         eff_ranker = "none"
     elif ranker == "proximity_bm25":
         eff_ranker = ("ws_bm25" if not has_positional and S <= 1
@@ -405,10 +411,21 @@ def plan_query(
     sig = PlanSig(
         expr=expr, n_slots=S, ranker=eff_ranker,
         filters=tuple(fspecs), k=k, order=order,
-        slot_limited=slot_limited,
+        slot_limited=slot_limited, ranker_expr=ranker_expr,
     )
+    fl = getattr(index, "field_lens", None)
+    if fl is not None and getattr(fl, "size", 0):
+        total_fl = np.asarray(fl, np.float64).sum(axis=0).astype(np.float32)
+    else:
+        total_fl = np.zeros(max(F, 1), np.float32)
+    avg_dl = np.asarray(
+        [float(total_fl.sum()) / max(total_docs, 1)], np.float32)
+
     runtime = {
         "starts": starts, "lengths": lengths,
+        "total_field_lens": total_fl[:max(F, 1)],
+        "total_docs": np.asarray([float(total_docs)], np.float32),
+        "avg_doc_len": avg_dl,
         "hit_starts": hit_starts, "hit_lengths": hit_lengths,
         "lim_starts": lim_starts, "lim_lengths": lim_lengths,
         "rh_starts": rh_starts, "rh_lengths": rh_lengths,
@@ -423,6 +440,21 @@ def plan_query(
         bucket=bucket, hit_bucket=hit_bucket, n_hit_iters=n_hit_iters,
         lim_bucket=lim_bucket, rh_bucket=rh_bucket,
     )
+
+
+def _resolve_fieldmaps(tree, schema):
+    """Rewrite ("fieldmap", ((name, w), ...)) into schema-ordered
+    ("fieldweights", (w0, w1, ...)) so the plan stays static/hashable."""
+    if not isinstance(tree, tuple):
+        return tree
+    if tree[0] == "fieldmap":
+        w = [1.0] * max(schema.n_fields, 1)
+        for name, val in tree[1]:
+            if name in schema.fields:
+                w[schema.field_id(name)] = float(val)
+        return ("fieldweights", tuple(w))
+    return tuple(_resolve_fieldmaps(c, schema) if isinstance(c, tuple)
+                 else c for c in tree)
 
 
 def _positional_hits_need(expr, hit_lengths) -> int:

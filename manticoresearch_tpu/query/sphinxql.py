@@ -331,6 +331,17 @@ class SqlParser:
                         break
                     self.expect_op(")")
                     st.options[n.lower()] = d
+                elif (self.peek()[0] == "name"
+                      and self.peek()[1].lower() == "expr"
+                      and self.peek(1) == ("op", "(")):
+                    # ranker=expr('formula')
+                    self.next()
+                    self.expect_op("(")
+                    k2, v2 = self.next()
+                    if k2 != "str":
+                        raise SqlParseError("expr() needs a quoted formula")
+                    self.expect_op(")")
+                    st.options[n.lower()] = ("expr", _unquote(v2))
                 else:
                     st.options[n.lower()] = self.value() \
                         if self.peek()[0] in ("num", "str") or \

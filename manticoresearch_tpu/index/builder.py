@@ -155,11 +155,27 @@ class IndexBuilder:
             elif a.type in (AttrType.MVA, AttrType.MVA64):
                 attrs_mva[a.name] = []
 
+        ds = self.dict_settings
+        trivial_dict = (not ds.stopwords and not ds.morphology
+                        and not ds.wordforms and not ds.index_exact_words)
+
         for rowid, docid in enumerate(doc_ids.tolist()):
             doc = self._docs[docid]
             for fid, fname in enumerate(schema.fields):
                 text = doc.get(fname, "") or ""
                 stored_fields[fname].append(str(text))
+                if trivial_dict:
+                    # fast path: no per-token dict processing needed
+                    terms, positions = self.tokenizer.tokenize_fast(str(text))
+                    field_lens[rowid, fid] = len(terms)
+                    last_pos = positions[-1] if positions else 0
+                    for term, pos in zip(terms, positions):
+                        tid = vocab.setdefault(term, len(vocab))
+                        hits_tid.append(tid)
+                        hits_row.append(rowid)
+                        hits_packed.append(
+                            hitman_pack(fid, pos, pos == last_pos))
+                    continue
                 tokens = self.tokenizer.tokenize(str(text))
                 field_lens[rowid, fid] = len(tokens)
                 last_pos = tokens[-1].position if tokens else 0

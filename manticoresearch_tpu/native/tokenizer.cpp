@@ -1,0 +1,157 @@
+// Native host tokenizer: UTF-8 decode + charset folding + word-run split.
+//
+// Behavioral model: CSphTokenizer_UTF8 (/root/reference/src/sphinx.cpp:2671+)
+// — the host-side hot loop of index builds. The reference implements this in
+// C++ for throughput; so do we. Exposed via a C ABI for ctypes (no pybind11
+// in this environment).
+//
+// Input: raw UTF-8 bytes + a dense fold table (codepoint -> folded codepoint,
+// 0 = separator), built once per charset_table by the Python side.
+// Output: flat folded-codepoint buffer + per-token (offset, length, position,
+// char_start, char_end) arrays. Python slices token strings out in bulk.
+//
+// Build: g++ -O3 -shared -fPIC tokenizer.cpp -o libmttok.so  (see build.py)
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kMaxWordLen = 42;  // SPH_MAX_WORD_LEN, sphinx.h:106
+
+// Decode one UTF-8 codepoint; returns bytes consumed (0 on error).
+inline int utf8_decode(const uint8_t* p, const uint8_t* end, uint32_t* cp) {
+    uint8_t c = p[0];
+    if (c < 0x80) { *cp = c; return 1; }
+    if ((c >> 5) == 0x6) {
+        if (end - p < 2) return 0;
+        *cp = ((c & 0x1F) << 6) | (p[1] & 0x3F);
+        return 2;
+    }
+    if ((c >> 4) == 0xE) {
+        if (end - p < 3) return 0;
+        *cp = ((c & 0x0F) << 12) | ((p[1] & 0x3F) << 6) | (p[2] & 0x3F);
+        return 3;
+    }
+    if ((c >> 3) == 0x1E) {
+        if (end - p < 4) return 0;
+        *cp = ((c & 0x07) << 18) | ((p[1] & 0x3F) << 12) |
+              ((p[2] & 0x3F) << 6) | (p[3] & 0x3F);
+        return 4;
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize UTF-8 text.
+//   text, text_len:      input bytes
+//   fold, fold_len:      dense codepoint fold table (index = codepoint)
+//   min_word_len:        tokens shorter than this are skipped
+//   overshort_step:      position bump for skipped overshort tokens
+//   out_codes:           [cap_codes] folded codepoints of kept tokens, packed
+//   out_tok_off/len:     [cap_tokens] per-token slice into out_codes
+//   out_pos:             [cap_tokens] 1-based in-field positions
+//   out_char_start/end:  [cap_tokens] char (codepoint) offsets in the source
+// Returns the number of tokens written (clipped at cap_tokens).
+int mt_tokenize(const uint8_t* text, int text_len,
+                const int32_t* fold, int fold_len,
+                int min_word_len, int overshort_step,
+                int32_t* out_codes, int cap_codes,
+                int32_t* out_tok_off, int32_t* out_len, int32_t* out_pos,
+                int32_t* out_char_start, int32_t* out_char_end,
+                int cap_tokens) {
+    const uint8_t* p = text;
+    const uint8_t* end = text + text_len;
+
+    int n_tokens = 0;
+    int code_cursor = 0;
+    int pos = 0;
+    int char_idx = 0;
+
+    int run_len = 0;          // codepoints in the current word run
+    int run_kept = 0;         // codepoints actually stored (<= kMaxWordLen)
+    int run_start_char = 0;
+    int run_start_code = 0;
+
+    while (p < end) {
+        uint32_t cp;
+        int nb = utf8_decode(p, end, &cp);
+        if (nb == 0) { p += 1; continue; }  // skip invalid byte
+        p += nb;
+
+        int32_t folded = (cp < (uint32_t)fold_len) ? fold[cp] : 0;
+        if (folded > 0) {
+            if (run_len == 0) {
+                run_start_char = char_idx;
+                run_start_code = code_cursor;
+                run_kept = 0;
+            }
+            if (run_kept < kMaxWordLen && code_cursor < cap_codes) {
+                out_codes[code_cursor++] = folded;
+                run_kept++;
+            }
+            run_len++;
+        } else if (run_len > 0) {
+            // close the run
+            if (run_len < min_word_len) {
+                pos += overshort_step;
+                code_cursor = run_start_code;  // discard stored codes
+            } else {
+                pos += 1;
+                if (n_tokens < cap_tokens) {
+                    out_tok_off[n_tokens] = run_start_code;
+                    out_len[n_tokens] = run_kept;
+                    out_pos[n_tokens] = pos;
+                    out_char_start[n_tokens] = run_start_char;
+                    out_char_end[n_tokens] = char_idx;
+                    n_tokens++;
+                } else {
+                    return n_tokens;
+                }
+            }
+            run_len = 0;
+        }
+        char_idx++;
+    }
+    if (run_len > 0) {
+        if (run_len < min_word_len) {
+            // trailing overshort token: dropped
+        } else {
+            pos += 1;
+            if (n_tokens < cap_tokens) {
+                out_tok_off[n_tokens] = run_start_code;
+                out_len[n_tokens] = run_kept;
+                out_pos[n_tokens] = pos;
+                out_char_start[n_tokens] = run_start_char;
+                out_char_end[n_tokens] = char_idx;
+                n_tokens++;
+            }
+        }
+    }
+    return n_tokens;
+}
+
+// CRC64 (Jones polynomial) of folded token bytes — available for dict=crc
+// style wordid hashing if ever needed.
+uint64_t mt_crc64(const uint8_t* data, int len) {
+    static uint64_t table[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; i++) {
+            uint64_t crc = i;
+            for (int j = 0; j < 8; j++)
+                crc = (crc >> 1) ^ ((crc & 1) ? 0xad93d23594c935a9ULL : 0);
+            table[i] = crc;
+        }
+        init = true;
+    }
+    uint64_t crc = ~0ULL;
+    for (int i = 0; i < len; i++)
+        crc = (crc >> 8) ^ table[(crc ^ data[i]) & 0xFF];
+    return ~crc;
+}
+
+}  // extern "C"

@@ -68,8 +68,21 @@ class Tokenizer:
         idx_c = np.clip(idx, 0, len(self._ngram_set) - 1)
         return self._ngram_set[idx_c] == codes
 
+    def _native_fold_table(self):
+        if not hasattr(self, "_fold_dense"):
+            top = min(max((r.end for r in self._lc.ranges), default=0) + 1,
+                      0x110000)
+            dense = self._lc.fold(np.arange(top, dtype=np.int32))
+            self._fold_dense = np.ascontiguousarray(dense, dtype=np.int32)
+        return self._fold_dense
+
     def tokenize(self, text: str) -> list[Token]:
         """Tokenize one field; returns tokens with 1-based positions."""
+        if self._ngram_set is None:
+            from ..native import get_native_lib
+            lib = get_native_lib()
+            if lib is not None:
+                return self._tokenize_native(lib, text)
         folded = self._lc.fold_str(text)
         if len(folded) == 0:
             return []
@@ -107,6 +120,93 @@ class Tokenizer:
                       pos, s, e + 1)
             )
         return out
+
+    def _tokenize_native(self, lib, text: str) -> list[Token]:
+        """C++ fast path (native/tokenizer.cpp): UTF-8 decode + fold + split
+        in one pass; token strings sliced out of the folded buffer here."""
+        import ctypes
+
+        raw = text.encode("utf-8")
+        if not raw:
+            return []
+        fold = self._native_fold_table()
+        n = len(raw)
+        cap_codes = n + 1
+        cap_tokens = n // max(self.settings.min_word_len, 1) + 1
+        codes = np.empty(cap_codes, np.int32)
+        toff = np.empty(cap_tokens, np.int32)
+        tlen = np.empty(cap_tokens, np.int32)
+        tpos = np.empty(cap_tokens, np.int32)
+        tcs = np.empty(cap_tokens, np.int32)
+        tce = np.empty(cap_tokens, np.int32)
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        cnt = lib.mt_tokenize(
+            raw, n, ptr(fold), len(fold),
+            self.settings.min_word_len, self.settings.overshort_step,
+            ptr(codes), cap_codes, ptr(toff), ptr(tlen), ptr(tpos),
+            ptr(tcs), ptr(tce), cap_tokens)
+        if not cnt:
+            return []
+        # bulk-decode the whole folded buffer once, slice tokens as strings
+        total = int(toff[cnt - 1] + tlen[cnt - 1])
+        big = codes[:total].astype(np.uint32).tobytes().decode("utf-32-le")
+        toff_l = toff[:cnt].tolist()
+        tlen_l = tlen[:cnt].tolist()
+        tpos_l = tpos[:cnt].tolist()
+        tcs_l = tcs[:cnt].tolist()
+        tce_l = tce[:cnt].tolist()
+        return [
+            Token(big[o:o + ln], p, cs, ce)
+            for o, ln, p, cs, ce in zip(toff_l, tlen_l, tpos_l, tcs_l, tce_l)
+        ]
+
+    def tokenize_fast(self, text: str):
+        """Builder fast path: returns (terms list[str], positions list[int])
+        without Token objects. Falls back to tokenize() when native code or
+        plain settings are unavailable."""
+        if self._ngram_set is None:
+            from ..native import get_native_lib
+            lib = get_native_lib()
+            if lib is not None:
+                return self._tokenize_native_fast(lib, text)
+        toks = self.tokenize(text)
+        return [t.text for t in toks], [t.position for t in toks]
+
+    def _tokenize_native_fast(self, lib, text: str):
+        import ctypes
+
+        raw = text.encode("utf-8")
+        if not raw:
+            return [], []
+        fold = self._native_fold_table()
+        n = len(raw)
+        cap_tokens = n // max(self.settings.min_word_len, 1) + 1
+        codes = np.empty(n + 1, np.int32)
+        toff = np.empty(cap_tokens, np.int32)
+        tlen = np.empty(cap_tokens, np.int32)
+        tpos = np.empty(cap_tokens, np.int32)
+        tcs = np.empty(cap_tokens, np.int32)
+        tce = np.empty(cap_tokens, np.int32)
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        cnt = lib.mt_tokenize(
+            raw, n, ptr(fold), len(fold),
+            self.settings.min_word_len, self.settings.overshort_step,
+            ptr(codes), n + 1, ptr(toff), ptr(tlen), ptr(tpos),
+            ptr(tcs), ptr(tce), cap_tokens)
+        if not cnt:
+            return [], []
+        total = int(toff[cnt - 1] + tlen[cnt - 1])
+        big = codes[:total].astype(np.uint32).tobytes().decode("utf-32-le")
+        toff_l = toff[:cnt].tolist()
+        tlen_l = tlen[:cnt].tolist()
+        return ([big[o:o + ln] for o, ln in zip(toff_l, tlen_l)],
+                tpos[:cnt].tolist())
 
     def tokenize_terms(self, text: str) -> list[str]:
         return [t.text for t in self.tokenize(text)]

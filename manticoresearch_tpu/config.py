@@ -1,0 +1,129 @@
+"""Configuration system.
+
+Behavioral model: the reference's config machinery (sphinxutils.cpp:615-957
+key tables; searchdconfig.cpp RT-mode manticore.json). TPU redesign uses
+declarative TOML (stdlib tomllib) with the same key semantics:
+
+    [searchd]
+    listen_mysql = 9306
+    listen_http = 9308
+    data_dir = "./data"
+    rt_flush_period = 60
+
+    [index.products]            # plain index built by the indexer tool
+    type = "plain"
+    source = "products.jsonl"   # csv/tsv/jsonl
+    fields = ["title", "descr"]
+    attrs = { price = "float", cat = "uint" }
+    path = "./idx/products"
+
+    [index.rt1]                 # RT index (served from data_dir)
+    type = "rt"
+    fields = ["body"]
+    attrs = { gid = "uint" }
+
+    [index.rt1.tokenizer]
+    charset_table = "non_cjk"
+    min_word_len = 1
+
+    [index.rt1.dict]
+    morphology = ["stem_en"]
+    stopwords = ["the", "a"]
+"""
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+
+from .schema import AttrDef, AttrType, Schema
+from .text.dictionary import DictSettings
+from .text.tokenizer import TokenizerSettings
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class SearchdConfig:
+    listen_mysql: int = 9306
+    listen_http: int = 9308
+    host: str = "127.0.0.1"
+    data_dir: str | None = None
+    rt_flush_period: float = 60.0
+    query_log: str | None = None
+
+
+@dataclass
+class IndexConfig:
+    name: str
+    type: str = "rt"                       # rt | plain | percolate/pq
+    source: str | None = None              # for plain: csv/tsv/jsonl path
+    path: str | None = None                # for plain: output dir
+    schema: Schema = None                  # type: ignore[assignment]
+    tokenizer: TokenizerSettings = field(default_factory=TokenizerSettings)
+    dict: DictSettings = field(default_factory=DictSettings)
+
+
+@dataclass
+class Config:
+    searchd: SearchdConfig
+    indexes: dict[str, IndexConfig]
+
+
+def _parse_schema(name: str, sec: dict) -> Schema:
+    fields_ = list(sec.get("fields", []))
+    attrs = []
+    for aname, atype in (sec.get("attrs") or {}).items():
+        try:
+            attrs.append(AttrDef(aname, AttrType(atype)))
+        except ValueError:
+            raise ConfigError(
+                f"index {name}: unknown attr type {atype!r} for {aname!r}")
+    return Schema(fields=fields_, attrs=attrs)
+
+
+def _parse_tokenizer(sec: dict) -> TokenizerSettings:
+    return TokenizerSettings(
+        charset_table=sec.get("charset_table", "non_cjk"),
+        min_word_len=int(sec.get("min_word_len", 1)),
+        ngram_chars=sec.get("ngram_chars", ""),
+        ngram_len=int(sec.get("ngram_len", 1)),
+        overshort_step=int(sec.get("overshort_step", 1)),
+    )
+
+
+def _parse_dict(sec: dict) -> DictSettings:
+    return DictSettings(
+        stopwords=frozenset(sec.get("stopwords", [])),
+        morphology=tuple(sec.get("morphology", [])),
+        wordforms=tuple(tuple(p) for p in sec.get("wordforms", [])),
+        index_exact_words=bool(sec.get("index_exact_words", False)),
+        min_stemming_len=int(sec.get("min_stemming_len", 1)),
+    )
+
+
+def load_config(path: str) -> Config:
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+    sd_raw = raw.get("searchd", {})
+    sd = SearchdConfig(
+        listen_mysql=int(sd_raw.get("listen_mysql", 9306)),
+        listen_http=int(sd_raw.get("listen_http", 9308)),
+        host=str(sd_raw.get("host", "127.0.0.1")),
+        data_dir=sd_raw.get("data_dir"),
+        rt_flush_period=float(sd_raw.get("rt_flush_period", 60.0)),
+        query_log=sd_raw.get("query_log"),
+    )
+    indexes = {}
+    for name, sec in (raw.get("index") or {}).items():
+        indexes[name] = IndexConfig(
+            name=name,
+            type=str(sec.get("type", "rt")),
+            source=sec.get("source"),
+            path=sec.get("path"),
+            schema=_parse_schema(name, sec),
+            tokenizer=_parse_tokenizer(sec.get("tokenizer", {})),
+            dict=_parse_dict(sec.get("dict", {})),
+        )
+    return Config(searchd=sd, indexes=indexes)

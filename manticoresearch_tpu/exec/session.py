@@ -680,6 +680,18 @@ class Session:
             self.txn_tables = set()
             self.in_txn = False
             return QLResult.ok()
+        if k == "attach":
+            src, dst = st.args
+            from ..index.rt import rt_from_packed
+            from ..index.storage import load_packed
+            if dst in self.catalog.tables:
+                return QLResult.err(f"table '{dst}' already exists")
+            packed = load_packed(src)
+            ddir = (os.path.join(self.catalog.data_dir, dst)
+                    if self.catalog.data_dir else None)
+            self.catalog.tables[dst] = rt_from_packed(dst, packed, ddir)
+            self.catalog._save_manifest()
+            return QLResult.ok(packed.n_docs)
         if k == "explain":
             idx, qtext = st.args
             t = self.catalog.get(idx)

@@ -297,3 +297,34 @@ class RtIndex:
     def search(self, q):
         from ..exec.multi import search_rt
         return search_rt(self, q)
+
+
+def rt_from_packed(name: str, packed, data_dir: str | None = None
+                   ) -> "RtIndex":
+    """Wrap a plain (offline-built) index as a served RT table with one
+    sealed segment — the ATTACH INDEX path (sphinxrt AttachDiskIndex
+    semantics). Source docs reconstruct from stored fields + attrs so later
+    merges keep working."""
+    from ..exec.searcher import SearchIndex
+
+    rt = RtIndex(name, packed.schema, packed.tokenizer_settings,
+                 packed.dict_settings, data_dir=data_dir)
+    docs: dict[int, dict] = {}
+    for r, did in enumerate(packed.doc_ids.tolist()):
+        d: dict = {"id": int(did)}
+        for fname, vals in packed.stored_fields.items():
+            d[fname] = vals[r]
+        for aname, arr in packed.attrs_int.items():
+            d[aname] = int(arr[r])
+        for aname, arr in packed.attrs_big.items():
+            d[aname] = int(arr[r])
+        for aname, arr in packed.attrs_float.items():
+            d[aname] = float(arr[r])
+        for aname, lst in packed.attrs_str.items():
+            d[aname] = lst[r]
+        for aname, (off, vals) in packed.attrs_mva.items():
+            d[aname] = [int(x) for x in vals[off[r]:off[r + 1]]]
+        docs[int(did)] = d
+    rt.segments = [_Segment(packed, SearchIndex(packed), docs)]
+    rt.docid_seg = {d: 0 for d in docs}
+    return rt

@@ -680,11 +680,12 @@ class SqlParser:
 
     def parse_attach(self):
         self.expect_kw("ATTACH")
-        self.expect_kw("INDEX")
-        src = self.name()
+        self.eat_kw("INDEX", "TABLE")
+        # source: an index path (quoted) or a bare name
+        src = self.value() if self.peek()[0] == "str" else self.name()
         self.expect_kw("TO")
         self.eat_kw("RTINDEX", "TABLE")
-        return SimpleStmt("attach", [src, self.name()])
+        return SimpleStmt("attach", [str(src), self.name()])
 
     def parse_explain(self):
         self.expect_kw("EXPLAIN")

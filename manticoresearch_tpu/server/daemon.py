@@ -22,11 +22,36 @@ from .mysql import MysqlServer
 class Daemon:
     def __init__(self, data_dir: str | None = None,
                  mysql_port: int = 9306, http_port: int = 9308,
-                 host: str = "127.0.0.1", flush_period: float = 60.0):
+                 host: str = "127.0.0.1", flush_period: float = 60.0,
+                 config=None):
         self.catalog = Catalog(data_dir)
+        if config is not None:
+            self._apply_config(config)
         self.mysql = MysqlServer(self.catalog, host, mysql_port)
         self.http = HttpServer(self.catalog, host, http_port)
         self.flush_period = flush_period
+
+    def _apply_config(self, cfg) -> None:
+        """Register config-declared indexes (rt: create if missing; plain:
+        load from path; pq: create)."""
+        from ..index.rt import rt_from_packed
+        from ..index.storage import load_packed
+
+        for name, ic in cfg.indexes.items():
+            if name in self.catalog.tables:
+                continue
+            if ic.type == "plain":
+                if not ic.path:
+                    continue
+                packed = load_packed(ic.path)
+                self.catalog.tables[name] = rt_from_packed(name, packed)
+                self.catalog._save_manifest()
+            elif ic.type in ("pq", "percolate"):
+                self.catalog.create(name, ic.schema, "percolate")
+            else:
+                t = self.catalog.create(name, ic.schema)
+                t.tok_settings = ic.tokenizer
+                t.dict_settings = ic.dict
 
     async def _periodic_flush(self) -> None:
         """rt_flush_period analog (taskflushmutable/taskflushbinlog)."""
@@ -61,14 +86,23 @@ class Daemon:
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description="manticoresearch-tpu daemon")
+    ap.add_argument("--config", default=None, help="TOML config file")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--listen-mysql", type=int, default=9306)
     ap.add_argument("--listen-http", type=int, default=9308)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--rt-flush-period", type=float, default=60.0)
     args = ap.parse_args(argv)
-    d = Daemon(args.data_dir, args.listen_mysql, args.listen_http,
-               args.host, args.rt_flush_period)
+    cfg = None
+    if args.config:
+        from ..config import load_config
+        cfg = load_config(args.config)
+        sd = cfg.searchd
+        d = Daemon(args.data_dir or sd.data_dir, sd.listen_mysql,
+                   sd.listen_http, sd.host, sd.rt_flush_period, config=cfg)
+    else:
+        d = Daemon(args.data_dir, args.listen_mysql, args.listen_http,
+                   args.host, args.rt_flush_period)
     asyncio.run(d.run())
 
 

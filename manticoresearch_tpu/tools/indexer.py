@@ -1,0 +1,107 @@
+"""Offline index builder CLI — the `indexer` tool analog
+(/root/reference/src/indexer.cpp: per-index sections, sources, --rotate).
+
+Sources supported: csv, tsv (header row names columns), jsonl (one document
+object per line). Column 'id' is required; schema columns map by name.
+
+Usage:
+    python -m manticoresearch_tpu.tools.indexer --config conf.toml [index...]
+    python -m manticoresearch_tpu.tools.indexer --source docs.jsonl \
+        --fields title,body --attrs price=float,cat=uint --out ./idx/name
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+import time
+
+
+def read_source(path: str):
+    """Yield document dicts from csv/tsv/jsonl."""
+    if path.endswith(".jsonl") or path.endswith(".ndjson"):
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+    elif path.endswith(".csv") or path.endswith(".tsv"):
+        delim = "\t" if path.endswith(".tsv") else ","
+        with open(path, "r", encoding="utf-8", newline="") as f:
+            for row in csv.DictReader(f, delimiter=delim):
+                yield row
+    else:
+        raise ValueError(f"unsupported source format: {path}")
+
+
+def build_one(name: str, schema, tok, dic, source: str, out: str,
+              quiet: bool = False) -> int:
+    from ..index.builder import IndexBuilder
+    from ..index.storage import save_packed
+
+    t0 = time.time()
+    b = IndexBuilder(schema, tok, dic)
+    n = 0
+    for doc in read_source(source):
+        b.add_document(doc)
+        n += 1
+    packed = b.build()
+    save_packed(packed, out)
+    if not quiet:
+        dt = time.time() - t0
+        print(f"index '{name}': {n} docs, {packed.total_hits} hits, "
+              f"{packed.n_terms} terms in {dt:.1f}s "
+              f"({n / max(dt, 1e-9):.0f} docs/sec)")
+    return n
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="offline index builder")
+    ap.add_argument("--config", help="TOML config with [index.*] sections")
+    ap.add_argument("indexes", nargs="*", help="index names (default: all)")
+    ap.add_argument("--source", help="ad-hoc source file (csv/tsv/jsonl)")
+    ap.add_argument("--fields", help="comma-separated full-text fields")
+    ap.add_argument("--attrs", help="name=type,... attribute spec")
+    ap.add_argument("--out", help="output index directory")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.config:
+        from ..config import load_config
+        cfg = load_config(args.config)
+        wanted = args.indexes or [n for n, ic in cfg.indexes.items()
+                                  if ic.type == "plain"]
+        for name in wanted:
+            ic = cfg.indexes.get(name)
+            if ic is None:
+                print(f"ERROR: no index '{name}' in config", file=sys.stderr)
+                return 1
+            if ic.type != "plain":
+                print(f"skipping '{name}' (type={ic.type})")
+                continue
+            if not ic.source or not ic.path:
+                print(f"ERROR: index '{name}' needs source and path",
+                      file=sys.stderr)
+                return 1
+            build_one(name, ic.schema, ic.tokenizer, ic.dict, ic.source,
+                      ic.path, args.quiet)
+        return 0
+
+    if not (args.source and args.out):
+        ap.error("either --config or --source/--out required")
+    from ..schema import AttrDef, AttrType, Schema
+    fields = [s for s in (args.fields or "").split(",") if s]
+    attrs = []
+    for spec in (args.attrs or "").split(","):
+        if not spec:
+            continue
+        aname, _, atype = spec.partition("=")
+        attrs.append(AttrDef(aname, AttrType(atype)))
+    schema = Schema(fields=fields, attrs=attrs)
+    build_one(args.out, schema, None, None, args.source, args.out, args.quiet)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Config, indexer/indextool CLIs, ATTACH INDEX."""
+import json
+import os
+
+import pytest
+
+from manticoresearch_tpu.config import ConfigError, load_config
+from manticoresearch_tpu.exec.session import Catalog, Session
+from manticoresearch_tpu.tools.indexer import main as indexer_main
+from manticoresearch_tpu.tools.indextool import check_index, main as it_main
+
+
+@pytest.fixture()
+def corpus_jsonl(tmp_path):
+    path = tmp_path / "docs.jsonl"
+    docs = [
+        dict(id=1, title="red apple", body="fresh fruit", price=10.5, cat=1),
+        dict(id=2, title="green pear", body="sweet fruit", price=8.25, cat=1),
+        dict(id=3, title="blue car", body="fast vehicle", price=999.0, cat=2),
+    ]
+    with open(path, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    return str(path)
+
+
+@pytest.fixture()
+def config_file(tmp_path, corpus_jsonl):
+    conf = tmp_path / "conf.toml"
+    conf.write_text(f'''
+[searchd]
+listen_mysql = 19306
+listen_http = 19308
+data_dir = "{tmp_path}/data"
+
+[index.products]
+type = "plain"
+source = "{corpus_jsonl}"
+path = "{tmp_path}/idx/products"
+fields = ["title", "body"]
+attrs = {{ price = "float", cat = "uint" }}
+
+[index.rt1]
+type = "rt"
+fields = ["body"]
+attrs = {{ gid = "uint" }}
+
+[index.rt1.dict]
+morphology = ["stem_en"]
+''')
+    return str(conf)
+
+
+class TestConfig:
+    def test_load(self, config_file):
+        cfg = load_config(config_file)
+        assert cfg.searchd.listen_mysql == 19306
+        assert cfg.indexes["products"].type == "plain"
+        assert cfg.indexes["rt1"].dict.morphology == ("stem_en",)
+        assert cfg.indexes["products"].schema.fields == ["title", "body"]
+
+    def test_bad_attr_type(self, tmp_path):
+        p = tmp_path / "bad.toml"
+        p.write_text('[index.x]\nattrs = { a = "nosuch" }\n')
+        with pytest.raises(ConfigError):
+            load_config(str(p))
+
+
+class TestIndexerTool:
+    def test_build_from_config_and_check(self, config_file, tmp_path, capsys):
+        assert indexer_main(["--config", config_file]) == 0
+        out_dir = str(tmp_path / "idx" / "products")
+        assert os.path.exists(os.path.join(out_dir, "arrays.npz"))
+        assert check_index(out_dir) == []
+        assert it_main(["--check", out_dir]) == 0
+        assert it_main(["--dumpdict", out_dir, "--limit", "5"]) == 0
+
+    def test_adhoc_build(self, corpus_jsonl, tmp_path):
+        out = str(tmp_path / "adhoc")
+        assert indexer_main([
+            "--source", corpus_jsonl, "--fields", "title,body",
+            "--attrs", "price=float,cat=uint", "--out", out, "--quiet"]) == 0
+        assert check_index(out) == []
+
+    def test_corrupted_index_detected(self, corpus_jsonl, tmp_path):
+        out = str(tmp_path / "bad")
+        indexer_main(["--source", corpus_jsonl, "--fields", "title",
+                      "--out", out, "--quiet"])
+        import numpy as np
+        z = dict(np.load(os.path.join(out, "arrays.npz")))
+        z["post_tf"] = z["post_tf"] * 0          # break tf invariant
+        np.savez(os.path.join(out, "arrays.npz"), **z)
+        assert check_index(out) != []
+
+
+class TestAttach:
+    def test_attach_and_query(self, corpus_jsonl, tmp_path):
+        out = str(tmp_path / "plain1")
+        indexer_main(["--source", corpus_jsonl, "--fields", "title,body",
+                      "--attrs", "price=float,cat=uint", "--out", out,
+                      "--quiet"])
+        s = Session(Catalog())
+        r = s.execute(f"ATTACH INDEX '{out}' TO TABLE products")[0]
+        assert r.error is None and r.affected == 3
+        r = s.execute("SELECT id, price FROM products "
+                      "WHERE MATCH('fruit') ORDER BY price DESC")[0]
+        assert r.rows == [(1, 10.5), (2, 8.25)]
+        # attached table is writable (RT semantics after ATTACH)
+        r = s.execute("INSERT INTO products (id, title, body, price, cat) "
+                      "VALUES (4, 'new doc', 'fresh fruit too', 1.0, 3)")[0]
+        assert r.error is None
+        r = s.execute("SELECT id FROM products WHERE MATCH('fruit')")[0]
+        assert len(r.rows) == 3

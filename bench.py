@@ -55,9 +55,11 @@ def make_workload(rng, n_queries: int, vocab: int):
     from manticoresearch_tpu.exec.searcher import SearchQuery
     from manticoresearch_tpu.query.planner import AttrFilterDef
 
-    # mid-frequency terms: avoid both stop-word-like t0000 and singletons
+    # mid-frequency terms: avoid both stop-word-like t00000 and singletons
+    width = max(4, len(str(vocab - 1)))
+
     def term():
-        return f"t{rng.randint(3, min(2000, vocab)):04d}"
+        return f"t{rng.randint(3, min(2000, vocab)):0{width}d}"
 
     out = []
     for i in range(n_queries):

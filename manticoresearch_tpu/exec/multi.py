@@ -103,8 +103,7 @@ def _search_with_stats(index, q, stats_kwargs):
         return SearchResult([], 0, 0, 0.0, [], error=str(e))
     fn = get_search_fn(
         cq.sig, index.packed.n_docs, max(index.schema.n_fields, 1),
-        cq.bucket, cq.hit_bucket, cq.n_hit_iters, cq.lim_bucket,
-        cq.rh_bucket)
+        cq.slot_pb, cq.slot_hb, cq.n_hit_iters)
     out = fn(index.device.data_pytree(), cq.runtime)
     rowids = np.asarray(out["rowid"])
     weights = np.asarray(out["weight"])

@@ -65,6 +65,7 @@ class SearchResult:
     word_stats: list[WordStat]
     error: str | None = None
     warning: str | None = None
+    profile: list = dc_field(default_factory=list)  # (stage, seconds) pairs
 
 
 class SearchIndex:
@@ -78,6 +79,7 @@ class SearchIndex:
         self.parser = FtQueryParser(
             self.tokenizer, self.dictionary, packed.schema.fields
         )
+        self._plan_cache: dict = {}
 
     @property
     def schema(self):
@@ -104,35 +106,59 @@ class SearchIndex:
 
     # ------------------------------------------------------------------
     def plan(self, q: SearchQuery) -> CompiledQuery:
+        # plan cache (the spirit of sphinxqcache.cpp, applied to the
+        # parse+plan stage): repeated query shapes skip AST work entirely.
+        # Safe per index generation — this SearchIndex's CSR never mutates.
+        key = (
+            q.match, q.ranker, q.max_matches, q.offset + q.limit,
+            tuple(q.sort), q.idf_plain, q.tfidf_normalized,
+            tuple(sorted(q.field_weights.items())),
+            tuple((f.attr, f.kind, tuple(f.values), f.lo, f.hi, f.exclude,
+                   f.lo_excl, f.hi_excl) for f in q.filters),
+        )
+        cached = self._plan_cache.get(key)
+        if cached is not None:
+            return cached
         ast = self.parser.parse(q.match)
         order = _resolve_order(q, self.schema)
-        return plan_query(
+        cq = plan_query(
             ast, self.packed,
             filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
             window=q.offset + q.limit,
             order=order, field_weights=q.field_weights,
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
         )
+        if len(self._plan_cache) > 8192:
+            self._plan_cache.clear()
+        self._plan_cache[key] = cq
+        return cq
 
     def search(self, q: SearchQuery) -> SearchResult:
         if q.group_by:
             return self._search_grouped(q)
         t0 = time.perf_counter()
+        prof: list[tuple[str, float]] = []
         try:
             cq = self.plan(q)
         except (ValueError, NotImplementedError) as e:
             return SearchResult([], 0, 0, 0.0, [], error=str(e))
+        prof.append(("parse_and_plan", time.perf_counter() - t0))
 
         fn = get_search_fn(
             cq.sig, self.packed.n_docs, max(self.schema.n_fields, 1),
-            cq.bucket, cq.hit_bucket, cq.n_hit_iters, cq.lim_bucket,
-            cq.rh_bucket,
+            cq.slot_pb, cq.slot_hb, cq.n_hit_iters,
         )
+        t1 = time.perf_counter()
         out = fn(self.device.data_pytree(), cq.runtime)
         rowids = np.asarray(out["rowid"])
         weights = np.asarray(out["weight"])
         found = int(out["found"])
-        return self._finish(q, cq, rowids, weights, found, t0)
+        prof.append(("device_exec_fetch", time.perf_counter() - t1))
+        t2 = time.perf_counter()
+        res = self._finish(q, cq, rowids, weights, found, t0)
+        prof.append(("finalize", time.perf_counter() - t2))
+        res.profile = prof
+        return res
 
     def search_batch(self, queries: list[SearchQuery]) -> list[SearchResult]:
         """Batched execution: queries grouped by plan shape share ONE device
@@ -153,8 +179,7 @@ class SearchIndex:
                 results[i] = SearchResult([], 0, 0, 0.0, [], error=str(e))
                 continue
             plans[i] = cq
-            key = (cq.sig, cq.bucket, cq.hit_bucket, cq.n_hit_iters,
-                   cq.lim_bucket, cq.rh_bucket)
+            key = (cq.sig, cq.slot_pb, cq.slot_hb, cq.n_hit_iters)
             groups.setdefault(key, []).append(i)
 
         import jax
@@ -162,10 +187,10 @@ class SearchIndex:
         data = self.device.data_pytree()
         # phase 1: dispatch every group's launch asynchronously
         pending = []
-        for (sig, bucket, hb, nhi, lb, rhb), idxs in groups.items():
+        for (sig, pb, hb, nhi), idxs in groups.items():
             fn = get_batched_search_fn(
                 sig, self.packed.n_docs, max(self.schema.n_fields, 1),
-                bucket, hb, nhi, lb, rhb)
+                pb, hb, nhi)
             # pad the batch dim to a pow2 so group size doesn't multiply
             # compile shapes (dummy slots repeat the last query)
             B = 1
@@ -175,8 +200,20 @@ class SearchIndex:
             padded += [padded[-1]] * (B - len(padded))
             rt_b = jax.tree.map(lambda *xs: np.stack(xs), *padded)
             pending.append((sig, idxs, fn(data, rt_b)))
-        # phase 2: one bulk device->host fetch (amortizes link RTT)
-        fetched = jax.device_get([p[2] for p in pending])
+        # phase 2: ONE device->host fetch — group outputs concatenated on
+        # device first (every separate fetch pays the accelerator-link RTT)
+        if len(pending) > 1:
+            import jax.numpy as jnp
+            flat = jnp.concatenate([p[2].reshape(-1) for p in pending])
+            flat_host = np.asarray(flat)
+            fetched = []
+            off = 0
+            for p in pending:
+                size = int(np.prod(p[2].shape))
+                fetched.append(flat_host[off:off + size].reshape(p[2].shape))
+                off += size
+        else:
+            fetched = [np.asarray(p[2]) for p in pending]
         # phase 3: unpack
         for (sig, idxs, _), packed_out in zip(pending, fetched):
             k = sig.k
@@ -245,8 +282,7 @@ class SearchIndex:
 
         fn = get_groupby_fn(
             cq.sig, gspec, self.packed.n_docs, max(self.schema.n_fields, 1),
-            cq.bucket, cq.hit_bucket, cq.n_hit_iters, cq.lim_bucket,
-            cq.rh_bucket)
+            cq.slot_pb, cq.slot_hb, cq.n_hit_iters)
         out = fn(self.device.data_pytree(), cq.runtime)
 
         rep_rowid = np.asarray(out["rep_rowid"])

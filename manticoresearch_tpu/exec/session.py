@@ -128,6 +128,8 @@ class Session:
         self.in_txn = False
         self.txn_tables: set[str] = set()
         self.last_meta: list[tuple[str, str]] = []
+        self.last_profile: list[tuple[str, float]] = []
+        self.query_log: "object | None" = None  # file-like; set by daemon
         self.last_warning: str | None = None
         self.variables: dict[str, Any] = {}
         self.start_time = time.time()
@@ -207,7 +209,17 @@ class Session:
         if res.error:
             return [QLResult.err(res.error)]
         self._store_meta(res)
+        self.last_profile = list(getattr(res, "profile", []))
         self.last_warning = res.warning
+        if self.query_log is not None:
+            # replayable SphinxQL-format query log (searchd.cpp:2918)
+            import time as _t
+            stamp = _t.strftime("%Y-%m-%d %H:%M:%S")
+            self.query_log.write(
+                f"/* {stamp} conn 1 real {res.time_ms/1000.0:.3f} "
+                f"wall {res.time_ms/1000.0:.3f} found {res.total_found} */ "
+                f"SELECT ... FROM {','.join(st.indexes)};\n")
+            self.query_log.flush()
 
         main = self._project(st, res, tables[0].schema, tables[0])
         out = [main]
@@ -624,7 +636,16 @@ class Session:
         if k == "show_threads":
             return QLResult(columns=["Tid", "Name", "Proto", "State", "Time"],
                             rows=[("1", "work_0", "mysql", "query", "0.000")])
-        if k in ("show_profile", "show_plan", "show_agent_status"):
+        if k == "show_profile":
+            # SHOW PROFILE: per-stage timers (queryprofile.h:18-51 states)
+            rows = [(name, f"{sec:.6f}", "1")
+                    for name, sec in self.last_profile]
+            total = sum(sec for _, sec in self.last_profile)
+            rows.append(("total", f"{total:.6f}",
+                         str(len(self.last_profile))))
+            return QLResult(columns=["Status", "Duration", "Switches"],
+                            rows=rows)
+        if k in ("show_plan", "show_agent_status"):
             return QLResult(columns=["Status"], rows=[("TODO",)])
         if k == "desc":
             t = self.catalog.get(st.args[0])

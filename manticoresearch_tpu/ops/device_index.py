@@ -85,8 +85,37 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
         mva_off[name] = put(off.astype(np.int32))
         mva_val[name] = put(np.clip(vals, -(2**31), 2**31 - 1).astype(np.int32))
 
+    def _pow2(x, lo=1024):
+        n = lo
+        while n < x:
+            n <<= 1
+        return n
+
+    # over-pad posting/hit arrays so per-slot dynamic_slice windows (pow2 of
+    # df / hit count, ops/search.py) never clamp at the array end
+    max_df = int(packed.term_docs.max()) if packed.n_terms else 0
+    pad_p = _pow2(max_df)
+    max_th = 0
+    if packed.n_terms:
+        # max hits of any single term
+        per_term_hits = (packed.post_hit_offset[packed.term_offsets[1:]]
+                         - packed.post_hit_offset[packed.term_offsets[:-1]])
+        max_th = int(per_term_hits.max()) if len(per_term_hits) else 0
+    pad_h = _pow2(max_th)
+
+    def padp(arr, val, pad):
+        return np.concatenate([arr, np.full(pad, val, arr.dtype)])
+
+    post_rowid_p = padp(packed.post_rowid, n, pad_p)   # pad rows -> sink N
+    post_tfq_p = padp(packed.post_tfq, 0, pad_p)
+    post_tf_p = padp(packed.post_tf, 0, pad_p)
+    post_fm_p = padp(packed.post_fieldmask, 0, pad_p)
+
     hit_rowid = np.repeat(packed.post_rowid, packed.post_tf).astype(np.int32)
-    hit_nokey = (packed.hit_packed & ~(1 << 23)).astype(np.int32)
+    hit_rowid = padp(hit_rowid, n, pad_h)
+    hit_nokey = padp((packed.hit_packed & ~(1 << 23)).astype(np.int32), 0,
+                     pad_h)
+    hit_packed_p = padp(packed.hit_packed, 0, pad_h)
 
     fl = np.zeros((n + 1, max(packed.schema.n_fields, 1)), np.int32)
     if packed.field_lens.size:
@@ -99,12 +128,12 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
     return DeviceIndex(
         n_rows=n,
         n_fields=packed.schema.n_fields,
-        post_rowid=put(packed.post_rowid),
-        post_tfq=put(packed.post_tfq),
-        post_tf=put(packed.post_tf),
-        post_fieldmask=put(packed.post_fieldmask),
+        post_rowid=put(post_rowid_p),
+        post_tfq=put(post_tfq_p),
+        post_tf=put(post_tf_p),
+        post_fieldmask=put(post_fm_p),
         post_hit_offset=put(packed.post_hit_offset),
-        hit_packed=put(packed.hit_packed),
+        hit_packed=put(hit_packed_p),
         hit_packed_nokey=put(hit_nokey),
         hit_rowid=put(hit_rowid),
         alive=put(alive),

@@ -47,11 +47,10 @@ class GroupSpec:
 
 @lru_cache(maxsize=512)
 def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
-                   n_fields: int, bucket: int, hit_bucket: int = 0,
-                   n_hit_iters: int = 0, lim_bucket: int = 0,
-                   rh_bucket: int = 0):
-    core = build_match_core(sig, n_rows, n_fields, bucket, hit_bucket,
-                            n_hit_iters, lim_bucket, rh_bucket)
+                   n_fields: int, slot_pb: tuple = (), slot_hb: tuple = (),
+                   n_hit_iters: int = 0):
+    core = build_match_core(sig, n_rows, n_fields, slot_pb, slot_hb,
+                            n_hit_iters)
     N = n_rows
     k = gspec.k
 

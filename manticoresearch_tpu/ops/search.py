@@ -179,28 +179,26 @@ def _eval_filter(spec: FilterSpec, attr, vals):
 
 
 @lru_cache(maxsize=512)
-def get_search_fn(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
-                  hit_bucket: int = 0, n_hit_iters: int = 0,
-                  lim_bucket: int = 0, rh_bucket: int = 0):
+def get_search_fn(sig: PlanSig, n_rows: int, n_fields: int,
+                  slot_pb: tuple = (), slot_hb: tuple = (),
+                  n_hit_iters: int = 0):
     """Compile (lazily, cached) the single-shard search program."""
-    return jax.jit(build_kernel(sig, n_rows, n_fields, bucket,
-                                hit_bucket, n_hit_iters, lim_bucket,
-                                rh_bucket))
+    return jax.jit(build_kernel(sig, n_rows, n_fields, slot_pb, slot_hb,
+                                n_hit_iters))
 
 
 @lru_cache(maxsize=512)
 def get_batched_search_fn(sig: PlanSig, n_rows: int, n_fields: int,
-                          bucket: int, hit_bucket: int = 0,
-                          n_hit_iters: int = 0, lim_bucket: int = 0,
-                          rh_bucket: int = 0):
+                          slot_pb: tuple = (), slot_hb: tuple = (),
+                          n_hit_iters: int = 0):
     """Batched variant: vmap over per-query runtime args, one launch for B
     same-shape queries, output packed into ONE i32 array [B, 2k+1]
     (rowid[k] ++ weight[k] ++ found) so a serving host pays a single
     device->host fetch per batch (the multi-query optimization of
     CheckMultiQuery/MultiQueryEx, sphinx.cpp:15474, re-cast for a
     high-RTT accelerator link)."""
-    kern = build_kernel(sig, n_rows, n_fields, bucket, hit_bucket,
-                        n_hit_iters, lim_bucket, rh_bucket)
+    kern = build_kernel(sig, n_rows, n_fields, slot_pb, slot_hb,
+                        n_hit_iters)
     vkern = jax.vmap(kern, in_axes=(None, 0))
 
     def packed(data, rt_batched):
@@ -211,12 +209,18 @@ def get_batched_search_fn(sig: PlanSig, n_rows: int, n_fields: int,
     return jax.jit(packed)
 
 
-def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
-                     hit_bucket: int = 0, n_hit_iters: int = 0,
-                     lim_bucket: int = 0, rh_bucket: int = 0):
+def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
+                     slot_pb: tuple = (), slot_hb: tuple = (),
+                     n_hit_iters: int = 0):
     """Build the match+rank core: (data, rt) -> (eligible[N+1] bool,
     weight[N+1] i32, attrs_padded dict). Ordering tails (top-k, attr sort,
-    group-by) compose on top."""
+    group-by) compose on top.
+
+    slot_pb / slot_hb: per-slot posting / hit bucket sizes (pow2 of df /
+    hit count). Each slot's CSR range is CONTIGUOUS, so the kernel pulls it
+    with `lax.dynamic_slice` — on TPU a contiguous DMA, ~100x faster than the
+    equivalent gather (measured on v5e: 512k gather ~30ms vs slice ~0.3ms).
+    Device arrays are over-padded by the max bucket so slices never clamp."""
     N = n_rows
     F = n_fields
     S = sig.n_slots
@@ -232,71 +236,86 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
     rk_slots = ranker_term_slots(sig.expr) if use_lcs else ()
     rk_phrases = positive_phrase_nodes(sig.expr) if use_lcs else ()
 
+    limited_set = {sl for sl, _m in sig.slot_limited}
+
     def fn(data, rt):
         attrs = data["attrs"]
         alive = data["alive"]
 
-        if S > 0:
-            slot, gidx, valid = _gather_flat(rt["starts"], rt["lengths"], bucket, S)
-            rowid = jnp.where(valid, data["post_rowid"][gidx], N).astype(jnp.int32)
-            tfq = data["post_tfq"][gidx]
-            is_pos = _slot_membership(slot, pos_slots, S)
-            contrib = jnp.where(
-                valid & is_pos, tfq * rt["idf"][slot] * rt["mult"][slot], 0.0
-            )
-            # barrier: stop XLA from fusing the multiply into the scatter-add
-            # as an FMA — the reference's float math rounds tf*idf before
-            # accumulating (searchnode.cpp:1579), and the skipped rounding
-            # shifts int weights by 1 near ties
-            contrib = jax.lax.optimization_barrier(contrib)
-            tfidf = jnp.zeros(N + 1, jnp.float32).at[rowid].add(contrib)
-            bits = jnp.where(valid, jnp.int32(1) << slot, 0)
-            termmask = jnp.zeros(N + 1, jnp.int32).at[rowid].add(bits)
+        def slot_postings(s):
+            """Contiguous DMA of slot s's posting range + validity mask."""
+            sz = slot_pb[s]
+            st = rt["starts"][s]
+            row = jax.lax.dynamic_slice(data["post_rowid"], (st,), (sz,))
+            msk = jnp.arange(sz, dtype=jnp.int32) < rt["lengths"][s]
+            return jnp.where(msk, row, N), msk, st, sz
 
-            if need_fieldmask:
-                fm = jnp.where(valid & is_pos, data["post_fieldmask"][gidx], 0)
-                fbits = ((fm[:, None] >> jnp.arange(F, dtype=jnp.int32)[None, :]) & 1
+        tfidf = jnp.zeros(N + 1, jnp.float32)
+        termmask = jnp.zeros(N + 1, jnp.int32)
+        fieldhit = (jnp.zeros((N + 1, F), jnp.int32) if need_fieldmask
+                    else None)
+        for s in range(S):
+            if s in limited_set:
+                continue  # evaluated on the hit pass below
+            row, msk, st, sz = slot_postings(s)
+            tfq = jax.lax.dynamic_slice(data["post_tfq"], (st,), (sz,))
+            if s in pos_slots:
+                contrib = jnp.where(
+                    msk, tfq * rt["idf"][s] * rt["mult"][s], 0.0)
+                # barrier: stop XLA fusing the multiply into the scatter-add
+                # as an FMA — the reference's float math rounds tf*idf before
+                # accumulating (searchnode.cpp:1579); skipped rounding shifts
+                # int weights by 1 near ties
+                contrib = jax.lax.optimization_barrier(contrib)
+                tfidf = tfidf.at[row].add(contrib)
+            termmask = termmask.at[row].add(
+                jnp.where(msk, jnp.int32(1) << s, 0))
+            if need_fieldmask and s in pos_slots:
+                fm = jax.lax.dynamic_slice(
+                    data["post_fieldmask"], (st,), (sz,))
+                # per-slot fieldmask is unique per doc -> scatter-add of the
+                # whole mask, then OR across slots via dense elementwise
+                fh_s = jnp.zeros(N + 1, jnp.int32).at[row].add(
+                    jnp.where(msk, fm, 0))
+                fbits = ((fh_s[:, None]
+                          >> jnp.arange(F, dtype=jnp.int32)[None, :]) & 1
                          ).astype(jnp.int32)
-                fieldhit = jnp.zeros((N + 1, F), jnp.int32).at[rowid].max(fbits)
-            else:
-                fieldhit = None
-        else:
-            termmask = jnp.zeros(N + 1, jnp.int32)
-            tfidf = jnp.zeros(N + 1, jnp.float32)
-            fieldhit = (jnp.zeros((N + 1, F), jnp.int32) if need_fieldmask
-                        else None)
+                fieldhit = fieldhit | fbits
 
         # field-limited slots: tf = hits within the allowed fields only
         # (ExtTerm_T with XQLimitSpec_t field mask; hits outside the mask are
         # filtered in the reference's hit stream)
-        if sig.slot_limited:
-            L = len(sig.slot_limited)
-            lslots = tuple(s for s, _ in sig.slot_limited)
-            lmasks = jnp.asarray([m for _, m in sig.slot_limited], jnp.int32)
-            slotL, gidxL, validL = _gather_flat(
-                rt["lim_starts"], rt["lim_lengths"], lim_bucket, L)
-            hfield = (data["hit_packed"][gidxL] >> 24) & 0x7F
-            allowed = (jnp.int32(1) << hfield) & lmasks[slotL]
-            ok = validL & (allowed != 0)
-            rowL = jnp.where(ok, data["hit_rowid"][gidxL], N)
-            colL = slotL
-            tf_lim = jnp.zeros((N + 1, L), jnp.int32).at[rowL, colL].add(
+        def slot_hits(s):
+            """Contiguous DMA of slot s's hit range."""
+            sz = slot_hb[s]
+            st = rt["hit_starts"][s]
+            hrow = jax.lax.dynamic_slice(data["hit_rowid"], (st,), (sz,))
+            hpk = jax.lax.dynamic_slice(data["hit_packed_nokey"], (st,), (sz,))
+            msk = jnp.arange(sz, dtype=jnp.int32) < rt["hit_lengths"][s]
+            return jnp.where(msk, hrow, N), jnp.where(msk, hpk, 0), msk
+
+        for s, lmask in sig.slot_limited:
+            hrowL, hpkL, mskL = slot_hits(s)
+            hfield = (hpkL >> 24) & 0x7F
+            ok = mskL & (((jnp.int32(1) << hfield) & lmask) != 0)
+            rowL = jnp.where(ok, hrowL, N)
+            tf_lim = jnp.zeros(N + 1, jnp.int32).at[rowL].add(
                 jnp.where(ok, 1, 0))
-            tfq_lim = tf_lim.astype(jnp.float32) / (
-                tf_lim.astype(jnp.float32) + jnp.float32(1.2))
-            for li, s in enumerate(lslots):
-                present = tf_lim[:, li] > 0
-                if s in pos_slots:
-                    tfidf = tfidf + jnp.where(
-                        present, tfq_lim[:, li] * rt["idf"][s] * rt["mult"][s],
-                        0.0)
-                termmask = termmask | jnp.where(
-                    present, jnp.int32(1) << s, 0)
+            present = tf_lim > 0
+            if s in pos_slots:
+                tfq_lim = tf_lim.astype(jnp.float32) / (
+                    tf_lim.astype(jnp.float32) + jnp.float32(1.2))
+                tfidf = tfidf + jnp.where(
+                    present, tfq_lim * rt["idf"][s] * rt["mult"][s], 0.0)
+            termmask = termmask | jnp.where(present, jnp.int32(1) << s, 0)
             if need_fieldmask:
-                fbitsL = ((jnp.where(ok, jnp.int32(1) << hfield, 0)[:, None]
-                           >> jnp.arange(F, dtype=jnp.int32)[None, :]) & 1
-                          ).astype(jnp.int32)
-                fieldhit = fieldhit.at[rowL].max(fbitsL)
+                # per-field any-allowed-hit (1D scatter-max per field)
+                fbits = jnp.stack(
+                    [jnp.zeros(N + 1, jnp.int32).at[
+                        jnp.where(ok & (hfield == f), hrowL, N)].max(
+                        jnp.where(ok & (hfield == f), 1, 0))
+                     for f in range(F)], axis=1)
+                fieldhit = fieldhit | fbits
 
         # phrase/proximity nodes produce their own per-doc match + tf.
         # NOTE: phrase docs keep the *sum of member terms'* TFIDF — the
@@ -306,7 +325,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
         phrase_results = {}
         for node in phrase_nodes:
             phrase_results[node] = _eval_phrase_node(
-                node, data, rt, N, hit_bucket, n_hit_iters
+                node, data, rt, N, slot_hb, n_hit_iters
             )
 
         match = _eval_expr(sig.expr, termmask, phrase_results, alive, N)
@@ -350,18 +369,14 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
             qpos = rt["qpos"]
             parts_row, parts_pk, parts_qp, parts_w, parts_sp = [], [], [], [], []
             parts_slot = []
-            if rk_slots and rh_bucket:
-                Rn = len(rk_slots)
-                rslot, rgidx, rvalid = _gather_flat(
-                    rt["rh_starts"], rt["rh_lengths"], rh_bucket, Rn)
-                slot_ids = jnp.asarray(rk_slots, jnp.int32)[rslot]
-                parts_row.append(jnp.where(rvalid, data["hit_rowid"][rgidx], N))
-                parts_pk.append(jnp.where(
-                    rvalid, data["hit_packed_nokey"][rgidx], 0))
-                parts_qp.append(qpos[slot_ids])
-                parts_w.append(jnp.where(rvalid, 1, 0).astype(jnp.int32))
-                parts_sp.append(jnp.ones_like(slot_ids))
-                parts_slot.append(slot_ids)
+            for s in rk_slots:
+                hrowS, hpkS, mskS = slot_hits(s)
+                parts_row.append(hrowS)
+                parts_pk.append(hpkS)
+                parts_qp.append(jnp.where(mskS, qpos[s], 0))
+                parts_w.append(jnp.where(mskS, 1, 0).astype(jnp.int32))
+                parts_sp.append(jnp.ones_like(hrowS))
+                parts_slot.append(jnp.full_like(hrowS, s))
             for node in rk_phrases:
                 pm, ptf, a_row, a_key, a_ok = phrase_results[node]
                 n_words = len(node[1])
@@ -391,8 +406,19 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                         jnp.where(hrow < N, fw[wfield], 0))
                     total_rank = None
                 else:
-                    hrow, hpk, hqp, hw, hsp, hslot = jax.lax.sort(
-                        (hrow, hpk, hqp, hw, hsp, hslot), num_keys=2)
+                    # pack the payload into one i32 (qpos<=255, w<=255,
+                    # span<=255, slot<=31) so the sort carries 3 operands
+                    # instead of 6 — the sort is the ranker's hot stage
+                    payload = (jnp.clip(hqp, 0, 255)
+                               | (jnp.clip(hw, 0, 255) << 8)
+                               | (jnp.clip(hsp, 0, 255) << 16)
+                               | (hslot << 24))
+                    hrow, hpk, payload = jax.lax.sort(
+                        (hrow, hpk, payload), num_keys=2)
+                    hqp = payload & 0xFF
+                    hw = (payload >> 8) & 0xFF
+                    hsp = (payload >> 16) & 0xFF
+                    hslot = (payload >> 24) & 0x7F
                     delta = hpk - hqp
                     p_row = jnp.concatenate([jnp.full(1, -1, hrow.dtype), hrow[:-1]])
                     p_pk = jnp.concatenate([jnp.zeros(1, hpk.dtype), hpk[:-1]])
@@ -407,8 +433,11 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
                     curlcs = cumw - cumw[run_start] + hw[run_start]
                     curlcs = jnp.minimum(curlcs, 255)  # BYTE m_uCurLCS
                     hfield2 = (hpk >> 24) & 0x7F
-                    lcs = jnp.zeros((N + 1, F), jnp.int32).at[
-                        hrow, hfield2].max(curlcs)
+                    lcs = jnp.stack(
+                        [jnp.zeros(N + 1, jnp.int32).at[
+                            jnp.where(hfield2 == f, hrow, N)].max(
+                            jnp.where(hfield2 == f, curlcs, 0))
+                         for f in range(F)], axis=1)
                     if sig.ranker == "matchany":
                         # RankerState_MatchAny_fn (sphinxsearch.cpp:1578):
                         # rank = sum_f (popcount(qposmask_f) +
@@ -471,15 +500,15 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
     return fn
 
 
-def build_kernel(sig: PlanSig, n_rows: int, n_fields: int, bucket: int,
-                 hit_bucket: int = 0, n_hit_iters: int = 0,
-                 lim_bucket: int = 0, rh_bucket: int = 0):
+def build_kernel(sig: PlanSig, n_rows: int, n_fields: int,
+                 slot_pb: tuple = (), slot_hb: tuple = (),
+                 n_hit_iters: int = 0):
     """Build the (pure, unjitted) search program for one plan shape.
 
     Reused by the sharded path inside shard_map (parallel/sharded.py)."""
     N = n_rows
-    core = build_match_core(sig, n_rows, n_fields, bucket, hit_bucket,
-                            n_hit_iters, lim_bucket, rh_bucket)
+    core = build_match_core(sig, n_rows, n_fields, slot_pb, slot_hb,
+                            n_hit_iters)
 
     def fn(data, rt):
         eligible, weight, attrs, dbg = core(data, rt)
@@ -583,7 +612,7 @@ def _collect_phrase_nodes(expr: tuple) -> list[tuple]:
     return []
 
 
-def _eval_phrase_node(node, data, rt, N, hit_bucket, n_hit_iters):
+def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters):
     """Phrase: doc matches iff some (field, pos) anchors all member terms at
     their query-position deltas — the FSMphrase (searchnode.cpp:3901)
     reformulated as membership tests over sorted hit arrays.
@@ -602,7 +631,14 @@ def _eval_phrase_node(node, data, rt, N, hit_bucket, n_hit_iters):
     slots_t = node[1]
     h_starts = rt["hit_starts"]
     h_lens = jnp.maximum(rt["hit_lengths"], 0)
-    bh = hit_bucket
+
+    def hits_of(s):
+        sz = slot_hb[s]
+        st = h_starts[s]
+        hrow = jax.lax.dynamic_slice(data["hit_rowid"], (st,), (sz,))
+        hpk = jax.lax.dynamic_slice(data["hit_packed_nokey"], (st,), (sz,))
+        msk = jnp.arange(sz, dtype=jnp.int32) < h_lens[s]
+        return jnp.where(msk, hrow, N), jnp.where(msk, hpk, 0), msk
 
     if op == "near":
         # binary NEAR/N / NOTNEAR/N over keywords (ExtMultinear twofer,
@@ -611,11 +647,7 @@ def _eval_phrase_node(node, data, rt, N, hit_bucket, n_hit_iters):
         # NOTNEAR: left matches with NO right hit within the zone.
         sa, sb = slots_t
         ndist, not_near = node[2], node[3]
-        j = jnp.arange(bh, dtype=jnp.int32)
-        valid = j < h_lens[sa]
-        hidx = jnp.where(valid, h_starts[sa] + j, 0)
-        a_row = data["hit_rowid"][hidx]
-        a_key = data["hit_packed_nokey"][hidx]
+        a_row, a_key, valid = hits_of(sa)
         lo = rt["hit_starts"][sb] * jnp.ones_like(a_row)
         hi = lo + h_lens[sb]
         idx, exists = _lex_search_le(
@@ -628,11 +660,7 @@ def _eval_phrase_node(node, data, rt, N, hit_bucket, n_hit_iters):
         ok = valid & (~within if not_near else within)
     elif op == "phrase":
         anchor = slots_t[0]
-        j = jnp.arange(bh, dtype=jnp.int32)
-        valid = j < h_lens[anchor]
-        hidx = jnp.where(valid, h_starts[anchor] + j, 0)
-        a_row = data["hit_rowid"][hidx]
-        a_key = data["hit_packed"][hidx] & HITMAN_KEY_MASK
+        a_row, a_key, valid = hits_of(anchor)
 
         ok = valid
         for qi, s in enumerate(slots_t):
@@ -659,14 +687,10 @@ def _eval_phrase_node(node, data, rt, N, hit_bucket, n_hit_iters):
         ndist = node[2]
         qlen = len(slots_t) - 1
         W = qlen + ndist  # exclusive lower bound: key - val < W
-        sel = jnp.asarray(slots_t, jnp.int32)
-        starts_sel = h_starts[sel]
-        lens_sel = h_lens[sel]
-        slotH, gidxH, valid = _gather_flat(starts_sel, lens_sel, bh,
-                                           len(slots_t))
-        a_row = data["hit_rowid"][gidxH]
-        a_key = data["hit_packed_nokey"][gidxH]
-        ok = valid
+        rows_l, keys_l, msks_l = zip(*[hits_of(s) for s in slots_t])
+        a_row = jnp.concatenate(rows_l)
+        a_key = jnp.concatenate(keys_l)
+        ok = jnp.concatenate(msks_l)
         for s in slots_t:
             lo = rt["hit_starts"][s] * jnp.ones_like(a_row)
             hi = lo + h_lens[s]

@@ -120,6 +120,26 @@ class ShardedIndex:
         Hmax = max(max(len(s.hit_packed) for s in shards), 1)
         self.n_common = N
 
+        def _pow2(x, lo=1024):
+            n = lo
+            while n < x:
+                n <<= 1
+            return n
+
+        max_df = max((int(s2.term_docs.max()) for s2 in shards
+                      if s2.n_terms), default=0)
+        pad_p = _pow2(max_df)
+        max_th = 0
+        for s2 in shards:
+            if s2.n_terms:
+                pth = (s2.post_hit_offset[s2.term_offsets[1:]]
+                       - s2.post_hit_offset[s2.term_offsets[:-1]])
+                if len(pth):
+                    max_th = max(max_th, int(pth.max()))
+        pad_h = _pow2(max_th)
+        Pmax += pad_p
+        Hmax += pad_h
+
         post_rowid = np.full((D, Pmax), N, np.int32)
         post_tfq = np.zeros((D, Pmax), np.float32)
         post_tf = np.zeros((D, Pmax), np.int32)
@@ -143,6 +163,7 @@ class ShardedIndex:
             h = len(s.hit_packed)
             hitp[i, :h] = s.hit_packed
             hitr[i, :h] = np.repeat(s.post_rowid, s.post_tf)
+            hitr[i, h:] = N
             alive[i, : s.n_docs] = True
             if s.field_lens.size:
                 flens[i, : s.n_docs, : s.field_lens.shape[1]] = s.field_lens
@@ -181,9 +202,8 @@ class ShardedIndex:
             lambda x: jax.device_put(x, sharding), data)
 
     # ------------------------------------------------------------------
-    def _sharded_fn(self, sig: PlanSig, bucket, hit_bucket, n_hit_iters,
-                    lim_bucket, rh_bucket):
-        key = (sig, bucket, hit_bucket, n_hit_iters, lim_bucket, rh_bucket)
+    def _sharded_fn(self, sig: PlanSig, slot_pb, slot_hb, n_hit_iters):
+        key = (sig, slot_pb, slot_hb, n_hit_iters)
         if key in self._fn_cache:
             return self._fn_cache[key]
 
@@ -195,8 +215,8 @@ class ShardedIndex:
         # agents return one chunk each — searchd.cpp:6737)
         from dataclasses import replace
         k_local = max(1, min(sig.k, N))
-        kern = build_kernel(replace(sig, k=k_local), N, F, bucket,
-                            hit_bucket, n_hit_iters, lim_bucket, rh_bucket)
+        kern = build_kernel(replace(sig, k=k_local), N, F, slot_pb,
+                            slot_hb, n_hit_iters)
         axis = self.axis
         k = min(sig.k, D * k_local)
 
@@ -266,14 +286,10 @@ class ShardedIndex:
 
         S = max(cq.sig.n_slots, 1)
         D = len(self.shards)
-        limited = {s for s, _ in cq.sig.slot_limited}
         starts = np.zeros((D, S), np.int32)
         lengths = np.zeros((D, S), np.int32)
         hstarts = np.zeros((D, S), np.int32)
         hlengths = np.zeros((D, S), np.int32)
-        L = max(len(cq.sig.slot_limited), 1)
-        lstarts = np.zeros((D, L), np.int32)
-        llengths = np.zeros((D, L), np.int32)
         for d, sh in enumerate(self.shards):
             for s, term in enumerate(cq.slot_terms):
                 tid = sh.term_id(term)
@@ -284,53 +300,38 @@ class ShardedIndex:
                 he = int(sh.post_hit_offset[t1_]) if t1_ > t0_ else 0
                 hstarts[d, s] = hs
                 hlengths[d, s] = he - hs
-                if s not in limited:
-                    starts[d, s] = t0_
-                    lengths[d, s] = t1_ - t0_
-            for li, (s, _m) in enumerate(cq.sig.slot_limited):
-                lstarts[d, li] = hstarts[d, s]
-                llengths[d, li] = hlengths[d, s]
+                starts[d, s] = t0_
+                lengths[d, s] = t1_ - t0_
 
-        from ..query.plan import RANKERS_WITH_HITS, ranker_term_slots
-        use_lcs = cq.sig.ranker in RANKERS_WITH_HITS
-        rk_slots = ranker_term_slots(cq.sig.expr) if use_lcs else ()
-        R = max(len(rk_slots), 1)
-        rh_starts = np.zeros((D, R), np.int32)
-        rh_lengths = np.zeros((D, R), np.int32)
-        for d in range(D):
-            for ri, s in enumerate(rk_slots):
-                rh_starts[d, ri] = hstarts[d, s]
-                rh_lengths[d, ri] = hlengths[d, s]
-
-        bucket = _next_pow2(int(lengths.sum(axis=1).max()), 1024)
-        hit_bucket = (_next_pow2(int(hlengths.max()), 128)
-                      if cq.hit_bucket else 0)
-        lim_bucket = (_next_pow2(int(llengths.sum(axis=1).max()), 128)
-                      if cq.sig.slot_limited else 0)
-        rh_bucket = (_next_pow2(int(rh_lengths.sum(axis=1).max()), 1024)
-                     if use_lcs else 0)
+        # per-slot buckets must be COMMON across shards (one program):
+        # pow2 of the max per-shard size
+        Sreal = cq.sig.n_slots
+        slot_pb = tuple(_next_pow2(int(lengths[:, s].max()), 1024)
+                        for s in range(Sreal))
+        slot_hb = tuple(_next_pow2(int(hlengths[:, s].max()), 1024)
+                        for s in range(Sreal))
         Hmax = int(self.data["hit_packed"].shape[1])
         n_hit_iters = max(1, math.ceil(math.log2(max(Hmax, 2)))) + 1
 
         rt_shard = {
             "starts": starts, "lengths": lengths,
             "hit_starts": hstarts, "hit_lengths": hlengths,
-            "lim_starts": lstarts, "lim_lengths": llengths,
-            "rh_starts": rh_starts, "rh_lengths": rh_lengths,
         }
         rt_repl = {
             "idf": cq.runtime["idf"], "mult": cq.runtime["mult"],
             "qpos": cq.runtime["qpos"],
             "field_weights": cq.runtime["field_weights"],
             "filter_vals": cq.runtime["filter_vals"],
+            "total_field_lens": cq.runtime["total_field_lens"],
+            "total_docs": cq.runtime["total_docs"],
+            "avg_doc_len": cq.runtime["avg_doc_len"],
         }
         sharding = NamedSharding(self.mesh, P(self.axis))
         repl = NamedSharding(self.mesh, P())
         rt_shard = jax.tree.map(lambda x: jax.device_put(x, sharding), rt_shard)
         rt_repl = jax.tree.map(lambda x: jax.device_put(np.asarray(x), repl), rt_repl)
 
-        fn = self._sharded_fn(cq.sig, bucket, hit_bucket, n_hit_iters,
-                              lim_bucket, rh_bucket)
+        fn = self._sharded_fn(cq.sig, slot_pb, slot_hb, n_hit_iters)
         out = fn(self.data, rt_shard, rt_repl)
 
         w = np.asarray(out["weight"])

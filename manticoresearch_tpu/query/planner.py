@@ -39,11 +39,9 @@ class CompiledQuery:
     slot_terms: list[str]          # slot -> term string (for SHOW META)
     slot_df: list[int]
     slot_hits: list[int]
-    bucket: int
-    hit_bucket: int
+    slot_pb: tuple                 # per-slot posting bucket (pow2 of df)
+    slot_hb: tuple                 # per-slot hit bucket (pow2 of hit count)
     n_hit_iters: int
-    lim_bucket: int = 0
-    rh_bucket: int = 0
 
 
 def _next_pow2(x: int, lo: int = 128) -> int:
@@ -282,19 +280,11 @@ def plan_query(
         slot_df.append(df)
         slot_hits.append(th)
 
-    # field-limited slots: evaluated over hits (tf = allowed-field hits only);
-    # excluded from the postings gather by zeroing their CSR length
+    # field-limited slots: evaluated over hits (tf = allowed-field hits
+    # only); the kernel skips them in the posting pass
     slot_limited = tuple(
         (s, st.masks[s]) for s in range(S) if st.masks[s] != all_mask
     )
-    L = len(slot_limited)
-    lim_starts = np.zeros(max(L, 1), np.int32)
-    lim_lengths = np.zeros(max(L, 1), np.int32)
-    for li, (s, _m) in enumerate(slot_limited):
-        lim_starts[li] = hit_starts[s]
-        lim_lengths[li] = hit_lengths[s]
-        lengths[s] = 0
-        starts[s] = 0
 
     # ranker resolution (sphCreateRanker:4167): single-keyword
     # proximity/proximity_bm25 queries shortcut to WeightSum (identical
@@ -375,31 +365,15 @@ def plan_query(
     for name, w in (field_weights or {}).items():
         fw[index.schema.field_id(name)] = int(w)
 
-    # ranker hit stream (proximity/LCS rankers): positive term leaves +
-    # quorum members, in plan order; phrase nodes emit their own hits
-    from .plan import RANKERS_WITH_HITS, ranker_term_slots
-    use_lcs = eff_ranker in RANKERS_WITH_HITS
-    rk_slots = ranker_term_slots(expr) if use_lcs else ()
-    R = max(len(rk_slots), 1)
-    rh_starts = np.zeros(R, np.int32)
-    rh_lengths = np.zeros(R, np.int32)
-    for ri, s in enumerate(rk_slots):
-        rh_starts[ri] = hit_starts[s]
-        rh_lengths[ri] = hit_lengths[s]
     qpos = np.zeros(max(S, 1), np.int32)
     for s in range(S):
         qpos[s] = st.qpos[s]
 
-    total_post = int(lengths.sum())
-    # min bucket 1024 keeps plan-shape diversity (and thus compile count +
-    # batch fragmentation) low; the extra gather work is negligible
-    bucket = _next_pow2(total_post, 1024)
-    need_hits = has_positional
-    total_hits_needed = _positional_hits_need(expr, hit_lengths) \
-        if need_hits else 0
-    hit_bucket = _next_pow2(total_hits_needed, 128) if need_hits else 0
-    lim_bucket = _next_pow2(int(lim_lengths.sum()), 128) if L else 0
-    rh_bucket = _next_pow2(int(rh_lengths.sum()), 1024) if use_lcs else 0
+    # per-slot bucket sizes (pow2): each slot's CSR range is pulled with one
+    # contiguous dynamic_slice of this static size (ops/search.py); min 1024
+    # bounds plan-shape diversity
+    slot_pb = tuple(_next_pow2(int(lengths[s]), 1024) for s in range(S))
+    slot_hb = tuple(_next_pow2(int(hit_lengths[s]), 1024) for s in range(S))
     H = len(index.hit_packed)
     mva_max = max((len(v[1]) for v in getattr(index, "attrs_mva", {}).values()),
                   default=0)
@@ -427,8 +401,6 @@ def plan_query(
         "total_docs": np.asarray([float(total_docs)], np.float32),
         "avg_doc_len": avg_dl,
         "hit_starts": hit_starts, "hit_lengths": hit_lengths,
-        "lim_starts": lim_starts, "lim_lengths": lim_lengths,
-        "rh_starts": rh_starts, "rh_lengths": rh_lengths,
         "qpos": qpos,
         "idf": idf, "mult": mult,
         "field_weights": fw,
@@ -437,8 +409,7 @@ def plan_query(
     return CompiledQuery(
         sig=sig, runtime=runtime, slot_terms=list(st.terms),
         slot_df=slot_df, slot_hits=slot_hits,
-        bucket=bucket, hit_bucket=hit_bucket, n_hit_iters=n_hit_iters,
-        lim_bucket=lim_bucket, rh_bucket=rh_bucket,
+        slot_pb=slot_pb, slot_hb=slot_hb, n_hit_iters=n_hit_iters,
     )
 
 

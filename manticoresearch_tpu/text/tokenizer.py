@@ -121,33 +121,43 @@ class Tokenizer:
             )
         return out
 
+    def _native_buffers(self, n: int):
+        """Reusable scratch buffers + cached ctypes pointers (the per-call
+        pointer casts dominate for short query strings otherwise)."""
+        import ctypes
+
+        # NOTE: buffers are per-Tokenizer; ctypes calls drop the GIL, so
+        # concurrent threads must hold _native_mutex around the native call
+        cur = getattr(self, "_buf_cap", 0)
+        if n + 1 > cur:
+            import threading
+            cap = max(n + 1, 4096)
+            P = ctypes.POINTER(ctypes.c_int32)
+            self._bufs = [np.empty(cap, np.int32) for _ in range(6)]
+            self._buf_ptrs = [b.ctypes.data_as(P) for b in self._bufs]
+            fold = self._native_fold_table()
+            self._fold_ptr = fold.ctypes.data_as(P)
+            self._fold_len = len(fold)
+            self._buf_cap = cap
+            if not hasattr(self, "_native_mutex"):
+                self._native_mutex = threading.Lock()
+        return self._bufs, self._buf_ptrs
+
     def _tokenize_native(self, lib, text: str) -> list[Token]:
         """C++ fast path (native/tokenizer.cpp): UTF-8 decode + fold + split
         in one pass; token strings sliced out of the folded buffer here."""
-        import ctypes
-
         raw = text.encode("utf-8")
         if not raw:
             return []
-        fold = self._native_fold_table()
         n = len(raw)
-        cap_codes = n + 1
-        cap_tokens = n // max(self.settings.min_word_len, 1) + 1
-        codes = np.empty(cap_codes, np.int32)
-        toff = np.empty(cap_tokens, np.int32)
-        tlen = np.empty(cap_tokens, np.int32)
-        tpos = np.empty(cap_tokens, np.int32)
-        tcs = np.empty(cap_tokens, np.int32)
-        tce = np.empty(cap_tokens, np.int32)
-
-        def ptr(a):
-            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        (codes, toff, tlen, tpos, tcs, tce), ptrs = self._native_buffers(n)
+        cap = self._buf_cap
 
         cnt = lib.mt_tokenize(
-            raw, n, ptr(fold), len(fold),
+            raw, n, self._fold_ptr, self._fold_len,
             self.settings.min_word_len, self.settings.overshort_step,
-            ptr(codes), cap_codes, ptr(toff), ptr(tlen), ptr(tpos),
-            ptr(tcs), ptr(tce), cap_tokens)
+            ptrs[0], cap, ptrs[1], ptrs[2], ptrs[3],
+            ptrs[4], ptrs[5], cap)
         if not cnt:
             return []
         # bulk-decode the whole folded buffer once, slice tokens as strings
@@ -176,37 +186,27 @@ class Tokenizer:
         return [t.text for t in toks], [t.position for t in toks]
 
     def _tokenize_native_fast(self, lib, text: str):
-        import ctypes
-
         raw = text.encode("utf-8")
         if not raw:
             return [], []
-        fold = self._native_fold_table()
         n = len(raw)
-        cap_tokens = n // max(self.settings.min_word_len, 1) + 1
-        codes = np.empty(n + 1, np.int32)
-        toff = np.empty(cap_tokens, np.int32)
-        tlen = np.empty(cap_tokens, np.int32)
-        tpos = np.empty(cap_tokens, np.int32)
-        tcs = np.empty(cap_tokens, np.int32)
-        tce = np.empty(cap_tokens, np.int32)
+        (codes, toff, tlen, tpos, tcs, tce), ptrs = self._native_buffers(n)
+        cap = self._buf_cap
 
-        def ptr(a):
-            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-
-        cnt = lib.mt_tokenize(
-            raw, n, ptr(fold), len(fold),
-            self.settings.min_word_len, self.settings.overshort_step,
-            ptr(codes), n + 1, ptr(toff), ptr(tlen), ptr(tpos),
-            ptr(tcs), ptr(tce), cap_tokens)
-        if not cnt:
-            return [], []
-        total = int(toff[cnt - 1] + tlen[cnt - 1])
-        big = codes[:total].astype(np.uint32).tobytes().decode("utf-32-le")
-        toff_l = toff[:cnt].tolist()
-        tlen_l = tlen[:cnt].tolist()
-        return ([big[o:o + ln] for o, ln in zip(toff_l, tlen_l)],
-                tpos[:cnt].tolist())
+        with self._native_mutex:
+            cnt = lib.mt_tokenize(
+                raw, n, self._fold_ptr, self._fold_len,
+                self.settings.min_word_len, self.settings.overshort_step,
+                ptrs[0], cap, ptrs[1], ptrs[2], ptrs[3],
+                ptrs[4], ptrs[5], cap)
+            if not cnt:
+                return [], []
+            total = int(toff[cnt - 1] + tlen[cnt - 1])
+            big = codes[:total].astype(np.uint32).tobytes().decode("utf-32-le")
+            toff_l = toff[:cnt].tolist()
+            tlen_l = tlen[:cnt].tolist()
+            pos_l = tpos[:cnt].tolist()
+        return ([big[o:o + ln] for o, ln in zip(toff_l, tlen_l)], pos_l)
 
     def tokenize_terms(self, text: str) -> list[str]:
         return [t.text for t in self.tokenize(text)]

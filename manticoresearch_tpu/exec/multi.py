@@ -55,8 +55,11 @@ def merge_part_results(results, q, schema):
     from .searcher import WordStat
     stats = [WordStat(w, *stats_map[w]) for w in order]
     t = sum(r.time_ms for r in results)
-    return SearchResult(window, min(total_found, q.max_matches), total_found,
-                        t, stats)
+    out = SearchResult(window, min(total_found, q.max_matches), total_found,
+                       t, stats)
+    out.profile = list(getattr(results[0], "profile", []))
+    out.plan_repr = getattr(results[0], "plan_repr", None)
+    return out
 
 
 def search_rt(rt, q):

@@ -158,6 +158,7 @@ class SearchIndex:
         res = self._finish(q, cq, rowids, weights, found, t0)
         prof.append(("finalize", time.perf_counter() - t2))
         res.profile = prof
+        res.plan_repr = f"{cq.sig.expr} ranker={cq.sig.ranker}"
         return res
 
     def search_batch(self, queries: list[SearchQuery]) -> list[SearchResult]:
@@ -347,7 +348,9 @@ class SearchIndex:
             for t, d, h in zip(cq.slot_terms, cq.slot_df, cq.slot_hits)
         ]
         total = min(found, q.max_matches)
-        return SearchResult(matches, total, found, dt, stats)
+        res = SearchResult(matches, total, found, dt, stats)
+        res.plan_repr = f"{cq.sig.expr} ranker={cq.sig.ranker}"
+        return res
 
     def _hydrate(self, rowids: np.ndarray, weights: np.ndarray,
                  select: list[str] | None) -> list[Match]:

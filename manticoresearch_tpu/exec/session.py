@@ -129,6 +129,8 @@ class Session:
         self.txn_tables: set[str] = set()
         self.last_meta: list[tuple[str, str]] = []
         self.last_profile: list[tuple[str, float]] = []
+        self.last_plan: str | None = None
+        self._qcache: dict = {}        # (sql, gens) -> results (opt-in)
         self.query_log: "object | None" = None  # file-like; set by daemon
         self.last_warning: str | None = None
         self.variables: dict[str, Any] = {}
@@ -210,6 +212,7 @@ class Session:
             return [QLResult.err(res.error)]
         self._store_meta(res)
         self.last_profile = list(getattr(res, "profile", []))
+        self.last_plan = getattr(res, "plan_repr", None) or self.last_plan
         self.last_warning = res.warning
         if self.query_log is not None:
             # replayable SphinxQL-format query log (searchd.cpp:2918)
@@ -645,7 +648,30 @@ class Session:
                          str(len(self.last_profile))))
             return QLResult(columns=["Status", "Duration", "Switches"],
                             rows=rows)
-        if k in ("show_plan", "show_agent_status"):
+        if k == "show_plan":
+            return QLResult(columns=["Variable", "Value"],
+                            rows=[("transformed_tree",
+                                   self.last_plan or "NONE")])
+        if k == "show_plugins":
+            from ..plugins import udf_names
+            return QLResult(columns=["Type", "Name", "Library"],
+                            rows=[("udf", n, "") for n in udf_names()])
+        if k == "create_function":
+            from ..plugins import PluginError, load_udf_soname
+            try:
+                load_udf_soname(st.args[0], st.args[1])
+            except PluginError as e:
+                return QLResult.err(str(e))
+            return QLResult.ok()
+        if k == "drop_function":
+            from ..plugins import unregister_udf
+            if not unregister_udf(st.args[0]):
+                return QLResult.err(f"no function '{st.args[0]}'")
+            return QLResult.ok()
+        if k in ("create_plugin", "drop_plugin"):
+            return QLResult.err("native plugins are not supported; use "
+                                "CREATE FUNCTION with a python SONAME")
+        if k == "show_agent_status":
             return QLResult(columns=["Status"], rows=[("TODO",)])
         if k == "desc":
             t = self.catalog.get(st.args[0])

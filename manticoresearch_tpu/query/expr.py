@@ -195,7 +195,9 @@ class ExprParser:
                 if up == "WEIGHT":
                     return ("weight",)
                 if up not in KNOWN_FUNCS:
-                    raise ExprError(f"unknown function {v}()")
+                    from ..plugins import get_udf
+                    if get_udf(up) is None:
+                        raise ExprError(f"unknown function {v}()")
                 return ("call", up, tuple(args))
             if up in ("WEIGHT", "@WEIGHT"):
                 return ("weight",)
@@ -451,6 +453,10 @@ def _call_host(name: str, vals):
         return vals[0] * vals[1] + vals[2]
     if name == "MUL3":
         return vals[0] * vals[1] * vals[2]
+    from ..plugins import get_udf
+    udf = get_udf(name)
+    if udf is not None:
+        return udf(*vals)
     raise ExprError(f"unimplemented function {name}() on host")
 
 

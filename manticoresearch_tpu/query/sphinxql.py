@@ -527,6 +527,22 @@ class SqlParser:
     # --- DDL / admin ---
     def parse_create(self):
         self.expect_kw("CREATE")
+        if self.eat_kw("FUNCTION"):
+            name = self.name()
+            self.expect_kw("RETURNS")
+            self.name()  # return type (informational)
+            self.expect_kw("SONAME")
+            k, v = self.next()
+            if k != "str":
+                raise SqlParseError("SONAME needs a quoted string")
+            return SimpleStmt("create_function", [name, _unquote(v)])
+        if self.eat_kw("PLUGIN"):
+            name = self.name()
+            self.expect_kw("TYPE")
+            ptype = self.value()
+            self.expect_kw("SONAME")
+            k, v = self.next()
+            return SimpleStmt("create_plugin", [name, ptype, _unquote(v)])
         self.expect_kw("TABLE")
         ine = False
         if self.eat_kw("IF"):
@@ -561,6 +577,10 @@ class SqlParser:
 
     def parse_drop(self):
         self.expect_kw("DROP")
+        if self.eat_kw("FUNCTION"):
+            return SimpleStmt("drop_function", [self.name()])
+        if self.eat_kw("PLUGIN"):
+            return SimpleStmt("drop_plugin", [self.name()])
         self.expect_kw("TABLE")
         if_exists = False
         if self.eat_kw("IF"):
@@ -590,6 +610,8 @@ class SqlParser:
             return SimpleStmt("show_profile")
         if self.eat_kw("PLAN"):
             return SimpleStmt("show_plan")
+        if self.eat_kw("PLUGINS"):
+            return SimpleStmt("show_plugins")
         if self.eat_kw("THREADS"):
             return SimpleStmt("show_threads")
         if self.eat_kw("AGENT"):

@@ -91,3 +91,20 @@ def test_sharded_equals_single(single, sharded, qi):
 
 def test_mesh_is_8_devices(sharded):
     assert sharded.mesh.devices.size == 8
+
+
+QUERIES_POSITIONAL = [
+    SearchQuery(match='"search engine"'),
+    SearchQuery(match='"engine search"~2'),
+    SearchQuery(match="alpha NEAR/3 beta"),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES_POSITIONAL)))
+def test_sharded_positional_equals_single(single, sharded, qi):
+    q = QUERIES_POSITIONAL[qi]
+    r1 = single.search(q)
+    r2 = sharded.search(q)
+    assert r1.error is None and r2.error is None, (r1.error, r2.error)
+    assert [m.docid for m in r2.matches] == [m.docid for m in r1.matches]
+    assert [m.weight for m in r2.matches] == [m.weight for m in r1.matches]

@@ -242,3 +242,32 @@ class TestAdmin:
     def test_explain(self, loaded):
         r = one(loaded, "EXPLAIN QUERY products 'apple banana'")
         assert r.error is None
+
+
+class TestUdfAndPlan:
+    def test_create_function_and_use(self, loaded, tmp_path):
+        import sys
+        mod = tmp_path / "myudfs.py"
+        mod.write_text("def double_it(x):\n    return x * 2\n")
+        sys.path.insert(0, str(tmp_path))
+        try:
+            r = one(loaded, "CREATE FUNCTION double_it RETURNS INT "
+                            "SONAME 'myudfs:double_it'")
+            assert r.error is None
+            r = one(loaded, "SHOW PLUGINS")
+            assert ("udf", "DOUBLE_IT", "") in r.rows
+            r = one(loaded, "SELECT id, DOUBLE_IT(qty) AS d FROM products "
+                            "WHERE id = 1")
+            assert r.rows == [(1, 10)]
+            assert one(loaded, "DROP FUNCTION double_it").error is None
+            r = one(loaded, "SELECT id, DOUBLE_IT(qty) FROM products "
+                            "WHERE id = 1")
+            assert r.error is not None
+        finally:
+            sys.path.remove(str(tmp_path))
+
+    def test_show_plan(self, loaded):
+        one(loaded, "SELECT id FROM products WHERE MATCH('apple banana')")
+        r = one(loaded, "SHOW PLAN")
+        assert r.error is None
+        assert "and" in r.rows[0][1]

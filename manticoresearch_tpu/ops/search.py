@@ -236,7 +236,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
     rk_slots = ranker_term_slots(sig.expr) if use_lcs else ()
     rk_phrases = positive_phrase_nodes(sig.expr) if use_lcs else ()
 
-    limited_set = {sl for sl, _m in sig.slot_limited}
+    limited_set = {e[0] for e in sig.slot_limited}
 
     def fn(data, rt):
         attrs = data["attrs"]
@@ -294,10 +294,21 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             msk = jnp.arange(sz, dtype=jnp.int32) < rt["hit_lengths"][s]
             return jnp.where(msk, hrow, N), jnp.where(msk, hpk, 0), msk
 
-        for s, lmask in sig.slot_limited:
+        for s, lmask, f_start, f_end in sig.slot_limited:
             hrowL, hpkL, mskL = slot_hits(s)
             hfield = (hpkL >> 24) & 0x7F
             ok = mskL & (((jnp.int32(1) << hfield) & lmask) != 0)
+            if f_start:
+                # ^word: hit at in-field position 1 (sphinxquery field_start)
+                ok &= (hpkL & ((1 << 23) - 1)) == 1
+            if f_end:
+                # word$: hit carries the Hitman field-end flag — the flag is
+                # stripped in hit_packed_nokey, so re-slice the flagged array
+                sz = slot_hb[s]
+                stH = rt["hit_starts"][s]
+                flagged = jax.lax.dynamic_slice(
+                    data["hit_packed"], (stH,), (sz,))
+                ok &= (flagged & HITMAN_END_FLAG) != 0
             rowL = jnp.where(ok, hrowL, N)
             tf_lim = jnp.zeros(N + 1, jnp.int32).at[rowL].add(
                 jnp.where(ok, 1, 0))

@@ -265,6 +265,9 @@ class ShardedIndex:
     # ------------------------------------------------------------------
     def plan(self, q) -> CompiledQuery:
         ast = self.parser.parse(q.match)
+        if getattr(q, "group_by", None):
+            raise NotImplementedError(
+                "sharded GROUP BY lands with the grouped-merge upgrade")
         if (q.sort or [("weight", False)])[0][0] not in ("weight", "@weight"):
             raise NotImplementedError(
                 "sharded ORDER BY attr lands with the merge upgrade")

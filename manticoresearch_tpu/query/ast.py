@@ -16,6 +16,8 @@ class QTerm:
     exact: bool = False                      # =word operator
     boost: float = 1.0                       # word^N
     wildcard: bool = False                   # word* / *word* — expansion
+    field_start: bool = False                # ^word — must start the field
+    field_end: bool = False                  # word$ — must end the field
 
 
 @dataclass(frozen=True)

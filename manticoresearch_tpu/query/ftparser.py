@@ -236,14 +236,22 @@ class FtQueryParser:
         exact = bool(m.group("exact"))
         body = m.group("body")
         boost = float(m.group("boost")[1:]) if m.group("boost") else 1.0
+        fstart = body.startswith("^")
+        if fstart:
+            body = body[1:]
+        fend = body.endswith("$")
+        if fend:
+            body = body[:-1]
         wildcard = "*" in body or "?" in body
         if wildcard:
-            return QTerm(body.lower(), self.cur_fields, exact, boost, wildcard=True)
+            return QTerm(body.lower(), self.cur_fields, exact, boost,
+                         wildcard=True)
         terms = self._terms_of(body, exact)
         if not terms:
             return None
         if len(terms) == 1:
-            return QTerm(terms[0], self.cur_fields, exact, boost)
+            return QTerm(terms[0], self.cur_fields, exact, boost,
+                         field_start=fstart, field_end=fend)
         # a single syntax word expanding to multiple tokens ("t-shirt")
         # indexes as consecutive positions -> behaves as a phrase
         return QPhrase(tuple(terms), self.cur_fields)

@@ -155,16 +155,18 @@ class _SlotTable:
         self.slots: dict[tuple, int] = {}
         self.terms: list[str] = []
         self.masks: list[int] = []
+        self.flags: list[tuple] = []   # (field_start, field_end) per slot
         self.mult: list[float] = []
         self.qpos: list[int] = []   # query atom position (m_iAtomPos), 1-based
         self._cursor = 0            # advances per leaf occurrence
         self.all_mask = all_fields_mask
         self.mask_of = mask_of
 
-    def get(self, term: str, fields, positive: bool, weight: float = 1.0) -> int:
+    def get(self, term: str, fields, positive: bool, weight: float = 1.0,
+            field_start: bool = False, field_end: bool = False) -> int:
         self._cursor += 1
         mask = self.mask_of(fields)
-        key = (term, mask)
+        key = (term, mask, field_start, field_end)
         if key in self.slots:
             s = self.slots[key]
         else:
@@ -172,6 +174,7 @@ class _SlotTable:
             self.slots[key] = s
             self.terms.append(term)
             self.masks.append(mask)
+            self.flags.append((field_start, field_end))
             self.mult.append(0.0)
             self.qpos.append(self._cursor)
         if positive:
@@ -184,7 +187,8 @@ def _lower(node, st: _SlotTable, positive: bool):
     if isinstance(node, QAll) or node is None:
         return ("all",)
     if isinstance(node, QTerm):
-        s = st.get(node.word, node.fields, positive, node.boost)
+        s = st.get(node.word, node.fields, positive, node.boost,
+                   node.field_start, node.field_end)
         return ("term", s)
     if isinstance(node, QAnd):
         return ("and", tuple(_lower(c, st, positive) for c in node.children))
@@ -280,10 +284,13 @@ def plan_query(
         slot_df.append(df)
         slot_hits.append(th)
 
-    # field-limited slots: evaluated over hits (tf = allowed-field hits
-    # only); the kernel skips them in the posting pass
+    # hit-conditional slots (field limits / ^field-start / field-end$):
+    # evaluated over hits; the kernel skips them in the posting pass.
+    # entries: (slot, fieldmask, field_start, field_end)
     slot_limited = tuple(
-        (s, st.masks[s]) for s in range(S) if st.masks[s] != all_mask
+        (s, st.masks[s], st.flags[s][0], st.flags[s][1])
+        for s in range(S)
+        if st.masks[s] != all_mask or st.flags[s][0] or st.flags[s][1]
     )
 
     # ranker resolution (sphCreateRanker:4167): single-keyword

@@ -173,7 +173,233 @@ _MORPHS: dict[str, Callable[[str], str]] = {
 }
 
 
+def _register_late():
+    _MORPHS["stem_ru"] = russian_stem
+    _MORPHS["metaphone"] = metaphone
+    _MORPHS["stem_enru"] = lambda w: (russian_stem(w) if any(
+        "\u0400" <= c <= "\u04ff" for c in w) else porter_stem(w))
+
+
 def get_morph(name: str) -> Callable[[str], str]:
+    if "stem_ru" not in _MORPHS:
+        _register_late()
     if name not in _MORPHS:
         raise ValueError(f"unknown morphology processor: {name!r}")
     return _MORPHS[name]
+
+
+# ---------------------------------------------------------------------------
+# Russian stemmer — the standard Snowball russian algorithm
+# (reference sphinxstemru.cpp implements the same algorithm).
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PERFECTIVE_1 = ("в", "вши", "вшись")                  # require preceding а/я
+_RU_PERFECTIVE_2 = ("ив", "ивши", "ившись", "ыв", "ывши", "ывшись")
+_RU_ADJECTIVE = ("ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый",
+                 "ой", "ем", "им", "ым", "ом", "его", "ого", "ему", "ому",
+                 "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")          # require а/я
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_REFLEXIVE = ("ся", "сь")
+_RU_VERB_1 = ("ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло",
+              "но", "ет", "ют", "ны", "ть", "ешь", "нно")  # require а/я
+_RU_VERB_2 = ("ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли",
+              "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло",
+              "ено", "ят", "ует", "уют", "ит", "ыт", "ены", "ить", "ыть",
+              "ишь", "ую", "ю")
+_RU_NOUN = ("а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи",
+            "ии", "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием",
+            "ем", "ам", "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию",
+            "ью", "ю", "ия", "ья", "я")
+_RU_SUPERLATIVE = ("ейш", "ейше")
+_RU_DERIVATIONAL = ("ост", "ость")
+
+
+def _ru_rv(word: str) -> int:
+    for i, c in enumerate(word):
+        if c in _RU_VOWELS:
+            return i + 1
+    return len(word)
+
+
+def _ru_ends(word: str, rv: int, suffixes, require_ay: bool = False):
+    """Longest matching suffix within RV; require_ay: char before the suffix
+    must be а or я (group-1 endings in the snowball spec)."""
+    best = None
+    for suf in suffixes:
+        if word.endswith(suf) and len(word) - len(suf) >= rv:
+            if require_ay:
+                i = len(word) - len(suf) - 1
+                if i < 0 or word[i] not in "ая":
+                    continue
+            if best is None or len(suf) > len(best):
+                best = suf
+    return best
+
+
+def russian_stem(word: str) -> str:
+    w = word.lower().replace("ё", "е")
+    if not w or not any(c in _RU_VOWELS for c in w):
+        return word
+    rv = _ru_rv(w)
+
+    # step 1: perfective gerund, else adjectival / reflexive+verb / noun
+    suf = _ru_ends(w, rv, _RU_PERFECTIVE_2) or \
+        _ru_ends(w, rv, _RU_PERFECTIVE_1, require_ay=True)
+    if suf:
+        w = w[: -len(suf)]
+    else:
+        adj = _ru_ends(w, rv, _RU_ADJECTIVE)
+        if adj:
+            w = w[: -len(adj)]
+            part = _ru_ends(w, rv, _RU_PARTICIPLE_2) or \
+                _ru_ends(w, rv, _RU_PARTICIPLE_1, require_ay=True)
+            if part:
+                w = w[: -len(part)]
+        else:
+            refl = _ru_ends(w, rv, _RU_REFLEXIVE)
+            if refl:
+                w = w[: -len(refl)]
+            verb = _ru_ends(w, rv, _RU_VERB_2) or \
+                _ru_ends(w, rv, _RU_VERB_1, require_ay=True)
+            if verb:
+                w = w[: -len(verb)]
+            else:
+                noun = _ru_ends(w, rv, _RU_NOUN)
+                if noun:
+                    w = w[: -len(noun)]
+
+    # step 2: drop trailing и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # step 3: derivational (R2 check approximated by RV here, like many
+    # lightweight ports; exact R2 TODO)
+    der = _ru_ends(w, rv, _RU_DERIVATIONAL)
+    if der:
+        w = w[: -len(der)]
+
+    # step 4
+    if w.endswith("нн"):
+        w = w[:-1]
+    else:
+        sup = _ru_ends(w, rv, _RU_SUPERLATIVE)
+        if sup:
+            w = w[: -len(sup)]
+            if w.endswith("нн"):
+                w = w[:-1]
+    if w.endswith("ь") and len(w) - 1 >= rv:
+        w = w[:-1]
+    return w or word
+
+
+# ---------------------------------------------------------------------------
+# Metaphone (original 1990 algorithm) — reference sphinxmetaphone.cpp.
+def metaphone(word: str) -> str:
+    if not word or not word.isascii() or not word.isalpha():
+        return word
+    w = word.upper()
+    # initial-letter exceptions
+    for pre, rep in (("AE", "E"), ("GN", "N"), ("KN", "N"), ("PN", "N"),
+                     ("WR", "R"), ("X", "S"), ("WH", "W")):
+        if w.startswith(pre):
+            w = rep + w[len(pre):]
+            break
+    out = []
+    vowels = "AEIOU"
+    i = 0
+    n = len(w)
+
+    def ch(k):
+        return w[k] if 0 <= k < n else ""
+
+    while i < n and len(out) < 6:
+        c = w[i]
+        if c in vowels:
+            if i == 0:
+                out.append(c)
+        elif c in "FJLMNR":
+            if not (out and out[-1] == c):
+                out.append({"F": "F", "J": "J", "L": "L", "M": "M",
+                            "N": "N", "R": "R"}[c])
+        elif c == "B":
+            if not (i == n - 1 and ch(i - 1) == "M"):
+                out.append("B")
+        elif c == "C":
+            if ch(i + 1) == "I" and ch(i + 2) == "A":
+                out.append("X")
+            elif ch(i + 1) == "H":
+                out.append("X" if ch(i - 1) != "S" else "K")
+                i += 1
+            elif ch(i + 1) in "IEY":
+                if ch(i - 1) != "S":
+                    out.append("S")
+            else:
+                out.append("K")
+        elif c == "D":
+            if ch(i + 1) == "G" and ch(i + 2) in "EIY":
+                out.append("J")
+                i += 1
+            else:
+                out.append("T")
+        elif c == "G":
+            if ch(i + 1) == "H":
+                if i + 1 == n - 1 or ch(i + 2) not in vowels:
+                    i += 1  # silent GH
+                else:
+                    out.append("K")
+            elif ch(i + 1) == "N":
+                pass  # silent in GN, GNED
+            elif ch(i + 1) in "IEY":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "H":
+            if ch(i - 1) in vowels and ch(i + 1) not in vowels:
+                pass
+            elif ch(i - 1) in "CSPTG":
+                pass
+            else:
+                out.append("H")
+        elif c == "K":
+            if ch(i - 1) != "C":
+                out.append("K")
+        elif c == "P":
+            if ch(i + 1) == "H":
+                out.append("F")
+                i += 1
+            else:
+                out.append("P")
+        elif c == "Q":
+            out.append("K")
+        elif c == "S":
+            if ch(i + 1) == "H":
+                out.append("X")
+                i += 1
+            elif ch(i + 1) == "I" and ch(i + 2) in "OA":
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "T":
+            if ch(i + 1) == "H":
+                out.append("0")
+                i += 1
+            elif ch(i + 1) == "I" and ch(i + 2) in "OA":
+                out.append("X")
+            else:
+                out.append("T")
+        elif c == "V":
+            out.append("F")
+        elif c == "W":
+            if ch(i + 1) in vowels:
+                out.append("W")
+        elif c == "X":
+            out.append("K")
+            out.append("S")
+        elif c == "Y":
+            if ch(i + 1) in vowels:
+                out.append("Y")
+        elif c == "Z":
+            out.append("S")
+        i += 1
+    return "".join(out).lower()

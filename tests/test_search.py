@@ -252,3 +252,25 @@ class TestMva:
     def test_mva_hydrates(self, mva_index):
         r = mva_index.search(SearchQuery(match="one"))
         assert r.matches[0].attrs["tags"] == [1, 3, 5, 7]
+
+
+class TestFieldStartEnd:
+    def test_field_start(self, index):
+        # ^test: 'test' must be the first token of a field
+        r = index.search(SearchQuery(match="^test"))
+        assert sorted(m.docid for m in r.matches) == [1, 2]  # titles
+        r = index.search(SearchQuery(match="^this"))
+        assert sorted(m.docid for m in r.matches) == [1, 2, 3, 4]
+
+    def test_field_end(self, index):
+        # two$: last token of a field (doc2 title 'test two', content '...two')
+        r = index.search(SearchQuery(match="two$"))
+        assert [m.docid for m in r.matches] == [2]
+        r = index.search(SearchQuery(match="four$"))
+        assert [m.docid for m in r.matches] == [4]
+
+    def test_start_and_field_limit(self, index):
+        r = index.search(SearchQuery(match="@content ^this"))
+        assert sorted(m.docid for m in r.matches) == [1, 2, 3, 4]
+        r = index.search(SearchQuery(match="@title ^this"))
+        assert r.matches == []

@@ -161,3 +161,38 @@ class TestDictionary:
             morphology=("stem_en",), wordforms=(("running", "jog"),)
         ))
         assert d.process("running") == ["jog"]
+
+
+class TestRussianAndMetaphone:
+    def test_stem_ru(self):
+        from manticoresearch_tpu.text.morphology import get_morph
+        ru = get_morph("stem_ru")
+        assert ru("книги") == ru("книгами") == "книг"
+        assert ru("красивый") == ru("красивая") == "красив"
+
+    def test_metaphone(self):
+        from manticoresearch_tpu.text.morphology import get_morph
+        mp = get_morph("metaphone")
+        assert mp("knight") == mp("night")
+        assert mp("phone")[0] == "f"
+
+    def test_stem_enru_dispatch(self):
+        from manticoresearch_tpu.text.morphology import get_morph
+        m = get_morph("stem_enru")
+        assert m("running") == "run"
+        assert m("книги") == "книг"
+
+    def test_russian_index_search(self):
+        from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        from manticoresearch_tpu.text.dictionary import DictSettings
+        b = IndexBuilder(Schema(fields=["t"]),
+                         dict_settings=DictSettings(morphology=("stem_ru",)))
+        b.add_documents([
+            dict(id=1, t="красивые книги"),
+            dict(id=2, t="старый дом"),
+        ])
+        idx = SearchIndex(b.build())
+        r = idx.search(SearchQuery(match="книга"))
+        assert [m.docid for m in r.matches] == [1]

@@ -118,6 +118,13 @@ def _search_rt_grouped(rt, q, parts):
     """GROUP BY over segments: per-segment group results merged by key —
     COUNT/SUM/MIN/MAX merge exactly; AVG recomputed from SUM+COUNT;
     COUNT(DISTINCT) requires a single segment (OPTIMIZE first)."""
+    return search_grouped_parts(parts, q, rt.schema,
+                                single_part_hint="run OPTIMIZE first")
+
+
+def search_grouped_parts(parts, q, schema, single_part_hint=""):
+    """Merge per-part grouped results (used by RT segments and the
+    distributed index)."""
     from .searcher import Match, SearchResult
 
     if len(parts) > 1:
@@ -125,12 +132,10 @@ def _search_rt_grouped(rt, q, parts):
         if any("distinct" in s for s in sel):
             return SearchResult(
                 [], 0, 0, 0.0, [],
-                error="COUNT(DISTINCT) on a multi-segment RT index: run "
-                      "OPTIMIZE first (single-segment exact path)")
+                error="COUNT(DISTINCT) over multiple parts is inexact; "
+                      + single_part_hint)
 
-    total_docs, df = rt.global_stats()
     part_q = dc_replace(q, offset=0, limit=q.max_matches)
-    # execute per part (grouped) — reuse SearchIndex grouped path per part
     results = []
     for part in parts:
         results.append(part.search(part_q))
@@ -171,7 +176,7 @@ def _search_rt_grouped(rt, q, parts):
     if any("avg(" in (s or "").lower() for s in (q.select or [])):
         warning = "AVG over multi-segment RT merges approximately; OPTIMIZE for exact"
     from .searcher import _resolve_group_order
-    order = _resolve_group_order(q, rt.schema)
+    order = _resolve_group_order(q, schema)
     if order[0] == "rel":
         rows.sort(key=lambda m: (-m.weight, m.docid))
     elif order[0] == "gkey":

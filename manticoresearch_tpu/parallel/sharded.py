@@ -263,14 +263,16 @@ class ShardedIndex:
         return fn
 
     # ------------------------------------------------------------------
+    def _per_shard_indexes(self):
+        """Lazy per-shard SearchIndex list (extra HBM; built on demand for
+        grouped / attr-ordered queries whose merge runs host-side)."""
+        if not hasattr(self, "_shard_idx"):
+            from ..exec.searcher import SearchIndex
+            self._shard_idx = [SearchIndex(p) for p in self.shards]
+        return self._shard_idx
+
     def plan(self, q) -> CompiledQuery:
         ast = self.parser.parse(q.match)
-        if getattr(q, "group_by", None):
-            raise NotImplementedError(
-                "sharded GROUP BY lands with the grouped-merge upgrade")
-        if (q.sort or [("weight", False)])[0][0] not in ("weight", "@weight"):
-            raise NotImplementedError(
-                "sharded ORDER BY attr lands with the merge upgrade")
         return plan_query(
             ast, self.union,
             filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
@@ -282,6 +284,22 @@ class ShardedIndex:
         from ..exec.searcher import Match, SearchResult, WordStat
         import time
         t0 = time.perf_counter()
+        if getattr(q, "group_by", None):
+            # grouped queries: per-shard grouped kernels + exact host merge
+            # (COUNT/SUM/MIN/MAX; same semantics as RT segment merge)
+            from ..exec.multi import search_grouped_parts
+            return search_grouped_parts(
+                self._per_shard_indexes(), q, self.schema,
+                single_part_hint="query a single shard for exact distinct")
+        if (q.sort or [("weight", False)])[0][0] not in ("weight", "@weight",
+                                                          "weight()"):
+            # attr-ordered: per-shard top-k by attr + host merge
+            from ..exec.multi import merge_part_results
+            from dataclasses import replace as dc_rep
+            part_q = dc_rep(q, offset=0, limit=q.offset + q.limit,
+                            select=None)
+            results = [p.search(part_q) for p in self._per_shard_indexes()]
+            return merge_part_results(results, q, self.schema)
         try:
             cq = self.plan(q)
         except (ValueError, NotImplementedError) as e:

@@ -108,3 +108,25 @@ def test_sharded_positional_equals_single(single, sharded, qi):
     assert r1.error is None and r2.error is None, (r1.error, r2.error)
     assert [m.docid for m in r2.matches] == [m.docid for m in r1.matches]
     assert [m.weight for m in r2.matches] == [m.weight for m in r1.matches]
+
+
+def test_sharded_group_by(single, sharded):
+    q = SearchQuery(match="", group_by="year",
+                    select=["count(*)", "sum(score)"],
+                    sort=[("year", True)], limit=50)
+    r1 = single.search(q)
+    r2 = sharded.search(q)
+    assert r1.error is None and r2.error is None, (r1.error, r2.error)
+    g1 = [(m.attrs["year"], m.attrs["count(*)"]) for m in r1.matches]
+    g2 = [(m.attrs["year"], m.attrs["count(*)"]) for m in r2.matches]
+    assert g1 == g2
+    s1 = [round(m.attrs["sum(score)"], 3) for m in r1.matches]
+    s2 = [round(m.attrs["sum(score)"], 3) for m in r2.matches]
+    assert s1 == s2
+
+
+def test_sharded_order_by_attr(single, sharded):
+    q = SearchQuery(match="alpha", sort=[("year", False)], limit=20)
+    r1 = single.search(q)
+    r2 = sharded.search(q)
+    assert [m.docid for m in r2.matches] == [m.docid for m in r1.matches]

@@ -69,6 +69,17 @@ class PackedIndex:
     total_hits: int
     tokenizer_settings: TokenizerSettings = dc_field(default_factory=TokenizerSettings)
     dict_settings: DictSettings = dc_field(default_factory=DictSettings)
+    # sentence/paragraph boundaries (index_sp): sorted (rowid, packed-pos of
+    # the token that ENDS the sentence/paragraph) — the SENTENCE/PARAGRAPH
+    # operators bisect these (reference stores MAGIC_CODE_SENTENCE tokens)
+    sent_rowid: np.ndarray = dc_field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    sent_pkey: np.ndarray = dc_field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    para_rowid: np.ndarray = dc_field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    para_pkey: np.ndarray = dc_field(
+        default_factory=lambda: np.zeros(0, np.int32))
 
     @property
     def n_terms(self) -> int:
@@ -156,8 +167,14 @@ class IndexBuilder:
                 attrs_mva[a.name] = []
 
         ds = self.dict_settings
+        index_sp = self.tok_settings.index_sp
         trivial_dict = (not ds.stopwords and not ds.morphology
-                        and not ds.wordforms and not ds.index_exact_words)
+                        and not ds.wordforms and not ds.index_exact_words
+                        and not index_sp)
+        sent_rows: list[int] = []
+        sent_keys: list[int] = []
+        para_rows: list[int] = []
+        para_keys: list[int] = []
 
         for rowid, docid in enumerate(doc_ids.tolist()):
             doc = self._docs[docid]
@@ -187,6 +204,23 @@ class IndexBuilder:
                         hits_packed.append(
                             hitman_pack(fid, t.position, t.position == last_pos)
                         )
+                if index_sp and tokens:
+                    # a sentence ends at token i when .!? appears between it
+                    # and the next token; a blank line ends a paragraph
+                    # (paragraph breaks imply sentence breaks)
+                    txt = str(text)
+                    for i, t in enumerate(tokens):
+                        gap = (txt[t.end: tokens[i + 1].start]
+                               if i + 1 < len(tokens) else "")
+                        key = fid << HITMAN_FIELD_SHIFT | t.position
+                        if "\n\n" in gap:
+                            para_rows.append(rowid)
+                            para_keys.append(key)
+                            sent_rows.append(rowid)
+                            sent_keys.append(key)
+                        elif any(c in gap for c in ".!?"):
+                            sent_rows.append(rowid)
+                            sent_keys.append(key)
             for a in schema.attrs:
                 v = doc.get(a.name)
                 if a.type in (AttrType.UINT, AttrType.BOOL, AttrType.TIMESTAMP):
@@ -253,10 +287,19 @@ class IndexBuilder:
             / (post_tf.astype(np.float32) + np.float32(SPH_BM25_K1))
         ).astype(np.float32)
 
+        sp_kwargs = {}
+        if index_sp:
+            sp_kwargs = dict(
+                sent_rowid=np.asarray(sent_rows, np.int32),
+                sent_pkey=np.asarray(sent_keys, np.int32),
+                para_rowid=np.asarray(para_rows, np.int32),
+                para_pkey=np.asarray(para_keys, np.int32),
+            )
         return PackedIndex(
             schema=schema,
             n_docs=n,
             doc_ids=doc_ids,
+            **sp_kwargs,
             term_strs=term_strs,
             term_offsets=term_offsets,
             term_docs=term_docs,

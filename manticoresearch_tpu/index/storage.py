@@ -29,6 +29,7 @@ def _settings_to_json(tok: TokenizerSettings, dic: DictSettings) -> dict:
             "ngram_chars": tok.ngram_chars,
             "ngram_len": tok.ngram_len,
             "overshort_step": tok.overshort_step,
+            "index_sp": tok.index_sp,
         },
         "dict": {
             "stopwords": sorted(dic.stopwords),
@@ -48,6 +49,7 @@ def _settings_from_json(d: dict):
             charset_table=t["charset_table"], min_word_len=t["min_word_len"],
             ngram_chars=t["ngram_chars"], ngram_len=t["ngram_len"],
             overshort_step=t["overshort_step"],
+            index_sp=t.get("index_sp", False),
         ),
         DictSettings(
             stopwords=frozenset(s["stopwords"]),
@@ -85,6 +87,10 @@ def save_packed(packed: PackedIndex, path: str) -> None:
         "post_hit_offset": packed.post_hit_offset,
         "hit_packed": packed.hit_packed,
         "field_lens": packed.field_lens,
+        "sent_rowid": packed.sent_rowid,
+        "sent_pkey": packed.sent_pkey,
+        "para_rowid": packed.para_rowid,
+        "para_pkey": packed.para_pkey,
     }
     for k, v in packed.attrs_int.items():
         arrays[f"ai__{k}"] = v
@@ -141,6 +147,10 @@ def load_packed(path: str) -> PackedIndex:
         post_fieldmask=z["post_fieldmask"],
         post_hit_offset=z["post_hit_offset"],
         hit_packed=z["hit_packed"],
+        sent_rowid=z.get("sent_rowid", np.zeros(0, np.int32)),
+        sent_pkey=z.get("sent_pkey", np.zeros(0, np.int32)),
+        para_rowid=z.get("para_rowid", np.zeros(0, np.int32)),
+        para_pkey=z.get("para_pkey", np.zeros(0, np.int32)),
         attrs_int=attrs_int,
         attrs_big=attrs_big,
         attrs_float=attrs_float,

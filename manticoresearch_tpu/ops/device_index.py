@@ -32,6 +32,10 @@ class DeviceIndex:
     hit_packed: jax.Array            # i32[H]  (Hitman packing incl. end flag)
     hit_packed_nokey: jax.Array      # i32[H]  (end flag stripped, for compares)
     hit_rowid: jax.Array             # i32[H]  (posting rowid expanded per hit)
+    sent_rowid: jax.Array            # i32[?] sentence-break rows (index_sp)
+    sent_pkey: jax.Array             # i32[?] sentence-break packed positions
+    para_rowid: jax.Array            # i32[?]
+    para_pkey: jax.Array             # i32[?]
     alive: jax.Array                 # bool[N+1], [N] always False (dead-row map, killlist.h:22)
     field_lens: jax.Array            # i32[N+1, F] tokens per field (index_field_lengths)
     docid_hi: jax.Array              # i32[N+1]: docid >> 31 (for cross-shard tie-break)
@@ -51,6 +55,10 @@ class DeviceIndex:
             "hit_packed": self.hit_packed,
             "hit_packed_nokey": self.hit_packed_nokey,
             "hit_rowid": self.hit_rowid,
+            "sent_rowid": self.sent_rowid,
+            "sent_pkey": self.sent_pkey,
+            "para_rowid": self.para_rowid,
+            "para_pkey": self.para_pkey,
             "alive": self.alive,
             "field_lens": self.field_lens,
             "docid_hi": self.docid_hi,
@@ -59,6 +67,13 @@ class DeviceIndex:
             "mva_offsets": self.mva_offsets,
             "mva_values": self.mva_values,
         }
+
+
+def _pad_breaks(arr: np.ndarray) -> np.ndarray:
+    """Boundary arrays padded to >=1 with a +inf-like row so searches miss."""
+    if len(arr):
+        return arr.astype(np.int32)
+    return np.full(1, 2**31 - 1, np.int32)
 
 
 def upload(packed: PackedIndex, device=None) -> DeviceIndex:
@@ -136,6 +151,10 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
         hit_packed=put(hit_packed_p),
         hit_packed_nokey=put(hit_nokey),
         hit_rowid=put(hit_rowid),
+        sent_rowid=put(_pad_breaks(packed.sent_rowid)),
+        sent_pkey=put(_pad_breaks(packed.sent_pkey)),
+        para_rowid=put(_pad_breaks(packed.para_rowid)),
+        para_pkey=put(_pad_breaks(packed.para_pkey)),
         alive=put(alive),
         field_lens=put(fl),
         docid_hi=put(docid_hi),

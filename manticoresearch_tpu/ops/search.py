@@ -594,7 +594,7 @@ def _eval_expr(expr: tuple, termmask, phrase_results, alive, N):
         for s in slots_t:
             cnt = cnt + ((termmask >> s) & 1)
         return cnt >= m_need
-    if op in ("phrase", "proximity", "near"):
+    if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
         return phrase_results[expr][0]
     raise ValueError(f"unknown expr op {op!r}")
 
@@ -611,7 +611,7 @@ def _slot_membership(slot, member_slots: tuple, n_slots: int):
 
 def _collect_phrase_nodes(expr: tuple) -> list[tuple]:
     op = expr[0]
-    if op in ("phrase", "proximity", "near"):
+    if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
         return [expr]
     if op in ("and", "or"):
         out = []
@@ -651,7 +651,38 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters):
         msk = jnp.arange(sz, dtype=jnp.int32) < h_lens[s]
         return jnp.where(msk, hrow, N), jnp.where(msk, hpk, 0), msk
 
-    if op == "near":
+    if op in ("sentence", "paragraph"):
+        # SENTENCE/PARAGRAPH (sphinxquery.h SPH_QUERY_SENTENCE/PARAGRAPH):
+        # both keywords within the same sentence/paragraph of a field.
+        # Boundary arrays hold (row, packed-pos of the unit's LAST token),
+        # sorted; the unit containing anchor position p spans
+        # (prev_break_pos, next_break_pos]. index_sp must be enabled at
+        # build time (otherwise no breaks: whole field = one unit).
+        sa, sb = slots_t
+        brow = data["sent_rowid" if op == "sentence" else "para_rowid"]
+        bkey = data["sent_pkey" if op == "sentence" else "para_pkey"]
+        a_row, a_key, valid = hits_of(sa)
+        zero = jnp.zeros_like(a_row)
+        blen = jnp.full_like(a_row, brow.shape[0])
+        idx_le, ex = _lex_search_le(a_row, a_key, brow, bkey, zero, blen,
+                                    n_hit_iters)
+        fld = a_key >> 24
+        same_prev = ex & (brow[idx_le] == a_row) & ((bkey[idx_le] >> 24) == fld)
+        lb = jnp.where(same_prev, bkey[idx_le], fld << 24)
+        nxt = jnp.where(ex, idx_le + 1, 0)
+        nxt_c = jnp.clip(nxt, 0, brow.shape[0] - 1)
+        same_next = (nxt < brow.shape[0]) & (brow[nxt_c] == a_row) & \
+            ((bkey[nxt_c] >> 24) == fld)
+        ub = jnp.where(same_next, bkey[nxt_c], ((fld + 1) << 24) - 1)
+        # does slot b have a hit in (lb, ub] within the same row?
+        lo_b = rt["hit_starts"][sb] * jnp.ones_like(a_row)
+        hi_b = lo_b + h_lens[sb]
+        idxb, exb = _lex_search_le(a_row, ub, data["hit_rowid"],
+                                   data["hit_packed_nokey"], lo_b, hi_b,
+                                   n_hit_iters)
+        ok = valid & exb & (data["hit_rowid"][idxb] == a_row) & \
+            (data["hit_packed_nokey"][idxb] > lb)
+    elif op == "near":
         # binary NEAR/N / NOTNEAR/N over keywords (ExtMultinear twofer,
         # searchnode.cpp FSMmultinear): anchor on the left word's hits; match
         # iff the right word has a hit within |delta| <= n in the same field.

@@ -188,12 +188,26 @@ class ShardedIndex:
                     ).astype(dt) if dt == np.int32 else src.astype(dt)
             attrs[a.name] = col
 
+        SBmax = max(max((len(s2.sent_rowid) for s2 in shards), default=0), 1)
+        PBmax = max(max((len(s2.para_rowid) for s2 in shards), default=0), 1)
+        sbr = np.full((D, SBmax), 2**31 - 1, np.int32)
+        sbk = np.full((D, SBmax), 2**31 - 1, np.int32)
+        pbr = np.full((D, PBmax), 2**31 - 1, np.int32)
+        pbk = np.full((D, PBmax), 2**31 - 1, np.int32)
+        for i, s in enumerate(shards):
+            sbr[i, : len(s.sent_rowid)] = s.sent_rowid
+            sbk[i, : len(s.sent_pkey)] = s.sent_pkey
+            pbr[i, : len(s.para_rowid)] = s.para_rowid
+            pbk[i, : len(s.para_pkey)] = s.para_pkey
+
         data = {
             "post_rowid": post_rowid, "post_tfq": post_tfq,
             "post_tf": post_tf, "post_fieldmask": post_fm,
             "post_hit_offset": pho, "hit_packed": hitp,
             "hit_packed_nokey": (hitp & ~(1 << 23)).astype(np.int32),
             "hit_rowid": hitr, "alive": alive, "field_lens": flens,
+            "sent_rowid": sbr, "sent_pkey": sbk,
+            "para_rowid": pbr, "para_pkey": pbk,
             "docid_hi": dhi, "docid_lo": dlo,
             "attrs": attrs, "mva_offsets": {}, "mva_values": {},
         }

@@ -43,6 +43,13 @@ class QNear:
 
 
 @dataclass(frozen=True)
+class QSentence:
+    left: object
+    right: object
+    paragraph: bool = False   # PARAGRAPH instead of SENTENCE
+
+
+@dataclass(frozen=True)
 class QAnd:
     children: tuple
 

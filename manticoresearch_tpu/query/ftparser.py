@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from ..text.dictionary import Dictionary
 from ..text.tokenizer import Tokenizer
 from .ast import (QAll, QAnd, QMaybe, QNear, QNot, QOr, QPhrase, QQuorum,
-                  QTerm)
+                  QSentence, QTerm)
 
 
 class QueryParseError(ValueError):
@@ -158,20 +158,28 @@ class FtQueryParser:
                     neg_children.append(child)
                 continue
             child = self._parse_or_expr()
-            # NEAR/N / NOTNEAR/N infix operators (sphinxquery.h:43-62)
+            # NEAR/N, NOTNEAR/N, SENTENCE, PARAGRAPH infix operators
+            # (sphinxquery.h:43-62)
             while True:
                 nxt = self._peek()
                 m = None
+                sp = None
                 if nxt is not None and nxt.kind == "word":
                     m = re.match(r"^(NEAR|NOTNEAR)/(\d+)$", nxt.text)
-                if not m:
+                    if nxt.text in ("SENTENCE", "PARAGRAPH"):
+                        sp = nxt.text
+                if not m and not sp:
                     break
                 self._next()
                 right = self._parse_or_expr()
                 if child is None or right is None:
-                    raise QueryParseError(f"{m.group(1)} needs two operands")
-                child = QNear(child, right, int(m.group(2)),
-                              not_near=m.group(1) == "NOTNEAR")
+                    raise QueryParseError("binary operator needs two operands")
+                if sp:
+                    child = QSentence(child, right,
+                                      paragraph=sp == "PARAGRAPH")
+                else:
+                    child = QNear(child, right, int(m.group(2)),
+                                  not_near=m.group(1) == "NOTNEAR")
             if child is not None:
                 pos_children.append(child)
 

@@ -68,7 +68,7 @@ def expr_slots(expr: tuple) -> set[int]:
         return expr_slots(expr[1]) | expr_slots(expr[2])
     if op in ("quorum", "phrase"):
         return set(expr[1])
-    if op in ("proximity", "near"):
+    if op in ("proximity", "near", "sentence", "paragraph"):
         return set(expr[1])
     raise ValueError(f"unknown expr op {op!r}")
 
@@ -92,7 +92,7 @@ def ranker_term_slots(expr: tuple) -> tuple[int, ...]:
             return walk(e[1])
         if op == "quorum":
             return list(e[1])
-        if op in ("phrase", "proximity", "near"):
+        if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
             return []
         raise ValueError(f"unknown expr op {op!r}")
     seen: list[int] = []
@@ -105,7 +105,7 @@ def ranker_term_slots(expr: tuple) -> tuple[int, ...]:
 def positive_phrase_nodes(expr: tuple) -> tuple:
     """Phrase/proximity nodes not under a NOT branch, in tree order."""
     op = expr[0]
-    if op in ("phrase", "proximity", "near"):
+    if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
         return (expr,)
     if op in ("and", "or"):
         out: tuple = ()
@@ -133,7 +133,7 @@ def positive_slots(expr: tuple) -> set[int]:
         return out
     if op == "andnot":
         return positive_slots(expr[1])
-    if op in ("quorum", "phrase", "proximity"):
+    if op in ("quorum", "phrase", "proximity", "sentence", "paragraph"):
         return set(expr[1])
     if op == "near":
         # NOTNEAR's right side never contributes weight

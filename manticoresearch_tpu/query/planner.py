@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .ast import (QAll, QAnd, QAndNot, QMaybe, QNear, QNot, QOr, QPhrase,
-                  QQuorum, QTerm)
+                  QQuorum, QSentence, QTerm)
 from .plan import FilterSpec, PlanSig
 
 
@@ -213,6 +213,13 @@ def _lower(node, st: _SlotTable, positive: bool):
         sb = st.get(node.right.word, node.right.fields,
                     positive and not node.not_near)
         return ("near", (sa, sb), node.n, node.not_near)
+    if isinstance(node, QSentence):
+        if not (isinstance(node.left, QTerm) and isinstance(node.right, QTerm)):
+            raise NotImplementedError(
+                "SENTENCE/PARAGRAPH between non-keyword operands lands later")
+        sa = st.get(node.left.word, node.left.fields, positive)
+        sb = st.get(node.right.word, node.right.fields, positive)
+        return ("paragraph" if node.paragraph else "sentence", (sa, sb))
     raise NotImplementedError(f"AST node {type(node).__name__}")
 
 
@@ -456,7 +463,7 @@ def _positional_hits_need(expr, hit_lengths) -> int:
 
 def _has_positional(expr) -> bool:
     op = expr[0]
-    if op in ("phrase", "proximity", "near"):
+    if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
         return True
     if op in ("and", "or"):
         return any(_has_positional(c) for c in expr[1])

@@ -30,6 +30,7 @@ class TokenizerSettings:
     ngram_chars: str = ""  # charset spec of chars to split as 1-grams
     ngram_len: int = 1
     overshort_step: int = 1
+    index_sp: bool = False  # detect sentence/paragraph boundaries (index_sp)
 
     def key(self) -> tuple:
         return (
@@ -38,6 +39,7 @@ class TokenizerSettings:
             self.ngram_chars,
             self.ngram_len,
             self.overshort_step,
+            self.index_sp,
         )
 
 

@@ -183,3 +183,39 @@ class TestNear:
         # in title); doc4 test@content4 (no document at all)
         r = index.search(SearchQuery(match="test NOTNEAR/1 document"))
         assert sorted(m.docid for m in r.matches) == [1, 2, 4]
+
+
+class TestSentenceParagraph:
+    @pytest.fixture(scope="class")
+    def sp_index(self):
+        from manticoresearch_tpu.text.tokenizer import TokenizerSettings
+        schema = Schema(fields=["body"])
+        b = IndexBuilder(schema,
+                         tokenizer_settings=TokenizerSettings(index_sp=True))
+        b.add_documents([
+            dict(id=1, body="The cat sat here. The dog ran away.\n\n"
+                            "A bird flew over the cat."),
+            dict(id=2, body="Dogs and cats together in one sentence."),
+            dict(id=3, body="No animals here at all. Nothing to see."),
+        ])
+        return SearchIndex(b.build())
+
+    def test_sentence_same(self, sp_index):
+        r = sp_index.search(SearchQuery(match="dogs SENTENCE cats"))
+        assert [m.docid for m in r.matches] == [2]
+
+    def test_sentence_split(self, sp_index):
+        # doc1: 'cat' in sentence 1 & 3; 'dog' in sentence 2 only
+        r = sp_index.search(SearchQuery(match="cat SENTENCE dog"))
+        assert r.matches == []
+        r = sp_index.search(SearchQuery(match="cat SENTENCE sat"))
+        assert [m.docid for m in r.matches] == [1]
+        r = sp_index.search(SearchQuery(match="bird SENTENCE cat"))
+        assert [m.docid for m in r.matches] == [1]
+
+    def test_paragraph(self, sp_index):
+        # doc1: paragraph 1 has cat+dog; paragraph 2 has bird+cat
+        r = sp_index.search(SearchQuery(match="cat PARAGRAPH dog"))
+        assert [m.docid for m in r.matches] == [1]
+        r = sp_index.search(SearchQuery(match="bird PARAGRAPH dog"))
+        assert r.matches == []

@@ -1,0 +1,169 @@
+"""Bit-packed posting compression + Pallas TPU decode kernels.
+
+Behavioral model: the reference compresses doclists with VByte ("zint",
+CSphReader::UnzipInt, doc/internals-index-format.txt:24-63) and its columnar
+library uses FastPFOR (SURVEY §2 #52; BASELINE.json names FastPFOR-style
+Pallas decompression as the device posting codec).
+
+TPU redesign — fixed 128-delta blocks, bit-plane-major layout, and blocks
+grouped into WIDTH CLASSES {4, 8, 16, 32} bits so every class's stream is a
+dense rectangular array [n_blocks, 4*class_width] words. That shape needs no
+gathers, no DMA choreography, and no dynamic indexing: the Pallas kernel for
+class c reads an (8, 4c) tile per grid step, extracts c bit planes with
+static slices + lane-indexed shifts, and prefix-sums deltas into absolute
+rowids (Hillis-Steele — Mosaic has no native cumsum). Mid-frequency terms
+land in the 4/8-bit classes: 8x/4x smaller than raw i32 in HBM.
+
+decode path: `decode_packed` (Pallas per class); `decode_packed_xla` is the
+portable reference — both bit-exact vs the input.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 128        # deltas per block (reference DOCINFO/skiplist block size)
+PLANE_WORDS = 4    # 128 bits per plane
+CLASSES = (4, 8, 16, 32)
+
+
+def pack_rowids(rowids: np.ndarray) -> dict:
+    """Pack an ascending rowid array into width-class bit-plane blocks.
+
+    Returns {"count", "n_blocks", "classes": {c: {"words": u32[nb_c, 4c],
+    "base": i32[nb_c], "block_idx": i32[nb_c]}}} — block_idx maps class rows
+    back to global block order.
+    """
+    n = len(rowids)
+    n_blocks = max((n + BLOCK - 1) // BLOCK, 1)
+    r = np.asarray(rowids, np.int64)
+    per_class: dict[int, dict[str, list]] = {
+        c: {"words": [], "base": [], "block_idx": []} for c in CLASSES}
+    for b in range(n_blocks):
+        seg = r[b * BLOCK: (b + 1) * BLOCK]
+        if len(seg) == 0:
+            seg = np.zeros(1, np.int64)
+        deltas = np.diff(seg, prepend=seg[0])
+        if len(deltas) < BLOCK:
+            deltas = np.concatenate(
+                [deltas, np.zeros(BLOCK - len(deltas), np.int64)])
+        w = max(int(deltas.max()).bit_length(), 1)
+        c = next(cc for cc in CLASSES if cc >= w)
+        planes = np.zeros((c, PLANE_WORDS), np.uint32)
+        shifts = (np.uint32(1) << np.arange(32, dtype=np.uint32))
+        for j in range(c):
+            bits = ((deltas >> j) & 1).astype(np.uint32)
+            planes[j] = (bits.reshape(PLANE_WORDS, 32) * shifts).sum(
+                axis=1, dtype=np.uint32)
+        pc = per_class[c]
+        pc["words"].append(planes.reshape(-1))
+        pc["base"].append(int(seg[0]))
+        pc["block_idx"].append(b)
+    out: dict = {"count": n, "n_blocks": n_blocks, "classes": {}}
+    for c in CLASSES:
+        pc = per_class[c]
+        if not pc["base"]:
+            continue
+        out["classes"][c] = {
+            "words": np.stack(pc["words"]).astype(np.uint32),
+            "base": np.asarray(pc["base"], np.int32),
+            "block_idx": np.asarray(pc["block_idx"], np.int32),
+        }
+    return out
+
+
+def _make_class_kernel(c: int):
+    def kernel(words_ref, base_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, BLOCK), 1)
+        word_sel = lane // 32
+        sh = (lane % 32).astype(jnp.uint32)
+        deltas = jnp.zeros((8, BLOCK), jnp.int32)
+        for j in range(c):
+            word = jnp.zeros((8, BLOCK), jnp.int32)
+            for k in range(PLANE_WORDS):
+                col = words_ref[:, PLANE_WORDS * j + k].reshape(8, 1)
+                word = jnp.where(word_sel == k, col, word)
+            bit = ((word.astype(jnp.uint32) >> sh) & jnp.uint32(1)
+                   ).astype(jnp.int32)
+            deltas = deltas + (bit << j)
+        # Hillis-Steele in-block prefix sum (no native cumsum in Mosaic)
+        acc = deltas
+        for step in (1, 2, 4, 8, 16, 32, 64):
+            acc = acc + jnp.concatenate(
+                [jnp.zeros((8, step), jnp.int32), acc[:, :-step]], axis=1)
+        out_ref[:] = base_ref[:, :1] + acc
+    return kernel
+
+
+def _decode_class(c: int, words: np.ndarray, base: np.ndarray,
+                  interpret: bool = False) -> jax.Array:
+    nb = len(base)
+    groups = (nb + 7) // 8
+    nb_pad = groups * 8
+    wpad = np.zeros((nb_pad, PLANE_WORDS * c), np.uint32)
+    wpad[:nb] = words
+    bpad = np.zeros((nb_pad, 1), np.int32)
+    bpad[:nb, 0] = base
+    out = pl.pallas_call(
+        _make_class_kernel(c),
+        grid=(groups,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((8, PLANE_WORDS * c), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, BLOCK), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb_pad, BLOCK), jnp.int32),
+    )(jnp.asarray(wpad.view(np.int32)), jnp.asarray(bpad))
+    return out[:nb]
+
+
+def decode_packed(packed: dict, use_pallas: bool = True,
+                  interpret: bool | None = None) -> jax.Array:
+    """Decode all blocks back to absolute rowids (device).
+
+    interpret=None auto-selects Pallas interpreter mode on non-TPU backends
+    (CI runs on the CPU mesh)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n_blocks = packed["n_blocks"]
+    rows = jnp.zeros((n_blocks, BLOCK), jnp.int32)
+    for c, pc in packed["classes"].items():
+        dec = (_decode_class(c, pc["words"], pc["base"], interpret)
+               if use_pallas
+               else _decode_class_xla(c, pc["words"], pc["base"]))
+        rows = rows.at[jnp.asarray(pc["block_idx"])].set(dec)
+    return rows.reshape(-1)[: packed["count"]]
+
+
+def _decode_class_xla(c: int, words: np.ndarray, base: np.ndarray
+                      ) -> jax.Array:
+    w = jnp.asarray(words.view(np.int32)).astype(jnp.uint32)  # [nb, 4c]
+    b = jnp.asarray(base)
+    nb = len(base)
+    lane = jnp.arange(BLOCK, dtype=jnp.int32)
+    word_sel = lane // 32
+    sh = (lane % 32).astype(jnp.uint32)
+    deltas = jnp.zeros((nb, BLOCK), jnp.int32)
+    for j in range(c):
+        plane = w[:, PLANE_WORDS * j: PLANE_WORDS * (j + 1)]     # [nb, 4]
+        word = jnp.take_along_axis(
+            plane, jnp.broadcast_to(word_sel[None, :], (nb, BLOCK)), axis=1)
+        bit = ((word >> sh[None, :]) & jnp.uint32(1)).astype(jnp.int32)
+        deltas = deltas + (bit << j)
+    return b[:, None] + jnp.cumsum(deltas, axis=1)
+
+
+def decode_packed_xla(packed: dict) -> jax.Array:
+    return decode_packed(packed, use_pallas=False)
+
+
+def packed_size_bytes(packed: dict) -> int:
+    return sum(pc["words"].nbytes + pc["base"].nbytes + pc["block_idx"].nbytes
+               for pc in packed["classes"].values())

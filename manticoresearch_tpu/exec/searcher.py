@@ -13,7 +13,7 @@ from typing import Any
 import numpy as np
 
 from ..index.builder import PackedIndex
-from ..ops.device_index import DeviceIndex, upload
+from ..ops.device_index import upload
 from ..ops.search import INT32_MIN, get_batched_search_fn, get_search_fn
 from ..query.ftparser import FtQueryParser
 from ..query.planner import AttrFilterDef, CompiledQuery, plan_query

@@ -24,7 +24,7 @@ from typing import Any, Iterable, Mapping
 
 import numpy as np
 
-from ..schema import AttrDef, AttrType, Schema
+from ..schema import AttrType, Schema
 from ..text.dictionary import Dictionary, DictSettings
 from ..text.tokenizer import Tokenizer, TokenizerSettings
 

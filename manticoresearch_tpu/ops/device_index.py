@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.builder import PackedIndex
-from ..schema import AttrType
 
 
 @dataclass

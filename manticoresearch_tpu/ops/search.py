@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..query.plan import FilterSpec, PlanSig, expr_slots, positive_slots
+from ..query.plan import FilterSpec, PlanSig, positive_slots
 
 import os
 

@@ -6,7 +6,7 @@ operator, within the current parenthesized group).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

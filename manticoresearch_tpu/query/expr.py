@@ -23,7 +23,6 @@ import math
 import re
 
 import jax.numpy as jnp
-import numpy as np
 
 
 class ExprError(ValueError):

@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 from ..text.dictionary import Dictionary
 from ..text.tokenizer import Tokenizer
-from .ast import (QAll, QAnd, QMaybe, QNear, QNot, QOr, QPhrase, QQuorum,
+from .ast import (QAll, QAnd, QMaybe, QNear, QOr, QPhrase, QQuorum,
                   QSentence, QTerm)
 
 

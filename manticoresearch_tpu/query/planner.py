@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .ast import (QAll, QAnd, QAndNot, QMaybe, QNear, QNot, QOr, QPhrase,
+from .ast import (QAll, QAnd, QAndNot, QMaybe, QNear, QOr, QPhrase,
                   QQuorum, QSentence, QTerm)
 from .plan import FilterSpec, PlanSig
 

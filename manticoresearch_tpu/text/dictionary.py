@@ -9,7 +9,7 @@ stopword check again (post-morphology), wordforms.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from .morphology import get_morph

@@ -14,7 +14,7 @@ each become their own single-codepoint token (ngram_len=1 semantics).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -110,6 +110,8 @@ class HttpServer:
                 return self._json(self._handle_delete(body))
             if route in ("/json/bulk", "/bulk"):
                 return self._json(self._handle_bulk(body))
+            if route.startswith("/json/pq/") or route.startswith("/pq/"):
+                return self._json(self._handle_pq(route, body))
             return ("404 Not Found", "application/json",
                     json.dumps({"error": f"unknown endpoint {route}"})
                     .encode())
@@ -219,6 +221,47 @@ class HttpServer:
             raise JsonQueryError("delete needs 'id' or 'query'")
         table.commit()
         return {"_index": index, "deleted": n}
+
+    def _handle_pq(self, route: str, body: bytes) -> dict:
+        """Percolate endpoints: /json/pq/<idx>/search matches docs against
+        stored queries; /json/pq/<idx>/doc[?id=N] stores a query
+        (sphinxjsonquery pq endpoints)."""
+        from ..index.percolate import PercolateIndex
+
+        parts = [p for p in route.split("/") if p]
+        # ["json","pq",idx,op] or ["pq",idx,op]
+        idx = parts[-2]
+        op = parts[-1]
+        table = self.catalog.get(idx)
+        if not isinstance(table, PercolateIndex):
+            raise JsonQueryError(f"'{idx}' is not a percolate table")
+        req = json.loads(body or b"{}")
+        if op == "search":
+            docs = req.get("query", {}).get("percolate", {}).get(
+                "documents") or req.get("documents") or []
+            if isinstance(docs, dict):
+                docs = [docs]
+            matches = table.match_documents(docs)
+            hits = []
+            for qid, doc_ords in matches:
+                q = table.queries[qid]
+                hits.append({"_id": qid,
+                             "_source": {"query": {"ql": q.query}},
+                             "fields": {"_percolator_document_slot":
+                                        doc_ords}})
+            return {"timed_out": False,
+                    "hits": {"total": len(hits), "hits": hits}}
+        if op == "doc":
+            q = req.get("query", {})
+            ql = q.get("ql") or q.get("match", {})
+            if isinstance(ql, dict):
+                ql = " ".join(str(v) for v in ql.values())
+            qid = table.add_query(str(ql),
+                                  str(req.get("filters", "")),
+                                  req.get("tags"))
+            return {"index": idx, "_id": qid, "created": True,
+                    "result": "created"}
+        raise JsonQueryError(f"unknown pq operation {op!r}")
 
     def _handle_bulk(self, body: bytes) -> dict:
         items = []

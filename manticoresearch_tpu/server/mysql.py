@@ -17,7 +17,9 @@ from ..exec.session import Catalog, QLResult, Session
 
 CLIENT_PROTOCOL_41 = 0x0200
 CLIENT_CONNECT_WITH_DB = 0x0008
+CLIENT_MULTI_RESULTS = 0x20000
 CLIENT_PLUGIN_AUTH = 0x80000
+SERVER_MORE_RESULTS_EXISTS = 0x0008
 
 COM_QUIT = 0x01
 COM_INIT_DB = 0x02
@@ -84,10 +86,12 @@ class _Conn:
         self.seq = 255  # handshake is seq 0
         self.send_packet(payload)
 
-    def send_ok(self, affected: int = 0, warning: str | None = None) -> None:
+    def send_ok(self, affected: int = 0, warning: str | None = None,
+                more: bool = False) -> None:
         warnings = 1 if warning else 0
+        status = 2 | (SERVER_MORE_RESULTS_EXISTS if more else 0)
         payload = (b"\x00" + _lenenc_int(affected) + _lenenc_int(0)
-                   + struct.pack("<H", 2) + struct.pack("<H", warnings))
+                   + struct.pack("<H", status) + struct.pack("<H", warnings))
         self.send_packet(payload)
 
     def send_err(self, msg: str, code: int = 1064) -> None:
@@ -95,11 +99,12 @@ class _Conn:
                    + msg.encode("utf-8"))
         self.send_packet(payload)
 
-    def send_eof(self) -> None:
+    def send_eof(self, more: bool = False) -> None:
+        status = 2 | (SERVER_MORE_RESULTS_EXISTS if more else 0)
         self.send_packet(b"\xfe" + struct.pack("<H", 0)
-                         + struct.pack("<H", 2))
+                         + struct.pack("<H", status))
 
-    def send_resultset(self, r: QLResult) -> None:
+    def send_resultset(self, r: QLResult, more: bool = False) -> None:
         self.send_packet(_lenenc_int(len(r.columns)))
         for col in r.columns:
             name = col.encode("utf-8")
@@ -124,7 +129,7 @@ class _Conn:
                         s = str(v)
                     out += _lenenc_str(s.encode("utf-8"))
             self.send_packet(out)
-        self.send_eof()
+        self.send_eof(more)
 
     # ---- main loop ----
     async def run(self) -> None:
@@ -150,16 +155,14 @@ class _Conn:
                 sql = pkt[1:].decode("utf-8", "replace")
                 results = self.session.execute(sql)
                 for i, r in enumerate(results):
-                    if i > 0:
-                        # multi-result (FACET): not all clients expect it;
-                        # send only the first unless MULTI_RESULTS handshaked
-                        break
+                    more = i + 1 < len(results)
                     if r.error:
                         self.send_err(r.error)
+                        break  # error terminates a multi-result sequence
                     elif r.columns:
-                        self.send_resultset(r)
+                        self.send_resultset(r, more=more)
                     else:
-                        self.send_ok(r.affected, r.warning)
+                        self.send_ok(r.affected, r.warning, more=more)
             else:
                 self.send_err(f"unsupported command {cmd:#x}", 1047)
             await self.writer.drain()

@@ -352,3 +352,59 @@ class TestMysqlWire:
             assert c._read_packet()[0] == 0x00
         finally:
             c.close()
+
+
+class TestHttpPq:
+    def test_pq_http_flow(self, catalog):
+        http2 = HttpServer(catalog)
+        s, _, payload = http2.handle_request(
+            "POST", "/sql", {},
+            b"query=CREATE TABLE IF NOT EXISTS alerts (content text) type='pq'")
+        assert s.startswith("200"), payload
+        s, out = http_json(http2, "/json/pq/alerts/doc",
+                           {"query": {"ql": "matrix | replicant"}})
+        assert out["created"] is True
+        qid = out["_id"]
+        s, out = http_json(http2, "/json/pq/alerts/search", {
+            "query": {"percolate": {"documents": [
+                {"content": "the matrix has you"},
+                {"content": "nothing here"},
+            ]}}})
+        assert out["hits"]["total"] == 1
+        hit = out["hits"]["hits"][0]
+        assert hit["_id"] == qid
+        assert hit["fields"]["_percolator_document_slot"] == [1]
+
+
+class TestMysqlMultiResult:
+    def test_facet_multi_result(self, catalog):
+        import asyncio, threading
+        from manticoresearch_tpu.server.mysql import MysqlServer
+        srv = MysqlServer(catalog, port=0)
+        loop = asyncio.new_event_loop()
+        started = threading.Event()
+        holder = {}
+
+        def run():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(srv.start())
+            holder["port"] = srv._server.sockets[0].getsockname()[1]
+            started.set()
+            loop.run_forever()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        assert started.wait(10)
+        c = MiniMysqlClient("127.0.0.1", holder["port"])
+        try:
+            # first result set of a FACET query; server flags MORE_RESULTS
+            out = c.query("SELECT id FROM films WHERE MATCH('matrix') "
+                          "FACET year")
+            assert out.get("error") is None
+            assert len(out["rows"]) == 2
+            # second result set follows on the wire
+            first = c._read_packet()
+            assert first[0] not in (0x00, 0xFF)  # column-count packet
+        finally:
+            c.sock.close()
+        loop.call_soon_threadsafe(loop.stop)

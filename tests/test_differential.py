@@ -1,0 +1,120 @@
+"""Differential testing: the same corpus served through three independent
+execution paths must return identical results for randomized queries —
+single plain index vs multi-segment RT vs 8-way mesh-sharded distributed.
+
+This is the ubertest idea (SURVEY §4: one suite driving plain AND rt
+backends) applied to randomized query generation.
+"""
+import numpy as np
+import pytest
+
+from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+from manticoresearch_tpu.index.builder import IndexBuilder
+from manticoresearch_tpu.index.rt import RtIndex
+from manticoresearch_tpu.parallel.sharded import (ShardedIndex, make_mesh,
+                                                  partition_documents)
+from manticoresearch_tpu.query.planner import AttrFilterDef
+from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
+         "search", "engine", "fast", "index", "query", "tpu", "device"]
+
+SCHEMA = Schema(fields=["title", "body"],
+                attrs=[AttrDef("year", AttrType.UINT),
+                       AttrDef("score", AttrType.FLOAT)])
+
+
+def make_docs(n=120, seed=11):
+    rng = np.random.RandomState(seed)
+    docs = []
+    for i in range(1, n + 1):
+        docs.append(dict(
+            id=i,
+            title=" ".join(rng.choice(WORDS, rng.randint(1, 4))),
+            body=" ".join(rng.choice(WORDS, rng.randint(4, 16))),
+            year=int(2000 + rng.randint(0, 12)),
+            score=float(np.round(rng.rand(), 3)),
+        ))
+    return docs
+
+
+def random_query(rng) -> SearchQuery:
+    def w():
+        return WORDS[rng.randint(len(WORDS))]
+
+    kind = rng.randint(8)
+    if kind == 0:
+        match = w()
+    elif kind == 1:
+        match = f"{w()} {w()}"
+    elif kind == 2:
+        match = f"{w()} | {w()} | {w()}"
+    elif kind == 3:
+        match = f"{w()} -{w()}"
+    elif kind == 4:
+        match = f'"{w()} {w()}"'
+    elif kind == 5:
+        match = f'"{w()} {w()} {w()}"~{rng.randint(1, 5)}'
+    elif kind == 6:
+        match = f"@title {w()}"
+    else:
+        match = f"{w()} NEAR/{rng.randint(1, 6)} {w()}"
+    filters = []
+    if rng.rand() < 0.4:
+        lo = 2000 + rng.randint(0, 10)
+        filters.append(AttrFilterDef("year", "range_i", lo=lo, hi=lo + 3))
+    return SearchQuery(match=match, filters=filters, limit=30)
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    docs = make_docs()
+    b = IndexBuilder(SCHEMA)
+    b.add_documents(docs)
+    single = SearchIndex(b.build())
+
+    rt = RtIndex("t", SCHEMA)
+    rng = np.random.RandomState(5)
+    order = rng.permutation(len(docs))
+    # commit in 7 chunks -> multiple segments, out-of-order inserts
+    for chunk in np.array_split(order, 7):
+        for i in chunk:
+            rt.insert(docs[int(i)])
+        rt.commit()
+    assert len(rt.segments) > 1
+
+    shards = []
+    for part in partition_documents(docs, 8):
+        bb = IndexBuilder(SCHEMA)
+        bb.add_documents(part)
+        shards.append(bb.build())
+    sharded = ShardedIndex(shards, make_mesh(8))
+    return single, rt, sharded
+
+
+def test_differential_random_queries(corpora):
+    single, rt, sharded = corpora
+    rng = np.random.RandomState(99)
+    n_checked = 0
+    for qi in range(40):
+        q = random_query(rng)
+        r1 = single.search(q)
+        r2 = rt.search(q)
+        r3 = sharded.search(q)
+        assert r1.error is None, (q.match, r1.error)
+        assert r2.error is None, (q.match, r2.error)
+        assert r3.error is None, (q.match, r3.error)
+        ids1 = [m.docid for m in r1.matches]
+        ws1 = [m.weight for m in r1.matches]
+        assert [m.docid for m in r2.matches] == ids1, \
+            f"RT diverged on {q.match!r}"
+        assert [m.weight for m in r2.matches] == ws1, \
+            f"RT weights diverged on {q.match!r}"
+        assert [m.docid for m in r3.matches] == ids1, \
+            f"sharded diverged on {q.match!r}"
+        assert [m.weight for m in r3.matches] == ws1, \
+            f"sharded weights diverged on {q.match!r}"
+        assert r2.total_found == r1.total_found == r3.total_found
+        n_checked += 1
+    assert n_checked == 40

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 DOC_FACTORS = {"bm25", "max_lcs", "field_mask", "query_word_count",
                "doc_word_count"}
 FIELD_FACTORS = {"lcs", "user_weight", "hit_count", "word_count", "tf_idf",
-                 "min_hit_pos", "exact_hit"}
+                 "min_hit_pos", "exact_hit", "sum_idf", "min_idf", "max_idf",
+                 "exact_order"}
 
 
 def factor_names(tree) -> set[str]:
@@ -144,6 +145,40 @@ class FactorContext:
             pos = hpk & ((1 << 23) - 1)
             mh = self._scatter_field(pos, reduce="min", init=2**22)
             return jnp.where(mh >= 2**22, 0, mh)
+        if name in ("sum_idf", "min_idf", "max_idf"):
+            # idf aggregated over the UNIQUE query words matched in the
+            # field (sphinxsearch.cpp factor list: m_dSumIDF/m_dMinIDF/
+            # m_dMaxIDF accumulate once per distinct matched keyword)
+            seen = self._seen_qword_field().astype(jnp.float32)  # [N+1,F,S]
+            idf = rt["idf"][:S][None, None, :]
+            if name == "sum_idf":
+                return jnp.sum(seen * idf, axis=-1)
+            any_seen = jnp.sum(seen, axis=-1) > 0
+            if name == "max_idf":
+                v = jnp.max(jnp.where(seen > 0, idf, -jnp.inf), axis=-1)
+            else:
+                v = jnp.min(jnp.where(seen > 0, idf, jnp.inf), axis=-1)
+            return jnp.where(any_seen, v, 0.0)
+        if name == "exact_order":
+            # 1 iff all query keywords occur in the field in exact query
+            # order (not necessarily adjacent). Greedy subsequence chain:
+            # for each slot s in query order take the smallest hit position
+            # strictly greater than the previous slot's chosen position —
+            # greedy-earliest is exact for subsequence existence.
+            pos = (hpk & ((1 << 23) - 1)).astype(jnp.int32)
+            hfield = (hpk >> 24) & 0x7F
+            row = jnp.where(valid, hrow, N)
+            big = jnp.int32(2**24)
+            cur = jnp.zeros((N + 1, F), jnp.int32)
+            ok = jnp.ones((N + 1, F), jnp.bool_)
+            for s in range(S):
+                m = valid & (hslot == s)
+                cand = jnp.where(m & (pos > cur[row, hfield]), pos, big)
+                nxt = jnp.full((N + 1, F), big, jnp.int32).at[
+                    row, hfield].min(cand)
+                ok = ok & (nxt < big)
+                cur = nxt
+            return ok.astype(jnp.int32)
         if name == "exact_hit":
             # field content == query: first hit at pos 1 and the field's
             # token count equals the lcs span (approximation of the

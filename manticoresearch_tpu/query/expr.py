@@ -32,7 +32,7 @@ class ExprError(ValueError):
 _TOK = re.compile(r"""
     (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
-  | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,|\{|\})
+  | (?P<op><=|>=|<>|!=|==|=|<|>|\+|-|\*|/|%|\(|\)|,|\{|\})
   | (?P<ws>\s+)
 """, re.VERBOSE)
 
@@ -104,7 +104,8 @@ class ExprParser:
             return ("not", self.parse_not())
         return self.parse_cmp()
 
-    _CMP = {"=": "cmp_eq", "<>": "cmp_ne", "!=": "cmp_ne", "<": "cmp_lt",
+    _CMP = {"=": "cmp_eq", "==": "cmp_eq", "<>": "cmp_ne", "!=": "cmp_ne",
+            "<": "cmp_lt",
             "<=": "cmp_le", ">": "cmp_gt", ">=": "cmp_ge"}
 
     def parse_cmp(self):

@@ -306,6 +306,11 @@ def plan_query(
     # fullscan matches get weight = index_weight (sphinx.cpp:12840) which
     # the 'none' ranker produces
     has_positional = _has_positional(expr)
+    if ranker == "sph04":
+        # SPH_RANK_SPH04 (sphinxsearch.cpp RankerState_Proximity_fn with
+        # field-start/exact-hit boosts); equals the documented formula
+        ranker = ("expr", "sum((4*lcs+2*(min_hit_pos==1)+exact_hit)"
+                          "*user_weight)*1000+bm25")
     eff_ranker = ranker
     ranker_expr: tuple = ()
     if isinstance(ranker, tuple) and ranker[0] == "expr":

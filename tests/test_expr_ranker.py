@@ -71,3 +71,80 @@ class TestExprRanker:
             match="number", ranker=("expr", "sum(min_hit_pos)")))
         # doc1/2: number@content6; doc4: number@title2
         assert {m.docid: m.weight for m in r.matches} == {1: 6, 2: 6, 4: 2}
+
+
+class TestIdfFactors:
+    def test_single_term_idf_identities(self, index):
+        """For a single-keyword query sum_idf == min_idf == max_idf in every
+        matched field — exact f32 identity."""
+        r = index.search(SearchQuery(
+            match="one",
+            ranker=("expr", "sum((sum_idf-min_idf)+(sum_idf-max_idf))"
+                            "*1000 + 7")))
+        assert {m.docid: m.weight for m in r.matches} == {1: 7}
+
+    def test_min_max_idf_ordering(self, index):
+        # doc1 matches both 'test' (df=3, negative idf) and 'one' (df=1,
+        # positive idf) in both fields -> max_idf > min_idf in both
+        r = index.search(SearchQuery(
+            match="test one",
+            ranker=("expr", "sum(max_idf > min_idf)")))
+        assert {m.docid: m.weight for m in r.matches} == {1: 2}
+
+    def test_sum_idf_value(self, index):
+        import numpy as np
+        from tests.test_search import ref_idf
+        idf = np.float32(ref_idf(1, 4))     # 'one', df=1, N=4
+        per_field = idf                      # S=1: sum(seen*idf) == idf
+        total = np.float32(np.float32(per_field + per_field)
+                           * np.float32(1000))
+        r = index.search(SearchQuery(
+            match="one", ranker=("expr", "sum(sum_idf)*1000")))
+        assert {m.docid: m.weight for m in r.matches} == {1: int(total)}
+
+
+class TestExactOrder:
+    def test_in_order(self, index):
+        # doc1/doc2 content: test@4 < document@5 -> content ordered, title
+        # lacks 'document' -> per-doc sum == 1
+        r = index.search(SearchQuery(
+            match="test document", ranker=("expr", "sum(exact_order)")))
+        assert {m.docid: m.weight for m in r.matches} == {1: 1, 2: 1}
+
+    def test_reversed_query_not_ordered(self, index):
+        r = index.search(SearchQuery(
+            match="document test", ranker=("expr", "sum(exact_order)")))
+        assert {m.docid: m.weight for m in r.matches} == {1: 0, 2: 0}
+
+    def test_non_adjacent_still_ordered(self, index):
+        # doc1 content: test@4 ... one@7 (gap) -> still exact order; title
+        # test@1 one@2 also ordered -> sum == 2
+        r = index.search(SearchQuery(
+            match="test one", ranker=("expr", "sum(exact_order)")))
+        assert {m.docid: m.weight for m in r.matches} == {1: 2}
+
+
+class TestSph04:
+    def test_sph04_golden(self, index):
+        from tests.test_proximity import bm25part32
+        from tests.test_search import ref_idf
+        idf = ref_idf(3, 4)  # 'test'
+        # doc1/doc2: title lcs1 @pos1 (field-start, not exact: len>1) -> 6;
+        # content lcs1 @pos4 -> 4; rank 10. tf=2 across doc.
+        w12 = 10 * 1000 + bm25part32([(2, idf)])
+        w4 = 4 * 1000 + bm25part32([(1, idf)])   # doc4: content test@4
+        r = index.search(SearchQuery(match="test", ranker="sph04"))
+        assert {m.docid: m.weight for m in r.matches} == \
+               {1: w12, 2: w12, 4: w4}
+
+    def test_sph04_exact_hit_boost(self):
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        b = IndexBuilder(Schema(fields=["title"]))
+        b.add_documents([dict(id=1, title="hello"),
+                         dict(id=2, title="hello world")])
+        idx = SearchIndex(b.build())
+        r = idx.search(SearchQuery(match="hello", ranker="sph04"))
+        w = {m.docid: m.weight for m in r.matches}
+        # doc1: 4+2+1=7 (exact field); doc2: 4+2+0=6 -> 1000 apart
+        assert w[1] - w[2] == 1000

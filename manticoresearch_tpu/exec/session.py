@@ -17,9 +17,9 @@ from typing import Any
 from ..index.rt import RtIndex
 from ..query.expr import ExprError, eval_expr_host, parse_expr
 from ..query.planner import AttrFilterDef
-from ..query.sphinxql import (CallStmt, Cond, CreateTableStmt, DeleteStmt,
-                              FacetStmt, InsertStmt, SelectStmt, SetStmt,
-                              SimpleStmt, SqlParseError, UpdateStmt,
+from ..query.sphinxql import (AlterStmt, CallStmt, Cond, CreateTableStmt,
+                              DeleteStmt, FacetStmt, InsertStmt, SelectStmt,
+                              SetStmt, SimpleStmt, SqlParseError, UpdateStmt,
                               parse_sql)
 from ..schema import AttrDef, AttrType, Schema
 from .searcher import SearchQuery
@@ -162,6 +162,8 @@ class Session:
             return [self._update(st)]
         if isinstance(st, CreateTableStmt):
             return [self._create_table(st)]
+        if isinstance(st, AlterStmt):
+            return [self._alter(st)]
         if isinstance(st, SetStmt):
             if st.name == "autocommit":
                 self.autocommit = bool(int(st.value))
@@ -473,6 +475,19 @@ class Session:
         schema = Schema(fields=fields_, attrs=attrs)
         ttype = st.options.get("type", "rt")
         self.catalog.create(st.name, schema, ttype)
+        return QLResult.ok()
+
+    def _alter(self, st: AlterStmt) -> QLResult:
+        t = self.catalog.get(st.index)
+        if not hasattr(t, "alter"):
+            return QLResult.err(
+                f"table '{st.index}' does not support ALTER")
+        ct = None
+        if st.op == "add":
+            ct = _COLUMN_TYPES.get(st.coltype)
+            if ct is None:
+                return QLResult.err(f"unknown column type '{st.coltype}'")
+        t.alter(st.op, st.column, ct)
         return QLResult.ok()
 
     # -- CALL / admin ----------------------------------------------------

@@ -160,6 +160,62 @@ class RtIndex:
             for d in seg.docs:
                 self.docid_seg[d] = si
 
+    def alter(self, op: str, name: str, coltype=None) -> None:
+        """ALTER TABLE ADD/DROP COLUMN (AlterSchemaAdd/Drop in the
+        reference's DDL layer). Because segments retain their source docs,
+        a schema change is a rebuild of every segment under the new schema —
+        the reference's attr-blob rewrite, done the simple way."""
+        from ..schema import AttrDef, Schema
+
+        if self.accum or self.accum_deletes:
+            raise ValueError("ALTER with uncommitted changes; COMMIT first")
+        fields = list(self.schema.fields)
+        attrs = list(self.schema.attrs)
+        if op == "add":
+            if name in fields or self.schema.attr(name) or name == "id":
+                raise ValueError(f"column '{name}' already exists")
+            if coltype == "field":
+                fields.append(name)
+            else:
+                attrs.append(AttrDef(name, coltype))
+        elif op == "drop":
+            if name in fields:
+                fields.remove(name)
+            elif self.schema.attr(name):
+                attrs = [a for a in attrs if a.name != name]
+            else:
+                raise ValueError(f"unknown column '{name}'")
+        else:
+            raise ValueError(f"unknown ALTER op {op!r}")
+        self.schema = Schema(fields=fields, attrs=attrs)
+        if op == "drop":
+            for seg in self.segments:
+                for doc in seg.docs.values():
+                    doc.pop(name, None)
+        self._binlog_write({"op": "alter", "alter": op, "name": name,
+                            "coltype": getattr(coltype, "value", coltype),
+                            "ts": time.time()})
+        self._rebuild_segments()
+
+    def _rebuild_segments(self) -> None:
+        from ..exec.searcher import SearchIndex
+
+        rebuilt = []
+        for seg in self.segments:
+            if not seg.docs:
+                continue
+            b = IndexBuilder(self.schema, self.tok_settings,
+                             self.dict_settings)
+            b.add_documents(seg.docs.values())
+            packed = b.build()
+            rebuilt.append(_Segment(packed, SearchIndex(packed),
+                                    dict(seg.docs)))
+        self.segments = rebuilt
+        self.docid_seg = {}
+        for si, seg in enumerate(self.segments):
+            for d in seg.docs:
+                self.docid_seg[d] = si
+
     def truncate(self) -> None:
         self.segments = []
         self.accum = {}
@@ -262,6 +318,14 @@ class RtIndex:
                     self.docid_seg = {}
                 elif op == "update":
                     self.update_attrs(rec["ids"], rec["values"])
+                elif op == "alter":
+                    from ..schema import AttrType
+                    ct = rec.get("coltype")
+                    if ct and ct != "field":
+                        ct = AttrType(ct)
+                    # replay without re-logging: temporarily detach binlog
+                    # (file is not open during replay anyway)
+                    self.alter(rec["alter"], rec["name"], ct)
 
     def flush(self) -> None:
         """FLUSH RTINDEX analog: checkpoint segments to disk and reset the

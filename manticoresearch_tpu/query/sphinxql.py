@@ -131,6 +131,14 @@ class CreateTableStmt:
 
 
 @dataclass
+class AlterStmt:
+    index: str
+    op: str                    # "add" | "drop"
+    column: str = ""
+    coltype: str = ""
+
+
+@dataclass
 class SimpleStmt:
     kind: str                  # "show_tables", "show_meta", "desc", ...
     args: list[Any] = field(default_factory=list)
@@ -255,6 +263,7 @@ class SqlParser:
             "CALL": self.parse_call,
             "ATTACH": self.parse_attach,
             "EXPLAIN": self.parse_explain,
+            "ALTER": self.parse_alter,
         }.get(head)
         if fn is None:
             raise SqlParseError(f"unsupported statement {head}")
@@ -708,6 +717,22 @@ class SqlParser:
         self.expect_kw("TO")
         self.eat_kw("RTINDEX", "TABLE")
         return SimpleStmt("attach", [str(src), self.name()])
+
+    def parse_alter(self):
+        # ALTER TABLE t ADD COLUMN c <type> | ALTER TABLE t DROP COLUMN c
+        # (AlterSchemaAdd_c / searchdddl.cpp grammar shape)
+        self.expect_kw("ALTER")
+        self.eat_kw("TABLE", "RTINDEX", "INDEX")
+        idx = self.name()
+        op = self.eat_kw("ADD", "DROP")
+        if op is None:
+            raise SqlParseError("expected ADD or DROP after ALTER TABLE")
+        self.eat_kw("COLUMN")
+        col = self.name()
+        coltype = ""
+        if op == "ADD":
+            coltype = self.name().lower()
+        return AlterStmt(idx, op.lower(), col, coltype)
 
     def parse_explain(self):
         self.expect_kw("EXPLAIN")

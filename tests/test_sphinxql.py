@@ -271,3 +271,64 @@ class TestUdfAndPlan:
         r = one(loaded, "SHOW PLAN")
         assert r.error is None
         assert "and" in r.rows[0][1]
+
+
+class TestAlterTable:
+    def test_add_and_drop_attr(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE a1 (title text, price float)")
+        s.execute("INSERT INTO a1 (id, title, price) VALUES "
+                  "(1, 'red apple', 10.5), (2, 'green pear', 8.0)")
+        r = s.execute("ALTER TABLE a1 ADD COLUMN stock uint")[0]
+        assert r.error is None
+        # new column defaults to 0 and is filterable/updatable
+        r = s.execute("UPDATE a1 SET stock=7 WHERE id=2")[0]
+        assert r.error is None
+        r = s.execute("SELECT id, stock FROM a1 WHERE stock > 5")[0]
+        assert r.error is None and r.rows == [(2, 7)]
+        # full-text search still works after the rebuild
+        r = s.execute("SELECT id FROM a1 WHERE MATCH('apple')")[0]
+        assert [row[0] for row in r.rows] == [1]
+        r = s.execute("ALTER TABLE a1 DROP COLUMN price")[0]
+        assert r.error is None
+        r = s.execute("SELECT id, price FROM a1")[0]
+        assert r.error is not None  # price is gone
+        r = s.execute("DESC a1")[0]
+        names = [row[0] for row in r.rows]
+        assert "stock" in names and "price" not in names
+
+    def test_add_text_field(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE a2 (title text)")
+        s.execute("INSERT INTO a2 (id, title) VALUES (1, 'hello')")
+        r = s.execute("ALTER TABLE a2 ADD COLUMN body text")[0]
+        assert r.error is None
+        s.execute("INSERT INTO a2 (id, title, body) VALUES "
+                  "(2, 'x', 'searchable words')")
+        r = s.execute("SELECT id FROM a2 WHERE MATCH('@body searchable')")[0]
+        assert [row[0] for row in r.rows] == [2]
+        # old doc still searchable
+        r = s.execute("SELECT id FROM a2 WHERE MATCH('hello')")[0]
+        assert [row[0] for row in r.rows] == [1]
+
+    def test_alter_errors(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE a3 (title text, price float)")
+        assert s.execute("ALTER TABLE a3 ADD COLUMN price uint")[0].error
+        assert s.execute("ALTER TABLE a3 DROP COLUMN nosuch")[0].error
+        assert s.execute("ALTER TABLE a3 ADD COLUMN x badtype")[0].error
+        assert s.execute("ALTER TABLE nosuchtable ADD COLUMN x uint")[0].error
+
+    def test_alter_binlog_replay(self, tmp_path):
+        d = str(tmp_path)
+        c = Catalog(data_dir=d)
+        s = Session(c)
+        s.execute("CREATE TABLE a4 (title text)")
+        s.execute("INSERT INTO a4 (id, title) VALUES (1, 'doc one')")
+        s.execute("ALTER TABLE a4 ADD COLUMN grp uint")
+        s.execute("UPDATE a4 SET grp=3 WHERE id=1")
+        # reopen from disk: binlog replays create/alter/update
+        c2 = Catalog(data_dir=d)
+        s2 = Session(c2)
+        r = s2.execute("SELECT id, grp FROM a4 WHERE grp=3")[0]
+        assert r.error is None and r.rows == [(1, 3)]

@@ -349,13 +349,26 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     data["mva_values"][spec.attr],
                     rt["filter_vals"][i], N, n_hit_iters or 32)
                 continue
-            if spec.attr == "id":
-                # filter on document id: docids carried as i32 lo bits
-                # (ids >= 2^31 need the hi-word path, TODO)
-                attr = data["docid_lo"]
-            else:
-                attr = attrs[spec.attr]
-                attr = jnp.concatenate([attr, attr[-1:]]) if len(attr) == N else attr
+            if spec.kind in ("id_values", "id_range"):
+                # 64-bit docid filter over the (hi, lo) i32 split; lo is
+                # always in [0, 2^31) so signed lexicographic compare is
+                # exact for the full 63-bit positive id space
+                dhi, dlo = data["docid_hi"], data["docid_lo"]
+                v = rt["filter_vals"][i]
+                if spec.kind == "id_values":
+                    eq = (dhi[:, None] == v[0][None, :]) & \
+                         (dlo[:, None] == v[1][None, :])
+                    m = jnp.any(eq, axis=1)
+                else:
+                    ge = (dhi > v[0, 0]) | ((dhi == v[0, 0]) &
+                                            (dlo >= v[1, 0]))
+                    le = (dhi < v[0, 1]) | ((dhi == v[0, 1]) &
+                                            (dlo <= v[1, 1]))
+                    m = ge & le
+                fmask_filters &= (~m if spec.exclude else m)
+                continue
+            attr = attrs[spec.attr]
+            attr = jnp.concatenate([attr, attr[-1:]]) if len(attr) == N else attr
             fmask_filters &= _eval_filter(spec, attr, rt["filter_vals"][i])
 
         eligible = match & alive & fmask_filters

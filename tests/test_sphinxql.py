@@ -332,3 +332,28 @@ class TestAlterTable:
         s2 = Session(c2)
         r = s2.execute("SELECT id, grp FROM a4 WHERE grp=3")[0]
         assert r.error is None and r.rows == [(1, 3)]
+
+
+class TestBigintIds:
+    def test_id_filters_beyond_32bit(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE big (title text)")
+        ids = [3, 2**31 + 7, 2**33 + 1, 2**40 + 5]
+        vals = ", ".join(f"({i}, 'doc word')" for i in ids)
+        r = s.execute(f"INSERT INTO big (id, title) VALUES {vals}")[0]
+        assert r.error is None
+        # IN list crossing the 32-bit boundary
+        r = s.execute(f"SELECT id FROM big WHERE id IN ({2**31 + 7}, 3)")[0]
+        assert r.error is None
+        assert sorted(row[0] for row in r.rows) == [3, 2**31 + 7]
+        # range with 64-bit bounds
+        r = s.execute(f"SELECT id FROM big WHERE id > {2**32} "
+                      f"AND id <= {2**40 + 5} AND MATCH('word')")[0]
+        assert sorted(row[0] for row in r.rows) == [2**33 + 1, 2**40 + 5]
+        # exclusion
+        r = s.execute(f"SELECT id FROM big WHERE id NOT IN ({2**33 + 1})")[0]
+        assert sorted(row[0] for row in r.rows) == [3, 2**31 + 7, 2**40 + 5]
+        # two ids congruent mod 2^31 must not alias (hi word decides)
+        s.execute(f"INSERT INTO big (id, title) VALUES ({7}, 'alias test')")
+        r = s.execute(f"SELECT id FROM big WHERE id IN ({2**31 + 7})")[0]
+        assert [row[0] for row in r.rows] == [2**31 + 7]

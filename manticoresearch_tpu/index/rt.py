@@ -344,6 +344,16 @@ class RtIndex:
     def n_docs(self) -> int:
         return len(self.docid_seg) + len(self.accum)
 
+    def get_document(self, docid: int) -> dict | None:
+        """Fetch a live document's source (docstore lookup analog)."""
+        docid = int(docid)
+        if docid in self.accum:
+            return self.accum[docid]
+        si = self.docid_seg.get(docid)
+        if si is None:
+            return None
+        return self.segments[si].docs.get(docid)
+
     def searchable_parts(self):
         return [s.search for s in self.segments]
 

@@ -159,6 +159,8 @@ class HttpServer:
         res = table.search(sq)
         if res.error:
             raise JsonQueryError(res.error)
+        highlight = self._build_highlights(table, sq, res,
+                                           req.get("highlight"))
         aggs_out = {}
         for name, spec in aggs.items():
             terms = spec.get("terms")
@@ -180,7 +182,57 @@ class HttpServer:
                     for m in gres.matches
                 ]
             }
-        return render_result(res, aggs_out or None, source=sq.select)
+        out = render_result(res, aggs_out or None, source=sq.select)
+        if highlight:
+            for hit in out["hits"]["hits"]:
+                hl = highlight.get(hit["_id"])
+                if hl is not None:
+                    hit["highlight"] = hl
+        return out
+
+    def _build_highlights(self, table, sq, res, spec):
+        """ES-style "highlight" on /json/search (sphinxjsonquery highlight
+        → snippet generator over docstore fields)."""
+        if spec is None or not res.matches:
+            return None
+        from ..exec.snippets import SnippetOptions, build_snippet
+        from ..text.dictionary import Dictionary
+        from ..text.tokenizer import Tokenizer
+
+        if not hasattr(table, "get_document"):
+            raise JsonQueryError("highlight unsupported for this table type")
+        fields = list((spec.get("fields") or {}).keys()) or \
+            list(table.schema.fields)
+        opts = SnippetOptions()
+        pre = spec.get("pre_tags")
+        post = spec.get("post_tags")
+        if pre:
+            opts.before_match = pre[0] if isinstance(pre, list) else str(pre)
+        if post:
+            opts.after_match = post[0] if isinstance(post, list) else \
+                str(post)
+        if "fragment_size" in spec:
+            opts.limit = int(spec["fragment_size"])
+        if "number_of_fragments" in spec:
+            opts.limit_passages = int(spec["number_of_fragments"])
+        if "no_match_size" in spec:
+            opts.no_match_size = int(spec["no_match_size"])
+            opts.allow_empty = opts.no_match_size == 0
+        if "around" in spec:
+            opts.around = int(spec["around"])
+        tok = Tokenizer(table.tok_settings)
+        dic = Dictionary(table.dict_settings)
+        out = {}
+        for m in res.matches:
+            doc = table.get_document(m.docid)
+            if doc is None:
+                continue
+            out[m.docid] = {
+                f: [build_snippet(str(doc.get(f, "")), sq.match, tok, dic,
+                                  opts)]
+                for f in fields if doc.get(f)
+            }
+        return out
 
     def _handle_insert(self, body: bytes, replace: bool) -> dict:
         req = json.loads(body)

@@ -123,3 +123,51 @@ class TestPercolate:
         r = one(s2, "SELECT * FROM p")
         assert len(r.rows) == 1
         assert r.rows[0][1] == "hello world"
+
+
+class TestJsonHighlight:
+    def test_highlight_in_json_search(self):
+        import json as _json
+        from manticoresearch_tpu.exec.session import Catalog, Session
+        from manticoresearch_tpu.server.http import HttpServer
+        cat = Catalog()
+        s = Session(cat)
+        s.execute("CREATE TABLE hl (title text, body text)")
+        s.execute("INSERT INTO hl (id, title, body) VALUES "
+                  "(1, 'red apple', 'a very fresh red apple from the tree'), "
+                  "(2, 'green pear', 'sweet pear juice')")
+        h = HttpServer(cat)
+        st, _, payload = h.handle_request("POST", "/json/search", {},
+            _json.dumps({
+                "index": "hl",
+                "query": {"match": {"_all": "apple"}},
+                "highlight": {"fields": {"body": {}},
+                              "pre_tags": ["<em>"],
+                              "post_tags": ["</em>"]},
+            }).encode())
+        assert st.startswith("200")
+        out = _json.loads(payload)
+        hits = out["hits"]["hits"]
+        assert len(hits) == 1 and hits[0]["_id"] == 1
+        frags = hits[0]["highlight"]["body"]
+        assert any("<em>apple</em>" in f for f in frags)
+        assert "title" not in hits[0]["highlight"]
+
+    def test_highlight_defaults_all_fields(self):
+        import json as _json
+        from manticoresearch_tpu.exec.session import Catalog, Session
+        from manticoresearch_tpu.server.http import HttpServer
+        cat = Catalog()
+        s = Session(cat)
+        s.execute("CREATE TABLE hl2 (title text, body text)")
+        s.execute("INSERT INTO hl2 (id, title, body) VALUES "
+                  "(1, 'apple pie', 'made with apple and sugar')")
+        h = HttpServer(cat)
+        st, _, payload = h.handle_request("POST", "/json/search", {},
+            _json.dumps({"index": "hl2",
+                         "query": {"match": {"_all": "apple"}},
+                         "highlight": {}}).encode())
+        out = _json.loads(payload)
+        hl = out["hits"]["hits"][0]["highlight"]
+        assert "<b>apple</b>" in hl["title"][0]
+        assert "<b>apple</b>" in hl["body"][0]

@@ -55,8 +55,10 @@ class Catalog:
     """Table registry (manticore.json analog)."""
 
     def __init__(self, data_dir: str | None = None):
+        from .qcache import QueryCache
         self.data_dir = data_dir
         self.tables: dict[str, RtIndex] = {}
+        self.qcache = QueryCache()
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
             self._load_manifest()
@@ -118,7 +120,10 @@ class Catalog:
     def get(self, name: str) -> RtIndex:
         if name not in self.tables:
             raise ValueError(f"no such table '{name}'")
-        return self.tables[name]
+        t = self.tables[name]
+        if getattr(t, "qcache", None) is not self.qcache:
+            t.qcache = self.qcache
+        return t
 
 
 class Session:
@@ -167,6 +172,13 @@ class Session:
         if isinstance(st, SetStmt):
             if st.name == "autocommit":
                 self.autocommit = bool(int(st.value))
+            elif st.name in ("qcache_max_bytes", "qcache_thresh_msec",
+                             "qcache_ttl_sec"):
+                # reference qcache knobs (sphinxqcache.cpp QcacheSetup);
+                # changing any setting resets the cache, like the reference
+                setattr(self.catalog.qcache,
+                        st.name.removeprefix("qcache_"), int(st.value))
+                self.catalog.qcache.clear()
             else:
                 self.variables[st.name] = st.value
             return [QLResult.ok()]
@@ -632,11 +644,12 @@ class Session:
             return QLResult(columns=["Level", "Code", "Message"], rows=rows)
         if k == "show_status":
             up = int(time.time() - self.start_time)
-            return QLResult(
-                columns=["Counter", "Value"],
-                rows=[("uptime", str(up)),
-                      ("queries", str(self.queries_done)),
-                      ("tables", str(len(self.catalog.tables)))])
+            rows = [("uptime", str(up)),
+                    ("queries", str(self.queries_done)),
+                    ("tables", str(len(self.catalog.tables)))]
+            rows += [(k2, str(v)) for k2, v in
+                     sorted(self.catalog.qcache.status().items())]
+            return QLResult(columns=["Counter", "Value"], rows=rows)
         if k == "show_variables":
             rows = [("autocommit", str(int(self.autocommit)))]
             rows += [(k2, str(v)) for k2, v in sorted(self.variables.items())]

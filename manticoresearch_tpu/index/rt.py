@@ -55,6 +55,8 @@ class RtIndex:
         self.accum_deletes: set[int] = set()
         self.docid_seg: dict[int, int] = {}   # live docid -> segment idx
         self.data_dir = data_dir
+        self.generation = 0            # bumped by every write (qcache key)
+        self.qcache = None             # shared QueryCache (set by Catalog)
         self._binlog = None
         self._binlog_path = None
         if data_dir:
@@ -108,6 +110,8 @@ class RtIndex:
 
     def _apply_commit(self, docs: dict[int, dict], deletes: set[int]) -> None:
         from ..exec.searcher import SearchIndex
+
+        self.generation += 1
 
         # kill superseded/deleted docids in existing segments
         kill = set(deletes) | (docs.keys() & self.docid_seg.keys())
@@ -188,6 +192,7 @@ class RtIndex:
         else:
             raise ValueError(f"unknown ALTER op {op!r}")
         self.schema = Schema(fields=fields, attrs=attrs)
+        self.generation += 1
         if op == "drop":
             for seg in self.segments:
                 for doc in seg.docs.values():
@@ -217,6 +222,7 @@ class RtIndex:
                 self.docid_seg[d] = si
 
     def truncate(self) -> None:
+        self.generation += 1
         self.segments = []
         self.accum = {}
         self.accum_deletes = set()
@@ -240,6 +246,7 @@ class RtIndex:
         """UPDATE ... SET attr=val (in-place attr update, no re-tokenize —
         reference semantics for plain attr updates)."""
         n = 0
+        self.generation += 1
         touched: set[int] = set()
         for d in docids:
             d = int(d)
@@ -369,8 +376,22 @@ class RtIndex:
         return total_docs, df
 
     def search(self, q):
+        """Search with result-cache hook (qcache hook analog,
+        sphinxsearch.cpp:4183: QcacheFind before ranking, QcacheRanker
+        after)."""
         from ..exec.multi import search_rt
-        return search_rt(self, q)
+        qc = self.qcache
+        key = None
+        if qc is not None:
+            key = qc.key(self.name, self.generation, q)
+            hit = qc.get(key)
+            if hit is not None:
+                return hit
+        res = search_rt(self, q)
+        if qc is not None and res.error is None and \
+                res.time_ms >= qc.thresh_msec:
+            qc.put(key, res)
+        return res
 
 
 def rt_from_packed(name: str, packed, data_dir: str | None = None

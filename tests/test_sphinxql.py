@@ -357,3 +357,53 @@ class TestBigintIds:
         s.execute(f"INSERT INTO big (id, title) VALUES ({7}, 'alias test')")
         r = s.execute(f"SELECT id FROM big WHERE id IN ({2**31 + 7})")[0]
         assert [row[0] for row in r.rows] == [2**31 + 7]
+
+
+class TestQueryCache:
+    def _qstatus(self, s):
+        r = s.execute("SHOW STATUS")[0]
+        return {k: v for k, v in r.rows}
+
+    def test_qcache_hit_and_invalidate(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE qc (body text, grp uint)")
+        s.execute("INSERT INTO qc (id, body, grp) VALUES "
+                  "(1, 'aa bb', 1), (2, 'aa cc', 2)")
+        # default threshold is 3000ms -> nothing cached
+        s.execute("SELECT id FROM qc WHERE MATCH('aa')")
+        assert self._qstatus(s)["qcache_cached_queries"] == "0"
+        # lower threshold -> cacheable
+        s.execute("SET GLOBAL qcache_thresh_msec=0")
+        r1 = s.execute("SELECT id FROM qc WHERE MATCH('aa')")[0]
+        assert self._qstatus(s)["qcache_cached_queries"] == "1"
+        hits0 = int(self._qstatus(s)["qcache_hits"])
+        r2 = s.execute("SELECT id FROM qc WHERE MATCH('aa')")[0]
+        assert int(self._qstatus(s)["qcache_hits"]) == hits0 + 1
+        assert r1.rows == r2.rows
+        # a write bumps the generation: cached entry must not be served
+        s.execute("INSERT INTO qc (id, body, grp) VALUES (3, 'aa dd', 3)")
+        r3 = s.execute("SELECT id FROM qc WHERE MATCH('aa')")[0]
+        assert sorted(row[0] for row in r3.rows) == [1, 2, 3]
+        # different query text is a different key
+        r4 = s.execute("SELECT id FROM qc WHERE MATCH('cc')")[0]
+        assert [row[0] for row in r4.rows] == [2]
+
+    def test_qcache_disabled_by_zero_bytes(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE qc2 (body text)")
+        s.execute("INSERT INTO qc2 (id, body) VALUES (1, 'x y')")
+        s.execute("SET GLOBAL qcache_thresh_msec=0")
+        s.execute("SET GLOBAL qcache_max_bytes=0")
+        s.execute("SELECT id FROM qc2 WHERE MATCH('x')")
+        assert self._qstatus(s)["qcache_cached_queries"] == "0"
+
+    def test_qcache_update_attrs_invalidates(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE qc3 (body text, grp uint)")
+        s.execute("INSERT INTO qc3 (id, body, grp) VALUES (1, 'aa', 5)")
+        s.execute("SET GLOBAL qcache_thresh_msec=0")
+        r1 = s.execute("SELECT id, grp FROM qc3 WHERE MATCH('aa')")[0]
+        assert r1.rows == [(1, 5)]
+        s.execute("UPDATE qc3 SET grp=9 WHERE id=1")
+        r2 = s.execute("SELECT id, grp FROM qc3 WHERE MATCH('aa')")[0]
+        assert r2.rows == [(1, 9)]

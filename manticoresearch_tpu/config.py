@@ -90,6 +90,9 @@ def _parse_tokenizer(sec: dict) -> TokenizerSettings:
         ngram_chars=sec.get("ngram_chars", ""),
         ngram_len=int(sec.get("ngram_len", 1)),
         overshort_step=int(sec.get("overshort_step", 1)),
+        html_strip=bool(sec.get("html_strip", False)),
+        html_remove_elements=tuple(sec.get("html_remove_elements", [])),
+        html_index_attrs=str(sec.get("html_index_attrs", "")),
     )
 
 

@@ -31,6 +31,9 @@ class TokenizerSettings:
     ngram_len: int = 1
     overshort_step: int = 1
     index_sp: bool = False  # detect sentence/paragraph boundaries (index_sp)
+    html_strip: bool = False
+    html_remove_elements: tuple = ()     # e.g. ("style", "script")
+    html_index_attrs: str = ""           # e.g. "img=alt,title; a=title"
 
     def key(self) -> tuple:
         return (
@@ -40,6 +43,9 @@ class TokenizerSettings:
             self.ngram_len,
             self.overshort_step,
             self.index_sp,
+            self.html_strip,
+            self.html_remove_elements,
+            self.html_index_attrs,
         )
 
 
@@ -62,6 +68,12 @@ class Tokenizer:
             for r in ranges:
                 pts.extend(range(r.start, r.end + 1))
             self._ngram_set = np.array(sorted(pts), dtype=np.int32)
+        self._strip = None
+        if self.settings.html_strip:
+            from .htmlstrip import parse_index_attrs, strip_html
+            ia = parse_index_attrs(self.settings.html_index_attrs)
+            rm = tuple(self.settings.html_remove_elements)
+            self._strip = lambda t: strip_html(t, rm, ia)
 
     def _is_ngram(self, codes: np.ndarray) -> np.ndarray:
         if self._ngram_set is None or len(self._ngram_set) == 0:
@@ -80,6 +92,8 @@ class Tokenizer:
 
     def tokenize(self, text: str) -> list[Token]:
         """Tokenize one field; returns tokens with 1-based positions."""
+        if self._strip is not None:
+            text = self._strip(text)
         if self._ngram_set is None:
             from ..native import get_native_lib
             lib = get_native_lib()
@@ -183,6 +197,8 @@ class Tokenizer:
             from ..native import get_native_lib
             lib = get_native_lib()
             if lib is not None:
+                if self._strip is not None:
+                    text = self._strip(text)
                 return self._tokenize_native_fast(lib, text)
         toks = self.tokenize(text)
         return [t.text for t in toks], [t.position for t in toks]

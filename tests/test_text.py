@@ -196,3 +196,73 @@ class TestRussianAndMetaphone:
         idx = SearchIndex(b.build())
         r = idx.search(SearchQuery(match="книга"))
         assert [m.docid for m in r.matches] == [1]
+
+
+class TestHtmlStrip:
+    def test_basic_strip(self):
+        from manticoresearch_tpu.text.htmlstrip import strip_html
+        assert strip_html("<p>hello <b>world</b></p>").split() == \
+            ["hello", "world"]
+
+    def test_entities(self):
+        from manticoresearch_tpu.text.htmlstrip import strip_html
+        assert strip_html("fish &amp; chips &lt;now&gt;").split() == \
+            ["fish", "&", "chips", "<now>"]
+
+    def test_comments_and_decls(self):
+        from manticoresearch_tpu.text.htmlstrip import strip_html
+        s = strip_html("<!DOCTYPE html><!-- secret -->visible<?php x ?>")
+        assert s.split() == ["visible"]
+
+    def test_remove_elements(self):
+        from manticoresearch_tpu.text.htmlstrip import strip_html
+        s = strip_html("a<style>p {color: red}</style>b"
+                       "<script>var x=1;</script>c",
+                       remove_elements=("style", "script"))
+        assert s.split() == ["a", "b", "c"]
+
+    def test_index_attrs(self):
+        from manticoresearch_tpu.text.htmlstrip import (parse_index_attrs,
+                                                        strip_html)
+        ia = parse_index_attrs("img=alt,title; a=title")
+        s = strip_html('x <img src="u.png" alt="red cat" title=pet> y '
+                       '<a href="z" title="link name">go</a>',
+                       index_attrs=ia)
+        words = s.split()
+        assert words == ["x", "red", "cat", "pet", "y", "link", "name", "go"]
+
+    def test_tag_as_separator(self):
+        from manticoresearch_tpu.text.htmlstrip import strip_html
+        # no space around tags: tag boundary still separates tokens
+        assert strip_html("one<br>two").split() == ["one", "two"]
+
+    def test_tokenizer_integration(self):
+        from manticoresearch_tpu.text.tokenizer import (Tokenizer,
+                                                        TokenizerSettings)
+        tok = Tokenizer(TokenizerSettings(
+            html_strip=True, html_remove_elements=("script",)))
+        terms = [t.text for t in tok.tokenize(
+            "<h1>Big Title</h1><script>bad()</script><p>body&nbsp;text</p>")]
+        assert terms == ["big", "title", "body", "text"]
+        # fast path agrees
+        fast_terms, _ = tok.tokenize_fast(
+            "<h1>Big Title</h1><script>bad()</script><p>body&nbsp;text</p>")
+        assert fast_terms == terms
+
+    def test_end_to_end_search_not_matching_markup(self):
+        from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        from manticoresearch_tpu.text.tokenizer import TokenizerSettings
+        b = IndexBuilder(Schema(fields=["body"]),
+                         TokenizerSettings(html_strip=True))
+        b.add_documents([
+            dict(id=1, body="<b>apple</b> <i>pie</i>"),
+            dict(id=2, body="<div class=apple>banana</div>"),
+        ])
+        idx = SearchIndex(b.build())
+        r = idx.search(SearchQuery(match="apple"))
+        # doc2's 'apple' is markup (a class attr), not content
+        assert [m.docid for m in r.matches] == [1]
+        r = idx.search(SearchQuery(match='"apple pie"'))
+        assert [m.docid for m in r.matches] == [1]

@@ -23,7 +23,7 @@ DOC_FACTORS = {"bm25", "max_lcs", "field_mask", "query_word_count",
                "doc_word_count"}
 FIELD_FACTORS = {"lcs", "user_weight", "hit_count", "word_count", "tf_idf",
                  "min_hit_pos", "exact_hit", "sum_idf", "min_idf", "max_idf",
-                 "exact_order"}
+                 "exact_order", "lccs", "wlccs"}
 
 
 def factor_names(tree) -> set[str]:
@@ -179,6 +179,48 @@ class FactorContext:
                 ok = ok & (nxt < big)
                 cur = nxt
             return ok.astype(jnp.int32)
+        if name in ("lccs", "wlccs"):
+            # Longest Common Contiguous Subsequence between query and field
+            # (sphinxsearch.cpp m_dLCCS/m_dWLCCS): a chain of hits where doc
+            # position AND query position both advance by exactly 1. Same
+            # segmented-scan formulation as the LCS ranker: sort the stream
+            # by (row, packed pos), mark linked pairs, reset-cumsum runs,
+            # per-field scatter-max. lccs counts keywords; wlccs sums idf.
+            pos_mask = (1 << 23) - 1
+            row = jnp.where(valid, hrow, N)
+            pk = jnp.where(valid, hpk, 0)
+            payload = (jnp.clip(hqp, 0, 255)
+                       | (jnp.clip(hslot, 0, 255) << 8)
+                       | (jnp.where(valid, 1, 0) << 16))
+            srow, spk, spl = jax.lax.sort((row, pk, payload), num_keys=2)
+            sqp = spl & 0xFF
+            sslot = (spl >> 8) & 0xFF
+            sval = (spl >> 16) & 1
+            sfield = (spk >> 24) & 0x7F
+            spos = spk & pos_mask
+            p_row = jnp.concatenate([jnp.full(1, -1, srow.dtype), srow[:-1]])
+            p_fld = jnp.concatenate([jnp.full(1, -1, sfield.dtype),
+                                     sfield[:-1]])
+            p_pos = jnp.concatenate([jnp.zeros(1, spos.dtype), spos[:-1]])
+            p_qp = jnp.concatenate([jnp.zeros(1, sqp.dtype), sqp[:-1]])
+            p_val = jnp.concatenate([jnp.zeros(1, sval.dtype), sval[:-1]])
+            linked = ((srow == p_row) & (sfield == p_fld)
+                      & (spos == p_pos + 1) & (sqp == p_qp + 1)
+                      & (sval == 1) & (p_val == 1))
+            M = srow.shape[0]
+            idx = jnp.arange(M, dtype=jnp.int32)
+            run_start = jax.lax.cummax(jnp.where(linked, 0, idx))
+            if name == "lccs":
+                hv = jnp.where(sval == 1, 1, 0).astype(jnp.int32)
+            else:
+                hv = jnp.where(sval == 1,
+                               rt["idf"][jnp.clip(sslot, 0, S - 1)], 0.0)
+            cumv = jnp.cumsum(hv)
+            runv = cumv - cumv[run_start] + hv[run_start]
+            out = jnp.zeros((N + 1, F), runv.dtype).at[
+                jnp.where(sval == 1, srow, N), sfield].max(
+                jnp.where(sval == 1, runv, jnp.zeros_like(runv)))
+            return out
         if name == "exact_hit":
             # field content == query: first hit at pos 1 and the field's
             # token count equals the lcs span (approximation of the

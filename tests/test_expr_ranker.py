@@ -148,3 +148,43 @@ class TestSph04:
         w = {m.docid: m.weight for m in r.matches}
         # doc1: 4+2+1=7 (exact field); doc2: 4+2+0=6 -> 1000 apart
         assert w[1] - w[2] == 1000
+
+
+class TestLccs:
+    def test_lccs_query_order_sensitive(self, index):
+        # doc1/2 content: test@4 document@5 with qpos 1,2 -> chain of 2;
+        # title has only 'test' -> 1; sum = 3
+        r = index.search(SearchQuery(
+            match="test document", ranker=("expr", "sum(lccs)")))
+        assert {m.docid: m.weight for m in r.matches} == {1: 3, 2: 3}
+        # reversed query: doc positions advance but query positions don't
+        r = index.search(SearchQuery(
+            match="document test", ranker=("expr", "sum(lccs)")))
+        assert {m.docid: m.weight for m in r.matches} == {1: 2, 2: 2}
+
+    def test_lccs_single_term(self, index):
+        r = index.search(SearchQuery(
+            match="number", ranker=("expr", "sum(lccs)")))
+        # number appears once per doc in one field -> 1 everywhere
+        assert {m.docid: m.weight for m in r.matches} == {1: 1, 2: 1, 4: 1}
+
+    def test_wlccs_equals_sum_idf_for_single_term(self, index):
+        r = index.search(SearchQuery(
+            match="one",
+            ranker=("expr", "sum((wlccs-sum_idf)*1000) + 42")))
+        assert {m.docid: m.weight for m in r.matches} == {1: 42}
+
+    def test_lccs_three_word_chain(self):
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        b = IndexBuilder(Schema(fields=["body"]))
+        b.add_documents([
+            dict(id=1, body="the quick brown fox jumps"),
+            dict(id=2, body="quick fox brown the jumps"),
+        ])
+        idx = SearchIndex(b.build())
+        r = idx.search(SearchQuery(
+            match="quick brown fox", ranker=("expr", "sum(lccs)")))
+        w = {m.docid: m.weight for m in r.matches}
+        assert w[1] == 3    # contiguous in doc1
+        assert w[2] == 1    # scattered in doc2

@@ -106,6 +106,53 @@ def _parse_dict(sec: dict) -> DictSettings:
     )
 
 
+def settings_from_sql_options(options: dict[str, str]
+                              ) -> tuple[TokenizerSettings, DictSettings]:
+    """Map CREATE TABLE option strings (CreateTableSettings_c analog in the
+    reference's DDL path: charset_table='...', morphology='stem_en', ...)
+    to tokenizer/dict settings. All values arrive as strings from SQL."""
+    o = options
+
+    def _b(key, default=False):
+        v = o.get(key)
+        if v is None:
+            return default
+        return str(v).strip().lower() not in ("0", "", "false", "none")
+
+    def _i(key, default):
+        return int(float(o[key])) if key in o else default
+
+    def _list(key):
+        return tuple(x.strip() for x in str(o.get(key, "")).replace(
+            ",", " ").split() if x.strip())
+
+    tok = TokenizerSettings(
+        charset_table=o.get("charset_table", TokenizerSettings().charset_table),
+        min_word_len=_i("min_word_len", 1),
+        ngram_chars=o.get("ngram_chars", ""),
+        ngram_len=_i("ngram_len", 1),
+        overshort_step=_i("overshort_step", 1),
+        index_sp=_b("index_sp"),
+        html_strip=_b("html_strip"),
+        html_remove_elements=_list("html_remove_elements"),
+        html_index_attrs=o.get("html_index_attrs", ""),
+    )
+    wordforms = []
+    for pair in str(o.get("wordforms", "")).split(","):
+        if ">" in pair:
+            src, _, dst = pair.partition(">")
+            if src.strip() and dst.strip():
+                wordforms.append((src.strip(), dst.strip()))
+    dic = DictSettings(
+        stopwords=frozenset(_list("stopwords")),
+        morphology=_list("morphology"),
+        wordforms=tuple(wordforms),
+        index_exact_words=_b("index_exact_words"),
+        min_stemming_len=_i("min_stemming_len", 1),
+    )
+    return tok, dic
+
+
 def load_config(path: str) -> Config:
     with open(path, "rb") as f:
         raw = tomllib.load(f)

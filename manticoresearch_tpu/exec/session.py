@@ -75,12 +75,16 @@ class Catalog:
         for name, meta in man.get("tables", {}).items():
             schema = Schema.from_json(meta["schema"])
             ddir = os.path.join(self.data_dir, name)
+            from ..config import settings_from_sql_options
+            tok, dic = settings_from_sql_options(meta.get("options") or {})
             if meta.get("type") == "percolate":
                 from ..index.percolate import PercolateIndex
-                self.tables[name] = PercolateIndex(name, schema,
+                self.tables[name] = PercolateIndex(name, schema, tok, dic,
                                                    data_dir=ddir)
             else:
-                self.tables[name] = RtIndex(name, schema, data_dir=ddir)
+                self.tables[name] = RtIndex(name, schema, tok, dic,
+                                            data_dir=ddir)
+            self.tables[name].options = dict(meta.get("options") or {})
 
     @staticmethod
     def table_type(t) -> str:
@@ -91,22 +95,29 @@ class Catalog:
         if not self.data_dir:
             return
         man = {"tables": {n: {"schema": t.schema.to_json(),
-                              "type": self.table_type(t)}
+                              "type": self.table_type(t),
+                              "options": getattr(t, "options", {})}
                           for n, t in self.tables.items()}}
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(man, f)
         os.replace(tmp, self._manifest_path())
 
-    def create(self, name: str, schema: Schema, table_type: str = "rt"):
+    def create(self, name: str, schema: Schema, table_type: str = "rt",
+               options: dict | None = None):
         if name in self.tables:
             raise ValueError(f"table '{name}' already exists")
         ddir = os.path.join(self.data_dir, name) if self.data_dir else None
+        from ..config import settings_from_sql_options
+        tok, dic = settings_from_sql_options(options or {})
         if table_type in ("percolate", "pq"):
             from ..index.percolate import PercolateIndex
-            self.tables[name] = PercolateIndex(name, schema, data_dir=ddir)
+            self.tables[name] = PercolateIndex(name, schema, tok, dic,
+                                               data_dir=ddir)
         else:
-            self.tables[name] = RtIndex(name, schema, data_dir=ddir)
+            self.tables[name] = RtIndex(name, schema, tok, dic,
+                                        data_dir=ddir)
+        self.tables[name].options = dict(options or {})
         self._save_manifest()
         return self.tables[name]
 
@@ -486,7 +497,7 @@ class Session:
             fields_ = []
         schema = Schema(fields=fields_, attrs=attrs)
         ttype = st.options.get("type", "rt")
-        self.catalog.create(st.name, schema, ttype)
+        self.catalog.create(st.name, schema, ttype, options=st.options)
         return QLResult.ok()
 
     def _alter(self, st: AlterStmt) -> QLResult:

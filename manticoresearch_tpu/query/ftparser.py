@@ -88,7 +88,11 @@ class FtQueryParser:
         if self.i < len(self.toks):
             raise QueryParseError(f"unexpected {self.toks[self.i].text!r}")
         if node is None:
-            return QAll()
+            # non-empty query whose every keyword was removed (stopwords,
+            # overshort): matches NOTHING, unlike an empty MATCH('') which
+            # is a fullscan (reference: a fully-stopped query tree yields
+            # no matches). Use an impossible term (df=0 on any index).
+            return QTerm(word="\x00")
         return node
 
     # --- helpers -----------------------------------------------------------

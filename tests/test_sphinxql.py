@@ -407,3 +407,51 @@ class TestQueryCache:
         s.execute("UPDATE qc3 SET grp=9 WHERE id=1")
         r2 = s.execute("SELECT id, grp FROM qc3 WHERE MATCH('aa')")[0]
         assert r2.rows == [(1, 9)]
+
+
+class TestCreateTableOptions:
+    def test_morphology_and_stopwords(self):
+        s = Session(Catalog())
+        r = s.execute("CREATE TABLE m1 (body text) "
+                      "morphology='stem_en' stopwords='the a'")[0]
+        assert r.error is None
+        s.execute("INSERT INTO m1 (id, body) VALUES "
+                  "(1, 'the running dogs'), (2, 'a dog runs')")
+        # stemming: running/runs -> run; dogs/dog -> dog
+        r = s.execute("SELECT id FROM m1 WHERE MATCH('run')")[0]
+        assert sorted(row[0] for row in r.rows) == [1, 2]
+        r = s.execute("SELECT id FROM m1 WHERE MATCH('dogs')")[0]
+        assert sorted(row[0] for row in r.rows) == [1, 2]
+        # stopword never matches
+        r = s.execute("SELECT id FROM m1 WHERE MATCH('the')")[0]
+        assert r.rows == []
+
+    def test_html_strip_option(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE m2 (body text) html_strip='1' "
+                  "html_remove_elements='script'")
+        s.execute("INSERT INTO m2 (id, body) VALUES "
+                  "(1, '<b>apple</b><script>pear()</script>')")
+        r = s.execute("SELECT id FROM m2 WHERE MATCH('apple')")[0]
+        assert [row[0] for row in r.rows] == [1]
+        r = s.execute("SELECT id FROM m2 WHERE MATCH('pear')")[0]
+        assert r.rows == []
+
+    def test_wordforms_inline(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE m3 (body text) "
+                  "wordforms='walks > walk, walked > walk'")
+        s.execute("INSERT INTO m3 (id, body) VALUES (1, 'he walks home')")
+        r = s.execute("SELECT id FROM m3 WHERE MATCH('walked')")[0]
+        assert [row[0] for row in r.rows] == [1]
+
+    def test_options_survive_reopen(self, tmp_path):
+        d = str(tmp_path)
+        s = Session(Catalog(data_dir=d))
+        s.execute("CREATE TABLE m4 (body text) morphology='stem_en'")
+        s.execute("INSERT INTO m4 (id, body) VALUES (1, 'running fast')")
+        s2 = Session(Catalog(data_dir=d))
+        # new docs must be stemmed identically after reopen
+        s2.execute("INSERT INTO m4 (id, body) VALUES (2, 'runs slowly')")
+        r = s2.execute("SELECT id FROM m4 WHERE MATCH('run')")[0]
+        assert sorted(row[0] for row in r.rows) == [1, 2]

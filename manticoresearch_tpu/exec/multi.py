@@ -14,21 +14,24 @@ from dataclasses import replace as dc_replace
 import numpy as np
 
 
-def _sort_key_fn(q, schema):
-    sort = q.sort or [("weight", False), ("id", True)]
-    primary, asc = sort[0]
-    if primary in ("weight", "@weight", "weight()"):
-        return lambda m: (-m.weight, m.docid)
-    if primary in ("id", "@id"):
-        return (lambda m: (m.docid,)) if asc else (lambda m: (-m.docid,))
-    def key(m):
-        v = m.attrs.get(primary, 0)
-        return (v if asc else _neg(v), m.docid)
-    return key
-
-
-def _neg(v):
-    return -v if isinstance(v, (int, float)) else v
+def _apply_sort(matches, q):
+    """Multi-pass stable sort: supports desc on non-numeric (string) attrs,
+    where a negate-the-key trick can't work."""
+    sort = list(q.sort or [("weight", False), ("id", True)])
+    matches.sort(key=lambda m: m.docid)      # final tie-break: docid asc
+    for col, asc in reversed(sort):
+        if col in ("weight", "@weight", "weight()"):
+            matches.sort(key=lambda m: m.weight, reverse=not asc)
+        elif col in ("id", "@id"):
+            matches.sort(key=lambda m: m.docid, reverse=not asc)
+        else:
+            default = next((m.attrs[col] for m in matches
+                            if m.attrs.get(col) is not None), 0)
+            zero = type(default)()
+            matches.sort(key=lambda m, _z=zero, _c=col:
+                         m.attrs.get(_c) if m.attrs.get(_c) is not None
+                         else _z,
+                         reverse=not asc)
 
 
 def merge_part_results(results, q, schema):
@@ -39,7 +42,7 @@ def merge_part_results(results, q, schema):
     if err:
         return SearchResult([], 0, 0, 0.0, [], error=err)
     all_matches = [m for r in results for m in r.matches]
-    all_matches.sort(key=_sort_key_fn(q, schema))
+    _apply_sort(all_matches, q)
     total_found = sum(r.total_found for r in results)
     window = all_matches[q.offset:q.offset + q.limit]
     # word stats: sum by term across parts

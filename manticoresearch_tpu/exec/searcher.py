@@ -365,6 +365,8 @@ class SearchIndex:
             for name in attr_names:
                 if name in ("id", "weight()", "weight"):
                     continue
+                if "." in name and name.split(".", 1)[0] in p.attrs_json:
+                    name = name.split(".", 1)[0]   # hydrate the JSON base
                 if name in p.attrs_int:
                     attrs[name] = int(p.attrs_int[name][r])
                 elif name in p.attrs_big:

@@ -105,6 +105,41 @@ class PackedIndex:
             return i
         return -1
 
+    def str_ordinals(self, name: str):
+        """String attr as sorted-unique ordinals: (uniques, value->ord,
+        ord_array[i32]). Ordinal order == lexicographic order, so device
+        equality/IN/range filters and ORDER BY on the ordinal array are
+        exact within this index (the reference compares strings directly,
+        sphinxfilter.cpp string filters; we pre-factor the comparison)."""
+        if not hasattr(self, "_str_ord"):
+            self._str_ord = {}
+        if name not in self._str_ord:
+            vals = self.attrs_str[name]
+            uniq = sorted(set(vals))
+            lookup = {v: i for i, v in enumerate(uniq)}
+            self._str_ord[name] = (
+                uniq, lookup,
+                np.asarray([lookup[v] for v in vals] or [0], np.int32))
+        return self._str_ord[name]
+
+    def json_docs(self, name: str) -> list:
+        """Parsed JSON attr column (values may arrive as JSON strings from
+        SQL INSERT; parse lazily, cache)."""
+        import json as _json
+        if not hasattr(self, "_json_parsed"):
+            self._json_parsed = {}
+        if name not in self._json_parsed:
+            out = []
+            for v in self.attrs_json[name]:
+                if isinstance(v, str):
+                    try:
+                        v = _json.loads(v) if v.strip() else None
+                    except ValueError:
+                        v = None
+                out.append(v)
+            self._json_parsed[name] = out
+        return self._json_parsed[name]
+
 
 class IndexBuilder:
     def __init__(

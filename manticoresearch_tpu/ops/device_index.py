@@ -90,6 +90,9 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
         # low 31 bits exact on device and flag overflow host-side (full
         # precision copy stays on host in PackedIndex.attrs_big)
         attrs[name] = np.clip(arr, -(2**31), 2**31 - 1).astype(np.int32)
+    for name in packed.attrs_str:
+        # strings live on device as lexicographic ordinals (filters/ORDER BY)
+        attrs[name] = packed.str_ordinals(name)[2]
 
     put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
 

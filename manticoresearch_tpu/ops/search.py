@@ -349,6 +349,13 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     data["mva_values"][spec.attr],
                     rt["filter_vals"][i], N, n_hit_iters or 32)
                 continue
+            if spec.kind == "host_mask":
+                # host-evaluated predicate (JSON paths) as a packed bitmask
+                v = rt["filter_vals"][i]
+                rows = jnp.arange(N + 1, dtype=jnp.int32)
+                m = ((v[rows >> 5] >> (rows & 31)) & 1).astype(bool)
+                fmask_filters &= (~m if spec.exclude else m)
+                continue
             if spec.kind in ("id_values", "id_range"):
                 # 64-bit docid filter over the (hi, lo) i32 split; lo is
                 # always in [0, 2^31) so signed lexicographic compare is

@@ -366,6 +366,20 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
         return int(v) if float(v).is_integer() else v
     if op == "attr":
         if tree[1] not in row:
+            name = tree[1]
+            if "." in name:
+                # JSON path access (sphinxjson.cpp sphJsonFindByKey analog)
+                base, _, path = name.partition(".")
+                if base in row:
+                    import json as _json
+                    obj = row[base]
+                    if isinstance(obj, str):
+                        try:
+                            obj = _json.loads(obj) if obj.strip() else None
+                        except ValueError:
+                            obj = None
+                    from .planner import json_path_get
+                    return json_path_get(obj, path)
             raise ExprError(f"unknown attribute {tree[1]!r}")
         return row[tree[1]]
     if op == "weight":

@@ -70,6 +70,74 @@ def compute_idf(df: int, total_docs: int, *, plain: bool = False,
     return idf * boost
 
 
+def json_path_get(obj, path: str):
+    """Descend a dotted JSON path; int segments index arrays."""
+    cur = obj
+    for seg in path.split("."):
+        if cur is None:
+            return None
+        if isinstance(cur, dict):
+            cur = cur.get(seg)
+        elif isinstance(cur, list):
+            try:
+                cur = cur[int(seg)]
+            except (ValueError, IndexError):
+                return None
+        else:
+            return None
+    return cur
+
+
+def _json_cmp_num(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def _eval_json_filter(index, base: str, f) -> np.ndarray:
+    """Evaluate one JSON-path filter host-side -> packed i32 row bitmask."""
+    path = f.attr.split(".", 1)[1]
+    docs = index.json_docs(base)
+    n = index.n_docs
+    bits = np.zeros(n + 1, bool)
+    if f.kind == "values":
+        want_s = {str(v) for v in f.values}
+        want_n = {x for x in (_json_cmp_num(v) for v in f.values)
+                  if x is not None}
+        for r in range(n):
+            v = json_path_get(docs[r], path)
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                v = int(v)
+            if isinstance(v, (int, float)):
+                bits[r] = float(v) in want_n
+            else:
+                bits[r] = str(v) in want_s
+    elif f.kind in ("range_i", "range_f"):
+        lo = _json_cmp_num(f.lo) if f.lo is not None else None
+        hi = _json_cmp_num(f.hi) if f.hi is not None else None
+        for r in range(n):
+            v = _json_cmp_num(json_path_get(docs[r], path))
+            if v is None:
+                continue
+            ok = True
+            if lo is not None:
+                ok &= (v > lo) if f.lo_excl else (v >= lo)
+            if hi is not None:
+                ok &= (v < hi) if f.hi_excl else (v <= hi)
+            bits[r] = ok
+    else:
+        raise NotImplementedError(
+            f"filter kind {f.kind} on JSON path {f.attr!r}")
+    idx = np.nonzero(bits)[0].astype(np.int64)
+    words = np.zeros((n + 1 + 31) // 32, np.uint32)
+    np.bitwise_or.at(words, idx >> 5,
+                     np.uint32(1) << (idx & 31).astype(np.uint32))
+    return words.view(np.int32)
+
+
 def simplify(node):
     """Flatten nested AND/OR, drop Nones (sphTransformExtendedQuery-lite,
     sphinx.cpp:15345)."""
@@ -336,8 +404,48 @@ def plan_query(
     fvals = []
     for f in filters or []:
         ad = index.schema.attr(f.attr)
+        if ad is None and "." in f.attr:
+            base = f.attr.split(".", 1)[0]
+            bad = index.schema.attr(base)
+            if bad is not None and bad.type.value == "json":
+                # JSON-path filter: evaluated host-side over the parsed
+                # JSON column into a packed row bitmask the kernel ANDs in
+                # (the reference also evaluates JSON filters per-row on the
+                # CPU — sphinxfilter.cpp JSON filter expressions)
+                bits = _eval_json_filter(index, base, f)
+                nw = bits.shape[0]
+                fspecs.append(FilterSpec(f.attr, "host_mask", f.exclude,
+                                         n_values=nw))
+                fvals.append(bits)
+                continue
         if ad is None and f.attr != "id":
             raise ValueError(f"unknown attr {f.attr!r} in filter")
+        if ad is not None and ad.type.value == "string":
+            uniq, lookup, _ = index.str_ordinals(f.attr)
+            if f.kind == "values":
+                ords = sorted(lookup.get(str(v), -1) for v in f.values)
+                nv = _next_pow2(len(ords), 1)
+                arr = np.asarray(ords + [ords[-1]] * (nv - len(ords)),
+                                 np.int32)
+                fspecs.append(FilterSpec(f.attr, "values", f.exclude,
+                                         n_values=nv))
+                fvals.append(arr)
+            elif f.kind in ("range_i", "range_f"):
+                import bisect as _bisect
+                lo = 0
+                if f.lo is not None:
+                    lo = (_bisect.bisect_right(uniq, str(f.lo)) if f.lo_excl
+                          else _bisect.bisect_left(uniq, str(f.lo)))
+                hi = len(uniq) - 1
+                if f.hi is not None:
+                    hi = (_bisect.bisect_left(uniq, str(f.hi)) if f.hi_excl
+                          else _bisect.bisect_right(uniq, str(f.hi))) - 1
+                fspecs.append(FilterSpec(f.attr, "range_i", f.exclude))
+                fvals.append(np.asarray([lo, hi], np.int32))
+            else:
+                raise NotImplementedError(
+                    f"filter kind {f.kind} on string attr {f.attr!r}")
+            continue
         f_kind = f.kind
         if ad is not None and ad.type.value in ("multi", "multi64"):
             # generic conds on MVA attrs get ANY semantics (reference

@@ -455,3 +455,78 @@ class TestCreateTableOptions:
         s2.execute("INSERT INTO m4 (id, body) VALUES (2, 'runs slowly')")
         r = s2.execute("SELECT id FROM m4 WHERE MATCH('run')")[0]
         assert sorted(row[0] for row in r.rows) == [1, 2]
+
+
+class TestStringJsonAttrs:
+    @pytest.fixture()
+    def sess(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE sj (body text, tag string, j json)")
+        s.execute("""INSERT INTO sj (id, body, tag, j) VALUES
+         (1, 'x', 'red', '{"price": 10, "meta": {"cat": "a"}, "tags": [5, 9]}'),
+         (2, 'x', 'blue', '{"price": 3, "meta": {"cat": "b"}}'),
+         (3, 'x', 'green', '{"price": 7}')""")
+        return s
+
+    def q(self, s, sql):
+        r = s.execute(sql)[0]
+        assert r.error is None, (sql, r.error)
+        return r.rows
+
+    def test_string_eq_in_ne(self, sess):
+        assert self.q(sess, "SELECT id FROM sj WHERE tag='red'") == [(1,)]
+        assert self.q(sess, "SELECT id FROM sj WHERE tag IN "
+                            "('red','green')") == [(1,), (3,)]
+        assert self.q(sess, "SELECT id FROM sj WHERE tag != 'blue'") == \
+            [(1,), (3,)]
+        assert self.q(sess, "SELECT id FROM sj WHERE tag='nope'") == []
+
+    def test_string_range_lexicographic(self, sess):
+        assert self.q(sess, "SELECT id FROM sj WHERE tag > 'blue'") == \
+            [(1,), (3,)]
+        assert self.q(sess, "SELECT id FROM sj WHERE tag <= 'green'") == \
+            [(2,), (3,)]
+
+    def test_string_order_by(self, sess):
+        assert self.q(sess, "SELECT id FROM sj ORDER BY tag ASC") == \
+            [(2,), (3,), (1,)]
+        assert self.q(sess, "SELECT id FROM sj ORDER BY tag DESC") == \
+            [(1,), (3,), (2,)]
+
+    def test_string_order_across_segments(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE sj2 (body text, tag string)")
+        # separate commits -> separate segments with different ordinal maps
+        for i, tag in enumerate(["mango", "apple", "zebra", "kiwi"], 1):
+            s.execute(f"INSERT INTO sj2 (id, body, tag) VALUES "
+                      f"({i}, 'x', '{tag}')")
+        rows = self.q(s, "SELECT tag FROM sj2 ORDER BY tag ASC")
+        assert [r[0] for r in rows] == ["apple", "kiwi", "mango", "zebra"]
+        rows = self.q(s, "SELECT tag FROM sj2 ORDER BY tag DESC")
+        assert [r[0] for r in rows] == ["zebra", "mango", "kiwi", "apple"]
+
+    def test_json_select_paths(self, sess):
+        assert self.q(sess, "SELECT id, j.price FROM sj") == \
+            [(1, 10), (2, 3), (3, 7)]
+        assert self.q(sess, "SELECT id, j.meta.cat FROM sj WHERE id=1") == \
+            [(1, 'a')]
+        assert self.q(sess, "SELECT id, j.tags.1 FROM sj WHERE id=1") == \
+            [(1, 9)]
+
+    def test_json_filters(self, sess):
+        assert self.q(sess, "SELECT id FROM sj WHERE j.price > 5") == \
+            [(1,), (3,)]
+        assert self.q(sess, "SELECT id FROM sj WHERE j.price > 5 AND "
+                            "j.price <= 7") == [(3,)]
+        assert self.q(sess, "SELECT id FROM sj WHERE j.meta.cat = 'a'") == \
+            [(1,)]
+        assert self.q(sess, "SELECT id FROM sj WHERE j.nosuch = 1") == []
+        assert self.q(sess, "SELECT id FROM sj WHERE j.price "
+                            "BETWEEN 3 AND 7") == [(2,), (3,)]
+
+    def test_json_filter_with_match(self, sess):
+        sess.execute("INSERT INTO sj (id, body, tag, j) VALUES "
+                     "(4, 'findme', 'red', '{\"price\": 100}')")
+        rows = self.q(sess, "SELECT id FROM sj WHERE MATCH('findme') "
+                            "AND j.price > 50")
+        assert rows == [(4,)]

@@ -248,10 +248,23 @@ class SearchIndex:
             agg_re = _re.compile(
                 r"^\s*(count|sum|min|max|avg)\s*\(\s*(distinct\s+)?(.*?)\s*\)\s*$",
                 _re.IGNORECASE)
+            gc_re = _re.compile(
+                r"^\s*group_concat\s*\(\s*(.*?)\s*\)\s*$", _re.IGNORECASE)
             aggs: list[AggSpec] = []
             agg_names: list[str] = []
             plain_cols: list[str] = []
+            gconcats: list[tuple[str, str]] = []
             for sel in (q.select or ["count(*)"]):
+                gm = gc_re.match(sel)
+                if gm:
+                    # GROUP_CONCAT runs host-side over the match mask
+                    # (sphinxsort.cpp:1904+ computes it on CPU too)
+                    if self.schema.attr(q.group_by) is None:
+                        raise NotImplementedError(
+                            "GROUP_CONCAT requires a plain-attribute "
+                            "GROUP BY")
+                    gconcats.append((sel, gm.group(1)))
+                    continue
                 m = agg_re.match(sel)
                 if not m:
                     if sel not in ("id", "weight()", "*") and sel != q.group_by:
@@ -277,7 +290,8 @@ class SearchIndex:
             k = max(1, min(q.max_matches, q.offset + q.limit,
                            max(self.packed.n_docs, 1)))
             gspec = GroupSpec(key_expr=key_expr, aggs=tuple(aggs),
-                              order=order, k=k)
+                              order=order, k=k,
+                              emit_eligible=bool(gconcats))
         except (ValueError, NotImplementedError) as e:
             return SearchResult([], 0, 0, 0.0, [], error=str(e))
 
@@ -293,10 +307,19 @@ class SearchIndex:
         n_groups = int(out["n_groups"])
 
         n_avail = min(n_groups, k)
+        gb_ad = self.schema.attr(q.group_by)
+        str_uniq = (self.packed.str_ordinals(q.group_by)[0]
+                    if gb_ad is not None and gb_ad.type.value == "string"
+                    else None)
         rows = []
         for i in range(n_avail):
             r = int(rep_rowid[i])
-            attrs: dict = {q.group_by: int(gkey[i])}
+            if str_uniq is not None:
+                gv = int(gkey[i])
+                attrs = {q.group_by:
+                         str_uniq[gv] if 0 <= gv < len(str_uniq) else ""}
+            else:
+                attrs = {q.group_by: int(gkey[i])}
             for j, name in enumerate(agg_names):
                 a = aggs[j]
                 if a.kind == "count":
@@ -309,6 +332,20 @@ class SearchIndex:
                                  plain_cols or [])
             attrs.update(base[0].attrs)
             rows.append(Match(base[0].docid, int(rep_weight[i]), attrs))
+
+        if gconcats:
+            elig = np.asarray(out["eligible"])[: self.packed.n_docs]
+            keycol = self._host_column(q.group_by)
+            live = np.nonzero(elig)[0]
+            for sel, arg in gconcats:
+                argcol = self._host_column(arg)
+                mp: dict = {}
+                for r in live:
+                    mp.setdefault(keycol[int(r)], []).append(
+                        str(argcol[int(r)]))
+                joined = {k2: ",".join(v) for k2, v in mp.items()}
+                for m2 in rows:
+                    m2.attrs[sel] = joined.get(m2.attrs.get(q.group_by), "")
 
         if q.having is not None:
             col, op_s, val = q.having
@@ -351,6 +388,18 @@ class SearchIndex:
         res = SearchResult(matches, total, found, dt, stats)
         res.plan_repr = f"{cq.sig.expr} ranker={cq.sig.ranker}"
         return res
+
+    def _host_column(self, name: str):
+        """One attribute as a host-side per-row sequence (actual values —
+        strings, not ordinals)."""
+        p = self.packed
+        if name == "id":
+            return p.doc_ids
+        for store in (p.attrs_int, p.attrs_big, p.attrs_float, p.attrs_str,
+                      p.attrs_json, p.stored_fields):
+            if name in store:
+                return store[name]
+        raise ValueError(f"unknown attribute {name!r}")
 
     def _hydrate(self, rowids: np.ndarray, weights: np.ndarray,
                  select: list[str] | None) -> list[Match]:

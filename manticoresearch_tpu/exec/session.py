@@ -215,6 +215,9 @@ class Session:
             return [QLResult.err(err)]
 
         tables = [self.catalog.get(n) for n in st.indexes]
+        expr_sort = None
+        if q.sort and not q.group_by and tables:
+            expr_sort = self._resolve_expr_sort(st, q, tables[0].schema)
         from ..index.percolate import PercolateIndex
         if len(tables) == 1 and isinstance(tables[0], PercolateIndex):
             pq = tables[0]
@@ -232,6 +235,13 @@ class Session:
                                          limit=q.offset + q.limit))
                      for t in tables]
             res = merge_part_results(parts, q, tables[0].schema)
+        if expr_sort is not None and res.error is None:
+            tree, asc, offset, limit = expr_sort
+            res.matches.sort(
+                key=lambda m: eval_expr_host(tree, m.attrs, m.weight,
+                                             m.docid),
+                reverse=not asc)
+            res.matches = res.matches[offset:offset + limit]
         self.queries_done += 1
         if res.error:
             return [QLResult.err(res.error)]
@@ -289,7 +299,43 @@ class Session:
         if st.group_by:
             # aggregates are recognized from raw expr text
             q.select = [it.expr for it in st.items]
+            if q.having is not None:
+                # HAVING may reference a SELECT alias (HAVING c > 1 with
+                # count(*) AS c): resolve back to the aggregate's expr text
+                col, op_s, val = q.having
+                for it in st.items:
+                    if it.alias == col:
+                        col = it.expr
+                        break
+                q.having = (col, op_s, val)
         return q, None
+
+    def _resolve_expr_sort(self, st: SelectStmt, q, schema):
+        """ORDER BY <expr or select-alias>: the device sorts by rel, the
+        final top-max_matches re-sorts host-side on the evaluated expression
+        (the reference's expression sorters, sphinxsort.cpp comparators over
+        computed columns). Mutates q; returns (tree, asc, offset, limit)."""
+        primary, asc = q.sort[0]
+        p = primary.lower().replace(" ", "")
+        if p in ("weight", "@weight", "weight()", "id", "@id"):
+            return None
+        if schema.attr(primary) is not None:
+            return None
+        text = primary
+        for it in st.items:
+            if it.alias == primary:
+                text = it.expr
+                break
+        try:
+            tree = parse_expr(text)
+        except ExprError:
+            return None
+        offset, limit = q.offset, q.limit
+        q.sort = [("weight", False), ("id", True)]
+        q.offset = 0
+        q.limit = max(q.max_matches, offset + limit)
+        q.select = None
+        return (tree, asc, offset, limit)
 
     def _project(self, st: SelectStmt, res, schema, table=None) -> QLResult:
         cols: list[str] = []
@@ -335,7 +381,8 @@ class Session:
             elif lraw in ("weight()", "@weight"):
                 getters.append(lambda m: m.weight)
             elif lraw in ("count(*)", "@count") or lraw.startswith(
-                    ("count(", "sum(", "min(", "max(", "avg(")):
+                    ("count(", "sum(", "min(", "max(", "avg(",
+                     "group_concat(")):
                 getters.append(lambda m, n=raw, n2=name:
                                m.attrs.get(n, m.attrs.get(
                                    n.replace(" ", ""), m.attrs.get(n2))))

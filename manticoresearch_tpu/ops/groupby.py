@@ -43,6 +43,8 @@ class GroupSpec:
     order: tuple                     # ("rel",) | ("gkey", asc) | ("count", asc)
                                      # | ("agg", idx, asc) | ("attr", name, asc, is_float)
     k: int                           # max groups returned
+    emit_eligible: bool = False      # also output the raw match mask
+                                     # (host-side GROUP_CONCAT needs members)
 
 
 @lru_cache(maxsize=512)
@@ -165,6 +167,8 @@ def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
         }
         for i, acc in enumerate(agg_results):
             out[f"agg{i}"] = jnp.where(valid_out, acc[out_gid], 0)
+        if gspec.emit_eligible:
+            out["eligible"] = eligible
         return out
 
     return jax.jit(fn)

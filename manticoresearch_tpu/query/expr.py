@@ -32,6 +32,7 @@ class ExprError(ValueError):
 _TOK = re.compile(r"""
     (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
+  | (?P<str>'(?:[^'\\]|\\.)*')
   | (?P<op><=|>=|<>|!=|==|=|<|>|\+|-|\*|/|%|\(|\)|,|\{|\})
   | (?P<ws>\s+)
 """, re.VERBOSE)
@@ -159,6 +160,8 @@ class ExprParser:
         k, v = self.next()
         if k == "num":
             return ("num", float(v))
+        if k == "str":
+            return ("str", re.sub(r"\\(.)", r"\1", v[1:-1]))
         if k == "op" and v == "{":
             # {field=weight, ...} map argument (bm25f)
             pairs = []
@@ -361,6 +364,8 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
     final-stage calc split, sphinx.cpp:15905 — presentation expressions run
     on the final top-k only)."""
     op = tree[0]
+    if op == "str":
+        return tree[1]
     if op == "num":
         v = tree[1]
         return int(v) if float(v).is_integer() else v

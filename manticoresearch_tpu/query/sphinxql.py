@@ -363,7 +363,10 @@ class SqlParser:
             st.facets.append(self.parse_facet())
         return st
 
+    _EXPR_KWS = {"AND", "OR", "NOT", "BETWEEN", "IN", "IS", "DIV", "MOD"}
+
     def parse_select_item(self) -> SelectItem:
+        start = self.i
         expr = self.parse_expr_text(
             stop_kw=("AS", "FROM", "ORDER", "BY", "LIMIT", "FACET", "WHERE",
                      "GROUP", "OPTION", "HAVING", "WITHIN"),
@@ -371,6 +374,18 @@ class SqlParser:
         alias = None
         if self.eat_kw("AS"):
             alias = self.name()
+        elif self.i - start >= 2:
+            # implicit alias without AS: 'count(*) c' — a trailing bare
+            # identifier right after a token that completes an expression
+            lk, lv = self.toks[self.i - 1][:2]
+            pk, pv = self.toks[self.i - 2][:2]
+            if (lk == "name" and lv.upper() not in self._EXPR_KWS
+                    and (pk in ("num", "str")
+                         or (pk == "op" and pv == ")")
+                         or (pk == "name"
+                             and pv.upper() not in self._EXPR_KWS))):
+                alias = lv
+                expr = self.sql[self.toks[start][2]:self.toks[self.i - 2][3]]
         return SelectItem(expr.strip(), alias)
 
     def parse_expr_text(self, stop_kw=(), stop_op=(), stop_comma=False) -> str:

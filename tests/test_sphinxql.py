@@ -530,3 +530,54 @@ class TestStringJsonAttrs:
         rows = self.q(sess, "SELECT id FROM sj WHERE MATCH('findme') "
                             "AND j.price > 50")
         assert rows == [(4,)]
+
+
+class TestAggregateExtras:
+    @pytest.fixture()
+    def sess(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE ag (body text, grp uint, lat float, "
+                  "lon float, tag string)")
+        s.execute("""INSERT INTO ag (id, body, grp, lat, lon, tag) VALUES
+         (1, 'x a', 1, 0.6, 0.1, 'r'), (2, 'x b', 1, 0.7, 0.2, 'g'),
+         (3, 'y c', 2, 0.8, 0.3, 'r')""")
+        return s
+
+    def q(self, s, sql):
+        r = s.execute(sql)[0]
+        assert r.error is None, (sql, r.error)
+        return r.rows
+
+    def test_group_concat(self, sess):
+        assert self.q(sess, "SELECT grp, GROUP_CONCAT(id) FROM ag "
+                            "GROUP BY grp") == [(1, '1,2'), (2, '3')]
+        assert self.q(sess, "SELECT tag, GROUP_CONCAT(id) FROM ag "
+                            "GROUP BY tag") == [('g', '2'), ('r', '1,3')]
+
+    def test_group_concat_respects_match(self, sess):
+        assert self.q(sess, "SELECT grp, GROUP_CONCAT(id) FROM ag "
+                            "WHERE MATCH('x') GROUP BY grp") == [(1, '1,2')]
+
+    def test_having_alias(self, sess):
+        assert self.q(sess, "SELECT grp, count(*) c FROM ag GROUP BY grp "
+                            "HAVING c > 1") == [(1, 2)]
+
+    def test_group_by_string_attr_shows_values(self, sess):
+        assert self.q(sess, "SELECT tag, count(*) FROM ag GROUP BY tag") == \
+            [('g', 1), ('r', 2)]
+
+    def test_order_by_expression_alias(self, sess):
+        rows = self.q(sess, "SELECT id, GEODIST(lat, lon, 0.65, 0.15) AS d "
+                            "FROM ag ORDER BY d ASC")
+        assert [r[0] for r in rows] == [2, 1, 3]
+        rows = self.q(sess, "SELECT id, grp*-10 AS nk FROM ag ORDER BY nk "
+                            "ASC")
+        assert [r[0] for r in rows] == [3, 1, 2]
+
+    def test_string_literals_in_expressions(self, sess):
+        rows = self.q(sess, "SELECT id, IF(grp=1, 'one', 'other') FROM ag")
+        assert rows == [(1, 'one'), (2, 'one'), (3, 'other')]
+
+    def test_implicit_alias(self, sess):
+        r = sess.execute("SELECT grp g2, count(*) c FROM ag GROUP BY grp")[0]
+        assert r.columns == ["g2", "c"]

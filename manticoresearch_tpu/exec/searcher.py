@@ -367,6 +367,10 @@ class SearchIndex:
     def _finish(self, q: SearchQuery, cq: CompiledQuery,
                 rowids: np.ndarray, weights: np.ndarray, found: int,
                 t0: float) -> SearchResult:
+        if q.cutoff:
+            # OPTION cutoff=N (reference: stop after N matches; with a full
+            # vector pass the observable semantics are the caps)
+            found = min(found, q.cutoff)
         n_avail = min(found, cq.sig.k)
         rowids = rowids[:n_avail]
         weights = weights[:n_avail]

@@ -286,6 +286,7 @@ class Session:
             offset=st.offset,
             limit=st.limit,
             max_matches=int(opts.get("max_matches", 1000)),
+            cutoff=int(opts.get("cutoff", 0)),
             ranker=opts.get("ranker", "proximity_bm25"),
             field_weights={k: int(v) for k, v in
                            opts.get("field_weights", {}).items()},
@@ -689,9 +690,10 @@ class Session:
     def _simple(self, st: SimpleStmt) -> QLResult:
         k = st.kind
         if k == "show_tables":
-            return QLResult(columns=["Index", "Type"],
-                            rows=[(n, "rt") for n in
-                                  sorted(self.catalog.tables)])
+            return QLResult(
+                columns=["Index", "Type"],
+                rows=[(n, self.catalog.table_type(self.catalog.tables[n]))
+                      for n in sorted(self.catalog.tables)])
         if k == "show_meta":
             return QLResult(columns=["Variable_name", "Value"],
                             rows=list(self.last_meta))

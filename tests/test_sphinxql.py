@@ -581,3 +581,23 @@ class TestAggregateExtras:
     def test_implicit_alias(self, sess):
         r = sess.execute("SELECT grp g2, count(*) c FROM ag GROUP BY grp")[0]
         assert r.columns == ["g2", "c"]
+
+
+class TestCutoffAndShowTables:
+    def test_cutoff(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE co (body text)")
+        s.execute("INSERT INTO co (id, body) VALUES " + ", ".join(
+            f"({i}, 'common word')" for i in range(1, 8)))
+        r = s.execute("SELECT id FROM co WHERE MATCH('common') "
+                      "OPTION cutoff=2")[0]
+        assert r.error is None and len(r.rows) == 2
+        meta = {k: v for k, v in s.execute("SHOW META")[0].rows}
+        assert meta["total_found"] == "2"
+
+    def test_show_tables_types(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE rt1 (body text)")
+        s.execute("CREATE TABLE pq1 (body text) type='percolate'")
+        rows = dict(s.execute("SHOW TABLES")[0].rows)
+        assert rows["rt1"] == "rt" and rows["pq1"] == "percolate"

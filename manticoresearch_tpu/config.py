@@ -93,6 +93,8 @@ def _parse_tokenizer(sec: dict) -> TokenizerSettings:
         html_strip=bool(sec.get("html_strip", False)),
         html_remove_elements=tuple(sec.get("html_remove_elements", [])),
         html_index_attrs=str(sec.get("html_index_attrs", "")),
+        index_zones=tuple(sec.get("index_zones", [])),
+        index_sp=bool(sec.get("index_sp", False)),
     )
 
 
@@ -136,6 +138,7 @@ def settings_from_sql_options(options: dict[str, str]
         html_strip=_b("html_strip"),
         html_remove_elements=_list("html_remove_elements"),
         html_index_attrs=o.get("html_index_attrs", ""),
+        index_zones=_list("index_zones"),
     )
     wordforms = []
     for pair in str(o.get("wordforms", "")).split(","):

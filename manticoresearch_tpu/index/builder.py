@@ -80,6 +80,9 @@ class PackedIndex:
         default_factory=lambda: np.zeros(0, np.int32))
     para_pkey: np.ndarray = dc_field(
         default_factory=lambda: np.zeros(0, np.int32))
+    # ZONE spans (index_zones): zone name -> (rows, start_keys, end_keys),
+    # keys = fid<<24|pos of the zone's first/last token, sorted by (row, key)
+    zones: dict = dc_field(default_factory=dict)
 
     @property
     def n_terms(self) -> int:
@@ -203,13 +206,16 @@ class IndexBuilder:
 
         ds = self.dict_settings
         index_sp = self.tok_settings.index_sp
+        index_zones = tuple(self.tok_settings.index_zones)
         trivial_dict = (not ds.stopwords and not ds.morphology
                         and not ds.wordforms and not ds.index_exact_words
-                        and not index_sp)
+                        and not index_sp and not index_zones)
         sent_rows: list[int] = []
         sent_keys: list[int] = []
         para_rows: list[int] = []
         para_keys: list[int] = []
+        zone_acc: dict[str, list[tuple[int, int, int]]] = {
+            z: [] for z in index_zones}
 
         for rowid, docid in enumerate(doc_ids.tolist()):
             doc = self._docs[docid]
@@ -228,7 +234,27 @@ class IndexBuilder:
                         hits_packed.append(
                             hitman_pack(fid, pos, pos == last_pos))
                     continue
-                tokens = self.tokenizer.tokenize(str(text))
+                if index_zones:
+                    tokens, zevents = self.tokenizer.tokenize_with_zones(
+                        str(text))
+                    if zevents and tokens:
+                        tok_starts = [t.start for t in tokens]
+                        tok_ends = [t.end for t in tokens]
+                        import bisect as _b
+                        for zname, zo, zc in zevents:
+                            if zname not in zone_acc:
+                                continue
+                            i0 = _b.bisect_left(tok_starts, zo)
+                            i1 = _b.bisect_right(tok_ends, zc) - 1
+                            if i0 <= i1:
+                                zone_acc[zname].append((
+                                    rowid,
+                                    fid << HITMAN_FIELD_SHIFT
+                                    | tokens[i0].position,
+                                    fid << HITMAN_FIELD_SHIFT
+                                    | tokens[i1].position))
+                else:
+                    tokens = self.tokenizer.tokenize(str(text))
                 field_lens[rowid, fid] = len(tokens)
                 last_pos = tokens[-1].position if tokens else 0
                 for t in tokens:
@@ -330,6 +356,16 @@ class IndexBuilder:
                 para_rowid=np.asarray(para_rows, np.int32),
                 para_pkey=np.asarray(para_keys, np.int32),
             )
+        if index_zones:
+            zones_out = {}
+            for zname, spans in zone_acc.items():
+                spans.sort()
+                zones_out[zname] = (
+                    np.asarray([s[0] for s in spans], np.int32),
+                    np.asarray([s[1] for s in spans], np.int32),
+                    np.asarray([s[2] for s in spans], np.int32),
+                )
+            sp_kwargs["zones"] = zones_out
         return PackedIndex(
             schema=schema,
             n_docs=n,

@@ -30,6 +30,10 @@ def _settings_to_json(tok: TokenizerSettings, dic: DictSettings) -> dict:
             "ngram_len": tok.ngram_len,
             "overshort_step": tok.overshort_step,
             "index_sp": tok.index_sp,
+            "html_strip": tok.html_strip,
+            "html_remove_elements": list(tok.html_remove_elements),
+            "html_index_attrs": tok.html_index_attrs,
+            "index_zones": list(tok.index_zones),
         },
         "dict": {
             "stopwords": sorted(dic.stopwords),
@@ -50,6 +54,10 @@ def _settings_from_json(d: dict):
             ngram_chars=t["ngram_chars"], ngram_len=t["ngram_len"],
             overshort_step=t["overshort_step"],
             index_sp=t.get("index_sp", False),
+            html_strip=t.get("html_strip", False),
+            html_remove_elements=tuple(t.get("html_remove_elements", [])),
+            html_index_attrs=t.get("html_index_attrs", ""),
+            index_zones=tuple(t.get("index_zones", [])),
         ),
         DictSettings(
             stopwords=frozenset(s["stopwords"]),
@@ -72,6 +80,7 @@ def save_packed(packed: PackedIndex, path: str) -> None:
         "settings": _settings_to_json(packed.tokenizer_settings,
                                       packed.dict_settings),
         "mva_names": sorted(packed.attrs_mva),
+        "zone_names": sorted(packed.zones),
     }
     with open(os.path.join(path, "header.json"), "w") as f:
         json.dump(header, f)
@@ -101,6 +110,10 @@ def save_packed(packed: PackedIndex, path: str) -> None:
     for k, (off, vals) in packed.attrs_mva.items():
         arrays[f"amo__{k}"] = off
         arrays[f"amv__{k}"] = vals
+    for k, (zr, zs, ze) in packed.zones.items():
+        arrays[f"zr__{k}"] = zr
+        arrays[f"zs__{k}"] = zs
+        arrays[f"ze__{k}"] = ze
     np.savez(os.path.join(path, "arrays.npz"), **arrays)
     side = {
         "terms": packed.term_strs,
@@ -157,6 +170,8 @@ def load_packed(path: str) -> PackedIndex:
         attrs_str=side["attrs_str"],
         attrs_json=side["attrs_json"],
         attrs_mva={k: (v[0], v[1]) for k, v in attrs_mva.items()},
+        zones={k: (z[f"zr__{k}"], z[f"zs__{k}"], z[f"ze__{k}"])
+               for k in header.get("zone_names", [])},
         stored_fields=side.get("stored_fields", {}),
         field_lens=z["field_lens"],
         total_hits=header["total_hits"],

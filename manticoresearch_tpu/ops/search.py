@@ -294,10 +294,28 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             msk = jnp.arange(sz, dtype=jnp.int32) < rt["hit_lengths"][s]
             return jnp.where(msk, hrow, N), jnp.where(msk, hpk, 0), msk
 
-        for s, lmask, f_start, f_end in sig.slot_limited:
+        zctr = 0  # trace-time cursor into rt["zspans"] (planner order)
+        for s, lmask, f_start, f_end, zlim in sig.slot_limited:
             hrowL, hpkL, mskL = slot_hits(s)
             hfield = (hpkL >> 24) & 0x7F
             ok = mskL & (((jnp.int32(1) << hfield) & lmask) != 0)
+            if zlim:
+                # ZONE:(z1,z2): the hit must lie inside some instance of a
+                # listed zone (ExtTerm zone filtering, sphinxsearch zones):
+                # predecessor search over (row, span-start-key), then check
+                # that span's end covers the hit in the same row+field
+                inz = jnp.zeros_like(ok)
+                for _zname in zlim:
+                    zrow, zskey, zekey = rt["zspans"][zctr]
+                    zctr += 1
+                    lo = jnp.zeros_like(hrowL)
+                    hi = jnp.full_like(hrowL, zrow.shape[0])
+                    zi, zex = _lex_search_le(hrowL, hpkL, zrow, zskey,
+                                             lo, hi, n_hit_iters)
+                    inz = inz | (zex & (zrow[zi] == hrowL)
+                                 & (zekey[zi] >= hpkL)
+                                 & ((zskey[zi] >> 24) == hfield))
+                ok &= inz
             if f_start:
                 # ^word: hit at in-field position 1 (sphinxquery field_start)
                 ok &= (hpkL & ((1 << 23) - 1)) == 1

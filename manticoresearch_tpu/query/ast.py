@@ -18,6 +18,7 @@ class QTerm:
     wildcard: bool = False                   # word* / *word* — expansion
     field_start: bool = False                # ^word — must start the field
     field_end: bool = False                  # word$ — must end the field
+    zones: tuple = ()                        # ZONE:(...) limit (tag names)
 
 
 @dataclass(frozen=True)

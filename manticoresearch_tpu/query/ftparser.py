@@ -39,6 +39,7 @@ _TOKEN_RE = re.compile(
   | (?P<not>[-!])
   | (?P<quote>")
   | (?P<field>@(?:@relaxed|!?\(\s*[\w,\s]+\s*\)|!?[\w*]+))
+  | (?P<zone>ZONESPAN:(?:\(\s*[\w,\s]+\s*\)|\w+)|ZONE:(?:\(\s*[\w,\s]+\s*\)|\w+))
   | (?P<maybe>MAYBE\b)
   | (?P<word>[^\s()|!\-"@]+)
   | (?P<space>\s+)
@@ -84,6 +85,7 @@ class FtQueryParser:
         self.toks = _lex(query)
         self.i = 0
         self.cur_fields: tuple[str, ...] | None = None
+        self.cur_zones: tuple[str, ...] = ()
         node = self._parse_and_list()
         if self.i < len(self.toks):
             raise QueryParseError(f"unexpected {self.toks[self.i].text!r}")
@@ -134,6 +136,16 @@ class FtQueryParser:
             names = [f for f in self.field_names if f not in names]
         return tuple(names)
 
+    def _parse_zone_spec(self, text: str) -> tuple[str, ...]:
+        """ZONE:(h1,h2) / ZONE:h1 / ZONESPAN:... (sphinxquery.y zone
+        grammar). ZONESPAN's same-instance restriction is approximated by
+        ZONE semantics for now (each keyword must be inside some instance
+        of a listed zone)."""
+        body = text.split(":", 1)[1]
+        if body.startswith("("):
+            body = body[1:-1]
+        return tuple(z.strip().lower() for z in body.split(",") if z.strip())
+
     # --- grammar -----------------------------------------------------------
     def _parse_and_list(self):
         """Implicit-AND list of OR-expressions; NOT members split out."""
@@ -146,6 +158,10 @@ class FtQueryParser:
             if t.kind == "field":
                 self._next()
                 self.cur_fields = self._parse_field_spec(t.text)
+                continue
+            if t.kind == "zone":
+                self._next()
+                self.cur_zones = self._parse_zone_spec(t.text)
                 continue
             if t.kind == "maybe":
                 self._next()
@@ -226,11 +242,13 @@ class FtQueryParser:
         if t.kind == "lparen":
             self._next()
             saved = self.cur_fields
+            saved_z = self.cur_zones
             node = self._parse_and_list()
             if self._peek() is None or self._peek().kind != "rparen":
                 raise QueryParseError("missing ')'")
             self._next()
             self.cur_fields = saved
+            self.cur_zones = saved_z
             return node
         if t.kind == "quote":
             return self._parse_quoted()
@@ -240,6 +258,10 @@ class FtQueryParser:
         if t.kind == "field":
             self._next()
             self.cur_fields = self._parse_field_spec(t.text)
+            return self._parse_atom()
+        if t.kind == "zone":
+            self._next()
+            self.cur_zones = self._parse_zone_spec(t.text)
             return self._parse_atom()
         raise QueryParseError(f"unexpected {t.text!r}")
 
@@ -257,13 +279,14 @@ class FtQueryParser:
         wildcard = "*" in body or "?" in body
         if wildcard:
             return QTerm(body.lower(), self.cur_fields, exact, boost,
-                         wildcard=True)
+                         wildcard=True, zones=self.cur_zones)
         terms = self._terms_of(body, exact)
         if not terms:
             return None
         if len(terms) == 1:
             return QTerm(terms[0], self.cur_fields, exact, boost,
-                         field_start=fstart, field_end=fend)
+                         field_start=fstart, field_end=fend,
+                         zones=self.cur_zones)
         # a single syntax word expanding to multiple tokens ("t-shirt")
         # indexes as consecutive positions -> behaves as a phrase
         return QPhrase(tuple(terms), self.cur_fields)

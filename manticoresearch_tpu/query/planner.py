@@ -198,10 +198,12 @@ def expand_wildcards(node, term_strs: list[str], expansion_limit: int = 0):
                     if expansion_limit and len(matches) >= expansion_limit:
                         break
         if not matches:
-            return QTerm(pat, node.fields)  # nonexistent term: df=0
+            return QTerm(pat, node.fields, zones=node.zones)  # df=0
         if len(matches) == 1:
-            return QTerm(matches[0], node.fields, boost=node.boost)
-        return QOr(tuple(QTerm(m, node.fields, boost=node.boost) for m in matches))
+            return QTerm(matches[0], node.fields, boost=node.boost,
+                         zones=node.zones)
+        return QOr(tuple(QTerm(m, node.fields, boost=node.boost,
+                               zones=node.zones) for m in matches))
     if isinstance(node, QAnd):
         return QAnd(tuple(expand_wildcards(c, term_strs, expansion_limit)
                           for c in node.children))
@@ -224,6 +226,7 @@ class _SlotTable:
         self.terms: list[str] = []
         self.masks: list[int] = []
         self.flags: list[tuple] = []   # (field_start, field_end) per slot
+        self.zones: list[tuple] = []   # zone-name tuple per slot
         self.mult: list[float] = []
         self.qpos: list[int] = []   # query atom position (m_iAtomPos), 1-based
         self._cursor = 0            # advances per leaf occurrence
@@ -231,10 +234,11 @@ class _SlotTable:
         self.mask_of = mask_of
 
     def get(self, term: str, fields, positive: bool, weight: float = 1.0,
-            field_start: bool = False, field_end: bool = False) -> int:
+            field_start: bool = False, field_end: bool = False,
+            zones: tuple = ()) -> int:
         self._cursor += 1
         mask = self.mask_of(fields)
-        key = (term, mask, field_start, field_end)
+        key = (term, mask, field_start, field_end, zones)
         if key in self.slots:
             s = self.slots[key]
         else:
@@ -243,6 +247,7 @@ class _SlotTable:
             self.terms.append(term)
             self.masks.append(mask)
             self.flags.append((field_start, field_end))
+            self.zones.append(tuple(zones))
             self.mult.append(0.0)
             self.qpos.append(self._cursor)
         if positive:
@@ -256,7 +261,7 @@ def _lower(node, st: _SlotTable, positive: bool):
         return ("all",)
     if isinstance(node, QTerm):
         s = st.get(node.word, node.fields, positive, node.boost,
-                   node.field_start, node.field_end)
+                   node.field_start, node.field_end, node.zones)
         return ("term", s)
     if isinstance(node, QAnd):
         return ("and", tuple(_lower(c, st, positive) for c in node.children))
@@ -363,9 +368,10 @@ def plan_query(
     # evaluated over hits; the kernel skips them in the posting pass.
     # entries: (slot, fieldmask, field_start, field_end)
     slot_limited = tuple(
-        (s, st.masks[s], st.flags[s][0], st.flags[s][1])
+        (s, st.masks[s], st.flags[s][0], st.flags[s][1], st.zones[s])
         for s in range(S)
         if st.masks[s] != all_mask or st.flags[s][0] or st.flags[s][1]
+        or st.zones[s]
     )
 
     # ranker resolution (sphCreateRanker:4167): single-keyword
@@ -523,10 +529,31 @@ def plan_query(
     # bounds plan-shape diversity
     slot_pb = tuple(_next_pow2(int(lengths[s]), 1024) for s in range(S))
     slot_hb = tuple(_next_pow2(int(hit_lengths[s]), 1024) for s in range(S))
+    # zone span arrays, shipped through the runtime in slot_limited order
+    # (one (rows, start_keys, end_keys) triple per zone name per entry)
+    zone_spans = []
+    zone_max = 0
+    index_zones = getattr(index, "zones", {}) or {}
+    for entry in slot_limited:
+        for zname in entry[4]:
+            zr, zs, ze = index_zones.get(
+                zname, (np.zeros(0, np.int32),) * 3)
+            nz = _next_pow2(max(len(zr), 1), 1)
+            pad = nz - len(zr)
+            big = np.full(pad, 2**31 - 1, np.int32)   # sentinel: matches no row
+            zone_spans.append((
+                np.concatenate([np.asarray(zr, np.int32), big]),
+                np.concatenate([np.asarray(zs, np.int32), big]),
+                np.concatenate([np.asarray(ze, np.int32),
+                                np.zeros(pad, np.int32)]),
+            ))
+            zone_max = max(zone_max, nz)
+
     H = len(index.hit_packed)
     mva_max = max((len(v[1]) for v in getattr(index, "attrs_mva", {}).values()),
                   default=0)
-    n_hit_iters = max(1, math.ceil(math.log2(max(H, mva_max, 2)))) + 1
+    n_hit_iters = max(1, math.ceil(
+        math.log2(max(H, mva_max, zone_max, 2)))) + 1
 
     k = min(max_matches, window) if window is not None else max_matches
     k = max(1, min(k, index.n_docs)) if index.n_docs else 1
@@ -554,6 +581,7 @@ def plan_query(
         "idf": idf, "mult": mult,
         "field_weights": fw,
         "filter_vals": tuple(fvals),
+        "zspans": tuple(zone_spans),
     }
     return CompiledQuery(
         sig=sig, runtime=runtime, slot_terms=list(st.terms),

@@ -37,11 +37,22 @@ def parse_index_attrs(spec: str) -> dict[str, tuple[str, ...]]:
 
 
 def strip_html(text: str, remove_elements: tuple[str, ...] = (),
-               index_attrs: dict[str, tuple[str, ...]] | None = None) -> str:
+               index_attrs: dict[str, tuple[str, ...]] | None = None,
+               zones: tuple[str, ...] = (), with_zones: bool = False):
+    """Strip markup. With `zones` + `with_zones=True`, also returns zone
+    events [(name, open_char_off, close_char_off), ...] with offsets into
+    the RETURNED text (CSphHTMLStripper's MAGIC_CODE_ZONE emission
+    repackaged as explicit spans; entities inside zones are left encoded so
+    offsets stay valid — zone content is re-unescaped by the caller's
+    tokenizer charset fold, which ignores '&').
+
+    Note: when zones are requested, entity decoding is skipped (offsets
+    must map 1:1); zone-indexed fields should not rely on entities."""
     if "<" not in text and "&" not in text:
-        return text
+        return (text, []) if with_zones else text
     index_attrs = index_attrs or {}
     removed = {e.strip().lower() for e in remove_elements if e.strip()}
+    zone_set = {z.strip().lower() for z in zones if z.strip()}
 
     text = _COMMENT.sub(" ", text)
     text = _CDATA.sub(r" \1 ", text)
@@ -49,22 +60,40 @@ def strip_html(text: str, remove_elements: tuple[str, ...] = (),
     text = _DECL.sub(" ", text)
 
     out: list[str] = []
+    out_len = 0
+    open_zones: list[tuple[str, int]] = []
+    events: list[tuple[str, int, int]] = []
+
+    def emit(s: str):
+        nonlocal out_len
+        out.append(s)
+        out_len += len(s)
+
     i = 0
     skip_until: str | None = None   # inside a removed element's content
     for m in _TAG.finditer(text):
         if skip_until is None:
-            out.append(text[i:m.start()])
+            emit(text[i:m.start()])
         closing, name, attrs_raw = m.group(1), m.group(2).lower(), m.group(3)
         i = m.end()
         if skip_until is not None:
             if closing and name == skip_until:
                 skip_until = None
             continue
+        if name in zone_set:
+            if not closing:
+                open_zones.append((name, out_len))
+            else:
+                for j in range(len(open_zones) - 1, -1, -1):
+                    if open_zones[j][0] == name:
+                        events.append((name, open_zones[j][1], out_len))
+                        del open_zones[j]
+                        break
         if not closing and name in removed:
             # self-closing removed element has no content to skip
             if not attrs_raw.rstrip().endswith("/"):
                 skip_until = name
-            out.append(" ")
+            emit(" ")
             continue
         if not closing and name in index_attrs:
             wanted = index_attrs[name]
@@ -73,8 +102,13 @@ def strip_html(text: str, remove_elements: tuple[str, ...] = (),
                     v = am.group(2)
                     if v[:1] in "\"'":
                         v = v[1:-1]
-                    out.append(" " + v + " ")
-        out.append(" ")
+                    emit(" " + v + " ")
+        emit(" ")
     if skip_until is None:
-        out.append(text[i:])
-    return html.unescape("".join(out))
+        emit(text[i:])
+    for name, off in open_zones:        # unclosed zones run to the end
+        events.append((name, off, out_len))
+    result = "".join(out)
+    if with_zones:
+        return result, events
+    return html.unescape(result)

@@ -34,6 +34,7 @@ class TokenizerSettings:
     html_strip: bool = False
     html_remove_elements: tuple = ()     # e.g. ("style", "script")
     html_index_attrs: str = ""           # e.g. "img=alt,title; a=title"
+    index_zones: tuple = ()              # zone tag names (ZONE operator)
 
     def key(self) -> tuple:
         return (
@@ -46,6 +47,7 @@ class TokenizerSettings:
             self.html_strip,
             self.html_remove_elements,
             self.html_index_attrs,
+            self.index_zones,
         )
 
 
@@ -74,6 +76,10 @@ class Tokenizer:
             ia = parse_index_attrs(self.settings.html_index_attrs)
             rm = tuple(self.settings.html_remove_elements)
             self._strip = lambda t: strip_html(t, rm, ia)
+            if self.settings.index_zones:
+                zn = tuple(self.settings.index_zones)
+                self._strip_z = lambda t: strip_html(t, rm, ia, zones=zn,
+                                                     with_zones=True)
 
     def _is_ngram(self, codes: np.ndarray) -> np.ndarray:
         if self._ngram_set is None or len(self._ngram_set) == 0:
@@ -136,6 +142,22 @@ class Tokenizer:
                       pos, s, e + 1)
             )
         return out
+
+    def tokenize_with_zones(self, text: str):
+        """Tokenize + zone spans: returns (tokens, [(zone, open_char_off,
+        close_char_off)]) with offsets into the stripped text — token
+        start/end offsets live in the same space, so the index builder can
+        map spans to token positions."""
+        if getattr(self, "_strip_z", None) is None:
+            return self.tokenize(text), []
+        stripped, events = self._strip_z(text)
+        saved = self._strip
+        self._strip = None         # already stripped
+        try:
+            toks = self.tokenize(stripped)
+        finally:
+            self._strip = saved
+        return toks, events
 
     def _native_buffers(self, n: int):
         """Reusable scratch buffers + cached ctypes pointers (the per-call

@@ -317,6 +317,17 @@ class ShardedIndex:
         except (ValueError, NotImplementedError) as e:
             return SearchResult([], 0, 0, 0.0, [], error=str(e))
 
+        if any(e[4] for e in cq.sig.slot_limited):
+            # ZONE-limited slots: zone span arrays are per-shard (ragged),
+            # so run per-shard kernels + host merge instead of one
+            # shard_mapped program
+            from ..exec.multi import merge_part_results
+            from dataclasses import replace as dc_rep
+            part_q = dc_rep(q, offset=0, limit=q.offset + q.limit,
+                            select=None)
+            results = [p.search(part_q) for p in self._per_shard_indexes()]
+            return merge_part_results(results, q, self.schema)
+
         S = max(cq.sig.n_slots, 1)
         D = len(self.shards)
         starts = np.zeros((D, S), np.int32)

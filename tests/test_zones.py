@@ -81,3 +81,24 @@ class TestZones:
     def test_zonespan_accepted(self, index):
         # ZONESPAN currently approximated by ZONE semantics
         assert self.ids(index, "ZONESPAN:h1 apple banana") == [1]
+
+
+class TestZonesSharded:
+    def test_zone_on_sharded_mesh(self):
+        from manticoresearch_tpu.parallel.sharded import (
+            ShardedIndex, make_mesh, partition_documents)
+        docs = [dict(id=i, body=(f"<h1>apple {i}</h1> banana" if i % 2
+                                 else f"apple {i} banana"))
+                for i in range(1, 17)]
+        ts = TokenizerSettings(html_strip=True, index_zones=("h1",))
+        shards = []
+        for part in partition_documents(docs, 8):
+            b = IndexBuilder(Schema(fields=["body"]), ts)
+            b.add_documents(part)
+            shards.append(b.build())
+        sh = ShardedIndex(shards, make_mesh(8))
+        r = sh.search(SearchQuery(match="ZONE:h1 apple"))
+        assert r.error is None
+        assert sorted(m.docid for m in r.matches) == list(range(1, 17, 2))
+        r = sh.search(SearchQuery(match="apple"))
+        assert len(r.matches) == 16

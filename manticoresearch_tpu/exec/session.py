@@ -202,11 +202,27 @@ class Session:
     # -- SELECT ---------------------------------------------------------
     def _select(self, st: SelectStmt) -> list[QLResult]:
         if not st.indexes:
-            # SELECT <exprs> without FROM
+            # SELECT <exprs> without FROM — includes MySQL client handshake
+            # probes (@@version_comment etc., HandleMysqlSelectSysvar in the
+            # reference, searchd.cpp)
             cols, row = [], []
             for it in st.items:
-                tree = parse_expr(it.expr)
                 cols.append(it.alias or it.expr)
+                low = it.expr.strip().lower()
+                if low.startswith("@@"):
+                    row.append(self._sysvar(low[2:]))
+                    continue
+                fn = low.replace(" ", "")
+                if fn in ("database()", "schema()"):
+                    row.append("Manticore")
+                    continue
+                if fn in ("user()", "current_user()"):
+                    row.append("root")
+                    continue
+                if fn == "connection_id()":
+                    row.append(1)
+                    continue
+                tree = parse_expr(it.expr)
                 row.append(eval_expr_host(tree, {}))
             return [QLResult(columns=cols, rows=[tuple(row)])]
 
@@ -310,6 +326,28 @@ class Session:
                         break
                 q.having = (col, op_s, val)
         return q, None
+
+    def _sysvar(self, name: str):
+        """@@system variable values (the reference answers a fixed set for
+        client compatibility, HandleMysqlSelectSysvar)."""
+        from .. import __version__
+        name = name.removeprefix("session.").removeprefix("global.")
+        fixed = {
+            "version": f"5.5.21-{__version__}",
+            "version_comment": "manticoresearch-tpu",
+            "max_allowed_packet": 8388608,
+            "autocommit": int(self.autocommit),
+            "character_set_client": "utf8",
+            "character_set_connection": "utf8",
+            "collation_connection": "utf8_general_ci",
+            "lower_case_table_names": 1,
+            "sql_auto_is_null": 0,
+            "sql_mode": "",
+            "session_read_only": 0,
+        }
+        if name in fixed:
+            return fixed[name]
+        return self.variables.get(name, 0)
 
     def _resolve_expr_sort(self, st: SelectStmt, q, schema):
         """ORDER BY <expr or select-alias>: the device sorts by rel, the

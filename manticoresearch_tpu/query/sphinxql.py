@@ -278,6 +278,13 @@ class SqlParser:
             items.append(self.parse_select_item())
 
         if not self.at_kw("FROM"):
+            # SELECT without FROM (client handshake probes like
+            # `select @@version_comment limit 1`): allow a trailing LIMIT
+            if self.eat_kw("LIMIT"):
+                self.value()
+                if self.peek() == ("op", ","):
+                    self.next()
+                    self.value()
             return SelectStmt(items=items, indexes=[], conds=[])
         self.next()
         indexes = [self.name()]

@@ -320,6 +320,16 @@ class TestMysqlWire:
         finally:
             c.close()
 
+    def test_handshake_probe_over_wire(self, server_port):
+        # what mysql CLI / connectors send right after connecting
+        c = MiniMysqlClient("127.0.0.1", server_port)
+        try:
+            out = c.query("select @@version_comment limit 1")
+            assert out.get("error") is None
+            assert out["rows"] == [["manticoresearch-tpu"]]
+        finally:
+            c.close()
+
     def test_insert_and_show_meta(self, server_port):
         c = MiniMysqlClient("127.0.0.1", server_port)
         try:
@@ -408,3 +418,17 @@ class TestMysqlMultiResult:
         finally:
             c.sock.close()
         loop.call_soon_threadsafe(loop.stop)
+
+
+class TestClientHandshakeCompat:
+    def test_sysvar_selects(self):
+        from manticoresearch_tpu.exec.session import Catalog, Session
+        s = Session(Catalog())
+        r = s.execute("SELECT @@version_comment LIMIT 1")[0]
+        assert r.error is None and r.rows == [("manticoresearch-tpu",)]
+        r = s.execute("SELECT @@max_allowed_packet, @@version")[0]
+        assert r.error is None and r.rows[0][0] == 8388608
+        r = s.execute("SELECT DATABASE(), USER(), CONNECTION_ID()")[0]
+        assert r.error is None and r.rows == [("Manticore", "root", 1)]
+        r = s.execute("SELECT @@session.autocommit")[0]
+        assert r.error is None and r.rows == [(1,)]

@@ -18,12 +18,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 DOC_FACTORS = {"bm25", "max_lcs", "field_mask", "query_word_count",
                "doc_word_count"}
 FIELD_FACTORS = {"lcs", "user_weight", "hit_count", "word_count", "tf_idf",
                  "min_hit_pos", "exact_hit", "sum_idf", "min_idf", "max_idf",
-                 "exact_order", "lccs", "wlccs"}
+                 "exact_order", "lccs", "wlccs", "min_best_span_pos"}
 
 
 def factor_names(tree) -> set[str]:
@@ -105,6 +106,43 @@ class FactorContext:
         self._cache["_ftf"] = ftf
         return ftf
 
+    def _sorted_stream(self):
+        """Stream sorted by (row, packed pos): (srow, spk, sqp, sslot,
+        sval). Invalid hits sort to row N with pk 0."""
+        if "_sorted" in self._cache:
+            return self._cache["_sorted"]
+        hrow, hpk, hqp, hslot, valid = self.stream
+        row = jnp.where(valid, hrow, self.N)
+        pk = jnp.where(valid, hpk, 0)
+        payload = (jnp.clip(hqp, 0, 255)
+                   | (jnp.clip(hslot, 0, 255) << 8)
+                   | (jnp.where(valid, 1, 0) << 16))
+        srow, spk, spl = jax.lax.sort((row, pk, payload), num_keys=2)
+        out = (srow, spk, spl & 0xFF, (spl >> 8) & 0xFF, (spl >> 16) & 1)
+        self._cache["_sorted"] = out
+        return out
+
+    def max_window_hits(self, n: int):
+        """[N+1, F]: max hits within any n-position window of a field
+        (m_dMaxWindowHits): for each hit, count stream hits in
+        [pos, pos+n-1] of the same row+field via a bounded predecessor
+        search, then per-field scatter-max."""
+        from .search import _lex_search_le
+        srow, spk, _, _, sval = self._sorted_stream()
+        sfield = (spk >> 24) & 0x7F
+        M = srow.shape[0]
+        idx = jnp.arange(M, dtype=jnp.int32)
+        n_iters = max(1, int(np.ceil(np.log2(max(M, 2))))) + 1
+        hi_key = spk + jnp.int32(max(n, 1) - 1)
+        lo = jnp.zeros_like(idx)
+        hi = jnp.full_like(idx, M)
+        j, ex = _lex_search_le(srow, hi_key, srow, spk, lo, hi, n_iters)
+        same = ex & (srow[jnp.clip(j, 0, M - 1)] == srow) & \
+            ((spk[jnp.clip(j, 0, M - 1)] >> 24) == (spk >> 24))
+        cnt = jnp.where(same & (sval == 1), j - idx + 1, 0).astype(jnp.int32)
+        return jnp.zeros((self.N + 1, self.F), jnp.int32).at[
+            jnp.where(sval == 1, srow, self.N), sfield].max(cnt)
+
     def _compute(self, name: str):
         N, F, S = self.N, self.F, self.S
         rt = self.rt
@@ -179,6 +217,39 @@ class FactorContext:
                 ok = ok & (nxt < big)
                 cur = nxt
             return ok.astype(jnp.int32)
+        if name == "min_best_span_pos":
+            # position where the longest LCS span begins in the field
+            # (m_iMinBestSpanPos): redo the LCS linked-run scan over the
+            # sorted term stream, find runs whose weight reaches the
+            # field's lcs, take the minimum start position. Exact for
+            # keyword queries (phrase-emission spans rank via the kernel).
+            pos_mask = (1 << 23) - 1
+            srow, spk, sqp, sslot, sval = self._sorted_stream()
+            sfield = (spk >> 24) & 0x7F
+            spos = spk & pos_mask
+            delta = spos - sqp
+            p_row = jnp.concatenate([jnp.full(1, -1, srow.dtype), srow[:-1]])
+            p_fld = jnp.concatenate([jnp.full(1, -1, sfield.dtype),
+                                     sfield[:-1]])
+            p_pk = jnp.concatenate([jnp.zeros(1, spk.dtype), spk[:-1]])
+            p_delta = jnp.concatenate([jnp.zeros(1, delta.dtype), delta[:-1]])
+            p_val = jnp.concatenate([jnp.zeros(1, sval.dtype), sval[:-1]])
+            linked = ((srow == p_row) & (sfield == p_fld) & (spk > p_pk)
+                      & (delta == p_delta) & (sval == 1) & (p_val == 1))
+            M = srow.shape[0]
+            idx = jnp.arange(M, dtype=jnp.int32)
+            run_start = jax.lax.cummax(jnp.where(linked, 0, idx))
+            hw = jnp.where(sval == 1, 1, 0).astype(jnp.int32)
+            cumw = jnp.cumsum(hw)
+            runw = cumw - cumw[run_start] + hw[run_start]
+            lcs_here = self.lcs[jnp.where(sval == 1, srow, N), sfield]
+            best = (sval == 1) & (runw >= lcs_here)
+            start_pos = spos[run_start]
+            big = jnp.int32(2**22)
+            out = jnp.full((N + 1, F), big, jnp.int32).at[
+                jnp.where(best, srow, N), sfield].min(
+                jnp.where(best, start_pos, big))
+            return jnp.where(out >= big, 0, out)
         if name in ("lccs", "wlccs"):
             # Longest Common Contiguous Subsequence between query and field
             # (sphinxsearch.cpp m_dLCCS/m_dWLCCS): a chain of hits where doc
@@ -313,6 +384,11 @@ def eval_ranker_expr(tree, ctx: FactorContext, per_field: bool = False):
         if name == "SUM":
             inner = eval_ranker_expr(args[0], ctx, per_field=True)
             return jnp.sum(inner.astype(jnp.float32), axis=-1)
+        if name == "MAX_WINDOW_HITS":
+            if not per_field:
+                raise ValueError(
+                    "max_window_hits() only valid inside sum()")
+            return ctx.max_window_hits(int(args[0][1]))
         if name == "BM25A":
             k1 = args[0][1]
             b = args[1][1]

@@ -40,7 +40,8 @@ _TOK = re.compile(r"""
 _FUNCS_1 = {"ABS", "CEIL", "FLOOR", "SIN", "COS", "LN", "LOG2", "LOG10",
             "EXP", "SQRT", "BIGINT", "SINT", "INTEGER", "DOUBLE", "UINT"}
 _FUNCS_N = {"MIN", "MAX", "POW", "IDIV", "IF", "IN", "INTERVAL", "GEODIST",
-            "BITDOT", "MADD", "MUL3", "SUM", "TOP", "BM25A", "BM25F"}
+            "BITDOT", "MADD", "MUL3", "SUM", "TOP", "BM25A", "BM25F",
+            "MAX_WINDOW_HITS"}
 KNOWN_FUNCS = _FUNCS_1 | _FUNCS_N
 
 

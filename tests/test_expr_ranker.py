@@ -188,3 +188,35 @@ class TestLccs:
         w = {m.docid: m.weight for m in r.matches}
         assert w[1] == 3    # contiguous in doc1
         assert w[2] == 1    # scattered in doc2
+
+
+class TestSpanFactors:
+    def test_min_best_span_pos(self):
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        b = IndexBuilder(Schema(fields=["body"]))
+        b.add_documents([
+            dict(id=1, body="x quick brown y quick brown fox z"),
+            dict(id=2, body="quick y brown fox"),
+        ])
+        idx = SearchIndex(b.build())
+        r = idx.search(SearchQuery(
+            match="quick brown fox", ranker=("expr", "sum(min_best_span_pos)")))
+        w = {m.docid: m.weight for m in r.matches}
+        # doc1: best (full 3-word) span starts at pos 5 ('quick brown fox')
+        assert w[1] == 5
+        # doc2: best span is 'brown fox' at pos 3
+        assert w[2] == 3
+
+    def test_max_window_hits(self):
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        b = IndexBuilder(Schema(fields=["body"]))
+        b.add_documents([
+            dict(id=1, body="a a x x x x x x x a a a"),   # 3 a's in window 3
+            dict(id=2, body="a x x x a x x x a"),          # never 2 in 3
+        ])
+        idx = SearchIndex(b.build())
+        r = idx.search(SearchQuery(
+            match="a", ranker=("expr", "sum(max_window_hits(3))")))
+        assert {m.docid: m.weight for m in r.matches} == {1: 3, 2: 1}

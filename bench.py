@@ -87,6 +87,12 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
+    # persistent compile cache: repeated bench runs (and degraded-tunnel
+    # days) skip recompiling the ~10 plan shapes of the workload
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from manticoresearch_tpu.exec.searcher import SearchIndex
 
     t0 = time.perf_counter()
@@ -102,10 +108,16 @@ def main():
     for r in idx.search_batch(workload):
         assert r.error is None, r.error
 
-    reps = 3
+    # time-boxed measurement: up to 3 reps, but stop after ~60s so a
+    # degraded accelerator link still produces a (slower) number instead
+    # of blowing the harness timeout
+    reps = 0
     t1 = time.perf_counter()
-    for _ in range(reps):
+    while reps < 3:
         results = idx.search_batch(workload)
+        reps += 1
+        if time.perf_counter() - t1 > 60.0:
+            break
     total = time.perf_counter() - t1
 
     qps = reps * len(workload) / total

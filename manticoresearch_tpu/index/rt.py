@@ -316,23 +316,27 @@ class RtIndex:
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     break  # torn tail record: stop replay (reference CRC stop)
-                op = rec.get("op")
-                if op == "commit":
-                    docs = {int(d["id"]): d for d in rec.get("docs", [])}
-                    self._apply_commit(docs, set(rec.get("deletes", [])))
-                elif op == "truncate":
-                    self.segments = []
-                    self.docid_seg = {}
-                elif op == "update":
-                    self.update_attrs(rec["ids"], rec["values"])
-                elif op == "alter":
-                    from ..schema import AttrType
-                    ct = rec.get("coltype")
-                    if ct and ct != "field":
-                        ct = AttrType(ct)
-                    # replay without re-logging: temporarily detach binlog
-                    # (file is not open during replay anyway)
-                    self.alter(rec["alter"], rec["name"], ct)
+                self.apply_binlog_record(rec)
+
+    def apply_binlog_record(self, rec: dict) -> None:
+        """Apply one WAL record (startup replay and replica streams both
+        funnel here — the reference's CommitReplayable/HandleCmdReplicate
+        split, sphinxrt.cpp:2704, searchdreplication.cpp)."""
+        op = rec.get("op")
+        if op == "commit":
+            docs = {int(d["id"]): d for d in rec.get("docs", [])}
+            self._apply_commit(docs, set(rec.get("deletes", [])))
+        elif op == "truncate":
+            self.segments = []
+            self.docid_seg = {}
+        elif op == "update":
+            self.update_attrs(rec["ids"], rec["values"])
+        elif op == "alter":
+            from ..schema import AttrType
+            ct = rec.get("coltype")
+            if ct and ct != "field":
+                ct = AttrType(ct)
+            self.alter(rec["alter"], rec["name"], ct)
 
     def flush(self) -> None:
         """FLUSH RTINDEX analog: checkpoint segments to disk and reset the

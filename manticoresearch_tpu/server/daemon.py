@@ -23,12 +23,16 @@ class Daemon:
     def __init__(self, data_dir: str | None = None,
                  mysql_port: int = 9306, http_port: int = 9308,
                  host: str = "127.0.0.1", flush_period: float = 60.0,
-                 config=None):
+                 config=None, repl_port: int | None = None):
         self.catalog = Catalog(data_dir)
         if config is not None:
             self._apply_config(config)
         self.mysql = MysqlServer(self.catalog, host, mysql_port)
         self.http = HttpServer(self.catalog, host, http_port)
+        self.repl = None
+        if repl_port is not None:
+            from .repl import ReplicationServer
+            self.repl = ReplicationServer(self.catalog, host, repl_port)
         self.flush_period = flush_period
 
     def _apply_config(self, cfg) -> None:
@@ -67,6 +71,8 @@ class Daemon:
     async def run(self) -> None:
         await self.mysql.start()
         await self.http.start()
+        if self.repl is not None:
+            await self.repl.start()
         flusher = asyncio.create_task(self._periodic_flush())
         stop = asyncio.Event()
         loop = asyncio.get_running_loop()
@@ -92,6 +98,8 @@ def main(argv=None) -> None:
     ap.add_argument("--listen-http", type=int, default=9308)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--rt-flush-period", type=float, default=60.0)
+    ap.add_argument("--listen-repl", type=int, default=None,
+                    help="serve binlog replication streams on this port")
     args = ap.parse_args(argv)
     cfg = None
     if args.config:
@@ -99,10 +107,12 @@ def main(argv=None) -> None:
         cfg = load_config(args.config)
         sd = cfg.searchd
         d = Daemon(args.data_dir or sd.data_dir, sd.listen_mysql,
-                   sd.listen_http, sd.host, sd.rt_flush_period, config=cfg)
+                   sd.listen_http, sd.host, sd.rt_flush_period, config=cfg,
+                   repl_port=args.listen_repl)
     else:
         d = Daemon(args.data_dir, args.listen_mysql, args.listen_http,
-                   args.host, args.rt_flush_period)
+                   args.host, args.rt_flush_period,
+                   repl_port=args.listen_repl)
     asyncio.run(d.run())
 
 

@@ -253,11 +253,25 @@ class Session:
             res = merge_part_results(parts, q, tables[0].schema)
         if expr_sort is not None and res.error is None:
             tree, asc, offset, limit = expr_sort
-            res.matches.sort(
-                key=lambda m: eval_expr_host(tree, m.attrs, m.weight,
-                                             m.docid),
-                reverse=not asc)
+            if tree == "__rand__":
+                import random
+                random.shuffle(res.matches)
+            else:
+                res.matches.sort(
+                    key=lambda m: eval_expr_host(tree, m.attrs, m.weight,
+                                                 m.docid),
+                    reverse=not asc)
             res.matches = res.matches[offset:offset + limit]
+        if (q.group_by == "1" and st.group_by is None and res.error is None
+                and not res.matches):
+            # implicit aggregation over an empty match set returns one row
+            # of zero counts (SQL semantics)
+            from .searcher import Match
+            attrs = {}
+            for it in st.items:
+                e = it.expr.lower().replace(" ", "")
+                attrs[it.expr] = 0 if e.startswith("count(") else None
+            res.matches.append(Match(0, 0, attrs))
         self.queries_done += 1
         if res.error:
             return [QLResult.err(res.error)]
@@ -313,6 +327,17 @@ class Session:
             group_by=st.group_by,
             having=st.having,
         )
+        if not st.group_by:
+            # implicit single-group aggregation: SELECT COUNT(*)/SUM(x)...
+            # without GROUP BY groups the whole match set (reference
+            # implicit-grouping semantics)
+            import re as _re
+            agg = _re.compile(r"^\s*(count|sum|min|max|avg|group_concat)"
+                              r"\s*\(", _re.IGNORECASE)
+            exprs = [it.expr for it in st.items]
+            if exprs and any(agg.match(e) for e in exprs):
+                st = dc_replace(st, group_by="1")
+                q.group_by = "1"
         if st.group_by:
             # aggregates are recognized from raw expr text
             q.select = [it.expr for it in st.items]
@@ -356,6 +381,12 @@ class Session:
         computed columns). Mutates q; returns (tree, asc, offset, limit)."""
         primary, asc = q.sort[0]
         p = primary.lower().replace(" ", "")
+        if p == "rand()":
+            offset, limit = q.offset, q.limit
+            q.sort = [("weight", False), ("id", True)]
+            q.offset = 0
+            q.limit = max(q.max_matches, offset + limit)
+            return ("__rand__", asc, offset, limit)
         if p in ("weight", "@weight", "weight()", "id", "@id"):
             return None
         if schema.attr(primary) is not None:

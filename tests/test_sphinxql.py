@@ -601,3 +601,28 @@ class TestCutoffAndShowTables:
         s.execute("CREATE TABLE pq1 (body text) type='percolate'")
         rows = dict(s.execute("SHOW TABLES")[0].rows)
         assert rows["rt1"] == "rt" and rows["pq1"] == "percolate"
+
+
+class TestImplicitAggregation:
+    def test_count_star_without_group_by(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE ia (body text, grp uint)")
+        s.execute("INSERT INTO ia (id, body, grp) VALUES "
+                  "(1,'x',3),(2,'x y',5),(3,'y',9)")
+        assert s.execute("SELECT COUNT(*) FROM ia")[0].rows == [(3,)]
+        assert s.execute("SELECT COUNT(*) FROM ia WHERE MATCH('x')"
+                         )[0].rows == [(2,)]
+        r = s.execute("SELECT COUNT(*), SUM(grp), MIN(grp), MAX(grp) "
+                      "FROM ia")[0]
+        assert r.rows == [(3, 17, 3, 9)]
+        # empty match set -> one zero row (SQL semantics)
+        assert s.execute("SELECT COUNT(*) FROM ia WHERE MATCH('zz')"
+                         )[0].rows == [(0,)]
+
+    def test_order_by_rand(self):
+        s = Session(Catalog())
+        s.execute("CREATE TABLE ir (body text)")
+        s.execute("INSERT INTO ir (id, body) VALUES (1,'x'),(2,'x'),(3,'x')")
+        r = s.execute("SELECT id FROM ir ORDER BY RAND() LIMIT 2")[0]
+        assert r.error is None and len(r.rows) == 2
+        assert {row[0] for row in r.rows} <= {1, 2, 3}

@@ -283,6 +283,29 @@ class ShardedIndex:
             self._shard_idx = [SearchIndex(p) for p in self.shards]
         return self._shard_idx
 
+    def global_stats(self):
+        """Union total_docs + per-term df across shards (SetupLocalDF,
+        searchd.cpp:5869). Cached — shards are immutable."""
+        if not hasattr(self, "_gstats"):
+            total = sum(p.n_docs for p in self.shards)
+            df: dict = {}
+            for p in self.shards:
+                for t, d in zip(p.term_strs, p.term_docs.tolist()):
+                    df[t] = df.get(t, 0) + d
+            self._gstats = (total, df)
+        return self._gstats
+
+    def _per_shard_search(self, q):
+        from dataclasses import replace as dc_rep
+
+        from ..exec.multi import _search_with_stats, merge_part_results
+        total_docs, df = self.global_stats()
+        part_q = dc_rep(q, offset=0, limit=q.offset + q.limit, select=None)
+        kw = dict(total_docs_override=total_docs, local_df=df)
+        results = [_search_with_stats(p, part_q, kw)
+                   for p in self._per_shard_indexes()]
+        return merge_part_results(results, q, self.schema)
+
     def plan(self, q) -> CompiledQuery:
         ast = self.parser.parse(q.match)
         return plan_query(
@@ -303,15 +326,22 @@ class ShardedIndex:
             return search_grouped_parts(
                 self._per_shard_indexes(), q, self.schema,
                 single_part_hint="query a single shard for exact distinct")
-        if (q.sort or [("weight", False)])[0][0] not in ("weight", "@weight",
-                                                          "weight()"):
-            # attr-ordered: per-shard top-k by attr + host merge
-            from ..exec.multi import merge_part_results
-            from dataclasses import replace as dc_rep
-            part_q = dc_rep(q, offset=0, limit=q.offset + q.limit,
-                            select=None)
-            results = [p.search(part_q) for p in self._per_shard_indexes()]
-            return merge_part_results(results, q, self.schema)
+        def _host_merge_filter(f) -> bool:
+            # string ordinals and JSON columns are per-shard structures;
+            # such filters run on per-shard kernels + host merge
+            if "." in f.attr:
+                return True
+            ad = self.schema.attr(f.attr)
+            return ad is not None and ad.type.value in ("string", "json")
+
+        needs_per_shard = (
+            any(_host_merge_filter(f) for f in (q.filters or []))
+            or (q.sort or [("weight", False)])[0][0] not in
+            ("weight", "@weight", "weight()"))
+        if needs_per_shard:
+            # per-shard kernels + host merge, with GLOBAL term stats so
+            # weights match the single shard_mapped program (SetupLocalDF)
+            return self._per_shard_search(q)
         try:
             cq = self.plan(q)
         except (ValueError, NotImplementedError) as e:
@@ -321,12 +351,7 @@ class ShardedIndex:
             # ZONE-limited slots: zone span arrays are per-shard (ragged),
             # so run per-shard kernels + host merge instead of one
             # shard_mapped program
-            from ..exec.multi import merge_part_results
-            from dataclasses import replace as dc_rep
-            part_q = dc_rep(q, offset=0, limit=q.offset + q.limit,
-                            select=None)
-            results = [p.search(part_q) for p in self._per_shard_indexes()]
-            return merge_part_results(results, q, self.schema)
+            return self._per_shard_search(q)
 
         S = max(cq.sig.n_slots, 1)
         D = len(self.shards)

@@ -20,9 +20,12 @@ WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
          "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
          "search", "engine", "fast", "index", "query", "tpu", "device"]
 
+COLORS = ["red", "green", "blue", "cyan"]
+
 SCHEMA = Schema(fields=["title", "body"],
                 attrs=[AttrDef("year", AttrType.UINT),
-                       AttrDef("score", AttrType.FLOAT)])
+                       AttrDef("score", AttrType.FLOAT),
+                       AttrDef("color", AttrType.STRING)])
 
 
 def make_docs(n=120, seed=11):
@@ -35,6 +38,7 @@ def make_docs(n=120, seed=11):
             body=" ".join(rng.choice(WORDS, rng.randint(4, 16))),
             year=int(2000 + rng.randint(0, 12)),
             score=float(np.round(rng.rand(), 3)),
+            color=COLORS[rng.randint(len(COLORS))],
         ))
     return docs
 
@@ -61,10 +65,19 @@ def random_query(rng) -> SearchQuery:
     else:
         match = f"{w()} NEAR/{rng.randint(1, 6)} {w()}"
     filters = []
-    if rng.rand() < 0.4:
+    fr = rng.rand()
+    if fr < 0.3:
         lo = 2000 + rng.randint(0, 10)
         filters.append(AttrFilterDef("year", "range_i", lo=lo, hi=lo + 3))
-    return SearchQuery(match=match, filters=filters, limit=30)
+    elif fr < 0.5:
+        filters.append(AttrFilterDef(
+            "color", "values",
+            values=[COLORS[rng.randint(len(COLORS))]],
+            exclude=bool(rng.randint(2))))
+    ranker = ["proximity_bm25", "bm25", "wordcount",
+              "sph04"][rng.randint(4)]
+    return SearchQuery(match=match, filters=filters, limit=30,
+                       ranker=ranker)
 
 
 @pytest.fixture(scope="module")

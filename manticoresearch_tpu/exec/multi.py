@@ -78,10 +78,12 @@ def search_rt(rt, q):
 
     total_docs, df = rt.global_stats()
     # each part plans/executes with global stats; fetch enough rows to merge
+    from .searcher import _wants_packedfactors
     part_q = dc_replace(q, offset=0, limit=q.offset + q.limit, select=None)
     results = []
     for part in parts:
-        cq_kwargs = dict(total_docs_override=total_docs, local_df=df)
+        cq_kwargs = dict(total_docs_override=total_docs, local_df=df,
+                         emit_factors=_wants_packedfactors(q.select))
         results.append(_search_with_stats(part, part_q, cq_kwargs))
     merged = merge_part_results(results, q, rt.schema)
     return merged
@@ -96,14 +98,16 @@ def _search_with_stats(index, q, stats_kwargs):
     t0 = time.perf_counter()
     try:
         ast = index.parser.parse(q.match)
-        from .searcher import _resolve_order
+        from .searcher import _resolve_order, _wants_packedfactors
         order = _resolve_order(q, index.schema)
         cq = plan_query(
             ast, index.packed,
             filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
             window=q.offset + q.limit, order=order,
             field_weights=q.field_weights, idf_plain=q.idf_plain,
-            tfidf_normalized=q.tfidf_normalized, **stats_kwargs,
+            tfidf_normalized=q.tfidf_normalized,
+            **{"emit_factors": _wants_packedfactors(q.select),
+               **stats_kwargs},
         )
     except (ValueError, NotImplementedError) as e:
         return SearchResult([], 0, 0, 0.0, [], error=str(e))
@@ -114,7 +118,8 @@ def _search_with_stats(index, q, stats_kwargs):
     rowids = np.asarray(out["rowid"])
     weights = np.asarray(out["weight"])
     found = int(out["found"])
-    return index._finish(q, cq, rowids, weights, found, t0)
+    return index._finish(q, cq, rowids, weights, found, t0,
+                         pf_out=out if cq.sig.emit_factors else None)
 
 
 def _search_rt_grouped(rt, q, parts):

@@ -109,9 +109,10 @@ class SearchIndex:
         # plan cache (the spirit of sphinxqcache.cpp, applied to the
         # parse+plan stage): repeated query shapes skip AST work entirely.
         # Safe per index generation — this SearchIndex's CSR never mutates.
+        emit_factors = _wants_packedfactors(q.select)
         key = (
             q.match, q.ranker, q.max_matches, q.offset + q.limit,
-            tuple(q.sort), q.idf_plain, q.tfidf_normalized,
+            tuple(q.sort), q.idf_plain, q.tfidf_normalized, emit_factors,
             tuple(sorted(q.field_weights.items())),
             tuple((f.attr, f.kind, tuple(f.values), f.lo, f.hi, f.exclude,
                    f.lo_excl, f.hi_excl) for f in q.filters),
@@ -127,6 +128,7 @@ class SearchIndex:
             window=q.offset + q.limit,
             order=order, field_weights=q.field_weights,
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
+            emit_factors=emit_factors,
         )
         if len(self._plan_cache) > 8192:
             self._plan_cache.clear()
@@ -155,7 +157,8 @@ class SearchIndex:
         found = int(out["found"])
         prof.append(("device_exec_fetch", time.perf_counter() - t1))
         t2 = time.perf_counter()
-        res = self._finish(q, cq, rowids, weights, found, t0)
+        res = self._finish(q, cq, rowids, weights, found, t0,
+                           pf_out=out if cq.sig.emit_factors else None)
         prof.append(("finalize", time.perf_counter() - t2))
         res.profile = prof
         res.plan_repr = f"{cq.sig.expr} ranker={cq.sig.ranker}"
@@ -366,23 +369,30 @@ class SearchIndex:
 
     def _finish(self, q: SearchQuery, cq: CompiledQuery,
                 rowids: np.ndarray, weights: np.ndarray, found: int,
-                t0: float) -> SearchResult:
+                t0: float, pf_out=None) -> SearchResult:
         if q.cutoff:
             # OPTION cutoff=N (reference: stop after N matches; with a full
             # vector pass the observable semantics are the caps)
             found = min(found, q.cutoff)
         n_avail = min(found, cq.sig.k)
+        sel = np.arange(n_avail)
         rowids = rowids[:n_avail]
         weights = weights[:n_avail]
         if cq.sig.order[0] == "rel":
             keep = weights != INT32_MIN
-            rowids, weights = rowids[keep], weights[keep]
+            rowids, weights, sel = rowids[keep], weights[keep], sel[keep]
 
         lo = min(q.offset, len(rowids))
         hi = min(q.offset + q.limit, len(rowids))
-        rowids, weights = rowids[lo:hi], weights[lo:hi]
+        rowids, weights, sel = rowids[lo:hi], weights[lo:hi], sel[lo:hi]
 
         matches = self._hydrate(rowids, weights, q.select)
+        if pf_out is not None:
+            pf = {k: np.asarray(v) for k, v in pf_out.items()
+                  if k.startswith("pf_")}
+            for m, j in zip(matches, sel.tolist()):
+                m.attrs["packedfactors()"] = _render_packed_factors(
+                    pf, j, self.schema.fields, cq.slot_terms, cq.runtime)
         dt = (time.perf_counter() - t0) * 1000.0
         stats = [
             WordStat(t, d, h)
@@ -438,6 +448,40 @@ class SearchIndex:
                     attrs[name] = p.stored_fields[name][r]
             out.append(Match(int(p.doc_ids[r]), int(w), attrs))
         return out
+
+
+def _wants_packedfactors(select) -> bool:
+    return any(s.lower().replace(" ", "") == "packedfactors()"
+               for s in (select or []))
+
+
+def _render_packed_factors(pf: dict, j: int, fields, slot_terms,
+                           runtime) -> str:
+    """Text form of the factor blob (PACKEDFACTORS() / the SPH_UDF_FACTORS
+    layout rendered like the reference's ToString path): doc-level factors,
+    then per-field blocks for matched fields, then per-word tf/idf."""
+    parts = [
+        f"bm25={int(pf['pf_bm25'][j])}",
+        f"field_mask={int(pf['pf_field_mask'][j])}",
+        f"doc_word_count={int(pf['pf_doc_word_count'][j])}",
+    ]
+    fmask = int(pf["pf_field_mask"][j])
+    for f, fname in enumerate(fields):
+        if not (fmask >> f) & 1:
+            continue
+        parts.append(
+            f"field{f}=(lcs={int(pf['pf_lcs'][j, f])}, "
+            f"hit_count={int(pf['pf_hit_count'][j, f])}, "
+            f"word_count={int(pf['pf_word_count'][j, f])}, "
+            f"tf_idf={float(pf['pf_tf_idf'][j, f]):.6f}, "
+            f"min_hit_pos={int(pf['pf_min_hit_pos'][j, f])}, "
+            f"exact_hit={int(pf['pf_exact_hit'][j, f])})")
+    idf = np.asarray(runtime["idf"])
+    for s, term in enumerate(slot_terms):
+        tf = int(pf["pf_word_tf"][j, s])
+        if tf:
+            parts.append(f"word{s}=(tf={tf}, idf={float(idf[s]):.6f})")
+    return ", ".join(parts)
 
 
 def _resolve_group_order(q: SearchQuery, schema) -> tuple:

@@ -450,6 +450,8 @@ class Session:
                 getters.append(make_highlighter())
             elif lraw in ("weight()", "@weight"):
                 getters.append(lambda m: m.weight)
+            elif lraw == "packedfactors()":
+                getters.append(lambda m: m.attrs.get("packedfactors()", ""))
             elif lraw in ("count(*)", "@count") or lraw.startswith(
                     ("count(", "sum(", "min(", "max(", "avg(",
                      "group_concat(")):

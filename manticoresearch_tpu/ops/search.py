@@ -241,6 +241,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
     def fn(data, rt):
         attrs = data["attrs"]
         alive = data["alive"]
+        dbg_factors: dict = {}
 
         def slot_postings(s):
             """Contiguous DMA of slot s's posting range + validity mask."""
@@ -518,6 +519,25 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                         res = eval_ranker_expr(sig.ranker_expr, ctx)
                         weight = jnp.trunc(res.astype(jnp.float32)
                                            ).astype(jnp.int32)
+                        if sig.emit_factors:
+                            # PACKEDFACTORS(): export the factor arrays;
+                            # build_kernel gathers them at the top-k rows
+                            # (Expr_GetPackedFactors_T analog,
+                            # sphinxsearch.cpp factor blob)
+                            dbg_factors.update({
+                                "pf_bm25": bm25part,
+                                "pf_doc_word_count":
+                                    ctx.get("doc_word_count"),
+                                "pf_field_mask": ctx.get("field_mask"),
+                                "pf_lcs": lcs,
+                                "pf_hit_count": ctx.get("hit_count"),
+                                "pf_word_count": ctx.get("word_count"),
+                                "pf_tf_idf": ctx.get("tf_idf"),
+                                "pf_min_hit_pos": ctx.get("min_hit_pos"),
+                                "pf_exact_hit": ctx.get("exact_hit"),
+                                "pf_word_tf":
+                                    jnp.sum(ctx._field_tf(), axis=1),
+                            })
                     else:
                         rank = jnp.sum(lcs * fw[None, :], axis=-1).astype(jnp.int32)
                         weight = (bm25part + rank * SPH_BM25_SCALE
@@ -540,6 +560,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
 
         dbg = ({"dbg_tfidf": tfidf, "dbg_bm25part": bm25part,
                 "dbg_weight": weight} if _DEBUG_KERNEL else {})
+        dbg.update(dbg_factors)
         attrs_padded = {
             k: (jnp.concatenate([v, v[-1:]]) if v.shape[0] == N else v)
             for k, v in attrs.items()
@@ -563,6 +584,10 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int,
         eligible, weight, attrs, dbg = core(data, rt)
         total_found = jnp.sum(eligible.astype(jnp.int32))
 
+        def _pf(rowids):
+            return {k: v[rowids] for k, v in dbg.items()
+                    if k.startswith("pf_")}
+
         if sig.order[0] == "rel":
             key = jnp.where(eligible, weight, INT32_MIN)
             top_w, top_idx = jax.lax.top_k(key, sig.k)
@@ -570,7 +595,8 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int,
                 "rowid": top_idx.astype(jnp.int32),
                 "weight": top_w,
                 "found": total_found,
-                **dbg,
+                **{k: v for k, v in dbg.items() if not k.startswith("pf_")},
+                **_pf(top_idx),
             }
         elif sig.order[0] == "attr_id":
             is_asc = sig.order[1]
@@ -583,6 +609,7 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int,
                 "rowid": srow[: sig.k],
                 "weight": sw[: sig.k],
                 "found": total_found,
+                **_pf(srow[: sig.k]),
             }
         else:
             _, name, is_asc, is_float = sig.order
@@ -599,6 +626,7 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int,
                 "rowid": srow[: sig.k],
                 "weight": sw[: sig.k],
                 "found": total_found,
+                **_pf(srow[: sig.k]),
             }
 
     return fn

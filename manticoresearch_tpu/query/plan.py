@@ -47,6 +47,8 @@ class PlanSig:
                                # evaluated via the hit pass (XQLimitSpec_t
                                # semantics: tf counts only allowed-field hits)
     ranker_expr: tuple = ()    # formula tree for ranker=expr('...')
+    emit_factors: bool = False  # PACKEDFACTORS(): output factor arrays
+                                # gathered at the top-k rows
 
 
 RANKERS_WITH_HITS = frozenset(

@@ -310,6 +310,7 @@ def plan_query(
     tfidf_normalized: bool = True,
     total_docs_override: int | None = None,
     local_df: dict[str, int] | None = None,
+    emit_factors: bool = False,
 ) -> CompiledQuery:
     node = simplify(ast_root)
     node = expand_wildcards(node, index.term_strs) if node is not None else None
@@ -558,10 +559,14 @@ def plan_query(
     k = min(max_matches, window) if window is not None else max_matches
     k = max(1, min(k, index.n_docs)) if index.n_docs else 1
 
+    if emit_factors and eff_ranker != "expr":
+        raise ValueError(
+            "PACKEDFACTORS() requires OPTION ranker=expr('...')")
     sig = PlanSig(
         expr=expr, n_slots=S, ranker=eff_ranker,
         filters=tuple(fspecs), k=k, order=order,
         slot_limited=slot_limited, ranker_expr=ranker_expr,
+        emit_factors=emit_factors,
     )
     fl = getattr(index, "field_lens", None)
     if fl is not None and getattr(fl, "size", 0):

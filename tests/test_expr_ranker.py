@@ -220,3 +220,32 @@ class TestSpanFactors:
         r = idx.search(SearchQuery(
             match="a", ranker=("expr", "sum(max_window_hits(3))")))
         assert {m.docid: m.weight for m in r.matches} == {1: 3, 2: 1}
+
+
+class TestPackedFactors:
+    def test_packedfactors_select(self):
+        from manticoresearch_tpu.exec.session import Catalog, Session
+        s = Session(Catalog())
+        s.execute("CREATE TABLE pf (title text, body text)")
+        s.execute("INSERT INTO pf (id, title, body) VALUES "
+                  "(1, 'red apple', 'fresh apple pie'), "
+                  "(2, 'pear', 'apple tart')")
+        r = s.execute("SELECT id, PACKEDFACTORS() FROM pf WHERE "
+                      "MATCH('apple') OPTION "
+                      "ranker=expr('sum(lcs)*1000+bm25')")[0]
+        assert r.error is None
+        by_id = {row[0]: row[1] for row in r.rows}
+        # doc1: apple in both fields (mask 3, tf 2); doc2: body only
+        assert "field_mask=3" in by_id[1] and "word0=(tf=2" in by_id[1]
+        assert "field_mask=2" in by_id[2] and "word0=(tf=1" in by_id[2]
+        assert "field0=(lcs=1" in by_id[1]
+        assert "min_hit_pos=1" in by_id[2]   # 'apple tart' starts with it
+
+    def test_packedfactors_requires_expr_ranker(self):
+        from manticoresearch_tpu.exec.session import Catalog, Session
+        s = Session(Catalog())
+        s.execute("CREATE TABLE pf2 (body text)")
+        s.execute("INSERT INTO pf2 (id, body) VALUES (1, 'x')")
+        r = s.execute("SELECT id, PACKEDFACTORS() FROM pf2 "
+                      "WHERE MATCH('x')")[0]
+        assert r.error and "ranker=expr" in r.error

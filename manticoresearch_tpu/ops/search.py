@@ -421,12 +421,20 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             parts_slot = []
             for s in rk_slots:
                 hrowS, hpkS, mskS = slot_hits(s)
-                parts_row.append(hrowS)
-                parts_pk.append(hpkS)
-                parts_qp.append(jnp.where(mskS, qpos[s], 0))
-                parts_w.append(jnp.where(mskS, 1, 0).astype(jnp.int32))
-                parts_sp.append(jnp.ones_like(hrowS))
-                parts_slot.append(jnp.full_like(hrowS, s))
+                # HANDLE_DUPES: a keyword at several query positions emits
+                # its hits once per occurrence (static qpos values), so LCS
+                # chains can pass through repeated words
+                occs = (sig.slot_occs[s] if sig.slot_occs
+                        and not rk_phrases
+                        and len(sig.slot_occs[s]) > 1 else (None,))
+                for occ_qp in occs:
+                    parts_row.append(hrowS)
+                    parts_pk.append(hpkS)
+                    parts_qp.append(jnp.where(
+                        mskS, qpos[s] if occ_qp is None else occ_qp, 0))
+                    parts_w.append(jnp.where(mskS, 1, 0).astype(jnp.int32))
+                    parts_sp.append(jnp.ones_like(hrowS))
+                    parts_slot.append(jnp.full_like(hrowS, s))
             for node in rk_phrases:
                 pm, ptf, a_row, a_key, a_ok = phrase_results[node]
                 n_words = len(node[1])
@@ -455,6 +463,32 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     weight = jnp.zeros(N + 1, jnp.int32).at[hrow].add(
                         jnp.where(hrow < N, fw[wfield], 0))
                     total_rank = None
+                elif sig.slot_occs and not rk_phrases:
+                    # HANDLE_DUPES path: duplicate-keyword entries would
+                    # break the immediate-predecessor chain in (row, pos)
+                    # order, so sort by (row, delta=pos-qpos, pos): a chain
+                    # of consecutive words lives inside one constant-delta
+                    # segment regardless of interleaved dupe entries
+                    delta = hpk - hqp
+                    hrow, sdelta, hpk, hslot = jax.lax.sort(
+                        (hrow, delta, hpk, hslot), num_keys=3)
+                    hw = jnp.where(hrow < N, 1, 0).astype(jnp.int32)
+                    p_row = jnp.concatenate([jnp.full(1, -1, hrow.dtype),
+                                             hrow[:-1]])
+                    p_d = jnp.concatenate([jnp.zeros(1, sdelta.dtype),
+                                           sdelta[:-1]])
+                    p_pk = jnp.concatenate([jnp.zeros(1, hpk.dtype),
+                                            hpk[:-1]])
+                    linked = ((hrow == p_row) & (sdelta == p_d)
+                              & (hpk == p_pk + 1))
+                    M = hrow.shape[0]
+                    idx = jnp.arange(M, dtype=jnp.int32)
+                    run_start = jax.lax.cummax(jnp.where(linked, 0, idx))
+                    cumw = jnp.cumsum(hw)
+                    curlcs = cumw - cumw[run_start] + hw[run_start]
+                    curlcs = jnp.minimum(curlcs, 255)
+                    # recover qpos for the factor stream (delta = pk - qp)
+                    hqp = hpk - sdelta
                 else:
                     # pack the payload into one i32 (qpos<=255, w<=255,
                     # span<=255, slot<=31) so the sort carries 3 operands
@@ -482,6 +516,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     cumw = jnp.cumsum(hw)
                     curlcs = cumw - cumw[run_start] + hw[run_start]
                     curlcs = jnp.minimum(curlcs, 255)  # BYTE m_uCurLCS
+                if sig.ranker != "wordcount":
                     hfield2 = (hpk >> 24) & 0x7F
                     lcs = jnp.stack(
                         [jnp.zeros(N + 1, jnp.int32).at[

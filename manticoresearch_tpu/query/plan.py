@@ -49,6 +49,9 @@ class PlanSig:
     ranker_expr: tuple = ()    # formula tree for ranker=expr('...')
     emit_factors: bool = False  # PACKEDFACTORS(): output factor arrays
                                 # gathered at the top-k rows
+    slot_occs: tuple = ()       # HANDLE_DUPES: per-slot tuple of query
+                                # positions when a keyword occurs more than
+                                # once in the query (else empty)
 
 
 RANKERS_WITH_HITS = frozenset(

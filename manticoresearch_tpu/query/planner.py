@@ -227,6 +227,7 @@ class _SlotTable:
         self.masks: list[int] = []
         self.flags: list[tuple] = []   # (field_start, field_end) per slot
         self.zones: list[tuple] = []   # zone-name tuple per slot
+        self.occ: list[list[int]] = []  # every occurrence's qpos per slot
         self.mult: list[float] = []
         self.qpos: list[int] = []   # query atom position (m_iAtomPos), 1-based
         self._cursor = 0            # advances per leaf occurrence
@@ -241,6 +242,7 @@ class _SlotTable:
         key = (term, mask, field_start, field_end, zones)
         if key in self.slots:
             s = self.slots[key]
+            self.occ[s].append(self._cursor)
         else:
             s = len(self.terms)
             self.slots[key] = s
@@ -250,6 +252,7 @@ class _SlotTable:
             self.zones.append(tuple(zones))
             self.mult.append(0.0)
             self.qpos.append(self._cursor)
+            self.occ.append([self._cursor])
         if positive:
             self.mult[s] += weight
         return s
@@ -559,6 +562,14 @@ def plan_query(
     k = min(max_matches, window) if window is not None else max_matches
     k = max(1, min(k, index.n_docs)) if index.n_docs else 1
 
+    # HANDLE_DUPES (sphinxsearch.cpp ExtRanker dupe handling): a keyword
+    # occurring at several query positions emits its hits once per
+    # occurrence into the ranker stream, so LCS chains can pass through
+    # repeated words ("to be or not to be")
+    slot_occs = tuple(tuple(st.occ[s]) for s in range(S))
+    if all(len(o) <= 1 for o in slot_occs):
+        slot_occs = ()
+
     if emit_factors and eff_ranker != "expr":
         raise ValueError(
             "PACKEDFACTORS() requires OPTION ranker=expr('...')")
@@ -566,7 +577,7 @@ def plan_query(
         expr=expr, n_slots=S, ranker=eff_ranker,
         filters=tuple(fspecs), k=k, order=order,
         slot_limited=slot_limited, ranker_expr=ranker_expr,
-        emit_factors=emit_factors,
+        emit_factors=emit_factors, slot_occs=slot_occs,
     )
     fl = getattr(index, "field_lens", None)
     if fl is not None and getattr(fl, "size", 0):

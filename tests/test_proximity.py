@@ -219,3 +219,48 @@ class TestSentenceParagraph:
         assert [m.docid for m in r.matches] == [1]
         r = sp_index.search(SearchQuery(match="bird PARAGRAPH dog"))
         assert r.matches == []
+
+
+class TestHandleDupes:
+    """Duplicate query keywords (HANDLE_DUPES, sphinxsearch.cpp dupe path):
+    each occurrence emits the keyword's hits at its own query position so
+    LCS chains pass through repeated words."""
+
+    @pytest.fixture(scope="class")
+    def didx(self):
+        from manticoresearch_tpu.exec.searcher import SearchIndex
+        b = IndexBuilder(Schema(fields=["body"]))
+        b.add_documents([
+            dict(id=1, body="to be or not to be that is the question"),
+            dict(id=2, body="be or not"),
+            dict(id=3, body="to be something else to be"),
+        ])
+        return SearchIndex(b.build())
+
+    def lcs_of(self, idx, q):
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        r = idx.search(SearchQuery(match=q, ranker=("expr", "sum(lcs)")))
+        assert r.error is None
+        return {m.docid: m.weight for m in r.matches}
+
+    def test_full_dup_chain(self, didx):
+        # without dupes the best chain is 'to be or not' (4); with dupe
+        # handling the whole 6-word prefix chains
+        assert self.lcs_of(didx, "to be or not to be") == {1: 6}
+
+    def test_no_dupes_unchanged(self, didx):
+        assert self.lcs_of(didx, "be or not") == {1: 3, 2: 3}
+        assert self.lcs_of(didx, "not or be") == {1: 2, 2: 1}
+
+    def test_dup_pair(self, didx):
+        # doc3 'to be ... to be': query 'to be to be' chains 2 (adjacent
+        # pairs), not 4 (gap between the pairs)
+        assert self.lcs_of(didx, "to be to be")[3] == 2
+        assert self.lcs_of(didx, "to be to be")[1] == 2
+
+    def test_wordcount_counts_per_occurrence(self, didx):
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        r = didx.search(SearchQuery(match="to be or not to be",
+                                    ranker="wordcount"))
+        # qwords to,be,or,not,to,be over doc1 hits (2,2,1,1,2,2) = 10
+        assert {m.docid: m.weight for m in r.matches}[1] == 10

@@ -51,21 +51,27 @@ class GroupSpec:
 def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
                    n_fields: int, slot_pb: tuple = (), slot_hb: tuple = (),
                    n_hit_iters: int = 0):
+    if gspec.emit_eligible and sig.sparse:
+        # host-side GROUP_CONCAT needs a dense per-row match mask
+        from dataclasses import replace
+        sig = replace(sig, sparse=False)
     core = build_match_core(sig, n_rows, n_fields, slot_pb, slot_hb,
                             n_hit_iters)
     N = n_rows
+    Z = int(sum(slot_pb)) if sig.sparse else N + 1
     k = gspec.k
 
     def fn(data, rt):
-        eligible, weight, attrs, _dbg = core(data, rt)
+        eligible, weight, rows, attrs, _dbg = core(data, rt)
         key = eval_expr(gspec.key_expr, attrs, weight)
-        key = jnp.broadcast_to(key, (N + 1,)).astype(jnp.int32)
+        key = jnp.broadcast_to(key, (Z,)).astype(jnp.int32)
 
-        iota = jnp.arange(N + 1, dtype=jnp.int32)
+        idx = jnp.arange(Z, dtype=jnp.int32)
         sk = jnp.where(eligible, key, INT32_MAX)
-        # within-group order: weight desc, rowid asc (sphinxsort.cpp:4534)
-        s_key, s_w_inv, s_row = jax.lax.sort(
-            (sk, ~weight, iota), num_keys=3)
+        # within-group order: weight desc, rowid asc (sphinxsort.cpp:4534);
+        # s_idx carries the pre-sort position for attr-aligned gathers
+        s_key, s_w_inv, s_row, s_idx = jax.lax.sort(
+            (sk, ~weight, rows, idx), num_keys=3)
         s_w = ~s_w_inv
         s_elig = s_key != INT32_MAX
 
@@ -74,10 +80,12 @@ def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
         new_group = (s_key != prev_key) & s_elig
         gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # [-1 for pre-first]
         gid = jnp.maximum(gid, 0)
-        gid_scatter = jnp.where(s_elig, gid, N)  # ineligible -> sink
+        # sink Z-1 is safe: gid <= n_eligible-1 <= Z-2 whenever any row is
+        # ineligible, and the sink is unused when every row is eligible
+        gid_scatter = jnp.where(s_elig, gid, Z - 1)
         n_groups = jnp.sum(new_group.astype(jnp.int32))
 
-        counts = jnp.zeros(N + 1, jnp.int32).at[gid_scatter].add(
+        counts = jnp.zeros(Z, jnp.int32).at[gid_scatter].add(
             jnp.where(s_elig, 1, 0))
 
         agg_results = []
@@ -87,7 +95,7 @@ def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
                 continue
             if a.kind == "count_distinct":
                 dv = eval_expr(a.expr, attrs, weight)
-                dv = jnp.broadcast_to(dv, (N + 1,)).astype(jnp.int32)
+                dv = jnp.broadcast_to(dv, (Z,)).astype(jnp.int32)
                 d_key, d_val = jax.lax.sort(
                     (sk, dv), num_keys=2)
                 d_elig = d_key != INT32_MAX
@@ -98,17 +106,17 @@ def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
                 d_new = ((d_key != dp_key) | (d_val != dp_val)) & d_elig
                 d_gid = jnp.cumsum(((d_key != dp_key) & d_elig
                                     ).astype(jnp.int32)) - 1
-                d_gid = jnp.where(d_elig, jnp.maximum(d_gid, 0), N)
+                d_gid = jnp.where(d_elig, jnp.maximum(d_gid, 0), Z - 1)
                 agg_results.append(
-                    jnp.zeros(N + 1, jnp.int32).at[d_gid].add(
+                    jnp.zeros(Z, jnp.int32).at[d_gid].add(
                         jnp.where(d_new, 1, 0)))
                 continue
             v = eval_expr(a.expr, attrs, weight)
-            v = jnp.broadcast_to(v, (N + 1,))
-            v_sorted = v[s_row]
+            v = jnp.broadcast_to(v, (Z,))
+            v_sorted = v[s_idx]
             if a.kind in ("sum", "avg"):
                 dt = jnp.float32 if (a.is_float or a.kind == "avg") else jnp.int32
-                acc = jnp.zeros(N + 1, dt).at[gid_scatter].add(
+                acc = jnp.zeros(Z, dt).at[gid_scatter].add(
                     jnp.where(s_elig, v_sorted, 0).astype(dt))
                 if a.kind == "avg":
                     acc = acc / jnp.maximum(counts, 1).astype(jnp.float32)
@@ -116,13 +124,13 @@ def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
             elif a.kind == "min":
                 big = jnp.asarray(
                     jnp.inf if a.is_float else INT32_MAX, v_sorted.dtype)
-                acc = jnp.full(N + 1, big, v_sorted.dtype).at[gid_scatter].min(
+                acc = jnp.full(Z, big, v_sorted.dtype).at[gid_scatter].min(
                     jnp.where(s_elig, v_sorted, big))
                 agg_results.append(acc)
             elif a.kind == "max":
                 small = jnp.asarray(
                     -jnp.inf if a.is_float else INT32_MIN, v_sorted.dtype)
-                acc = jnp.full(N + 1, small, v_sorted.dtype).at[gid_scatter].max(
+                acc = jnp.full(Z, small, v_sorted.dtype).at[gid_scatter].max(
                     jnp.where(s_elig, v_sorted, small))
                 agg_results.append(acc)
             else:
@@ -145,7 +153,7 @@ def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
             top_key, top_pos = jax.lax.top_k(okey, k)
         elif gspec.order[0] == "attr":
             _, name, asc, is_float = gspec.order
-            v = attrs[name][s_row]
+            v = attrs[name][s_idx]
             if is_float:
                 vi = _f32_sortable_i32(v)
             else:

@@ -106,16 +106,16 @@ def _lex_search_le(key_a, key_b, arr_a, arr_b, lo, hi, n_iters):
     return jnp.clip(idx, 0, len(arr_a) - 1), exists
 
 
-def _eval_mva_filter(spec: FilterSpec, offsets, values, vals, N, n_iters):
+def _eval_mva_filter(spec: FilterSpec, offsets, values, vals, rows, n_iters):
     """Multi-value attribute filters (Filter_MVA ANY/ALL semantics,
     sphinxfilter.cpp): per-doc sorted value segments in CSR; membership and
     range checks via per-row predecessor searches.
 
-    offsets: i32[N(+1?)] CSR (length n_docs+1); values: sorted per segment.
+    offsets: i32 CSR (length n_docs+1); values: sorted per segment.
     vals: for *_values: sorted filter values [n_values]; for *_range: [lo,hi].
+    rows: the row ids to evaluate (dense: arange(N+1); sparse: candidates).
     """
     n_rows_csr = offsets.shape[0] - 1
-    rows = jnp.arange(N + 1, dtype=jnp.int32)
     rows_c = jnp.clip(rows, 0, max(n_rows_csr - 1, 0))
     lo_idx = offsets[rows_c]
     hi_idx = offsets[jnp.clip(rows_c + 1, 0, n_rows_csr)]
@@ -212,9 +212,20 @@ def get_batched_search_fn(sig: PlanSig, n_rows: int, n_fields: int,
 def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                      slot_pb: tuple = (), slot_hb: tuple = (),
                      n_hit_iters: int = 0):
-    """Build the match+rank core: (data, rt) -> (eligible[N+1] bool,
-    weight[N+1] i32, attrs_padded dict). Ordering tails (top-k, attr sort,
-    group-by) compose on top.
+    """Build the match+rank core: (data, rt) -> (eligible[Z] bool,
+    weight[Z] i32, rows[Z] i32, attrs_out dict, dbg). Ordering tails
+    (top-k, attr sort, group-by) compose on top.
+
+    Two execution spaces share one code path:
+    - dense (sig.sparse=False): Z = N+1; rows = iota; accumulators are
+      dense per-row arrays (best when candidate postings rival N).
+    - sparse (sig.sparse=True): Z = B = sum(slot_pb); the union of all
+      slots' posting rows is sorted once and segment-reduced into B
+      candidate slots; later passes (field-limited slots, phrase nodes,
+      the LCS ranker stream, filters, ordering) map rows into candidate
+      space via binary search. Per-query cost then tracks posting sizes,
+      not corpus size — the TPU analog of the reference's skiplist
+      economics (sphinx.cpp:8522, sphinxsearch.h:35-40).
 
     slot_pb / slot_hb: per-slot posting / hit bucket sizes (pow2 of df /
     hit count). Each slot's CSR range is CONTIGUOUS, so the kernel pulls it
@@ -226,6 +237,10 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
     S = sig.n_slots
     if S > 32:
         raise NotImplementedError("more than 32 unique query terms")
+    sparse = sig.sparse
+    B = int(sum(slot_pb)) if sparse else 0
+    size = B if sparse else N + 1
+    sink = size - 1  # dense: the pad row N; sparse: scatters are 0-gated
 
     from ..query.plan import RANKERS_WITH_HITS
     need_fieldmask = sig.ranker in ("ws_bm25", "ws", "fieldmask")
@@ -240,7 +255,6 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
 
     def fn(data, rt):
         attrs = data["attrs"]
-        alive = data["alive"]
         dbg_factors: dict = {}
 
         def slot_postings(s):
@@ -251,37 +265,111 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             msk = jnp.arange(sz, dtype=jnp.int32) < rt["lengths"][s]
             return jnp.where(msk, row, N), msk, st, sz
 
-        tfidf = jnp.zeros(N + 1, jnp.float32)
-        termmask = jnp.zeros(N + 1, jnp.int32)
-        fieldhit = (jnp.zeros((N + 1, F), jnp.int32) if need_fieldmask
-                    else None)
-        for s in range(S):
-            if s in limited_set:
-                continue  # evaluated on the hit pass below
-            row, msk, st, sz = slot_postings(s)
-            tfq = jax.lax.dynamic_slice(data["post_tfq"], (st,), (sz,))
-            if s in pos_slots:
-                contrib = jnp.where(
-                    msk, tfq * rt["idf"][s] * rt["mult"][s], 0.0)
-                # barrier: stop XLA fusing the multiply into the scatter-add
-                # as an FMA — the reference's float math rounds tf*idf before
-                # accumulating (searchnode.cpp:1579); skipped rounding shifts
-                # int weights by 1 near ties
-                contrib = jax.lax.optimization_barrier(contrib)
-                tfidf = tfidf.at[row].add(contrib)
-            termmask = termmask.at[row].add(
-                jnp.where(msk, jnp.int32(1) << s, 0))
-            if need_fieldmask and s in pos_slots:
-                fm = jax.lax.dynamic_slice(
-                    data["post_fieldmask"], (st,), (sz,))
-                # per-slot fieldmask is unique per doc -> scatter-add of the
-                # whole mask, then OR across slots via dense elementwise
-                fh_s = jnp.zeros(N + 1, jnp.int32).at[row].add(
-                    jnp.where(msk, fm, 0))
-                fbits = ((fh_s[:, None]
+        if sparse:
+            # ---- sparse phase 1: gather -> one sort -> segment-reduce ----
+            # Candidate set = union of every slot's posting rows (including
+            # field-limited slots: their rows must be candidates even though
+            # presence/tf comes from the hit pass). Contributions ride the
+            # sort as payloads; lax.sort is stable, so within a row segment
+            # entries stay in slot order — float accumulation order matches
+            # the dense path's slot-by-slot scatter-adds exactly.
+            rows_parts, con_parts, bit_parts, fm_parts = [], [], [], []
+            for s in range(S):
+                row, msk, st, sz = slot_postings(s)
+                rows_parts.append(row)
+                if s in limited_set:
+                    con_parts.append(jnp.zeros(sz, jnp.float32))
+                    bit_parts.append(jnp.zeros(sz, jnp.int32))
+                    fm_parts.append(jnp.zeros(sz, jnp.int32))
+                    continue
+                if s in pos_slots:
+                    tfq = jax.lax.dynamic_slice(data["post_tfq"], (st,), (sz,))
+                    contrib = jnp.where(
+                        msk, tfq * rt["idf"][s] * rt["mult"][s], 0.0)
+                    # same FMA barrier as the dense path (parity: the
+                    # reference rounds tf*idf before accumulating)
+                    contrib = jax.lax.optimization_barrier(contrib)
+                else:
+                    contrib = jnp.zeros(sz, jnp.float32)
+                con_parts.append(contrib)
+                bit_parts.append(jnp.where(msk, jnp.int32(1) << s, 0))
+                if need_fieldmask and s in pos_slots:
+                    fm = jax.lax.dynamic_slice(
+                        data["post_fieldmask"], (st,), (sz,))
+                    fm_parts.append(jnp.where(msk, fm, 0))
+                else:
+                    fm_parts.append(jnp.zeros(sz, jnp.int32))
+            row_all = jnp.concatenate(rows_parts)
+            srow, scon, sbit, sfm = jax.lax.sort(
+                (row_all, jnp.concatenate(con_parts),
+                 jnp.concatenate(bit_parts), jnp.concatenate(fm_parts)),
+                num_keys=1)
+            is_head = jnp.concatenate(
+                [jnp.ones(1, bool), srow[1:] != srow[:-1]])
+            seg = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+            # segment id -> row; empty segments (ids past the last head)
+            # keep the pad row N, so cand_row stays sorted ascending
+            cand_row = jnp.full(B, N, jnp.int32).at[seg].min(srow)
+            tfidf = jnp.zeros(B, jnp.float32).at[seg].add(scon)
+            # per (slot, doc) at most one entry -> add == OR for bit masks
+            termmask = jnp.zeros(B, jnp.int32).at[seg].add(sbit)
+            if need_fieldmask:
+                fbits = ((sfm[:, None]
                           >> jnp.arange(F, dtype=jnp.int32)[None, :]) & 1
                          ).astype(jnp.int32)
-                fieldhit = fieldhit | fbits
+                fieldhit = jnp.zeros((B, F), jnp.int32).at[seg].max(fbits)
+            else:
+                fieldhit = None
+            rows_vec = cand_row
+            alive = data["alive"][cand_row]  # pad segments hit alive[N]=False
+
+            def to_idx(r):
+                """Row ids -> candidate indices. Exact for rows present in
+                the candidate set (always true for hit/phrase rows: hits are
+                a subset of postings); pad rows resolve to the pad segment
+                or clip, where every scatter value is 0-gated."""
+                return jnp.clip(
+                    jnp.searchsorted(cand_row, r).astype(jnp.int32),
+                    0, B - 1)
+        else:
+            rows_vec = jnp.arange(N + 1, dtype=jnp.int32)
+            alive = data["alive"]
+
+            def to_idx(r):
+                return r
+
+            tfidf = jnp.zeros(N + 1, jnp.float32)
+            termmask = jnp.zeros(N + 1, jnp.int32)
+            fieldhit = (jnp.zeros((N + 1, F), jnp.int32) if need_fieldmask
+                        else None)
+            for s in range(S):
+                if s in limited_set:
+                    continue  # evaluated on the hit pass below
+                row, msk, st, sz = slot_postings(s)
+                tfq = jax.lax.dynamic_slice(data["post_tfq"], (st,), (sz,))
+                if s in pos_slots:
+                    contrib = jnp.where(
+                        msk, tfq * rt["idf"][s] * rt["mult"][s], 0.0)
+                    # barrier: stop XLA fusing the multiply into the
+                    # scatter-add as an FMA — the reference's float math
+                    # rounds tf*idf before accumulating
+                    # (searchnode.cpp:1579); skipped rounding shifts int
+                    # weights by 1 near ties
+                    contrib = jax.lax.optimization_barrier(contrib)
+                    tfidf = tfidf.at[row].add(contrib)
+                termmask = termmask.at[row].add(
+                    jnp.where(msk, jnp.int32(1) << s, 0))
+                if need_fieldmask and s in pos_slots:
+                    fm = jax.lax.dynamic_slice(
+                        data["post_fieldmask"], (st,), (sz,))
+                    # per-slot fieldmask is unique per doc -> scatter-add of
+                    # the whole mask, then OR across slots via elementwise
+                    fh_s = jnp.zeros(N + 1, jnp.int32).at[row].add(
+                        jnp.where(msk, fm, 0))
+                    fbits = ((fh_s[:, None]
+                              >> jnp.arange(F, dtype=jnp.int32)[None, :]) & 1
+                             ).astype(jnp.int32)
+                    fieldhit = fieldhit | fbits
 
         # field-limited slots: tf = hits within the allowed fields only
         # (ExtTerm_T with XQLimitSpec_t field mask; hits outside the mask are
@@ -328,8 +416,8 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 flagged = jax.lax.dynamic_slice(
                     data["hit_packed"], (stH,), (sz,))
                 ok &= (flagged & HITMAN_END_FLAG) != 0
-            rowL = jnp.where(ok, hrowL, N)
-            tf_lim = jnp.zeros(N + 1, jnp.int32).at[rowL].add(
+            rowL = to_idx(jnp.where(ok, hrowL, N))
+            tf_lim = jnp.zeros(size, jnp.int32).at[rowL].add(
                 jnp.where(ok, 1, 0))
             present = tf_lim > 0
             if s in pos_slots:
@@ -341,8 +429,8 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             if need_fieldmask:
                 # per-field any-allowed-hit (1D scatter-max per field)
                 fbits = jnp.stack(
-                    [jnp.zeros(N + 1, jnp.int32).at[
-                        jnp.where(ok & (hfield == f), hrowL, N)].max(
+                    [jnp.zeros(size, jnp.int32).at[
+                        to_idx(jnp.where(ok & (hfield == f), hrowL, N))].max(
                         jnp.where(ok & (hfield == f), 1, 0))
                      for f in range(F)], axis=1)
                 fieldhit = fieldhit | fbits
@@ -355,24 +443,24 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
         phrase_results = {}
         for node in phrase_nodes:
             phrase_results[node] = _eval_phrase_node(
-                node, data, rt, N, slot_hb, n_hit_iters
+                node, data, rt, N, slot_hb, n_hit_iters, size, to_idx
             )
 
-        match = _eval_expr(sig.expr, termmask, phrase_results, alive, N)
+        match = _eval_expr(sig.expr, termmask, phrase_results, alive, size)
 
-        fmask_filters = jnp.ones(N + 1, dtype=bool)
+        fmask_filters = jnp.ones(size, dtype=bool)
         for i, spec in enumerate(sig.filters):
             if spec.kind.startswith("mva_"):
                 fmask_filters &= _eval_mva_filter(
                     spec, data["mva_offsets"][spec.attr],
                     data["mva_values"][spec.attr],
-                    rt["filter_vals"][i], N, n_hit_iters or 32)
+                    rt["filter_vals"][i], rows_vec, n_hit_iters or 32)
                 continue
             if spec.kind == "host_mask":
                 # host-evaluated predicate (JSON paths) as a packed bitmask
                 v = rt["filter_vals"][i]
-                rows = jnp.arange(N + 1, dtype=jnp.int32)
-                m = ((v[rows >> 5] >> (rows & 31)) & 1).astype(bool)
+                w = jnp.clip(rows_vec >> 5, 0, v.shape[0] - 1)
+                m = ((v[w] >> (rows_vec & 31)) & 1).astype(bool)
                 fmask_filters &= (~m if spec.exclude else m)
                 continue
             if spec.kind in ("id_values", "id_range"):
@@ -380,6 +468,8 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 # always in [0, 2^31) so signed lexicographic compare is
                 # exact for the full 63-bit positive id space
                 dhi, dlo = data["docid_hi"], data["docid_lo"]
+                if sparse:
+                    dhi, dlo = dhi[rows_vec], dlo[rows_vec]
                 v = rt["filter_vals"][i]
                 if spec.kind == "id_values":
                     eq = (dhi[:, None] == v[0][None, :]) & \
@@ -394,7 +484,10 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 fmask_filters &= (~m if spec.exclude else m)
                 continue
             attr = attrs[spec.attr]
-            attr = jnp.concatenate([attr, attr[-1:]]) if len(attr) == N else attr
+            if sparse:
+                attr = attr[jnp.clip(rows_vec, 0, max(attr.shape[0] - 1, 0))]
+            else:
+                attr = jnp.concatenate([attr, attr[-1:]]) if len(attr) == N else attr
             fmask_filters &= _eval_filter(spec, attr, rt["filter_vals"][i])
 
         eligible = match & alive & fmask_filters
@@ -460,7 +553,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     # RankerState_Wordcount_fn (sphinxsearch.cpp:1620):
                     # weight = sum of field_weight over every stream hit
                     wfield = (hpk >> 24) & 0x7F
-                    weight = jnp.zeros(N + 1, jnp.int32).at[hrow].add(
+                    weight = jnp.zeros(size, jnp.int32).at[to_idx(hrow)].add(
                         jnp.where(hrow < N, fw[wfield], 0))
                     total_rank = None
                 elif sig.slot_occs and not rk_phrases:
@@ -518,9 +611,10 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     curlcs = jnp.minimum(curlcs, 255)  # BYTE m_uCurLCS
                 if sig.ranker != "wordcount":
                     hfield2 = (hpk >> 24) & 0x7F
+                    hidx = to_idx(hrow)
                     lcs = jnp.stack(
-                        [jnp.zeros(N + 1, jnp.int32).at[
-                            jnp.where(hfield2 == f, hrow, N)].max(
+                        [jnp.zeros(size, jnp.int32).at[
+                            jnp.where(hfield2 == f, hidx, sink)].max(
                             jnp.where(hfield2 == f, curlcs, 0))
                          for f in range(F)], axis=1)
                     if sig.ranker == "matchany":
@@ -530,8 +624,8 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                         # phraseK = sum_f w_f * n_qwords
                         Q = max(S, 1)
                         qd = jnp.clip(hqp - 1, 0, Q - 1)
-                        seen = jnp.zeros((N + 1, F, Q), jnp.int32).at[
-                            hrow, hfield2, qd].max(
+                        seen = jnp.zeros((size, F, Q), jnp.int32).at[
+                            hidx, hfield2, qd].max(
                             jnp.where(hrow < N, 1, 0))
                         match_cnt = jnp.sum(seen, axis=-1)
                         phrase_k = jnp.sum(fw) * S
@@ -579,13 +673,13 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                                   if sig.ranker == "proximity_bm25" else rank)
             else:
                 weight = (bm25part if sig.ranker == "proximity_bm25"
-                          else jnp.zeros(N + 1, jnp.int32))
+                          else jnp.zeros(size, jnp.int32))
         elif sig.ranker in ("ws_bm25", "ws"):
             fw = rt["field_weights"]
             rank = jnp.sum(fieldhit * fw[None, :], axis=-1).astype(jnp.int32)
             weight = bm25part + rank * SPH_BM25_SCALE if sig.ranker == "ws_bm25" else rank
         elif sig.ranker == "none":
-            weight = jnp.ones(N + 1, jnp.int32)
+            weight = jnp.ones(size, jnp.int32)
         elif sig.ranker == "fieldmask":
             # ranker=fieldmask returns the matched-field bitmask itself
             fw_pow = (jnp.int32(1) << jnp.arange(F, dtype=jnp.int32))
@@ -596,11 +690,17 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
         dbg = ({"dbg_tfidf": tfidf, "dbg_bm25part": bm25part,
                 "dbg_weight": weight} if _DEBUG_KERNEL else {})
         dbg.update(dbg_factors)
-        attrs_padded = {
-            k: (jnp.concatenate([v, v[-1:]]) if v.shape[0] == N else v)
-            for k, v in attrs.items()
-        } if N else {k: v for k, v in attrs.items()}
-        return eligible, weight, attrs_padded, dbg
+        if sparse:
+            attrs_out = {
+                k: v[jnp.clip(rows_vec, 0, max(v.shape[0] - 1, 0))]
+                for k, v in attrs.items()
+            }
+        else:
+            attrs_out = {
+                k: (jnp.concatenate([v, v[-1:]]) if v.shape[0] == N else v)
+                for k, v in attrs.items()
+            } if N else {k: v for k, v in attrs.items()}
+        return eligible, weight, rows_vec, attrs_out, dbg
 
     return fn
 
@@ -611,23 +711,25 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int,
     """Build the (pure, unjitted) search program for one plan shape.
 
     Reused by the sharded path inside shard_map (parallel/sharded.py)."""
-    N = n_rows
     core = build_match_core(sig, n_rows, n_fields, slot_pb, slot_hb,
                             n_hit_iters)
 
     def fn(data, rt):
-        eligible, weight, attrs, dbg = core(data, rt)
+        eligible, weight, rows, attrs, dbg = core(data, rt)
         total_found = jnp.sum(eligible.astype(jnp.int32))
 
-        def _pf(rowids):
-            return {k: v[rowids] for k, v in dbg.items()
+        def _pf(pos):
+            return {k: v[pos] for k, v in dbg.items()
                     if k.startswith("pf_")}
 
         if sig.order[0] == "rel":
             key = jnp.where(eligible, weight, INT32_MIN)
+            # ties break (weight desc, docid asc): positions ascend with
+            # rowid in both spaces (dense iota; sparse candidates sorted by
+            # row) and top_k prefers lower indices on equal keys
             top_w, top_idx = jax.lax.top_k(key, sig.k)
             return {
-                "rowid": top_idx.astype(jnp.int32),
+                "rowid": rows[top_idx],
                 "weight": top_w,
                 "found": total_found,
                 **{k: v for k, v in dbg.items() if not k.startswith("pf_")},
@@ -635,10 +737,10 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int,
             }
         elif sig.order[0] == "attr_id":
             is_asc = sig.order[1]
-            iota = jnp.arange(N + 1, dtype=jnp.int32)
-            k1 = jnp.where(eligible, iota if is_asc else ~iota, jnp.int32(2**31 - 1))
+            k1 = jnp.where(eligible, rows if is_asc else ~rows,
+                           jnp.int32(2**31 - 1))
             sk1, srow, sw = jax.lax.sort(
-                (k1, iota, jnp.where(eligible, weight, 0)), num_keys=2
+                (k1, rows, jnp.where(eligible, weight, 0)), num_keys=2
             )
             return {
                 "rowid": srow[: sig.k],
@@ -653,9 +755,8 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int,
                 k1 = jnp.where(eligible, v if is_asc else -v, jnp.float32(np.inf))
             else:
                 k1 = jnp.where(eligible, v if is_asc else ~v, jnp.int32(2**31 - 1))
-            iota = jnp.arange(N + 1, dtype=jnp.int32)
             sk1, srow, sw = jax.lax.sort(
-                (k1, iota, jnp.where(eligible, weight, 0)), num_keys=2
+                (k1, rows, jnp.where(eligible, weight, 0)), num_keys=2
             )
             return {
                 "rowid": srow[: sig.k],
@@ -667,27 +768,28 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int,
     return fn
 
 
-def _eval_expr(expr: tuple, termmask, phrase_results, alive, N):
-    """Bottom-up boolean evaluation on dense masks — replaces the ExtNode
-    streaming zipper tree (searchnode.cpp:147-900)."""
+def _eval_expr(expr: tuple, termmask, phrase_results, alive, size):
+    """Bottom-up boolean evaluation on presence masks (dense rows or sparse
+    candidates) — replaces the ExtNode streaming zipper tree
+    (searchnode.cpp:147-900)."""
     op = expr[0]
     if op == "term":
         return ((termmask >> expr[1]) & 1).astype(bool)
     if op == "all":
-        return jnp.ones(N + 1, dtype=bool)
+        return jnp.ones(size, dtype=bool)
     if op == "and":
-        m = _eval_expr(expr[1][0], termmask, phrase_results, alive, N)
+        m = _eval_expr(expr[1][0], termmask, phrase_results, alive, size)
         for c in expr[1][1:]:
-            m &= _eval_expr(c, termmask, phrase_results, alive, N)
+            m &= _eval_expr(c, termmask, phrase_results, alive, size)
         return m
     if op == "or":
-        m = _eval_expr(expr[1][0], termmask, phrase_results, alive, N)
+        m = _eval_expr(expr[1][0], termmask, phrase_results, alive, size)
         for c in expr[1][1:]:
-            m |= _eval_expr(c, termmask, phrase_results, alive, N)
+            m |= _eval_expr(c, termmask, phrase_results, alive, size)
         return m
     if op == "andnot":
-        left = _eval_expr(expr[1], termmask, phrase_results, alive, N)
-        right = _eval_expr(expr[2], termmask, phrase_results, alive, N)
+        left = _eval_expr(expr[1], termmask, phrase_results, alive, size)
+        right = _eval_expr(expr[2], termmask, phrase_results, alive, size)
         return left & ~right
     if op == "quorum":
         slots_t, m_need = expr[1], expr[2]
@@ -724,14 +826,17 @@ def _collect_phrase_nodes(expr: tuple) -> list[tuple]:
     return []
 
 
-def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters):
+def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
+                      size=None, to_idx=None):
     """Phrase: doc matches iff some (field, pos) anchors all member terms at
     their query-position deltas — the FSMphrase (searchnode.cpp:3901)
     reformulated as membership tests over sorted hit arrays.
 
-    Returns (match bool[N+1], tf int32[N+1] = phrase occurrences,
+    Returns (match bool[Z], tf int32[Z] = phrase occurrences,
     anchor_row i32[hit_bucket], anchor_key i32[hit_bucket], ok bool) — the
     anchor arrays feed phrase-hit emission into the proximity ranker stream.
+    Z = size (N+1 dense / candidate count sparse); to_idx maps row ids into
+    that space (anchor rows are member-term posting rows, always present).
 
     NOTE (documented divergence): the reference FSM resets after each
     completed match (searchnode.cpp:3930 ResetFSM) so self-overlapping
@@ -845,6 +950,10 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters):
             # same doc + within window (cross-field deltas exceed 2^24 > W)
             ok &= exists & (val_row == a_row) & (a_key - val_key < W)
 
+    if size is None:
+        size = N + 1
     row_scatter = jnp.where(ok, a_row, N)
-    tf = jnp.zeros(N + 1, jnp.int32).at[row_scatter].add(jnp.where(ok, 1, 0))
+    if to_idx is not None:
+        row_scatter = to_idx(row_scatter)
+    tf = jnp.zeros(size, jnp.int32).at[row_scatter].add(jnp.where(ok, 1, 0))
     return tf > 0, tf, a_row, a_key, ok

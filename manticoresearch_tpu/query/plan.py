@@ -52,10 +52,31 @@ class PlanSig:
     slot_occs: tuple = ()       # HANDLE_DUPES: per-slot tuple of query
                                 # positions when a keyword occurs more than
                                 # once in the query (else empty)
+    sparse: bool = False        # sparse candidate pipeline: evaluate over
+                                # the union of the query terms' postings
+                                # (sorted + segment-reduced) instead of
+                                # dense [N+1] accumulators — the TPU analog
+                                # of skiplist economics (sphinx.cpp:8522):
+                                # per-query cost tracks posting sizes, not
+                                # corpus size
 
 
 RANKERS_WITH_HITS = frozenset(
     {"proximity_bm25", "proximity", "wordcount", "matchany", "expr"})
+
+
+def expr_has_all(expr: tuple) -> bool:
+    """True if the expression contains a fullscan ("all") node anywhere —
+    such plans must touch every row and cannot run on the sparse
+    candidate pipeline."""
+    op = expr[0]
+    if op == "all":
+        return True
+    if op in ("and", "or"):
+        return any(expr_has_all(c) for c in expr[1])
+    if op == "andnot":
+        return expr_has_all(expr[1]) or expr_has_all(expr[2])
+    return False
 
 
 def expr_slots(expr: tuple) -> set[int]:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import bisect
 import math
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -573,11 +574,37 @@ def plan_query(
     if emit_factors and eff_ranker != "expr":
         raise ValueError(
             "PACKEDFACTORS() requires OPTION ranker=expr('...')")
+
+    # sparse candidate pipeline (skiplist economics, sphinx.cpp:8522):
+    # evaluate over the union of the query terms' postings instead of dense
+    # [N+1] accumulators whenever (a) the plan never needs a fullscan,
+    # (b) the ranker runs in candidate space, and (c) the candidate bucket
+    # total is meaningfully smaller than the corpus (else dense passes win).
+    # MT_SPARSE=always|never overrides the size heuristic (tests).
+    from .plan import expr_has_all
+    B_total = int(sum(slot_pb))
+    sparse_capable = (
+        S > 0
+        and not expr_has_all(expr)
+        and eff_ranker in ("proximity_bm25", "proximity", "ws_bm25", "ws",
+                           "none", "fieldmask", "wordcount", "matchany")
+        and not emit_factors
+        and B_total >= k
+    )
+    _mode = os.environ.get("MT_SPARSE", "auto")
+    if _mode == "never":
+        sparse = False
+    elif _mode == "always":
+        sparse = sparse_capable
+    else:
+        sparse = sparse_capable and B_total <= max(index.n_docs // 2, 0)
+
     sig = PlanSig(
         expr=expr, n_slots=S, ranker=eff_ranker,
         filters=tuple(fspecs), k=k, order=order,
         slot_limited=slot_limited, ranker_expr=ranker_expr,
         emit_factors=emit_factors, slot_occs=slot_occs,
+        sparse=sparse,
     )
     fl = getattr(index, "field_lens", None)
     if fl is not None and getattr(fl, "size", 0):

@@ -1,0 +1,164 @@
+"""Distributed tables: local parts + remote agents (DCN tier).
+
+Behavioral model: DistributedIndex_t (/root/reference/src/searchdha.h:679)
+— a list of local index names plus agent mirror sets; SELECTs fan out to
+all parts concurrently (locals run while remotes are in flight,
+RunSubset, searchd.cpp:6550-6860), each agent returns ONE pre-merged
+chunk (searchd.cpp:6737), and the master merges with the sorter's
+comparator (weight desc, docid asc — MinimizeAggrResult/MergeAllMatches,
+searchd.cpp:4816,3990). Writes are rejected (the reference forwards only
+via agent_persistent INSERT, out of scope here; plain distributed tables
+reject writes too).
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import replace as dc_replace
+
+from ..server.agent import (AgentError, MultiAgent, agent_blackhole,
+                            agent_search, parse_agent_spec,
+                            payload_to_result, query_to_payload)
+
+
+class _AgentPart:
+    """Adapter: one agent (mirror set) as a searchable part."""
+
+    def __init__(self, agent: MultiAgent, timeout: float, retry_count: int,
+                 retry_delay: float):
+        self.agent = agent
+        self.timeout = timeout
+        self.retry_count = retry_count
+        self.retry_delay = retry_delay
+
+    def search(self, q):
+        from .searcher import SearchResult
+        try:
+            reply = agent_search(self.agent, query_to_payload(q),
+                                 timeout=self.timeout,
+                                 retry_count=self.retry_count,
+                                 retry_delay=self.retry_delay)
+        except AgentError as e:
+            return SearchResult([], 0, 0, 0.0, [], error=str(e))
+        return payload_to_result(reply)
+
+
+class _LocalPart:
+    """Adapter: a named local table resolved lazily through the catalog
+    (rotation/DDL-safe: each query sees the current table object)."""
+
+    def __init__(self, catalog, name: str):
+        self.catalog = catalog
+        self.name = name
+
+    def search(self, q):
+        from .searcher import SearchResult
+        try:
+            t = self.catalog.get(self.name)
+        except (ValueError, KeyError) as e:
+            return SearchResult([], 0, 0, 0.0, [], error=str(e))
+        return t.search(q)
+
+
+class DistributedTable:
+    """A distributed table in the catalog. Options (CREATE TABLE ...
+    type='distributed'): local='name' (repeatable), agent='h:p:tbl|h2:p2:tbl'
+    (repeatable), agent_blackhole='h:p:tbl', ha_strategy, agent_query_timeout
+    (ms), retry_count, retry_delay (ms)."""
+
+    data_dir = None  # no on-disk state of its own
+
+    def __init__(self, name: str, catalog, locals_: list[str],
+                 agent_specs: list[str], blackhole_specs: list[str] = (),
+                 ha_strategy: str = "random",
+                 agent_query_timeout_ms: int = 3000,
+                 retry_count: int = 2, retry_delay_ms: int = 0):
+        self.name = name
+        self.catalog = catalog
+        self.locals_ = list(locals_)
+        self.ha_strategy = ha_strategy
+        self.timeout = agent_query_timeout_ms / 1000.0
+        self.retry_count = retry_count
+        self.retry_delay = retry_delay_ms / 1000.0
+        self.agents = [MultiAgent(parse_agent_spec(s), strategy=ha_strategy)
+                       for s in agent_specs]
+        self.blackholes = [MultiAgent(parse_agent_spec(s),
+                                      strategy=ha_strategy)
+                           for s in blackhole_specs]
+        self.options: dict = {}
+
+    # -- catalog protocol ------------------------------------------------
+    @property
+    def schema(self):
+        for n in self.locals_:
+            try:
+                return self.catalog.get(n).schema
+            except (ValueError, KeyError):
+                continue
+        from ..schema import Schema
+        return Schema(fields=[], attrs=[])
+
+    def flush(self) -> None:
+        pass
+
+    def _parts(self):
+        parts: list = [_LocalPart(self.catalog, n) for n in self.locals_]
+        parts += [_AgentPart(a, self.timeout, self.retry_count,
+                             self.retry_delay) for a in self.agents]
+        return parts
+
+    # -- search ----------------------------------------------------------
+    def search(self, q):
+        from .multi import merge_part_results, search_grouped_parts
+        from .searcher import SearchResult
+
+        parts = self._parts()
+        if not parts:
+            return SearchResult([], 0, 0, 0.0, [],
+                                error=f"distributed table '{self.name}' "
+                                      f"has no parts")
+        for bh in self.blackholes:
+            agent_blackhole(bh, query_to_payload(q), timeout=self.timeout)
+
+        if q.group_by:
+            return search_grouped_parts(parts, q, self.schema)
+
+        part_q = dc_replace(q, offset=0, limit=q.offset + q.limit)
+        if len(parts) == 1:
+            results = [parts[0].search(part_q)]
+        else:
+            # locals + agents concurrently (local part runs while remote
+            # requests are in flight — RunSubset, searchd.cpp:6550)
+            with ThreadPoolExecutor(max_workers=min(len(parts), 16)) as ex:
+                results = list(ex.map(lambda p: p.search(part_q), parts))
+        return merge_part_results(results, q, self.schema)
+
+    # -- writes rejected -------------------------------------------------
+    def _no_writes(self, *_a, **_k):
+        raise ValueError(
+            f"table '{self.name}' is distributed: INSERT/REPLACE/DELETE/"
+            f"UPDATE are not supported on distributed tables")
+
+    insert = replace = delete_documents = update_attrs = _no_writes
+    truncate = optimize = _no_writes
+
+    # -- observability ---------------------------------------------------
+    def agent_status_rows(self) -> list[tuple[str, str]]:
+        """SHOW AGENT STATUS rows (searchd.cpp HandleMysqlShowAgentStatus)."""
+        rows: list[tuple[str, str]] = []
+        for ai, agent in enumerate(self.agents):
+            for mi, m in enumerate(agent.mirrors):
+                p = f"agent{ai}_mirror{mi}"
+                rows += [
+                    (f"{p}_addr", m.addr()),
+                    (f"{p}_queries", str(m.queries)),
+                    (f"{p}_errors", str(m.errors)),
+                    (f"{p}_timeouts", str(m.timeouts)),
+                    (f"{p}_last_error", m.last_error),
+                    (f"{p}_latency_ms", f"{m.ema_latency_ms:.3f}"),
+                    (f"{p}_dead", "1" if m.is_dead() else "0"),
+                ]
+        return rows
+
+    def all_mirrors(self):
+        for agent in self.agents:
+            yield from agent.mirrors

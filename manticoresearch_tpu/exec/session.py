@@ -73,6 +73,11 @@ class Catalog:
         with open(p) as f:
             man = json.load(f)
         for name, meta in man.get("tables", {}).items():
+            if meta.get("type") == "distributed":
+                self.tables[name] = self._make_distributed(
+                    name, meta.get("options") or {})
+                self.tables[name].options = dict(meta.get("options") or {})
+                continue
             schema = Schema.from_json(meta["schema"])
             ddir = os.path.join(self.data_dir, name)
             from ..config import settings_from_sql_options
@@ -89,6 +94,9 @@ class Catalog:
     @staticmethod
     def table_type(t) -> str:
         from ..index.percolate import PercolateIndex
+        from .distributed import DistributedTable
+        if isinstance(t, DistributedTable):
+            return "distributed"
         return "percolate" if isinstance(t, PercolateIndex) else "rt"
 
     def _save_manifest(self):
@@ -109,7 +117,13 @@ class Catalog:
             raise ValueError(f"table '{name}' already exists")
         ddir = os.path.join(self.data_dir, name) if self.data_dir else None
         from ..config import settings_from_sql_options
-        tok, dic = settings_from_sql_options(options or {})
+        opts = options or {}
+        if table_type == "distributed":
+            self.tables[name] = self._make_distributed(name, opts)
+            self.tables[name].options = dict(opts)
+            self._save_manifest()
+            return self.tables[name]
+        tok, dic = settings_from_sql_options(opts)
         if table_type in ("percolate", "pq"):
             from ..index.percolate import PercolateIndex
             self.tables[name] = PercolateIndex(name, schema, tok, dic,
@@ -117,9 +131,27 @@ class Catalog:
         else:
             self.tables[name] = RtIndex(name, schema, tok, dic,
                                         data_dir=ddir)
-        self.tables[name].options = dict(options or {})
+        self.tables[name].options = dict(opts)
         self._save_manifest()
         return self.tables[name]
+
+    def _make_distributed(self, name: str, opts: dict):
+        from .distributed import DistributedTable
+
+        def as_list(v):
+            return v if isinstance(v, list) else ([v] if v else [])
+
+        return DistributedTable(
+            name, self,
+            locals_=as_list(opts.get("local")),
+            agent_specs=as_list(opts.get("agent")),
+            blackhole_specs=as_list(opts.get("agent_blackhole")),
+            ha_strategy=str(opts.get("ha_strategy", "random")),
+            agent_query_timeout_ms=int(opts.get("agent_query_timeout",
+                                                3000)),
+            retry_count=int(opts.get("retry_count", 2)),
+            retry_delay_ms=int(opts.get("retry_delay", 0)),
+        )
 
     def drop(self, name: str) -> None:
         t = self.tables.pop(name)
@@ -831,7 +863,16 @@ class Session:
             return QLResult.err("native plugins are not supported; use "
                                 "CREATE FUNCTION with a python SONAME")
         if k == "show_agent_status":
-            return QLResult(columns=["Status"], rows=[("TODO",)])
+            # per-mirror dashboards of every distributed table
+            # (HandleMysqlShowAgentStatus over HostDashboard_t counters,
+            # searchdha.h:226)
+            from .distributed import DistributedTable
+            rows: list[tuple[str, str]] = []
+            for name, t in self.catalog.tables.items():
+                if isinstance(t, DistributedTable):
+                    rows += [(f"{name}_{k2}", v)
+                             for k2, v in t.agent_status_rows()]
+            return QLResult(columns=["Key", "Value"], rows=rows)
         if k == "desc":
             t = self.catalog.get(st.args[0])
             rows = [("id", "bigint")]

@@ -601,9 +601,15 @@ class SqlParser:
             self.expect_op(")")
         options = {}
         while self.peek()[0] == "name":
-            n = self.name()
+            n = self.name().lower()
             self.expect_op("=")
-            options[n.lower()] = str(self.value())
+            v = str(self.value())
+            if n in ("local", "agent", "agent_blackhole"):
+                # repeatable keys (distributed tables: local='a' local='b'
+                # agent='h:p:t|h2:p2:t' — DistributedIndex_t config syntax)
+                options.setdefault(n, []).append(v)
+            else:
+                options[n] = v
         return CreateTableStmt(name, cols, options, ine)
 
     def parse_drop(self):

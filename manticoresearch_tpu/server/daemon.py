@@ -23,7 +23,9 @@ class Daemon:
     def __init__(self, data_dir: str | None = None,
                  mysql_port: int = 9306, http_port: int = 9308,
                  host: str = "127.0.0.1", flush_period: float = 60.0,
-                 config=None, repl_port: int | None = None):
+                 config=None, repl_port: int | None = None,
+                 agent_port: int | None = None,
+                 ping_interval: float = 5.0):
         self.catalog = Catalog(data_dir)
         if config is not None:
             self._apply_config(config)
@@ -33,7 +35,12 @@ class Daemon:
         if repl_port is not None:
             from .repl import ReplicationServer
             self.repl = ReplicationServer(self.catalog, host, repl_port)
+        self.agent = None
+        if agent_port is not None:
+            from .agent import AgentServer
+            self.agent = AgentServer(self.catalog, host, agent_port)
         self.flush_period = flush_period
+        self.ping_interval = ping_interval
 
     def _apply_config(self, cfg) -> None:
         """Register config-declared indexes (rt: create if missing; plain:
@@ -68,11 +75,32 @@ class Daemon:
                 except Exception:  # noqa: BLE001 — keep the daemon alive
                     pass
 
+    async def _periodic_ping(self) -> None:
+        """Agent dashboard ping (taskping.cpp:119): keeps mirror liveness
+        fresh so HA strategies avoid dead hosts before a query pays the
+        timeout."""
+        from ..exec.distributed import DistributedTable
+        from .agent import agent_ping
+        while True:
+            await asyncio.sleep(self.ping_interval)
+            loop = asyncio.get_running_loop()
+            for t in list(self.catalog.tables.values()):
+                if not isinstance(t, DistributedTable):
+                    continue
+                for m in t.all_mirrors():
+                    try:
+                        await loop.run_in_executor(None, agent_ping, m)
+                    except Exception:  # noqa: BLE001 — ping must not kill
+                        pass
+
     async def run(self) -> None:
         await self.mysql.start()
         await self.http.start()
         if self.repl is not None:
             await self.repl.start()
+        if self.agent is not None:
+            await self.agent.start()
+        pinger = asyncio.create_task(self._periodic_ping())
         flusher = asyncio.create_task(self._periodic_flush())
         stop = asyncio.Event()
         loop = asyncio.get_running_loop()
@@ -83,8 +111,11 @@ class Daemon:
                 pass
         await stop.wait()
         flusher.cancel()
+        pinger.cancel()
         await self.mysql.stop()
         await self.http.stop()
+        if self.agent is not None:
+            await self.agent.stop()
         for t in self.catalog.tables.values():
             if t.data_dir:
                 t.flush()
@@ -100,6 +131,9 @@ def main(argv=None) -> None:
     ap.add_argument("--rt-flush-period", type=float, default=60.0)
     ap.add_argument("--listen-repl", type=int, default=None,
                     help="serve binlog replication streams on this port")
+    ap.add_argument("--listen-agent", type=int, default=None,
+                    help="serve the master<->agent search protocol "
+                         "(distributed tables) on this port")
     args = ap.parse_args(argv)
     cfg = None
     if args.config:
@@ -108,11 +142,11 @@ def main(argv=None) -> None:
         sd = cfg.searchd
         d = Daemon(args.data_dir or sd.data_dir, sd.listen_mysql,
                    sd.listen_http, sd.host, sd.rt_flush_period, config=cfg,
-                   repl_port=args.listen_repl)
+                   repl_port=args.listen_repl, agent_port=args.listen_agent)
     else:
         d = Daemon(args.data_dir, args.listen_mysql, args.listen_http,
                    args.host, args.rt_flush_period,
-                   repl_port=args.listen_repl)
+                   repl_port=args.listen_repl, agent_port=args.listen_agent)
     asyncio.run(d.run())
 
 

@@ -1,16 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: mixed full-text workload QPS on one device.
+"""Benchmark: the BASELINE.json config matrix on one device.
 
-Builds a synthetic Zipf corpus (pretokenized fast path), runs a mixed query
-workload mirroring BASELINE configs 1-2 (single-term BM25 top-k, boolean
-AND/OR, integer range filters), and prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "qps", "vs_baseline": ...}
+Methodology (bench hygiene rules learned on the tunneled TPU):
+- every timing rep dispatches a FRESH query batch (identical dispatches
+  are deduplicated upstream of the accelerator link — never repeat);
+- warmup batches compile the plan shapes; measurement batches draw new
+  terms from the same frequency bands so shapes stay warm;
+- each batch pays one device->host fetch (the serving daemon's batching
+  model); per-batch wall times give p50/p99 batch latency;
+- the measurement window is time-boxed so a degraded tunnel still
+  produces a (slower) number instead of hanging the driver.
 
-The reference repo publishes no benchmark numbers (SURVEY §6 — README makes
-qualitative claims only, test/bench-results is a stub), so vs_baseline is
-measured against VS_BASELINE_QPS: a fixed reference point of 2000 QPS, a
-conservative estimate of single-node Manticore on an equivalent mixed
-workload/corpus; it makes round-over-round progress comparable.
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N,
+   "configs": {...}, "latency_ms": {...}}
+
+The reference publishes no benchmark numbers (SURVEY §6; BASELINE.md
+documents the round-2 reference-build attempt and its bison/flex
+blocker), so vs_baseline is against the fixed VS_BASELINE_QPS estimate —
+it makes round-over-round progress comparable.
 """
 from __future__ import annotations
 
@@ -49,33 +57,136 @@ def build_corpus(n_docs: int, vocab: int, avg_len: int, seed: int = 42):
     return packed
 
 
-def make_workload(rng, n_queries: int, vocab: int):
-    """Mixed workload: 40% single term, 30% AND pair, 20% OR pair,
-    10% AND + integer range filter (BASELINE configs 1-2)."""
-    from manticoresearch_tpu.exec.searcher import SearchQuery
-    from manticoresearch_tpu.query.planner import AttrFilterDef
+class WorkloadGen:
+    """Query generators per BASELINE config.
 
-    # mid-frequency terms: avoid both stop-word-like t00000 and singletons
-    width = max(4, len(str(vocab - 1)))
+    Every draw returns a (warmup_term, measured_term) TWIN: two distinct
+    terms from the same (posting-bucket, hit-bucket) class, so warmup
+    batches compile exactly the plan shapes the measured batches use
+    while never repeating an input dispatch (the tunnel dedupes
+    identical dispatches; a serving daemon compiles each shape once)."""
 
-    def term():
-        return f"t{rng.randint(3, min(2000, vocab)):0{width}d}"
+    def __init__(self, rng, vocab: int, packed, lo=3, hi=2000):
+        self.rng = rng
+        self.vocab = vocab
+        self.width = max(4, len(str(vocab - 1)))
+        # class map over the sampling band: (pb, hb) -> term ids
+        def p2(x):
+            n = 1024
+            while n < x:
+                n <<= 1
+            return n
+        self.band = []
+        classes: dict = {}
+        td = packed.term_docs
+        th = packed.term_hits if hasattr(packed, "term_hits") else None
+        for t in range(lo, min(hi, vocab)):
+            df = int(td[t]) if t < len(td) else 0
+            hits = int(th[t]) if th is not None and t < len(th) else df
+            classes.setdefault((p2(df), p2(hits)), []).append(t)
+        # keep classes with >= 2 members so twins differ
+        self.classes = [v for v in classes.values() if len(v) >= 2]
+        if not self.classes:
+            self.classes = [list(range(lo, min(hi, vocab)))]
 
-    out = []
-    for i in range(n_queries):
-        r = rng.rand()
-        if r < 0.4:
-            out.append(SearchQuery(match=term(), limit=10))
-        elif r < 0.7:
-            out.append(SearchQuery(match=f"{term()} {term()}", limit=10))
-        elif r < 0.9:
-            out.append(SearchQuery(match=f"{term()} | {term()}", limit=10))
-        else:
-            out.append(SearchQuery(
-                match=f"{term()} {term()}",
-                filters=[AttrFilterDef("year", "range_i", lo=2005, hi=2018)],
-                limit=10))
-    return out
+    def _fmt(self, t):
+        return f"t{t:0{self.width}d}"
+
+    def term(self):
+        """-> (warm_term_str, measured_term_str), same shape class."""
+        cls = self.classes[self.rng.randint(len(self.classes))]
+        i, j = self.rng.choice(len(cls), 2, replace=False) \
+            if len(cls) >= 2 else (0, 0)
+        return self._fmt(cls[i]), self._fmt(cls[j])
+
+    def config1(self, n):
+        """single-term MATCH() BM25 top-10."""
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        pairs = [self.term() for _ in range(n)]
+        return ([SearchQuery(match=w, limit=10) for w, _ in pairs],
+                [SearchQuery(match=m, limit=10) for _, m in pairs])
+
+    def config2(self, n):
+        """boolean AND/OR + integer range filters (mixed)."""
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        from manticoresearch_tpu.query.planner import AttrFilterDef
+        warm, meas = [], []
+        for _ in range(n):
+            r = self.rng.rand()
+            (w1, m1), (w2, m2) = self.term(), self.term()
+            if r < 0.4:
+                warm.append(SearchQuery(match=w1, limit=10))
+                meas.append(SearchQuery(match=m1, limit=10))
+            elif r < 0.7:
+                warm.append(SearchQuery(match=f"{w1} {w2}", limit=10))
+                meas.append(SearchQuery(match=f"{m1} {m2}", limit=10))
+            elif r < 0.9:
+                warm.append(SearchQuery(match=f"{w1} | {w2}", limit=10))
+                meas.append(SearchQuery(match=f"{m1} | {m2}", limit=10))
+            else:
+                filt = [AttrFilterDef("year", "range_i", lo=2005, hi=2018)]
+                warm.append(SearchQuery(match=f"{w1} {w2}", filters=filt,
+                                        limit=10))
+                meas.append(SearchQuery(match=f"{m1} {m2}", filters=filt,
+                                        limit=10))
+        return warm, meas
+
+    def config3(self, n):
+        """phrase / proximity + per-field weights (positional path)."""
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        warm, meas = [], []
+        fwt = {"content": 3}
+        for _ in range(n):
+            (w1, m1), (w2, m2) = self.term(), self.term()
+            if self.rng.rand() < 0.5:
+                warm.append(SearchQuery(match=f'"{w1} {w2}"', limit=10,
+                                        field_weights=fwt))
+                meas.append(SearchQuery(match=f'"{m1} {m2}"', limit=10,
+                                        field_weights=fwt))
+            else:
+                warm.append(SearchQuery(match=f'"{w1} {w2}"~5', limit=10,
+                                        field_weights=fwt))
+                meas.append(SearchQuery(match=f'"{m1} {m2}"~5', limit=10,
+                                        field_weights=fwt))
+        return warm, meas
+
+    def config4(self, n):
+        """faceted: GROUP BY + aggregate + ORDER BY count."""
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+
+        def mk(t):
+            return SearchQuery(match=t, group_by="group_id",
+                               select=["count(*)", "sum(year)"],
+                               sort=[("@count", False)], limit=10)
+        pairs = [self.term() for _ in range(n)]
+        return ([mk(w) for w, _ in pairs], [mk(m) for _, m in pairs])
+
+
+def _run_batches(idx, gen_pair, n_batches, batch_size, budget_s,
+                 batched=True):
+    """For each measured batch, first run its shape-twin warmup batch
+    (same plan shapes, different terms): compiles are paid outside the
+    timed region and no input is ever dispatched twice. QPS uses the
+    MEDIAN batch time — robust to a residual cold compile, which still
+    shows in the p99 latency. Returns (qps, [batch_secs])."""
+    def run(batch):
+        rs = (idx.search_batch(batch) if batched
+              else [idx.search(q) for q in batch])
+        for r in rs:
+            assert r.error is None, r.error
+
+    times = []
+    t_all = time.perf_counter()
+    for _ in range(n_batches):
+        warm, meas = gen_pair(batch_size)
+        run(warm)
+        t0 = time.perf_counter()
+        run(meas)
+        times.append(time.perf_counter() - t0)
+        if time.perf_counter() - t_all > budget_s:
+            break
+    qps = batch_size / float(np.median(times))
+    return qps, times
 
 
 def main():
@@ -83,12 +194,15 @@ def main():
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--vocab", type=int, default=50_000)
     ap.add_argument("--avg-len", type=int, default=100)
-    ap.add_argument("--queries", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batches", type=int, default=6)
+    ap.add_argument("--budget", type=float, default=45.0,
+                    help="per-config measurement budget, seconds")
+    ap.add_argument("--configs", default="1,2,3,4",
+                    help="comma list of BASELINE configs to run")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
-    # persistent compile cache: repeated bench runs (and degraded-tunnel
-    # days) skip recompiling the ~10 plan shapes of the workload
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -99,40 +213,51 @@ def main():
     packed = build_corpus(args.docs, args.vocab, args.avg_len)
     t_build = time.perf_counter() - t0
     idx = SearchIndex(packed)
-
     rng = np.random.RandomState(7)
-    workload = make_workload(rng, args.queries, args.vocab)
+    gen = WorkloadGen(rng, args.vocab, packed)
 
-    # warmup: compiles each plan shape once; steady state is what a serving
-    # daemon sees (it batches concurrent queries into single launches)
-    for r in idx.search_batch(workload):
-        assert r.error is None, r.error
+    wanted = {c.strip() for c in args.configs.split(",")}
+    configs = {}
+    all_times: list[float] = []
+    for cid, gen_fn, batched in (
+        ("1_single_term_bm25", gen.config1, True),
+        ("2_boolean_filters", gen.config2, True),
+        ("3_phrase_proximity", gen.config3, True),
+        ("4_facet_groupby", gen.config4, False),
+    ):
+        if cid[0] not in wanted:
+            continue
+        bs = args.batch if batched else max(args.batch // 8, 8)
+        qps, times = _run_batches(idx, gen_fn, args.batches, bs,
+                                  args.budget, batched)
+        configs[cid] = round(qps, 1)
+        all_times += times
+        if args.verbose:
+            import sys
+            print(f"# {cid}: {qps:.1f} qps over {len(times)} fresh batches "
+                  f"(batch p50 {np.percentile(times, 50)*1e3:.0f}ms)",
+                  file=sys.stderr)
 
-    # time-boxed measurement: up to 3 reps, but stop after ~60s so a
-    # degraded accelerator link still produces a (slower) number instead
-    # of blowing the harness timeout
-    reps = 0
-    t1 = time.perf_counter()
-    while reps < 3:
-        results = idx.search_batch(workload)
-        reps += 1
-        if time.perf_counter() - t1 > 60.0:
-            break
-    total = time.perf_counter() - t1
-
-    qps = reps * len(workload) / total
+    # headline: configs 1+2 blended (the round-1 comparable number)
+    head = [v for k, v in configs.items() if k[0] in "12"]
+    headline = round(float(np.mean(head)) if head
+                     else float(np.mean(list(configs.values()))), 1)
+    lat = {
+        "batch_p50_ms": round(float(np.percentile(all_times, 50)) * 1e3, 1),
+        "batch_p99_ms": round(float(np.percentile(all_times, 99)) * 1e3, 1),
+    }
     if args.verbose:
         import sys
         print(f"# build={t_build:.1f}s docs={args.docs} "
-              f"postings={packed.n_postings} "
-              f"batch={len(workload)} batch_time={total/reps*1000:.1f}ms",
-              file=sys.stderr)
+              f"postings={packed.n_postings}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "mixed_boolean_bm25_top10_qps_200k_docs",
-        "value": round(qps, 1),
+        "metric": f"mixed_boolean_bm25_top10_qps_{args.docs // 1000}k_docs",
+        "value": headline,
         "unit": "qps",
-        "vs_baseline": round(qps / VS_BASELINE_QPS, 3),
+        "vs_baseline": round(headline / VS_BASELINE_QPS, 3),
+        "configs": configs,
+        "latency_ms": lat,
     }))
 
 

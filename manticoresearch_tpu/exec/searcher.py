@@ -36,6 +36,7 @@ class SearchQuery:
     )
     idf_plain: bool = False
     tfidf_normalized: bool = True
+    expansion_limit: int = 0             # max dict terms per wildcard
     select: list[str] | None = None      # None = * (all attrs)
     cutoff: int = 0
     group_by: str | None = None          # attr name or expression
@@ -113,6 +114,7 @@ class SearchIndex:
         key = (
             q.match, q.ranker, q.max_matches, q.offset + q.limit,
             tuple(q.sort), q.idf_plain, q.tfidf_normalized, emit_factors,
+            q.expansion_limit,
             tuple(sorted(q.field_weights.items())),
             tuple((f.attr, f.kind, tuple(f.values), f.lo, f.hi, f.exclude,
                    f.lo_excl, f.hi_excl) for f in q.filters),
@@ -128,7 +130,7 @@ class SearchIndex:
             window=q.offset + q.limit,
             order=order, field_weights=q.field_weights,
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
-            emit_factors=emit_factors,
+            emit_factors=emit_factors, expansion_limit=q.expansion_limit,
         )
         if len(self._plan_cache) > 8192:
             self._plan_cache.clear()

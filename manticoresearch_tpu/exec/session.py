@@ -354,6 +354,7 @@ class Session:
                            opts.get("field_weights", {}).items()},
             sort=sort,
             idf_plain="plain" in str(opts.get("idf", "")),
+            expansion_limit=int(opts.get("expansion_limit", 0)),
             tfidf_normalized="tfidf_unnormalized" not in str(opts.get("idf", "")),
             select=[it.alias or it.expr for it in st.items],
             group_by=st.group_by,

@@ -53,7 +53,7 @@ class FactorContext:
         self.stream = stream
         self.lcs = lcs                  # [N+1, F]
         self.bm25part = bm25part        # [N+1] int
-        self.termmask = termmask        # [N+1] int
+        self.termmask = termmask        # [N+1, W] multi-word bitmask
         self.rt = rt
         self.field_lens = field_lens    # [N+1, F]
         self._cache: dict[str, jax.Array] = {}
@@ -165,7 +165,7 @@ class FactorContext:
             # unique matched keywords in doc = popcount(termmask)
             cnt = jnp.zeros(N + 1, jnp.int32)
             for s in range(S):
-                cnt = cnt + ((self.termmask >> s) & 1)
+                cnt = cnt + ((self.termmask[:, s >> 5] >> (s & 31)) & 1)
             return cnt
         if name == "lcs":
             return self.lcs

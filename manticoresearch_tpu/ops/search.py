@@ -235,8 +235,10 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
     N = n_rows
     F = n_fields
     S = sig.n_slots
-    if S > 32:
-        raise NotImplementedError("more than 32 unique query terms")
+    # term presence is a [Z, W] multi-word bitmask: slot s lives in word
+    # s>>5, bit s&31 — lifts the 32-term ceiling (wildcard expansions
+    # routinely exceed it; reference qword lists are unbounded)
+    W = max(1, (S + 31) // 32)
     sparse = sig.sparse
     B = int(sum(slot_pb)) if sparse else 0
     size = B if sparse else N + 1
@@ -273,13 +275,15 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             # sort as payloads; lax.sort is stable, so within a row segment
             # entries stay in slot order — float accumulation order matches
             # the dense path's slot-by-slot scatter-adds exactly.
-            rows_parts, con_parts, bit_parts, fm_parts = [], [], [], []
+            rows_parts, con_parts, fm_parts = [], [], []
+            bit_parts = [[] for _ in range(W)]  # per mask word
             for s in range(S):
                 row, msk, st, sz = slot_postings(s)
                 rows_parts.append(row)
                 if s in limited_set:
                     con_parts.append(jnp.zeros(sz, jnp.float32))
-                    bit_parts.append(jnp.zeros(sz, jnp.int32))
+                    for w in range(W):
+                        bit_parts[w].append(jnp.zeros(sz, jnp.int32))
                     fm_parts.append(jnp.zeros(sz, jnp.int32))
                     continue
                 if s in pos_slots:
@@ -292,7 +296,10 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 else:
                     contrib = jnp.zeros(sz, jnp.float32)
                 con_parts.append(contrib)
-                bit_parts.append(jnp.where(msk, jnp.int32(1) << s, 0))
+                for w in range(W):
+                    bit_parts[w].append(
+                        jnp.where(msk, jnp.int32(1) << (s & 31), 0)
+                        if (s >> 5) == w else jnp.zeros(sz, jnp.int32))
                 if need_fieldmask and s in pos_slots:
                     fm = jax.lax.dynamic_slice(
                         data["post_fieldmask"], (st,), (sz,))
@@ -300,10 +307,13 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 else:
                     fm_parts.append(jnp.zeros(sz, jnp.int32))
             row_all = jnp.concatenate(rows_parts)
-            srow, scon, sbit, sfm = jax.lax.sort(
+            sorted_all = jax.lax.sort(
                 (row_all, jnp.concatenate(con_parts),
-                 jnp.concatenate(bit_parts), jnp.concatenate(fm_parts)),
+                 *[jnp.concatenate(bp) for bp in bit_parts],
+                 jnp.concatenate(fm_parts)),
                 num_keys=1)
+            srow, scon = sorted_all[0], sorted_all[1]
+            sbits, sfm = sorted_all[2:2 + W], sorted_all[2 + W]
             is_head = jnp.concatenate(
                 [jnp.ones(1, bool), srow[1:] != srow[:-1]])
             seg = jnp.cumsum(is_head.astype(jnp.int32)) - 1
@@ -312,7 +322,9 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             cand_row = jnp.full(B, N, jnp.int32).at[seg].min(srow)
             tfidf = jnp.zeros(B, jnp.float32).at[seg].add(scon)
             # per (slot, doc) at most one entry -> add == OR for bit masks
-            termmask = jnp.zeros(B, jnp.int32).at[seg].add(sbit)
+            termmask = jnp.stack(
+                [jnp.zeros(B, jnp.int32).at[seg].add(sb) for sb in sbits],
+                axis=1)
             if need_fieldmask:
                 fbits = ((sfm[:, None]
                           >> jnp.arange(F, dtype=jnp.int32)[None, :]) & 1
@@ -339,7 +351,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 return r
 
             tfidf = jnp.zeros(N + 1, jnp.float32)
-            termmask = jnp.zeros(N + 1, jnp.int32)
+            termmask = jnp.zeros((N + 1, W), jnp.int32)
             fieldhit = (jnp.zeros((N + 1, F), jnp.int32) if need_fieldmask
                         else None)
             for s in range(S):
@@ -357,8 +369,8 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     # weights by 1 near ties
                     contrib = jax.lax.optimization_barrier(contrib)
                     tfidf = tfidf.at[row].add(contrib)
-                termmask = termmask.at[row].add(
-                    jnp.where(msk, jnp.int32(1) << s, 0))
+                termmask = termmask.at[row, s >> 5].add(
+                    jnp.where(msk, jnp.int32(1) << (s & 31), 0))
                 if need_fieldmask and s in pos_slots:
                     fm = jax.lax.dynamic_slice(
                         data["post_fieldmask"], (st,), (sz,))
@@ -425,7 +437,9 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     tf_lim.astype(jnp.float32) + jnp.float32(1.2))
                 tfidf = tfidf + jnp.where(
                     present, tfq_lim * rt["idf"][s] * rt["mult"][s], 0.0)
-            termmask = termmask | jnp.where(present, jnp.int32(1) << s, 0)
+            termmask = termmask.at[:, s >> 5].set(
+                termmask[:, s >> 5]
+                | jnp.where(present, jnp.int32(1) << (s & 31), 0))
             if need_fieldmask:
                 # per-field any-allowed-hit (1D scatter-max per field)
                 fbits = jnp.stack(
@@ -771,10 +785,11 @@ def build_kernel(sig: PlanSig, n_rows: int, n_fields: int,
 def _eval_expr(expr: tuple, termmask, phrase_results, alive, size):
     """Bottom-up boolean evaluation on presence masks (dense rows or sparse
     candidates) — replaces the ExtNode streaming zipper tree
-    (searchnode.cpp:147-900)."""
+    (searchnode.cpp:147-900). termmask is [Z, W] (multi-word bitmask)."""
     op = expr[0]
     if op == "term":
-        return ((termmask >> expr[1]) & 1).astype(bool)
+        s = expr[1]
+        return ((termmask[:, s >> 5] >> (s & 31)) & 1).astype(bool)
     if op == "all":
         return jnp.ones(size, dtype=bool)
     if op == "and":
@@ -793,9 +808,9 @@ def _eval_expr(expr: tuple, termmask, phrase_results, alive, size):
         return left & ~right
     if op == "quorum":
         slots_t, m_need = expr[1], expr[2]
-        cnt = jnp.zeros_like(termmask)
+        cnt = jnp.zeros(termmask.shape[0], termmask.dtype)
         for s in slots_t:
-            cnt = cnt + ((termmask >> s) & 1)
+            cnt = cnt + ((termmask[:, s >> 5] >> (s & 31)) & 1)
         return cnt >= m_need
     if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
         return phrase_results[expr][0]

@@ -315,9 +315,11 @@ def plan_query(
     total_docs_override: int | None = None,
     local_df: dict[str, int] | None = None,
     emit_factors: bool = False,
+    expansion_limit: int = 0,
 ) -> CompiledQuery:
     node = simplify(ast_root)
-    node = expand_wildcards(node, index.term_strs) if node is not None else None
+    node = (expand_wildcards(node, index.term_strs, expansion_limit)
+            if node is not None else None)
     if node is None:
         node = QAll()
 
@@ -331,10 +333,13 @@ def plan_query(
     st = _SlotTable(all_mask, mask_of)
     expr = _lower(node, st, True)
     S = len(st.terms)
-    if S > 32:
+    if S > 127:
+        # the ranker hit stream packs the slot id into 7 bits
+        # (ops/search.py payload layout); the reference's analogous guard
+        # is expansion_limit on wildcard blow-ups (sphinx.cpp:15021)
         raise NotImplementedError(
-            f"{S} unique query terms; fast path supports 32 (multi-word "
-            "presence planes land later)")
+            f"{S} unique query terms; maximum is 127 — set expansion_limit "
+            "to bound wildcard expansion")
 
     total_docs = total_docs_override if total_docs_override is not None \
         else index.n_docs

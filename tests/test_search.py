@@ -274,3 +274,50 @@ class TestFieldStartEnd:
         assert sorted(m.docid for m in r.matches) == [1, 2, 3, 4]
         r = index.search(SearchQuery(match="@title ^this"))
         assert r.matches == []
+
+
+class TestManyTerms:
+    """>32 unique terms: multi-word termmask planes (slot s -> word s>>5)."""
+
+    @pytest.fixture(scope="class")
+    def bigindex(self):
+        schema = Schema(fields=["content"],
+                        attrs=[AttrDef("gid", AttrType.UINT)])
+        b = IndexBuilder(schema)
+        docs = []
+        for d in range(50):
+            # doc d contains words w{d} and w{d+1} .. plus shared "common"
+            words = [f"w{d:03d}", f"w{(d + 1) % 50:03d}", "common"]
+            docs.append(dict(id=d + 1, gid=d % 4, content=" ".join(words)))
+        b.add_documents(docs)
+        return SearchIndex(b.build())
+
+    def test_or_over_40_terms(self, bigindex):
+        q = " | ".join(f"w{i:03d}" for i in range(40))
+        r = bigindex.search(SearchQuery(match=q, limit=60, ranker="none"))
+        assert r.error is None
+        # doc d holds w{d}, w{(d+1)%50}: matches for d in 0..39, plus
+        # d=49 whose second word wraps to w000
+        want = set(range(1, 41)) | {50}
+        assert {m.docid for m in r.matches} == want
+
+    def test_wildcard_expansion_over_32(self, bigindex):
+        r = bigindex.search(SearchQuery(match="w0*", limit=60,
+                                        ranker="none"))
+        assert r.error is None
+        # w000..w049 all start with w0 -> every doc matches
+        assert len(r.matches) == 50
+
+    def test_expansion_limit(self, bigindex):
+        r = bigindex.search(SearchQuery(match="w0*", limit=60, ranker="none",
+                                        expansion_limit=2))
+        assert r.error is None
+        # only w000, w001 expanded -> docs 1, 2, 50 (w000) and 1,2 (w001)
+        assert {m.docid for m in r.matches} == {1, 2, 50}
+
+    def test_quorum_and_bm25_over_32(self, bigindex):
+        q = '"%s"/2' % " ".join(f"w{i:03d}" for i in range(40))
+        r = bigindex.search(SearchQuery(match=q, limit=60))
+        assert r.error is None
+        # quorum >= 2: docs whose BOTH words are in w000..w039 -> d=0..38
+        assert {m.docid for m in r.matches} == set(range(1, 40))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 import re
+import time
 
 import jax.numpy as jnp
 
@@ -38,11 +39,23 @@ _TOK = re.compile(r"""
 """, re.VERBOSE)
 
 _FUNCS_1 = {"ABS", "CEIL", "FLOOR", "SIN", "COS", "LN", "LOG2", "LOG10",
-            "EXP", "SQRT", "BIGINT", "SINT", "INTEGER", "DOUBLE", "UINT"}
+            "EXP", "SQRT", "BIGINT", "SINT", "INTEGER", "DOUBLE", "UINT",
+            "CRC32", "FIBONACCI", "DAY", "MONTH", "YEAR", "YEARMONTH",
+            "YEARMONTHDAY", "HOUR", "MINUTE", "SECOND", "LENGTH",
+            "TO_STRING"}
 _FUNCS_N = {"MIN", "MAX", "POW", "IDIV", "IF", "IN", "INTERVAL", "GEODIST",
             "BITDOT", "MADD", "MUL3", "SUM", "TOP", "BM25A", "BM25F",
-            "MAX_WINDOW_HITS"}
+            "MAX_WINDOW_HITS",
+            # sphinxexpr.cpp:3548-3631 tail (round-2 breadth)
+            "NOW", "ATAN2", "RAND", "REMAP", "EXIST", "CONCAT", "LEAST",
+            "GREATEST", "SUBSTRING_INDEX", "REGEX", "LEVENSHTEIN",
+            "POLY2D", "GEOPOLY2D", "CONTAINS", "TIMEDIFF", "CURTIME",
+            "UTC_TIME", "UTC_TIMESTAMP", "CURRENT_USER", "CONNECTION_ID",
+            "LAST_INSERT_ID", "ALL", "ANY", "INDEXOF", "QUERY",
+            "MIN_TOP_WEIGHT", "MIN_TOP_SORTVAL"}
 KNOWN_FUNCS = _FUNCS_1 | _FUNCS_N
+# FOR-iterator heads: ANY(x > 3 FOR x IN j.arr) (Expr_JsonFieldAggr)
+_ITER_FUNCS = {"ALL", "ANY", "INDEXOF"}
 
 
 def tokenize(s: str) -> list[tuple[str, str]]:
@@ -124,6 +137,18 @@ class ExprParser:
             self.next()
             hi = self.parse_add()
             return ("and", ("cmp_ge", left, lo), ("cmp_le", left, hi))
+        if k == "name" and v.upper() == "IS":
+            # IS [NOT] NULL (TOKH_IS/TOKH_NULL; JSON fields only)
+            self.next()
+            neg = False
+            if self.peek()[0] == "name" and self.peek()[1].upper() == "NOT":
+                self.next()
+                neg = True
+            nk, nv = self.next()
+            if nk != "name" or nv.upper() != "NULL":
+                raise ExprError("expected NULL after IS")
+            t = ("isnull", left)
+            return ("not", t) if neg else t
         return left
 
     def parse_add(self):
@@ -183,12 +208,39 @@ class ExprParser:
             return ("fieldmap", tuple(pairs))
         if k == "op" and v == "(":
             e = self.parse_or()
+            if self.peek() == ("op", ","):
+                # (a, b, ...) tuple literal (REMAP value lists)
+                items = [e]
+                while self.peek() == ("op", ","):
+                    self.next()
+                    items.append(self.parse_or())
+                self.expect(")")
+                return ("tuple", tuple(items))
             self.expect(")")
             return e
         if k == "name":
             up = v.upper()
             if self.peek() == ("op", "("):
                 self.next()
+                if up in _ITER_FUNCS and self.peek() != ("op", ")"):
+                    # ALL/ANY/INDEXOF(body FOR var IN container)
+                    # (ExprParser FOR-iterator, sphinxexpr.cpp TOKH_FOR)
+                    save = self.i
+                    body = self.parse_or()
+                    if (self.peek()[0] == "name"
+                            and self.peek()[1].upper() == "FOR"):
+                        self.next()
+                        vk, var = self.next()
+                        if vk != "name":
+                            raise ExprError("expected variable after FOR")
+                        if not (self.peek()[0] == "name"
+                                and self.peek()[1].upper() == "IN"):
+                            raise ExprError("expected IN in FOR iterator")
+                        self.next()
+                        cont = self.parse_or()
+                        self.expect(")")
+                        return ("foriter", up, var, body, cont)
+                    self.i = save  # plain arg list (e.g. ANY(mva_attr))
                 args = []
                 if self.peek() != ("op", ")"):
                     args.append(self.parse_or())
@@ -221,8 +273,11 @@ def expr_attrs(tree: tuple) -> set[str]:
     op = tree[0]
     if op == "attr":
         return {tree[1]}
-    if op in ("num", "weight", "id"):
+    if op in ("num", "weight", "id", "str"):
         return set()
+    if op == "foriter":
+        # the loop variable is bound, not an attribute
+        return ((expr_attrs(tree[3]) - {tree[2]}) | expr_attrs(tree[4]))
     if op == "call":
         out: set[str] = set()
         for a in tree[2]:
@@ -239,6 +294,11 @@ def eval_expr(tree: tuple, attrs: dict, weight=None, doc_ids=None):
     """Evaluate on device: returns a jnp array broadcast over rows [N+1] (or
     a scalar for constant expressions)."""
     op = tree[0]
+    if op == "tuple":
+        return tuple(eval_expr(t, attrs, weight, doc_ids) for t in tree[1])
+    if op in ("isnull", "foriter", "str"):
+        raise ExprError(
+            f"{op} expressions run host-side only (final-stage calc)")
     if op == "num":
         v = tree[1]
         if float(v).is_integer() and abs(v) < 2**31:
@@ -357,6 +417,68 @@ def _call(name: str, vals, raw_args):
         return vals[0] * vals[1] + vals[2]
     if name == "MUL3":
         return vals[0] * vals[1] * vals[2]
+    if name == "ATAN2":
+        return jnp.arctan2(vals[0].astype(jnp.float32),
+                           vals[1].astype(jnp.float32))
+    if name == "REMAP":
+        cond, out = vals[0], vals[1]
+        for c, t in zip(vals[2], vals[3]):
+            out = jnp.where(cond == c, t, out)
+        return out
+    if name == "FIBONACCI":
+        # fast-doubling unrolled over 32 bits (value-independent control
+        # flow so the whole thing stays jittable); wraps at uint32 like
+        # the reference's unsigned arithmetic
+        n = vals[0].astype(jnp.uint32)
+        a = jnp.zeros_like(n)   # F(k)
+        b = jnp.ones_like(n)    # F(k+1)
+        for i in reversed(range(32)):
+            c = a * ((b << 1) - a)          # F(2k)
+            d = a * a + b * b               # F(2k+1)
+            bit = (n >> i) & 1
+            a = jnp.where(bit == 1, d, c)
+            b = jnp.where(bit == 1, c + d, d)
+        return a.astype(jnp.int32)
+    if name in ("DAY", "MONTH", "YEAR", "YEARMONTH", "YEARMONTHDAY",
+                "HOUR", "MINUTE", "SECOND"):
+        # civil-from-days (Hinnant algorithm) with the process-local UTC
+        # offset folded in at trace time (reference uses localtime_r,
+        # sphinxexpr.cpp:3410; DST transitions inside the corpus epoch
+        # range shift by the one constant offset — documented divergence)
+        ts = vals[0].astype(jnp.int32) - jnp.int32(time.timezone)
+        days = ts // 86400
+        secs = (ts % 86400).astype(jnp.int32)
+        if name == "HOUR":
+            return secs // 3600
+        if name == "MINUTE":
+            return secs % 3600 // 60
+        if name == "SECOND":
+            return secs % 60
+        z = days + 719468
+        era = z // 146097
+        doe = (z - era * 146097).astype(jnp.int32)
+        yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+        y = (yoe + era * 400).astype(jnp.int32)
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        d = doy - (153 * mp + 2) // 5 + 1
+        m = jnp.where(mp < 10, mp + 3, mp - 9)
+        y = y + (m <= 2)
+        if name == "DAY":
+            return d
+        if name == "MONTH":
+            return m
+        if name == "YEAR":
+            return y
+        if name == "YEARMONTH":
+            return y * 100 + m
+        return y * 10000 + m * 100 + d
+    if name in ("LEAST", "GREATEST"):
+        f = jnp.minimum if name == "LEAST" else jnp.maximum
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = f(acc, v)
+        return acc
     raise ExprError(f"unimplemented function {name}()")
 
 
@@ -367,6 +489,30 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
     op = tree[0]
     if op == "str":
         return tree[1]
+    if op == "tuple":
+        return tuple(eval_expr_host(t, row, weight, docid)
+                     for t in tree[1])
+    if op == "isnull":
+        return int(eval_expr_host(tree[1], row, weight, docid) is None)
+    if op == "foriter":
+        # ALL/ANY/INDEXOF(body FOR var IN container) over a JSON array
+        # or MVA list (Expr_JsonFieldAggr semantics)
+        kind, var, body, cont = tree[1], tree[2], tree[3], tree[4]
+        seq = eval_expr_host(cont, row, weight, docid)
+        if seq is None:
+            seq = []
+        if not isinstance(seq, (list, tuple)):
+            seq = [seq]
+        results = (eval_expr_host(body, {**row, var: el}, weight, docid)
+                   for el in seq)
+        if kind == "ALL":
+            return int(all(bool(r) for r in results))
+        if kind == "ANY":
+            return int(any(bool(r) for r in results))
+        for i, r in enumerate(results):   # INDEXOF: first hit or -1
+            if r:
+                return i
+        return -1
     if op == "num":
         v = tree[1]
         return int(v) if float(v).is_integer() else v
@@ -400,6 +546,16 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
               "cmp_eq", "cmp_ne", "cmp_lt", "cmp_le", "cmp_gt", "cmp_ge"):
         a = eval_expr_host(tree[1], row, weight, docid)
         b = eval_expr_host(tree[2], row, weight, docid)
+        if a is None:
+            a = 0   # JSON null coerces to 0 in numeric context
+        if b is None:
+            b = 0
+        if isinstance(a, str) != isinstance(b, str):
+            # mixed string/number comparison: numeric if both parse
+            try:
+                a, b = float(a), float(b)
+            except (TypeError, ValueError):
+                a, b = str(a), str(b)
         if op == "add":
             return a + b
         if op == "sub":
@@ -423,6 +579,13 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
         return int(t[op](a, b))
     if op == "call":
         name, args = tree[1], tree[2]
+        if name == "EXIST":
+            # EXIST('attr', default): by-name lookup with a fallback for
+            # schema-less multi-index unions (Expr_GetInt_c wrapper)
+            key = args[0][1] if args[0][0] in ("str", "attr") else None
+            if key is not None and key in row and row[key] is not None:
+                return row[key]
+            return eval_expr_host(args[1], row, weight, docid)
         vals = [eval_expr_host(a, row, weight, docid) for a in args]
         return _call_host(name, vals)
     raise ExprError(f"bad expr node {op!r}")
@@ -473,11 +636,157 @@ def _call_host(name: str, vals):
         return vals[0] * vals[1] + vals[2]
     if name == "MUL3":
         return vals[0] * vals[1] * vals[2]
+    if name == "ATAN2":
+        return math.atan2(float(vals[0]), float(vals[1]))
+    if name == "CRC32":
+        import zlib
+        return zlib.crc32(str(vals[0]).encode("utf-8"))
+    if name == "FIBONACCI":
+        n = max(0, int(vals[0]))
+        a, b = 0, 1
+        for _ in range(n):
+            a, b = b, (a + b) & 0xFFFFFFFF   # reference wraps at uint32
+        return a
+    if name in ("DAY", "MONTH", "YEAR", "YEARMONTH", "YEARMONTHDAY",
+                "HOUR", "MINUTE", "SECOND"):
+        # localtime split like DECLARE_TIMESTAMP (sphinxexpr.cpp:3410-3430)
+        s = time.localtime(int(vals[0]))
+        return {"DAY": s.tm_mday, "MONTH": s.tm_mon, "YEAR": s.tm_year,
+                "YEARMONTH": s.tm_year * 100 + s.tm_mon,
+                "YEARMONTHDAY": (s.tm_year * 10000 + s.tm_mon * 100
+                                 + s.tm_mday),
+                "HOUR": s.tm_hour, "MINUTE": s.tm_min,
+                "SECOND": s.tm_sec}[name]
+    if name == "NOW":
+        return int(time.time())
+    if name == "CURTIME":
+        return time.strftime("%H:%M:%S", time.localtime())
+    if name == "UTC_TIME":
+        return time.strftime("%H:%M:%S", time.gmtime())
+    if name == "UTC_TIMESTAMP":
+        return time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    if name == "TIMEDIFF":
+        # TIMEDIFF(ts1, ts2) -> "+-H:MM:SS" like Expr_TimeDiff_c
+        d = int(vals[0]) - int(vals[1])
+        sign = "-" if d < 0 else ""
+        d = abs(d)
+        return f"{sign}{d // 3600}:{d % 3600 // 60:02d}:{d % 60:02d}"
+    if name == "RAND":
+        import random
+        if vals:
+            random.seed(int(vals[0]))
+        return random.random()
+    if name == "REMAP":
+        # REMAP(cond, target, (c1,..), (t1,..)): target remapped where
+        # cond matches a listed value (Expr_Remap_c)
+        cond, target, cs, ts = vals[0], vals[1], vals[2], vals[3]
+        for c, t in zip(cs, ts):
+            if cond == c:
+                return t
+        return target
+    if name == "EXIST":
+        return vals[0] if vals[0] is not None else vals[1]
+    if name == "CONCAT":
+        return "".join("" if v is None else str(v) for v in vals)
+    if name == "TO_STRING":
+        return "" if vals[0] is None else str(vals[0])
+    if name == "LENGTH":
+        v = vals[0]
+        if v is None:
+            return 0
+        if isinstance(v, (list, tuple)):
+            return len(v)     # MVA / JSON array element count
+        return len(str(v))
+    if name in ("LEAST", "GREATEST"):
+        # over an MVA/JSON array arg, or a plain arg list
+        pool = (list(vals[0]) if len(vals) == 1
+                and isinstance(vals[0], (list, tuple)) else list(vals))
+        pool = [v for v in pool if v is not None]
+        if not pool:
+            return None
+        return min(pool) if name == "LEAST" else max(pool)
+    if name == "SUBSTRING_INDEX":
+        # SUBSTRING_INDEX(str, delim, count) — MySQL semantics
+        s, delim, count = str(vals[0]), str(vals[1]), int(vals[2])
+        parts = s.split(delim)
+        if count > 0:
+            return delim.join(parts[:count])
+        if count < 0:
+            return delim.join(parts[count:])
+        return ""
+    if name == "REGEX":
+        # REGEX(attr, 'pattern') -> 1/0 (Expr_Regex_c over RE2)
+        try:
+            return int(bool(re.search(str(vals[1]),
+                                      "" if vals[0] is None
+                                      else str(vals[0]))))
+        except re.error as e:
+            raise ExprError(f"bad REGEX pattern: {e}")
+    if name == "LEVENSHTEIN":
+        return _levenshtein(str(vals[0]), str(vals[1]),
+                            *(vals[2:] or ()))
+    if name == "POLY2D" or name == "GEOPOLY2D":
+        # returns the polygon vertex list; GEOPOLY2D tessellates on a
+        # sphere in the reference — for CONTAINS point tests the planar
+        # winding test below matches for small polygons
+        return ("__poly__", name == "GEOPOLY2D", tuple(map(float, vals)))
+    if name == "CONTAINS":
+        poly, x, y = vals[0], float(vals[1]), float(vals[2])
+        if not (isinstance(poly, tuple) and poly and poly[0] == "__poly__"):
+            raise ExprError("CONTAINS() needs POLY2D()/GEOPOLY2D()")
+        return int(_point_in_poly(poly[2], x, y))
+    if name == "QUERY":
+        return ""       # filled by session when a MATCH() is present
+    if name == "CURRENT_USER":
+        return "root@localhost"
+    if name == "CONNECTION_ID":
+        return 0        # session overrides via row context when known
+    if name == "LAST_INSERT_ID":
+        return ""
+    if name in ("MIN_TOP_WEIGHT", "MIN_TOP_SORTVAL"):
+        return 0        # sorter watermark: 0 before the queue fills
     from ..plugins import get_udf
     udf = get_udf(name)
     if udf is not None:
         return udf(*vals)
     raise ExprError(f"unimplemented function {name}() on host")
+
+
+def _levenshtein(a: str, b: str, *opts):
+    """Plain Levenshtein distance (Expr_Levenshtein_c; option arg selects
+    normalized output in the reference JSON API — here: 3rd arg truthy ->
+    1 - dist/max_len)."""
+    if a == b:
+        dist = 0
+    else:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        dist = prev[-1]
+    if opts and opts[0]:
+        m = max(len(a), len(b))
+        return 1.0 - (dist / m if m else 0.0)
+    return dist
+
+
+def _point_in_poly(flat: tuple, x: float, y: float) -> bool:
+    """Even-odd rule over (x1,y1,x2,y2,...) vertices (GeoDistance
+    Contains(), sphinxexpr.cpp Expr_Contains_c)."""
+    n = len(flat) // 2
+    inside = False
+    j = n - 1
+    for i in range(n):
+        xi, yi = flat[2 * i], flat[2 * i + 1]
+        xj, yj = flat[2 * j], flat[2 * j + 1]
+        if (yi > y) != (yj > y) and \
+                x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+            inside = not inside
+        j = i
+    return inside
 
 
 def infer_is_float(tree: tuple, schema) -> bool:
@@ -494,10 +803,13 @@ def infer_is_float(tree: tuple, schema) -> bool:
         return True
     if op == "call":
         if tree[1] in ("DOUBLE", "SIN", "COS", "LN", "LOG2", "LOG10", "EXP",
-                       "SQRT", "POW", "GEODIST", "BITDOT"):
+                       "SQRT", "POW", "GEODIST", "BITDOT", "ATAN2", "RAND"):
             return True
         if tree[1] in ("BIGINT", "SINT", "INTEGER", "UINT", "CEIL", "FLOOR",
-                       "IDIV", "IN", "INTERVAL"):
+                       "IDIV", "IN", "INTERVAL", "CRC32", "FIBONACCI",
+                       "DAY", "MONTH", "YEAR", "YEARMONTH", "YEARMONTHDAY",
+                       "HOUR", "MINUTE", "SECOND", "LENGTH", "REGEX",
+                       "INDEXOF", "ALL", "ANY"):
             return False
         return any(infer_is_float(a, schema) for a in tree[2])
     return any(infer_is_float(c, schema) for c in tree[1:]

@@ -95,6 +95,12 @@ def _parse_tokenizer(sec: dict) -> TokenizerSettings:
         html_index_attrs=str(sec.get("html_index_attrs", "")),
         index_zones=tuple(sec.get("index_zones", [])),
         index_sp=bool(sec.get("index_sp", False)),
+        synonyms=tuple(sec.get("exceptions", sec.get("synonyms", []))),
+        blend_chars=sec.get("blend_chars", ""),
+        blend_mode=sec.get("blend_mode", ""),
+        phrase_boundary=sec.get("phrase_boundary", ""),
+        phrase_boundary_step=int(sec.get("phrase_boundary_step", 0)),
+        regexp_filter=tuple(sec.get("regexp_filter", [])),
     )
 
 
@@ -139,6 +145,16 @@ def settings_from_sql_options(options: dict[str, str]
         html_remove_elements=_list("html_remove_elements"),
         html_index_attrs=o.get("html_index_attrs", ""),
         index_zones=_list("index_zones"),
+        # exceptions/regexp_filter entries are ';'-separated in SQL
+        # options since entries carry spaces and '=>' themselves
+        synonyms=tuple(e.strip() for e in str(
+            o.get("exceptions", "")).split(";") if e.strip()),
+        blend_chars=o.get("blend_chars", ""),
+        blend_mode=o.get("blend_mode", ""),
+        phrase_boundary=o.get("phrase_boundary", ""),
+        phrase_boundary_step=_i("phrase_boundary_step", 0),
+        regexp_filter=tuple(e.strip() for e in str(
+            o.get("regexp_filter", "")).split(";") if e.strip()),
     )
     wordforms = []
     for pair in str(o.get("wordforms", "")).split(","):

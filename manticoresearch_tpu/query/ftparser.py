@@ -108,7 +108,16 @@ class FtQueryParser:
 
     def _terms_of(self, word: str, exact: bool) -> list[str]:
         """Tokenize a raw query word chunk into index terms."""
-        raw_tokens = self.tokenizer.tokenize_terms(word)
+        toks = self.tokenizer.tokenize(word)
+        # blended chunk ("m&m"): the whole token covers the chunk and
+        # shares the first sub-token's position — query side searches the
+        # most specific (whole) form, like the reference's query-time
+        # blended handling
+        if (len(toks) > 1 and toks[0].position == toks[1].position
+                and toks[0].start <= toks[1].start
+                and toks[0].end >= toks[-1].end):
+            toks = [toks[0]]
+        raw_tokens = [t.text for t in toks]
         out = []
         for t in raw_tokens:
             term = self.dictionary.process_query_term(t, exact=exact)

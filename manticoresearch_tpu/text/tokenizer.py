@@ -35,6 +35,14 @@ class TokenizerSettings:
     html_remove_elements: tuple = ()     # e.g. ("style", "script")
     html_index_attrs: str = ""           # e.g. "img=alt,title; a=title"
     index_zones: tuple = ()              # zone tag names (ZONE operator)
+    # round-2 feature tail (sphinx.cpp:2671-4875 tokenizer options)
+    synonyms: tuple = ()        # exceptions: ("AT & T => AT&T", ...) or pairs
+    blend_chars: str = ""       # charset spec of dual word/separator chars
+    blend_mode: str = ""        # comma list: trim_none/head/tail/both,
+    #                             skip_pure ("" = trim_none)
+    phrase_boundary: str = ""   # charset spec of boundary chars
+    phrase_boundary_step: int = 0
+    regexp_filter: tuple = ()   # ("pattern => replacement", ...)
 
     def key(self) -> tuple:
         return (
@@ -48,6 +56,12 @@ class TokenizerSettings:
             self.html_remove_elements,
             self.html_index_attrs,
             self.index_zones,
+            self.synonyms,
+            self.blend_chars,
+            self.blend_mode,
+            self.phrase_boundary,
+            self.phrase_boundary_step,
+            self.regexp_filter,
         )
 
 
@@ -80,6 +94,63 @@ class Tokenizer:
                 zn = tuple(self.settings.index_zones)
                 self._strip_z = lambda t: strip_html(t, rm, ia, zones=zn,
                                                      with_zones=True)
+        s = self.settings
+        # regexp_filter: "pattern => replacement" pre-tokenization rewrites
+        # (reference regexp filter, sphinx.h:1736; RE2 there, `re` here)
+        import re as _re
+        self._regexps = []
+        for spec in s.regexp_filter:
+            if isinstance(spec, (tuple, list)):
+                pat, repl = spec
+            else:
+                pat, _, repl = spec.partition("=>")
+            self._regexps.append((_re.compile(pat.strip()),
+                                  _re.sub(r"\\(\d)", r"\\\1", repl.strip())))
+        # exceptions ("synonyms" file): case-sensitive source spans ->
+        # destination keyword(s), matched longest-first at separator
+        # boundaries (CSphTokenizer_UTF8MF, sphinx.cpp multiforms)
+        self._exceptions = []
+        for spec in s.synonyms:
+            if isinstance(spec, (tuple, list)):
+                src, dst = spec
+            else:
+                src, _, dst = spec.partition("=>")
+            src, dst = src.strip(), dst.strip()
+            if src:
+                self._exceptions.append((src, dst))
+        self._exc_rx = None
+        if self._exceptions:
+            alts = "|".join(
+                _re.escape(src) for src, _ in
+                sorted(self._exceptions, key=lambda p: -len(p[0])))
+            self._exc_rx = _re.compile("(" + alts + ")")
+            self._exc_map = {src: dst for src, dst in self._exceptions}
+        self._blend_set = self._parse_charset_points(s.blend_chars)
+        modes = [m.strip() for m in (s.blend_mode or "").split(",")
+                 if m.strip()]
+        self._blend_trims = [m for m in modes if m.startswith("trim_")] \
+            or ["trim_none"]
+        self._blend_skip_pure = "skip_pure" in modes
+        self._boundary_set = self._parse_charset_points(s.phrase_boundary)
+        self._features_active = bool(
+            self._regexps or self._exceptions or len(self._blend_set)
+            or (len(self._boundary_set) and s.phrase_boundary_step))
+
+    @staticmethod
+    def _parse_charset_points(spec: str) -> np.ndarray:
+        if not spec:
+            return np.empty(0, np.int32)
+        pts = []
+        for r in parse_charset_spec(spec):
+            pts.extend(range(r.start, r.end + 1))
+        return np.array(sorted(set(pts)), dtype=np.int32)
+
+    @staticmethod
+    def _in_set(codes: np.ndarray, sset: np.ndarray) -> np.ndarray:
+        if len(sset) == 0:
+            return np.zeros(len(codes), dtype=bool)
+        idx = np.clip(np.searchsorted(sset, codes), 0, len(sset) - 1)
+        return sset[idx] == codes
 
     def _is_ngram(self, codes: np.ndarray) -> np.ndarray:
         if self._ngram_set is None or len(self._ngram_set) == 0:
@@ -100,24 +171,28 @@ class Tokenizer:
         """Tokenize one field; returns tokens with 1-based positions."""
         if self._strip is not None:
             text = self._strip(text)
+        if self._features_active:
+            return self._tokenize_features(text)
         if self._ngram_set is None:
             from ..native import get_native_lib
             lib = get_native_lib()
             if lib is not None:
                 return self._tokenize_native(lib, text)
+        out, _ = self._tokenize_plain(text, 0, 0)
+        return out
+
+    def _tokenize_plain(self, text: str, pos: int,
+                        off: int) -> tuple[list[Token], int]:
+        """Vectorized word-run splitter over one text segment; `pos` is the
+        running position counter, `off` the char offset of this segment in
+        the full source. Returns (tokens, new_pos)."""
         folded = self._lc.fold_str(text)
         if len(folded) == 0:
-            return []
+            return [], pos
         is_word = folded > 0
         is_ngram = self._is_ngram(folded) & is_word
 
         out: list[Token] = []
-        pos = 0
-        n = len(folded)
-        # run boundaries over the word mask, ngram chars break runs
-        # breaks[i] true => position i starts a new run
-        starts = []
-        ends = []
         prev_word = np.concatenate(([False], is_word[:-1]))
         prev_ngram = np.concatenate(([False], is_ngram[:-1]))
         run_start = is_word & (~prev_word | is_ngram | prev_ngram)
@@ -139,9 +214,165 @@ class Tokenizer:
             clipped = folded[s : s + min(length, SPH_MAX_WORD_LEN)]
             out.append(
                 Token(clipped.astype(np.uint32).tobytes().decode("utf-32-le"),
-                      pos, s, e + 1)
+                      pos, off + s, off + e + 1)
             )
+        return out, pos
+
+    # ------------------------------------------------------------------
+    # feature path: regexp_filter -> exceptions -> blend/boundary splitter
+    # ------------------------------------------------------------------
+    def _tokenize_features(self, text: str) -> list[Token]:
+        for rx, repl in self._regexps:
+            text = rx.sub(repl, text)
+        segments = self._split_exceptions(text)
+        out: list[Token] = []
+        pos = 0
+        for kind, payload, span in segments:
+            if kind == "exc":
+                # destination keyword(s), indexed verbatim (no charset
+                # fold — exceptions may carry special chars like AT&T)
+                for word in payload.split():
+                    pos += 1
+                    out.append(Token(word.lower(), pos, span[0], span[1]))
+            else:
+                toks, pos = self._tokenize_blend(payload, pos, span[0])
+                out.extend(toks)
         return out
+
+    def _split_exceptions(self, text: str):
+        """Split text into ("exc", dest, span) and ("plain", text, span)
+        pieces. Matches are case-sensitive, longest-first, and must sit at
+        separator boundaries (neighbor folds to 0)."""
+        if self._exc_rx is None:
+            return [("plain", text, (0, len(text)))]
+        segs = []
+        last = 0
+        for m in self._exc_rx.finditer(text):
+            a, b = m.span()
+            before = text[a - 1] if a > 0 else None
+            after = text[b] if b < len(text) else None
+            if (before is not None
+                    and int(self._lc.fold_str(before)[0]) > 0) or \
+               (after is not None
+                    and int(self._lc.fold_str(after)[0]) > 0):
+                continue  # not token-bounded
+            if a > last:
+                segs.append(("plain", text[last:a], (last, a)))
+            segs.append(("exc", self._exc_map[m.group(1)], (a, b)))
+            last = b
+        if last < len(text):
+            segs.append(("plain", text[last:], (last, len(text))))
+        return segs
+
+    def _tokenize_blend(self, text: str, pos: int,
+                        off: int) -> tuple[list[Token], int]:
+        """Run splitter with blend_chars and phrase_boundary support.
+
+        Blended runs emit the whole token (per blend_mode trim variants)
+        at the first sub-token's position; sub-tokens advance the counter
+        (CSphTokenizerBase2 blended processing). Boundary chars bump the
+        position by phrase_boundary_step once per gap."""
+        raw = np.array([ord(c) for c in text], dtype=np.int32) \
+            if text else np.empty(0, np.int32)
+        folded = self._lc.fold_str(text)
+        if len(folded) == 0:
+            return [], pos
+        is_blend = self._in_set(raw, self._blend_set)
+        is_bound = self._in_set(raw, self._boundary_set)
+        is_word = folded > 0
+        eff = np.where(is_word, folded, np.where(is_blend, raw, 0))
+        is_word2 = eff > 0
+        is_ngram = self._is_ngram(folded) & is_word
+
+        prev_word = np.concatenate(([False], is_word2[:-1]))
+        prev_ngram = np.concatenate(([False], is_ngram[:-1]))
+        run_start = is_word2 & (~prev_word | is_ngram | prev_ngram)
+        next_word = np.concatenate((is_word2[1:], [False]))
+        next_ngram = np.concatenate((is_ngram[1:], [False]))
+        run_end = is_word2 & (~next_word | is_ngram | next_ngram)
+        starts = np.flatnonzero(run_start).tolist()
+        ends = np.flatnonzero(run_end).tolist()
+        bound_idx = np.flatnonzero(is_bound).tolist()
+
+        min_len = self.settings.min_word_len
+        ov = self.settings.overshort_step
+        step = self.settings.phrase_boundary_step
+        out: list[Token] = []
+        bi = 0
+
+        def txt(arr):
+            return arr.astype(np.uint32).tobytes().decode("utf-32-le")
+
+        prev_end = -1
+        for s, e in zip(starts, ends):
+            # boundary chars between the previous token and this one bump
+            # the position once (m_bBoundary, CSphTokenizerBase)
+            if step and bound_idx:
+                while bi < len(bound_idx) and bound_idx[bi] < s:
+                    bi += 1
+                if bi > 0 and bound_idx[bi - 1] > prev_end:
+                    pos += step
+            prev_end = e
+            run_blend = is_blend[s:e + 1] & ~is_word[s:e + 1]
+            if not run_blend.any():
+                length = e - s + 1
+                if length < min_len:
+                    pos += ov
+                    continue
+                pos += 1
+                clipped = eff[s:s + min(length, SPH_MAX_WORD_LEN)]
+                out.append(Token(txt(clipped), pos, off + s, off + e + 1))
+                continue
+            # ---- blended run ----
+            codes = eff[s:e + 1]
+            pure = bool(run_blend.all())
+            if pure and self._blend_skip_pure:
+                continue
+            first_pos = pos + 1
+            # whole-token variants per blend_mode (dedup, emission order
+            # trim_none first like the reference)
+            seen = set()
+            for mode in self._blend_trims:
+                a, b = 0, len(codes)
+                if mode in ("trim_head", "trim_both"):
+                    while a < b and run_blend[a]:
+                        a += 1
+                if mode in ("trim_tail", "trim_both"):
+                    while b > a and run_blend[b - 1]:
+                        b -= 1
+                if b <= a:
+                    continue
+                whole = txt(codes[a:a + min(b - a, SPH_MAX_WORD_LEN)])
+                if whole not in seen:
+                    seen.add(whole)
+                    out.append(Token(whole, first_pos, off + s + a,
+                                     off + s + b))
+            # sub-tokens: split on blend positions, sequential positions
+            # starting at first_pos; a sub identical to a whole-token
+            # variant at the same position is not re-emitted
+            sub_start = None
+            emitted = 0
+            for i in range(len(codes) + 1):
+                at_blend = i >= len(codes) or run_blend[i]
+                if not at_blend and sub_start is None:
+                    sub_start = i
+                elif at_blend and sub_start is not None:
+                    ln = i - sub_start
+                    if ln >= min_len:
+                        pos += 1
+                        emitted += 1
+                        sub = codes[sub_start:sub_start
+                                    + min(ln, SPH_MAX_WORD_LEN)]
+                        st = txt(sub)
+                        if not (pos == first_pos and st in seen):
+                            out.append(Token(st, pos, off + s + sub_start,
+                                             off + s + i))
+                    else:
+                        pos += ov
+                    sub_start = None
+            if emitted == 0 and seen:
+                pos += 1  # whole-token variants claimed first_pos
+        return out, pos
 
     def tokenize_with_zones(self, text: str):
         """Tokenize + zone spans: returns (tokens, [(zone, open_char_off,
@@ -215,7 +446,7 @@ class Tokenizer:
         """Builder fast path: returns (terms list[str], positions list[int])
         without Token objects. Falls back to tokenize() when native code or
         plain settings are unavailable."""
-        if self._ngram_set is None:
+        if self._ngram_set is None and not self._features_active:
             from ..native import get_native_lib
             lib = get_native_lib()
             if lib is not None:

@@ -266,3 +266,106 @@ class TestHtmlStrip:
         assert [m.docid for m in r.matches] == [1]
         r = idx.search(SearchQuery(match='"apple pie"'))
         assert [m.docid for m in r.matches] == [1]
+
+
+class TestTokenizerFeatures:
+    """Round-2 tokenizer tail: exceptions, blend_chars, phrase_boundary,
+    regexp_filter (sphinx.cpp:2671-4875)."""
+
+    def test_regexp_filter(self):
+        from manticoresearch_tpu.text.tokenizer import (Tokenizer,
+                                                        TokenizerSettings)
+        t = Tokenizer(TokenizerSettings(
+            regexp_filter=(r"(\d+)\s*[Gg][Bb] => \1gb",)))
+        assert [tk.text for tk in t.tokenize("8 GB ram")] == ["8gb", "ram"]
+
+    def test_exceptions_single(self):
+        from manticoresearch_tpu.text.tokenizer import (Tokenizer,
+                                                        TokenizerSettings)
+        t = Tokenizer(TokenizerSettings(synonyms=("AT & T => AT&T",)))
+        toks = t.tokenize("call AT & T now")
+        assert [(tk.text, tk.position) for tk in toks] == \
+            [("call", 1), ("at&t", 2), ("now", 3)]
+
+    def test_exceptions_case_and_boundary(self):
+        from manticoresearch_tpu.text.tokenizer import (Tokenizer,
+                                                        TokenizerSettings)
+        t = Tokenizer(TokenizerSettings(synonyms=("C++ => cplusplus",)))
+        assert [tk.text for tk in t.tokenize("I like C++ a lot")] == \
+            ["i", "like", "cplusplus", "a", "lot"]
+        # case-sensitive source: "c++" does not match
+        assert [tk.text for tk in t.tokenize("i like c++")] == \
+            ["i", "like", "c"]
+
+    def test_exception_not_inside_word(self):
+        from manticoresearch_tpu.text.tokenizer import (Tokenizer,
+                                                        TokenizerSettings)
+        t = Tokenizer(TokenizerSettings(synonyms=("US => usa",)))
+        assert [tk.text for tk in t.tokenize("US bonds")] == ["usa", "bonds"]
+        # 'US' inside 'BUST' must not match
+        assert [tk.text for tk in t.tokenize("BUST it")] == ["bust", "it"]
+
+    def test_blend_chars(self):
+        from manticoresearch_tpu.text.tokenizer import (Tokenizer,
+                                                        TokenizerSettings)
+        t = Tokenizer(TokenizerSettings(blend_chars="@, &"))
+        toks = t.tokenize("email @twitter today")
+        # whole blended token and first sub-token share a position
+        assert [(tk.text, tk.position) for tk in toks] == \
+            [("email", 1), ("@twitter", 2), ("twitter", 2), ("today", 3)]
+        toks2 = t.tokenize("m&m rocks")
+        assert [(tk.text, tk.position) for tk in toks2] == \
+            [("m&m", 1), ("m", 1), ("m", 2), ("rocks", 3)]
+
+    def test_blend_mode_trims(self):
+        from manticoresearch_tpu.text.tokenizer import (Tokenizer,
+                                                        TokenizerSettings)
+        t = Tokenizer(TokenizerSettings(
+            blend_chars="@", blend_mode="trim_none, trim_head"))
+        toks = t.tokenize("@user")
+        assert [(tk.text, tk.position) for tk in toks] == \
+            [("@user", 1), ("user", 1)]
+
+    def test_phrase_boundary(self):
+        from manticoresearch_tpu.text.tokenizer import (Tokenizer,
+                                                        TokenizerSettings)
+        t = Tokenizer(TokenizerSettings(
+            phrase_boundary="., ?, !", phrase_boundary_step=10))
+        toks = t.tokenize("one two. three")
+        assert [(tk.text, tk.position) for tk in toks] == \
+            [("one", 1), ("two", 2), ("three", 13)]
+
+    def test_phrase_boundary_breaks_phrase_match(self):
+        from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        from manticoresearch_tpu.text.tokenizer import TokenizerSettings
+        schema = Schema(fields=["content"], attrs=[])
+        b = IndexBuilder(schema, tokenizer_settings=TokenizerSettings(
+            phrase_boundary=".", phrase_boundary_step=100))
+        b.add_documents([
+            dict(id=1, content="hello world again"),
+            dict(id=2, content="hello. world again"),
+        ])
+        idx = SearchIndex(b.build())
+        r = idx.search(SearchQuery(match='"hello world"'))
+        assert [m.docid for m in r.matches] == [1]
+
+    def test_blend_search_end_to_end(self):
+        from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        from manticoresearch_tpu.text.tokenizer import TokenizerSettings
+        schema = Schema(fields=["content"], attrs=[])
+        ts = TokenizerSettings(blend_chars="&")
+        b = IndexBuilder(schema, tokenizer_settings=ts)
+        b.add_documents([
+            dict(id=1, content="mm candy from m&m is great"),
+            dict(id=2, content="m and m separately"),
+        ])
+        idx = SearchIndex(b.build())
+        # sub-token matches both docs, blended whole form only doc 1
+        r1 = idx.search(SearchQuery(match="m"))
+        assert {m.docid for m in r1.matches} == {1, 2}
+        r2 = idx.search(SearchQuery(match="m&m"))
+        assert [m.docid for m in r2.matches] == [1]

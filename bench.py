@@ -163,12 +163,13 @@ class WorkloadGen:
 
 
 def _run_batches(idx, gen_pair, n_batches, batch_size, budget_s,
-                 batched=True):
+                 batched=True, deadline=None):
     """For each measured batch, first run its shape-twin warmup batch
     (same plan shapes, different terms): compiles are paid outside the
     timed region and no input is ever dispatched twice. QPS uses the
     MEDIAN batch time — robust to a residual cold compile, which still
-    shows in the p99 latency. Returns (qps, [batch_secs])."""
+    shows in the p99 latency. Returns (qps, [batch_secs]); qps is None
+    when the global deadline left no room to measure anything."""
     def run(batch):
         rs = (idx.search_batch(batch) if batched
               else [idx.search(q) for q in batch])
@@ -178,6 +179,8 @@ def _run_batches(idx, gen_pair, n_batches, batch_size, budget_s,
     times = []
     t_all = time.perf_counter()
     for _ in range(n_batches):
+        if deadline is not None and time.perf_counter() > deadline:
+            break
         warm, meas = gen_pair(batch_size)
         run(warm)
         t0 = time.perf_counter()
@@ -185,6 +188,8 @@ def _run_batches(idx, gen_pair, n_batches, batch_size, budget_s,
         times.append(time.perf_counter() - t0)
         if time.perf_counter() - t_all > budget_s:
             break
+    if not times:
+        return None, []
     qps = batch_size / float(np.median(times))
     return qps, times
 
@@ -198,6 +203,10 @@ def main():
     ap.add_argument("--batches", type=int, default=6)
     ap.add_argument("--budget", type=float, default=45.0,
                     help="per-config measurement budget, seconds")
+    ap.add_argument("--deadline", type=float, default=900.0,
+                    help="global wall deadline, seconds: finish what's "
+                    "measured and emit the JSON line even on a degraded "
+                    "tunnel (0 = unbounded)")
     ap.add_argument("--configs", default="1,2,3,4",
                     help="comma list of BASELINE configs to run")
     ap.add_argument("--verbose", action="store_true")
@@ -217,6 +226,8 @@ def main():
     gen = WorkloadGen(rng, args.vocab, packed)
 
     wanted = {c.strip() for c in args.configs.split(",")}
+    deadline = (time.perf_counter() + args.deadline) if args.deadline \
+        else None
     configs = {}
     all_times: list[float] = []
     for cid, gen_fn, batched in (
@@ -227,9 +238,13 @@ def main():
     ):
         if cid[0] not in wanted:
             continue
+        if deadline is not None and time.perf_counter() > deadline:
+            break
         bs = args.batch if batched else max(args.batch // 8, 8)
         qps, times = _run_batches(idx, gen_fn, args.batches, bs,
-                                  args.budget, batched)
+                                  args.budget, batched, deadline)
+        if qps is None:
+            break
         configs[cid] = round(qps, 1)
         all_times += times
         if args.verbose:
@@ -241,11 +256,12 @@ def main():
     # headline: configs 1+2 blended (the round-1 comparable number)
     head = [v for k, v in configs.items() if k[0] in "12"]
     headline = round(float(np.mean(head)) if head
-                     else float(np.mean(list(configs.values()))), 1)
+                     else float(np.mean(list(configs.values())))
+                     if configs else 0.0, 1)
     lat = {
         "batch_p50_ms": round(float(np.percentile(all_times, 50)) * 1e3, 1),
         "batch_p99_ms": round(float(np.percentile(all_times, 99)) * 1e3, 1),
-    }
+    } if all_times else {}
     if args.verbose:
         import sys
         print(f"# build={t_build:.1f}s docs={args.docs} "

@@ -13,8 +13,8 @@ TPU redesign: a "segment" here is a PackedIndex uploaded as device arrays
 Search fans out over segments with term stats summed across them
 (the reference's qword setup also aggregates per-segment stats) and merges
 per-segment top-k host-side — same merge semantics as the distributed path.
-OPTIMIZE/merge rebuilds from retained source docs (correctness-first;
-posting-level merge is a later optimization).
+OPTIMIZE/progressive merge work at the posting level (index/merge.py) —
+no re-tokenization; source docs are retained only as the docstore.
 """
 from __future__ import annotations
 
@@ -139,24 +139,27 @@ class RtIndex:
             self._merge_segments()
 
     def _merge_segments(self) -> None:
-        """Progressive merge (MergeSegments, sphinxrt.cpp:2606): rebuild the
-        smallest half into one segment."""
+        """Progressive merge (MergeSegments, sphinxrt.cpp:2606): merge the
+        smallest half at the POSTING level — no re-tokenization; killed
+        rows are compacted away (index/merge.py)."""
         from ..exec.searcher import SearchIndex
+        from .merge import merge_packed
 
         order = sorted(range(len(self.segments)),
                        key=lambda i: self.segments[i].packed.n_docs)
         merge_idx = set(order[: len(order) // 2 + 1])
         merged_docs: dict[int, dict] = {}
+        to_merge: list[_Segment] = []
         keep: list[_Segment] = []
         for i, seg in enumerate(self.segments):
             if i in merge_idx:
                 merged_docs.update(seg.docs)
+                to_merge.append(seg)
             else:
                 keep.append(seg)
-        if merged_docs:
-            b = IndexBuilder(self.schema, self.tok_settings, self.dict_settings)
-            b.add_documents(merged_docs.values())
-            packed = b.build()
+        if to_merge:
+            packed = merge_packed([s.packed for s in to_merge],
+                                  [set(s.docs) for s in to_merge])
             keep.append(_Segment(packed, SearchIndex(packed), merged_docs))
         self.segments = keep
         self.docid_seg = {}
@@ -230,16 +233,22 @@ class RtIndex:
         self._binlog_write({"op": "truncate", "ts": time.time()})
 
     def optimize(self) -> None:
-        """OPTIMIZE INDEX: merge everything into one segment."""
+        """OPTIMIZE INDEX: posting-level merge of every segment into one
+        (no re-tokenization; sphinxrt.cpp Optimize_ -> merge path)."""
         if len(self.segments) <= 1:
             return
+        from ..exec.searcher import SearchIndex
+        from .merge import merge_packed
+
+        self.generation += 1
         all_docs: dict[int, dict] = {}
         for seg in self.segments:
             all_docs.update(seg.docs)
-        self.segments = []
-        self.docid_seg = {}
-        if all_docs:
-            self._apply_commit(all_docs, set())
+        packed = merge_packed([s.packed for s in self.segments],
+                              [set(s.docs) for s in self.segments])
+        self.segments = [_Segment(packed, SearchIndex(packed), all_docs)] \
+            if all_docs else []
+        self.docid_seg = {d: 0 for d in all_docs}
 
     # -- update -------------------------------------------------------------
     def update_attrs(self, docids: list[int], values: dict[str, Any]) -> int:

@@ -176,3 +176,123 @@ class TestPackedStorage:
             r2 = idx2.search(SearchQuery(match=match))
             assert [(m.docid, m.weight) for m in r1.matches] == \
                    [(m.docid, m.weight) for m in r2.matches]
+
+
+class TestPostingMerge:
+    """OPTIMIZE/progressive merge run at the posting level (index/merge.py):
+    merged output must be indistinguishable from a from-scratch build."""
+
+    def _mk_rt(self):
+        from manticoresearch_tpu.index.rt import RtIndex
+        from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
+        schema = Schema(
+            fields=["title", "body"],
+            attrs=[AttrDef("price", AttrType.UINT),
+                   AttrDef("name", AttrType.STRING),
+                   AttrDef("tags", AttrType.MVA),
+                   AttrDef("score", AttrType.FLOAT)])
+        return RtIndex("m", schema)
+
+    def _docs(self):
+        import random
+        rng = random.Random(31337)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                 "shared", "rare"]
+        docs = []
+        for i in range(1, 61):
+            docs.append(dict(
+                id=i,
+                title=" ".join(rng.choices(words, k=4)),
+                body=" ".join(rng.choices(words, k=10)),
+                price=rng.randint(1, 50),
+                name=rng.choice(["ann", "bob", "cat"]),
+                tags=[rng.randint(1, 9) for _ in range(rng.randint(0, 3))],
+                score=round(rng.random() * 10, 2)))
+        return docs
+
+    def _check_equal(self, rt, ref_idx):
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        from manticoresearch_tpu.query.planner import AttrFilterDef
+        queries = [
+            SearchQuery(match="shared", limit=100),
+            SearchQuery(match="alpha beta", limit=100),
+            SearchQuery(match='"alpha beta"', limit=100),
+            SearchQuery(match="gamma | rare", limit=100,
+                        ranker="proximity_bm25"),
+            SearchQuery(match="@title delta", limit=100),
+            SearchQuery(match="shared", limit=100, filters=[
+                AttrFilterDef("price", "range_i", lo=10, hi=40)]),
+            SearchQuery(match="shared", limit=100, filters=[
+                AttrFilterDef("tags", "mva_any", values=[3, 5])]),
+            SearchQuery(match="shared", limit=100,
+                        sort=[("price", True), ("id", True)]),
+        ]
+        for q in queries:
+            a = rt.search(q)
+            b = ref_idx.search(q)
+            assert a.error is None and b.error is None, (a.error, b.error)
+            assert [(m.docid, m.weight) for m in a.matches] == \
+                   [(m.docid, m.weight) for m in b.matches], q.match
+
+    def test_optimize_matches_rebuild(self):
+        from manticoresearch_tpu.exec.searcher import SearchIndex
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        rt = self._mk_rt()
+        docs = self._docs()
+        # commit in 6 chunks -> 6 segments; delete some; replace some
+        for c in range(6):
+            for d in docs[c * 10:(c + 1) * 10]:
+                rt.insert(d)
+            rt.commit()
+        rt.delete([5, 17, 33])
+        rt.commit()
+        for d in docs[2:5]:
+            d2 = dict(d)
+            d2["title"] = "replaced words here"
+            rt.insert(d2, replace=True)
+        rt.commit()
+        assert len(rt.segments) > 1
+        rt.optimize()
+        assert len(rt.segments) == 1
+        # reference: fresh single build over the surviving docs
+        live = {d["id"]: d for d in docs if d["id"] not in (5, 17, 33)}
+        for d in docs[2:5]:
+            d2 = dict(d)
+            d2["title"] = "replaced words here"
+            live[d2["id"]] = d2
+        b = IndexBuilder(rt.schema, rt.tok_settings, rt.dict_settings)
+        b.add_documents(live.values())
+        ref_idx = SearchIndex(b.build())
+        self._check_equal(rt, ref_idx)
+        # docstore survives the merge (docs[2:5] are ids 3..5)
+        assert rt.get_document(3)["title"] == "replaced words here"
+        assert rt.get_document(6)["title"] == live[6]["title"]
+        assert rt.get_document(5)["title"] == "replaced words here"
+        assert rt.get_document(17) is None
+
+    def test_merged_zones_and_sp(self):
+        from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.index.merge import merge_packed
+        from manticoresearch_tpu.schema import Schema
+        from manticoresearch_tpu.text.tokenizer import TokenizerSettings
+        ts = TokenizerSettings(html_strip=True, index_zones=("h1",),
+                               index_sp=True)
+        schema = Schema(fields=["content"], attrs=[])
+        docs1 = [dict(id=1, content="<h1>big title</h1> plain text. more")]
+        docs2 = [dict(id=2, content="other <h1>second heading</h1> words")]
+        b1 = IndexBuilder(schema, ts)
+        b1.add_documents(docs1)
+        b2 = IndexBuilder(schema, ts)
+        b2.add_documents(docs2)
+        merged = merge_packed([b1.build(), b2.build()])
+        bb = IndexBuilder(schema, ts)
+        bb.add_documents(docs1 + docs2)
+        ref = bb.build()
+        mi, ri = SearchIndex(merged), SearchIndex(ref)
+        for qs in ["ZONE:(h1) title", "ZONE:(h1) heading",
+                   "ZONE:(h1) plain", '"plain text" SENTENCE more']:
+            qa = mi.search(SearchQuery(match=qs))
+            qb = ri.search(SearchQuery(match=qs))
+            assert [(m.docid, m.weight) for m in qa.matches] == \
+                   [(m.docid, m.weight) for m in qb.matches], qs

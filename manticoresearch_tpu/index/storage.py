@@ -117,12 +117,15 @@ def save_packed(packed: PackedIndex, path: str) -> None:
     np.savez(os.path.join(path, "arrays.npz"), **arrays)
     side = {
         "terms": packed.term_strs,
-        "attrs_str": packed.attrs_str,
+        "attrs_str": {k: list(v) for k, v in packed.attrs_str.items()},
         "attrs_json": packed.attrs_json,
-        "stored_fields": packed.stored_fields,
     }
     with open(os.path.join(path, "strings.json"), "w") as f:
         json.dump(side, f)
+    # stored field text goes to the blocked compressed docstore
+    # (docstore.cpp:50-181 analog), loaded lazily per block
+    from .docstore import save_docstore
+    save_docstore(packed.stored_fields, os.path.join(path, "docstore.bin"))
 
 
 def load_packed(path: str) -> PackedIndex:
@@ -172,12 +175,22 @@ def load_packed(path: str) -> PackedIndex:
         attrs_mva={k: (v[0], v[1]) for k, v in attrs_mva.items()},
         zones={k: (z[f"zr__{k}"], z[f"zs__{k}"], z[f"ze__{k}"])
                for k in header.get("zone_names", [])},
-        stored_fields=side.get("stored_fields", {}),
+        stored_fields=_load_stored(path, side),
         field_lens=z["field_lens"],
         total_hits=header["total_hits"],
         tokenizer_settings=tok,
         dict_settings=dic,
     )
+
+
+def _load_stored(path: str, side: dict) -> dict:
+    """Stored fields: blocked docstore file (current format), or inline
+    strings.json from pre-docstore indexes."""
+    ds_path = os.path.join(path, "docstore.bin")
+    if os.path.exists(ds_path):
+        from .docstore import load_docstore
+        return load_docstore(ds_path)
+    return side.get("stored_fields", {})
 
 
 def save_rt_snapshot(rt) -> None:

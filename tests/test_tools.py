@@ -111,3 +111,41 @@ class TestAttach:
         assert r.error is None
         r = s.execute("SELECT id FROM products WHERE MATCH('fruit')")[0]
         assert len(r.rows) == 3
+
+
+class TestDocstore:
+    def test_blocked_roundtrip(self, tmp_path):
+        from manticoresearch_tpu.index.docstore import (BlockedDocstore,
+                                                        load_docstore,
+                                                        save_docstore)
+        vals = [f"document text number {i} " + "x" * (i % 97)
+                for i in range(1000)]
+        ds = BlockedDocstore.from_list(vals, block_size=64)
+        assert len(ds) == 1000
+        assert ds[0] == vals[0] and ds[999] == vals[999]
+        assert ds[123:126] == vals[123:126]
+        assert ds.compressed_bytes < sum(len(v) for v in vals)
+        p = str(tmp_path / "ds.bin")
+        save_docstore({"content": ds, "title": ["a", "b"]}, p)
+        back = load_docstore(p)
+        assert back["content"].tolist() == vals
+        assert back["title"].tolist() == ["a", "b"]
+
+    def test_save_load_packed_uses_docstore(self, tmp_path):
+        from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.index.docstore import BlockedDocstore
+        from manticoresearch_tpu.index.storage import (load_packed,
+                                                       save_packed)
+        from manticoresearch_tpu.schema import Schema
+        b = IndexBuilder(Schema(fields=["content"], attrs=[]))
+        b.add_documents([dict(id=i, content=f"hello world doc {i}")
+                         for i in range(1, 201)])
+        packed = b.build()
+        p = str(tmp_path / "idx")
+        save_packed(packed, p)
+        back = load_packed(p)
+        assert isinstance(back.stored_fields["content"], BlockedDocstore)
+        assert back.stored_fields["content"][41] == "hello world doc 42"
+        r = SearchIndex(back).search(SearchQuery(match="hello"))
+        assert len(r.matches) == 20

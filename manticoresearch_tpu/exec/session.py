@@ -8,6 +8,7 @@ manticore.json table registry (searchdconfig.cpp:481).
 """
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
@@ -153,6 +154,46 @@ class Catalog:
             retry_delay_ms=int(opts.get("retry_delay", 0)),
         )
 
+    def rotate(self) -> list[str]:
+        """Pick up `<name>.new` index dirs written by `indexer --rotate`
+        and atomically swap them in (CheckRotate + seamless rotate,
+        searchd.cpp:17476). Returns rotated table names."""
+        if not self.data_dir:
+            return []
+        import glob
+        import shutil
+        import time as _t
+
+        from ..index.rt import rt_from_packed
+        from ..index.storage import load_packed
+
+        rotated = []
+        for newdir in sorted(glob.glob(os.path.join(self.data_dir,
+                                                    "*.new"))):
+            name = os.path.basename(newdir)[:-4]
+            try:
+                packed = load_packed(newdir)
+            except Exception:
+                continue                   # partial/corrupt .new: skip
+            old = self.tables.get(name)
+            if old is not None and getattr(old, "_binlog", None):
+                old._binlog.close()
+                old._binlog = None
+            ddir = os.path.join(self.data_dir, name)
+            olddir = ddir + ".old"
+            if os.path.isdir(ddir):
+                shutil.rmtree(olddir, ignore_errors=True)
+                os.rename(ddir, olddir)
+            os.rename(newdir, ddir)
+            rt = rt_from_packed(name, packed, ddir)
+            # fresh table object: key the qcache away from stale entries
+            rt.generation = int(_t.time())
+            self.tables[name] = rt
+            rotated.append(name)
+        if rotated:
+            self._save_manifest()
+        return rotated
+
     def drop(self, name: str) -> None:
         t = self.tables.pop(name)
         self._save_manifest()
@@ -170,7 +211,11 @@ class Catalog:
 
 
 class Session:
-    def __init__(self, catalog: Catalog):
+    _next_tid = itertools.count(1)
+    _registry: "dict[int, Session]" = {}
+
+    def __init__(self, catalog: Catalog, proto: str = "sphinxql",
+                 host: str = "local"):
         self.catalog = catalog
         self.autocommit = True
         self.in_txn = False
@@ -184,6 +229,19 @@ class Session:
         self.variables: dict[str, Any] = {}
         self.start_time = time.time()
         self.queries_done = 0
+        # thread registry entry (SHOW THREADS; ThreadSystem_t analog,
+        # searchd.cpp thread descriptors)
+        self.tid = next(Session._next_tid)
+        self.proto = proto
+        self.host = host
+        self.state = "net_idle"
+        self.current_info = ""
+        self.last_job_took = 0.0
+        self.work_time = 0.0
+        Session._registry[self.tid] = self
+
+    def close(self) -> None:
+        Session._registry.pop(self.tid, None)
 
     # ------------------------------------------------------------------
     def execute(self, sql: str) -> list[QLResult]:
@@ -192,11 +250,17 @@ class Session:
         except SqlParseError as e:
             return [QLResult.err(f"sphinxql: syntax error: {e}")]
         out: list[QLResult] = []
+        self.state = "query"
+        self.current_info = sql[:512]
+        t0 = time.perf_counter()
         for st in stmts:
             try:
                 out.extend(self._dispatch(st))
             except (ValueError, ExprError, NotImplementedError, KeyError) as e:
                 out.append(QLResult.err(str(e)))
+        self.last_job_took = time.perf_counter() - t0
+        self.work_time += self.last_job_took
+        self.state = "net_idle"
         return out
 
     def _dispatch(self, st) -> list[QLResult]:
@@ -829,8 +893,22 @@ class Session:
             return QLResult(columns=["Collation", "Charset"],
                             rows=[("utf8_general_ci", "utf8")])
         if k == "show_threads":
-            return QLResult(columns=["Tid", "Name", "Proto", "State", "Time"],
-                            rows=[("1", "work_0", "mysql", "query", "0.000")])
+            # live session registry (searchd.cpp SHOW THREADS columns)
+            now = time.time()
+            rows = []
+            for tid, s in sorted(Session._registry.items()):
+                rows.append((
+                    str(tid), f"work_{tid}", s.proto, s.host, s.state,
+                    f"{now - s.start_time:.0f}",
+                    f"{s.work_time:.3f}", str(s.queries_done),
+                    f"{s.last_job_took * 1e3:.1f}ms",
+                    s.current_info,
+                ))
+            return QLResult(
+                columns=["Tid", "Name", "Proto", "Host", "State",
+                         "Connected", "Work time", "Jobs done",
+                         "Last job took", "Info"],
+                rows=rows)
         if k == "show_profile":
             # SHOW PROFILE: per-stage timers (queryprofile.h:18-51 states)
             rows = [(name, f"{sec:.6f}", "1")
@@ -928,6 +1006,25 @@ class Session:
             self.txn_tables = set()
             self.in_txn = False
             return QLResult.ok()
+        if k == "reload_tables":
+            names = self.catalog.rotate()
+            return QLResult.ok(len(names))
+        if k in ("reload_table", "import_table"):
+            # load a saved packed index from a path into the catalog
+            # (IMPORT TABLE / RELOAD TABLE ... FROM)
+            name, src = st.args
+            from ..index.rt import rt_from_packed
+            from ..index.storage import load_packed
+            if k == "import_table" and name in self.catalog.tables:
+                return QLResult.err(f"table '{name}' already exists")
+            packed = load_packed(src)
+            ddir = (os.path.join(self.catalog.data_dir, name)
+                    if self.catalog.data_dir else None)
+            rt = rt_from_packed(name, packed, ddir)
+            rt.generation = int(time.time())
+            self.catalog.tables[name] = rt
+            self.catalog._save_manifest()
+            return QLResult.ok(packed.n_docs)
         if k == "attach":
             src, dst = st.args
             from ..index.rt import rt_from_packed

@@ -264,6 +264,8 @@ class SqlParser:
             "ATTACH": self.parse_attach,
             "EXPLAIN": self.parse_explain,
             "ALTER": self.parse_alter,
+            "RELOAD": self.parse_reload,
+            "IMPORT": self.parse_import,
         }.get(head)
         if fn is None:
             raise SqlParseError(f"unsupported statement {head}")
@@ -736,6 +738,25 @@ class SqlParser:
                 one_arg()
         self.expect_op(")")
         return CallStmt(func, args, named)
+
+    def parse_reload(self):
+        # RELOAD TABLES (SIGHUP rotation pickup) | RELOAD TABLE t FROM 'p'
+        self.expect_kw("RELOAD")
+        if self.eat_kw("TABLES", "INDEXES"):
+            return SimpleStmt("reload_tables")
+        if self.eat_kw("TABLE", "INDEX"):
+            name = self.name()
+            self.expect_kw("FROM")
+            return SimpleStmt("reload_table", [name, str(self.value())])
+        raise SqlParseError("unsupported RELOAD")
+
+    def parse_import(self):
+        # IMPORT TABLE name FROM 'path' (manticore import of a saved index)
+        self.expect_kw("IMPORT")
+        self.expect_kw("TABLE")
+        name = self.name()
+        self.expect_kw("FROM")
+        return SimpleStmt("import_table", [name, str(self.value())])
 
     def parse_attach(self):
         self.expect_kw("ATTACH")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import os
 import signal
 
 from ..exec.session import Catalog
@@ -109,7 +110,23 @@ class Daemon:
                 loop.add_signal_handler(sig, stop.set)
             except NotImplementedError:
                 pass
+        # SIGHUP -> rotation pickup (CheckRotate, searchd.cpp:17476):
+        # swap in <name>.new index dirs written by `indexer --rotate`
+        try:
+            loop.add_signal_handler(signal.SIGHUP, self.catalog.rotate)
+        except (NotImplementedError, AttributeError):
+            pass
+        pidfile = None
+        if self.catalog.data_dir:
+            pidfile = os.path.join(self.catalog.data_dir, "searchd.pid")
+            with open(pidfile, "w") as f:
+                f.write(str(os.getpid()))
         await stop.wait()
+        if pidfile:
+            try:
+                os.unlink(pidfile)
+            except OSError:
+                pass
         flusher.cancel()
         pinger.cancel()
         await self.mysql.stop()

@@ -24,7 +24,7 @@ class HttpServer:
         self.catalog = catalog
         self.host = host
         self.port = port
-        self.session = Session(catalog)
+        self.session = Session(catalog, proto="http")
         self._server: asyncio.AbstractServer | None = None
 
     async def start(self) -> None:

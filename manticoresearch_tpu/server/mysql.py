@@ -191,12 +191,16 @@ class MysqlServer:
             await self._server.serve_forever()
 
     async def _handle(self, reader, writer) -> None:
-        conn = _Conn(reader, writer, Session(self.catalog))
+        peer = writer.get_extra_info("peername")
+        host = f"{peer[0]}:{peer[1]}" if peer else "local"
+        conn = _Conn(reader, writer, Session(self.catalog, proto="mysql",
+                                             host=host))
         try:
             await conn.run()
         except (ConnectionError, asyncio.IncompleteReadError):
             pass
         finally:
+            conn.session.close()
             writer.close()
 
 

@@ -65,6 +65,9 @@ def main(argv=None) -> int:
     ap.add_argument("--attrs", help="name=type,... attribute spec")
     ap.add_argument("--out", help="output index directory")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--rotate", action="store_true",
+                    help="write to <path>.new and SIGHUP the running "
+                         "daemon to swap it in (reference --rotate)")
     args = ap.parse_args(argv)
 
     if args.config:
@@ -84,8 +87,11 @@ def main(argv=None) -> int:
                 print(f"ERROR: index '{name}' needs source and path",
                       file=sys.stderr)
                 return 1
+            out = ic.path + ".new" if args.rotate else ic.path
             build_one(name, ic.schema, ic.tokenizer, ic.dict, ic.source,
-                      ic.path, args.quiet)
+                      out, args.quiet)
+            if args.rotate:
+                _signal_rotate(ic.path, args.quiet)
         return 0
 
     if not (args.source and args.out):
@@ -105,3 +111,25 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _signal_rotate(index_path: str, quiet: bool) -> None:
+    """SIGHUP the daemon whose data_dir contains this index path, if a
+    searchd.pid is found (indexer --rotate handoff, indexer.cpp)."""
+    import os
+    import signal as _sig
+    pidfile = os.path.join(os.path.dirname(os.path.abspath(index_path)),
+                           "searchd.pid")
+    if not os.path.exists(pidfile):
+        if not quiet:
+            print(f"rotate: no daemon pidfile at {pidfile}; "
+                  "run RELOAD TABLES to pick up")
+        return
+    try:
+        pid = int(open(pidfile).read().strip())
+        os.kill(pid, _sig.SIGHUP)
+        if not quiet:
+            print(f"rotate: signalled daemon pid {pid}")
+    except (ValueError, OSError) as e:
+        if not quiet:
+            print(f"rotate: could not signal daemon: {e}")

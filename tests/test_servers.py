@@ -432,3 +432,73 @@ class TestClientHandshakeCompat:
         assert r.error is None and r.rows == [("Manticore", "root", 1)]
         r = s.execute("SELECT @@session.autocommit")[0]
         assert r.error is None and r.rows == [(1,)]
+
+
+class TestRotationAndThreads:
+    def _save_plain(self, path, tag):
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.index.storage import save_packed
+        from manticoresearch_tpu.schema import Schema
+        b = IndexBuilder(Schema(fields=["content"], attrs=[]))
+        b.add_documents([dict(id=i, content=f"{tag} words {i}")
+                         for i in range(1, 6)])
+        save_packed(b.build(), path)
+
+    def test_catalog_rotate_pickup_and_swap(self, tmp_path):
+        import os
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        from manticoresearch_tpu.exec.session import Catalog
+        dd = str(tmp_path / "data")
+        cat = Catalog(dd)
+        # first rotation: a brand-new table arrives as t1.new
+        self._save_plain(os.path.join(dd, "t1.new"), "alpha")
+        assert cat.rotate() == ["t1"]
+        t = cat.get("t1")
+        assert t.search(SearchQuery(match="alpha")).total_found == 5
+        assert os.path.isdir(os.path.join(dd, "t1"))
+        assert not os.path.isdir(os.path.join(dd, "t1.new"))
+        # second rotation: replacement index swaps in atomically
+        self._save_plain(os.path.join(dd, "t1.new"), "beta")
+        assert cat.rotate() == ["t1"]
+        t = cat.get("t1")
+        assert t.search(SearchQuery(match="beta")).total_found == 5
+        assert t.search(SearchQuery(match="alpha")).total_found == 0
+        # no .new dirs -> no-op
+        assert cat.rotate() == []
+
+    def test_reload_tables_and_import_sql(self, tmp_path):
+        import os
+        from manticoresearch_tpu.exec.session import Catalog, Session
+        dd = str(tmp_path / "data")
+        cat = Catalog(dd)
+        sess = Session(cat)
+        self._save_plain(os.path.join(dd, "t2.new"), "gamma")
+        (r,) = sess.execute("RELOAD TABLES")
+        assert r.error is None
+        rows = sess.execute("SELECT id FROM t2 WHERE MATCH('gamma')")[0]
+        assert len(rows.rows) == 5
+        # IMPORT TABLE from a path outside the data dir
+        src = str(tmp_path / "ext_idx")
+        self._save_plain(src, "delta")
+        (r2,) = sess.execute(f"IMPORT TABLE imp FROM '{src}'")
+        assert r2.error is None, r2.error
+        rows2 = sess.execute("SELECT id FROM imp WHERE MATCH('delta')")[0]
+        assert len(rows2.rows) == 5
+        sess.close()
+
+    def test_show_threads_live_registry(self):
+        from manticoresearch_tpu.exec.session import Catalog, Session
+        cat = Catalog()
+        s1 = Session(cat, proto="mysql", host="1.2.3.4:5")
+        s2 = Session(cat, proto="http")
+        try:
+            (r,) = s1.execute("SHOW THREADS")
+            assert r.error is None
+            tids = [row[0] for row in r.rows]
+            assert str(s1.tid) in tids and str(s2.tid) in tids
+            me = next(row for row in r.rows if row[0] == str(s1.tid))
+            assert me[2] == "mysql" and me[3] == "1.2.3.4:5"
+            assert "SHOW THREADS" in me[-1]
+        finally:
+            s1.close()
+            s2.close()

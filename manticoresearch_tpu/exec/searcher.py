@@ -131,6 +131,7 @@ class SearchIndex:
             order=order, field_weights=q.field_weights,
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
             emit_factors=emit_factors, expansion_limit=q.expansion_limit,
+            packed_store=self.packed.packed_store(),
         )
         if len(self._plan_cache) > 8192:
             self._plan_cache.clear()
@@ -247,6 +248,7 @@ class SearchIndex:
                 max_matches=q.max_matches, window=q.offset + q.limit,
                 order=("rel",), field_weights=q.field_weights,
                 idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
+                packed_store=self.packed.packed_store(),
             )
             key_expr = parse_expr(q.group_by)
 

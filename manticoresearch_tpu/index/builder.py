@@ -101,6 +101,16 @@ class PackedIndex:
             return i
         return -1
 
+    def packed_store(self):
+        """Bit-plane packed posting store (built lazily, cached): the HBM
+        posting format for single-shard serving (ops/packed_store.py)."""
+        if not hasattr(self, "_pstore"):
+            from ..ops.packed_store import build_store
+            self._pstore = build_store(
+                self.term_docs, self.term_offsets, self.post_rowid,
+                self.post_tf, self.post_tfq, self.post_fieldmask)
+        return self._pstore
+
     def rowid_of_docid(self, docid: int) -> int:
         """docid -> rowid lookup (.spt analog, secondaryindex.h:52)."""
         i = int(np.searchsorted(self.doc_ids, docid))

@@ -19,17 +19,22 @@ from ..index.builder import PackedIndex
 
 @dataclass
 class DeviceIndex:
-    """jax arrays for one shard. All shapes static per index generation."""
+    """jax arrays for one shard. All shapes static per index generation.
+
+    Postings live in the packed bit-plane store (ops/packed_store.py):
+    per-class word rectangles + a raw residual stream for short-tail
+    terms — 4-8x less HBM than the raw i32 SoA for the big terms that
+    dominate posting mass. Hits stay raw (positional operators and the
+    LCS ranker read them with binary searches)."""
 
     n_rows: int                      # number of real doc rows (N); row N is the pad sink
     n_fields: int
-    post_rowid: jax.Array            # i32[P]
-    post_tfq: jax.Array              # f32[P]
-    post_tf: jax.Array               # i32[P]
-    post_fieldmask: jax.Array        # i32[P]
-    post_hit_offset: jax.Array       # i32[P+1]
-    hit_packed: jax.Array            # i32[H]  (Hitman packing incl. end flag)
-    hit_packed_nokey: jax.Array      # i32[H]  (end flag stripped, for compares)
+    packed: dict                     # pkrw_w_{c}/pkrw_b_{c}/pktf_w_{c}/pkfm_w_{c}
+    res_rowid: jax.Array             # i32[Pres] short-tail raw postings
+    res_tfq: jax.Array               # f32[Pres]
+    res_fieldmask: jax.Array         # i32[Pres]
+    hit_packed: jax.Array            # i32[H]  (Hitman packing incl. end flag;
+                                     #  compares strip bit 23 at read)
     hit_rowid: jax.Array             # i32[H]  (posting rowid expanded per hit)
     sent_rowid: jax.Array            # i32[?] sentence-break rows (index_sp)
     sent_pkey: jax.Array             # i32[?] sentence-break packed positions
@@ -46,13 +51,11 @@ class DeviceIndex:
     def data_pytree(self) -> dict[str, Any]:
         """The pytree passed into jitted search programs."""
         return {
-            "post_rowid": self.post_rowid,
-            "post_tfq": self.post_tfq,
-            "post_tf": self.post_tf,
-            "post_fieldmask": self.post_fieldmask,
-            "post_hit_offset": self.post_hit_offset,
+            **self.packed,
+            "res_rowid": self.res_rowid,
+            "res_tfq": self.res_tfq,
+            "res_fieldmask": self.res_fieldmask,
             "hit_packed": self.hit_packed,
-            "hit_packed_nokey": self.hit_packed_nokey,
             "hit_rowid": self.hit_rowid,
             "sent_rowid": self.sent_rowid,
             "sent_pkey": self.sent_pkey,
@@ -123,15 +126,34 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
     def padp(arr, val, pad):
         return np.concatenate([arr, np.full(pad, val, arr.dtype)])
 
-    post_rowid_p = padp(packed.post_rowid, n, pad_p)   # pad rows -> sink N
-    post_tfq_p = padp(packed.post_tfq, 0, pad_p)
-    post_tf_p = padp(packed.post_tf, 0, pad_p)
-    post_fm_p = padp(packed.post_fieldmask, 0, pad_p)
+    # packed posting store: class rectangles + residual raw stream
+    from .packed_store import CLASSES, PLANE_WORDS, BLOCK
+    store = packed.packed_store()
+    pad_nb = pad_p // BLOCK          # worst-case slot block window
+    pk: dict[str, jax.Array] = {}
+    for c in CLASSES:
+        w = store.rw_words.get(c)
+        if w is None:
+            w = np.zeros((0, PLANE_WORDS * c), np.uint32)
+        b = store.rw_base.get(c, np.zeros(0, np.int32))
+        wt = store.tf_words.get(c, np.zeros((0, PLANE_WORDS * c),
+                                            np.uint32))
+        wf = store.fm_words.get(c, np.zeros((0, PLANE_WORDS * c),
+                                            np.uint32))
+        padrows = np.zeros((pad_nb, PLANE_WORDS * c), np.uint32)
+        pk[f"pkrw_w_{c}"] = put(np.concatenate([w, padrows]
+                                               ).view(np.int32))
+        pk[f"pkrw_b_{c}"] = put(padp(b.astype(np.int32), n, pad_nb))
+        pk[f"pktf_w_{c}"] = put(np.concatenate([wt, padrows]
+                                               ).view(np.int32))
+        pk[f"pkfm_w_{c}"] = put(np.concatenate([wf, padrows]
+                                               ).view(np.int32))
+    res_rowid = padp(store.res_rowid, n, pad_p)        # pad rows -> sink N
+    res_tfq = padp(store.res_tfq, 0, pad_p)
+    res_fm = padp(store.res_fieldmask, 0, pad_p)
 
     hit_rowid = np.repeat(packed.post_rowid, packed.post_tf).astype(np.int32)
     hit_rowid = padp(hit_rowid, n, pad_h)
-    hit_nokey = padp((packed.hit_packed & ~(1 << 23)).astype(np.int32), 0,
-                     pad_h)
     hit_packed_p = padp(packed.hit_packed, 0, pad_h)
 
     fl = np.zeros((n + 1, max(packed.schema.n_fields, 1)), np.int32)
@@ -145,13 +167,11 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
     return DeviceIndex(
         n_rows=n,
         n_fields=packed.schema.n_fields,
-        post_rowid=put(post_rowid_p),
-        post_tfq=put(post_tfq_p),
-        post_tf=put(post_tf_p),
-        post_fieldmask=put(post_fm_p),
-        post_hit_offset=put(packed.post_hit_offset),
+        packed=pk,
+        res_rowid=put(res_rowid),
+        res_tfq=put(res_tfq),
+        res_fieldmask=put(res_fm),
         hit_packed=put(hit_packed_p),
-        hit_packed_nokey=put(hit_nokey),
         hit_rowid=put(hit_rowid),
         sent_rowid=put(_pad_breaks(packed.sent_rowid)),
         sent_pkey=put(_pad_breaks(packed.sent_pkey)),

@@ -59,17 +59,20 @@ def _gather_flat(starts, lengths, bucket, n_slots):
     return slot, gidx, valid
 
 
-def _lex_binary_search_pair(key_a, key_b, arr_a, arr_b, lo, hi, n_iters):
+def _lex_binary_search_pair(key_a, key_b, arr_a, arr_b, lo, hi, n_iters,
+                            b_mask: int = -1):
     """Vectorized lexicographic binary search: for each query i, find whether
     (key_a[i], key_b[i]) exists in the sorted pair-array (arr_a, arr_b)
-    restricted to [lo[i], hi[i]). Returns a bool mask. n_iters static."""
+    restricted to [lo[i], hi[i]). Returns a bool mask. n_iters static.
+    b_mask ANDs arr_b reads (strips the Hitman end-flag bit so the raw
+    hit_packed array serves as the position key array)."""
 
     def body(_, state):
         lo_c, hi_c = state
         mid = (lo_c + hi_c) // 2
         mid_c = jnp.clip(mid, 0, len(arr_a) - 1)
         a = arr_a[mid_c]
-        b = arr_b[mid_c]
+        b = arr_b[mid_c] & b_mask
         less = (a < key_a) | ((a == key_a) & (b < key_b))
         go_right = less & (lo_c < hi_c)
         new_lo = jnp.where(go_right, mid + 1, lo_c)
@@ -78,21 +81,23 @@ def _lex_binary_search_pair(key_a, key_b, arr_a, arr_b, lo, hi, n_iters):
 
     lo_f, _ = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
     pos = jnp.clip(lo_f, 0, len(arr_a) - 1)
-    found = (lo_f < hi) & (arr_a[pos] == key_a) & (arr_b[pos] == key_b)
+    found = (lo_f < hi) & (arr_a[pos] == key_a) &         ((arr_b[pos] & b_mask) == key_b)
     return found
 
 
-def _lex_search_le(key_a, key_b, arr_a, arr_b, lo, hi, n_iters):
+def _lex_search_le(key_a, key_b, arr_a, arr_b, lo, hi, n_iters,
+                   b_mask: int = -1):
     """Vectorized predecessor search: for each query i, the index of the
     RIGHTMOST element with (arr_a, arr_b) <= (key_a[i], key_b[i]) within
-    [lo[i], hi[i]), or lo[i]-1 if none. Returns (idx, exists)."""
+    [lo[i], hi[i]), or lo[i]-1 if none. Returns (idx, exists). b_mask ANDs
+    arr_b reads (Hitman end-flag strip)."""
 
     def body(_, state):
         lo_c, hi_c = state
         mid = (lo_c + hi_c) // 2
         mid_c = jnp.clip(mid, 0, len(arr_a) - 1)
         a = arr_a[mid_c]
-        b = arr_b[mid_c]
+        b = arr_b[mid_c] & b_mask
         le = (a < key_a) | ((a == key_a) & (b <= key_b))
         go_right = le & (lo_c < hi_c)
         new_lo = jnp.where(go_right, mid + 1, lo_c)
@@ -255,17 +260,64 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
 
     limited_set = {e[0] for e in sig.slot_limited}
 
+    slot_packed = tuple(getattr(sig, "slot_packed", ()) or ())
+
     def fn(data, rt):
         attrs = data["attrs"]
         dbg_factors: dict = {}
 
         def slot_postings(s):
-            """Contiguous DMA of slot s's posting range + validity mask."""
+            """Slot s's posting rows + validity mask: contiguous DMA of the
+            raw/residual array, or a packed-store block slice + in-register
+            bit-plane decode (ops/packed_store.py) — the HBM-side analog of
+            the reference's VByte doclist decode."""
             sz = slot_pb[s]
             st = rt["starts"][s]
-            row = jax.lax.dynamic_slice(data["post_rowid"], (st,), (sz,))
+            pk = slot_packed[s] if slot_packed else None
+            if pk and pk[0]:
+                from .packed_store import BLOCK, decode_rowids
+                c = pk[0]
+                nb = max(sz // BLOCK, 1)
+                w = jax.lax.dynamic_slice(
+                    data[f"pkrw_w_{c}"], (rt["pk_starts"][s, 0], 0),
+                    (nb, 4 * c))
+                b = jax.lax.dynamic_slice(
+                    data[f"pkrw_b_{c}"], (rt["pk_starts"][s, 0],), (nb,))
+                row = decode_rowids(w, b, c)
+            else:
+                key = "res_rowid" if slot_packed else "post_rowid"
+                row = jax.lax.dynamic_slice(data[key], (st,), (sz,))
             msk = jnp.arange(sz, dtype=jnp.int32) < rt["lengths"][s]
             return jnp.where(msk, row, N), msk, st, sz
+
+        def slot_tfq(s, st, sz):
+            """tf/(tf+K1) per posting of slot s (packed: decode tf planes
+            and rebuild tfq in f32 — same rounding as the builder)."""
+            pk = slot_packed[s] if slot_packed else None
+            if pk and pk[1]:
+                from .packed_store import BLOCK, decode_words
+                c = pk[1]
+                nb = max(sz // BLOCK, 1)
+                w = jax.lax.dynamic_slice(
+                    data[f"pktf_w_{c}"], (rt["pk_starts"][s, 1], 0),
+                    (nb, 4 * c))
+                tf = decode_words(w, c).reshape(-1).astype(jnp.float32)
+                return tf / (tf + jnp.float32(1.2))
+            key = "res_tfq" if slot_packed else "post_tfq"
+            return jax.lax.dynamic_slice(data[key], (st,), (sz,))
+
+        def slot_fieldmask(s, st, sz):
+            pk = slot_packed[s] if slot_packed else None
+            if pk and pk[2]:
+                from .packed_store import BLOCK, decode_words
+                c = pk[2]
+                nb = max(sz // BLOCK, 1)
+                w = jax.lax.dynamic_slice(
+                    data[f"pkfm_w_{c}"], (rt["pk_starts"][s, 2], 0),
+                    (nb, 4 * c))
+                return decode_words(w, c).reshape(-1)
+            key = "res_fieldmask" if slot_packed else "post_fieldmask"
+            return jax.lax.dynamic_slice(data[key], (st,), (sz,))
 
         if sparse:
             # ---- sparse phase 1: gather -> one sort -> segment-reduce ----
@@ -287,7 +339,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     fm_parts.append(jnp.zeros(sz, jnp.int32))
                     continue
                 if s in pos_slots:
-                    tfq = jax.lax.dynamic_slice(data["post_tfq"], (st,), (sz,))
+                    tfq = slot_tfq(s, st, sz)
                     contrib = jnp.where(
                         msk, tfq * rt["idf"][s] * rt["mult"][s], 0.0)
                     # same FMA barrier as the dense path (parity: the
@@ -301,8 +353,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                         jnp.where(msk, jnp.int32(1) << (s & 31), 0)
                         if (s >> 5) == w else jnp.zeros(sz, jnp.int32))
                 if need_fieldmask and s in pos_slots:
-                    fm = jax.lax.dynamic_slice(
-                        data["post_fieldmask"], (st,), (sz,))
+                    fm = slot_fieldmask(s, st, sz)
                     fm_parts.append(jnp.where(msk, fm, 0))
                 else:
                     fm_parts.append(jnp.zeros(sz, jnp.int32))
@@ -358,7 +409,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 if s in limited_set:
                     continue  # evaluated on the hit pass below
                 row, msk, st, sz = slot_postings(s)
-                tfq = jax.lax.dynamic_slice(data["post_tfq"], (st,), (sz,))
+                tfq = slot_tfq(s, st, sz)
                 if s in pos_slots:
                     contrib = jnp.where(
                         msk, tfq * rt["idf"][s] * rt["mult"][s], 0.0)
@@ -372,8 +423,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 termmask = termmask.at[row, s >> 5].add(
                     jnp.where(msk, jnp.int32(1) << (s & 31), 0))
                 if need_fieldmask and s in pos_slots:
-                    fm = jax.lax.dynamic_slice(
-                        data["post_fieldmask"], (st,), (sz,))
+                    fm = slot_fieldmask(s, st, sz)
                     # per-slot fieldmask is unique per doc -> scatter-add of
                     # the whole mask, then OR across slots via elementwise
                     fh_s = jnp.zeros(N + 1, jnp.int32).at[row].add(
@@ -391,7 +441,8 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             sz = slot_hb[s]
             st = rt["hit_starts"][s]
             hrow = jax.lax.dynamic_slice(data["hit_rowid"], (st,), (sz,))
-            hpk = jax.lax.dynamic_slice(data["hit_packed_nokey"], (st,), (sz,))
+            hpk = jax.lax.dynamic_slice(data["hit_packed"], (st,), (sz,)) \
+                & HITMAN_KEY_MASK
             msk = jnp.arange(sz, dtype=jnp.int32) < rt["hit_lengths"][s]
             return jnp.where(msk, hrow, N), jnp.where(msk, hpk, 0), msk
 
@@ -422,7 +473,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 ok &= (hpkL & ((1 << 23) - 1)) == 1
             if f_end:
                 # word$: hit carries the Hitman field-end flag — the flag is
-                # stripped in hit_packed_nokey, so re-slice the flagged array
+                # the compare path strips the flag, so read the raw array
                 sz = slot_hb[s]
                 stH = rt["hit_starts"][s]
                 flagged = jax.lax.dynamic_slice(
@@ -868,7 +919,8 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
         sz = slot_hb[s]
         st = h_starts[s]
         hrow = jax.lax.dynamic_slice(data["hit_rowid"], (st,), (sz,))
-        hpk = jax.lax.dynamic_slice(data["hit_packed_nokey"], (st,), (sz,))
+        hpk = jax.lax.dynamic_slice(data["hit_packed"], (st,), (sz,)) \
+            & HITMAN_KEY_MASK
         msk = jnp.arange(sz, dtype=jnp.int32) < h_lens[s]
         return jnp.where(msk, hrow, N), jnp.where(msk, hpk, 0), msk
 
@@ -899,10 +951,10 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
         lo_b = rt["hit_starts"][sb] * jnp.ones_like(a_row)
         hi_b = lo_b + h_lens[sb]
         idxb, exb = _lex_search_le(a_row, ub, data["hit_rowid"],
-                                   data["hit_packed_nokey"], lo_b, hi_b,
+                                   data["hit_packed"], lo_b, hi_b,
                                    n_hit_iters)
         ok = valid & exb & (data["hit_rowid"][idxb] == a_row) & \
-            (data["hit_packed_nokey"][idxb] > lb)
+            ((data["hit_packed"][idxb] & HITMAN_KEY_MASK) > lb)
     elif op == "near":
         # binary NEAR/N / NOTNEAR/N over keywords (ExtMultinear twofer,
         # searchnode.cpp FSMmultinear): anchor on the left word's hits; match
@@ -915,9 +967,10 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
         hi = lo + h_lens[sb]
         idx, exists = _lex_search_le(
             a_row, a_key + ndist, data["hit_rowid"],
-            data["hit_packed_nokey"], lo, hi, n_hit_iters)
+            data["hit_packed"], lo, hi, n_hit_iters,
+            b_mask=HITMAN_KEY_MASK)
         val_row = data["hit_rowid"][idx]
-        val_key = data["hit_packed_nokey"][idx]
+        val_key = data["hit_packed"][idx] & HITMAN_KEY_MASK
         within = exists & (val_row == a_row) & \
             (jnp.abs(a_key - val_key) <= ndist)
         ok = valid & (~within if not_near else within)
@@ -934,7 +987,8 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
             hi = lo + h_lens[s]
             found = _lex_binary_search_pair(
                 a_row, tgt_key, data["hit_rowid"],
-                data["hit_packed_nokey"], lo, hi, n_hit_iters,
+                data["hit_packed"], lo, hi, n_hit_iters,
+                b_mask=HITMAN_KEY_MASK,
             )
             ok &= found
     else:
@@ -959,9 +1013,10 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
             hi = lo + h_lens[s]
             idx, exists = _lex_search_le(
                 a_row, a_key, data["hit_rowid"],
-                data["hit_packed_nokey"], lo, hi, n_hit_iters)
+                data["hit_packed"], lo, hi, n_hit_iters,
+                b_mask=HITMAN_KEY_MASK)
             val_row = data["hit_rowid"][idx]
-            val_key = data["hit_packed_nokey"][idx]
+            val_key = data["hit_packed"][idx] & HITMAN_KEY_MASK
             # same doc + within window (cross-field deltas exceed 2^24 > W)
             ok &= exists & (val_row == a_row) & (a_key - val_key < W)
 

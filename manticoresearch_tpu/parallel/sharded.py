@@ -202,7 +202,6 @@ class ShardedIndex:
             "post_rowid": post_rowid, "post_tfq": post_tfq,
             "post_tf": post_tf, "post_fieldmask": post_fm,
             "post_hit_offset": pho, "hit_packed": hitp,
-            "hit_packed_nokey": (hitp & ~(1 << 23)).astype(np.int32),
             "hit_rowid": hitr, "alive": alive, "field_lens": flens,
             "sent_rowid": sbr, "sent_pkey": sbk,
             "para_rowid": pbr, "para_pkey": pbk,

@@ -59,6 +59,11 @@ class PlanSig:
                                 # of skiplist economics (sphinx.cpp:8522):
                                 # per-query cost tracks posting sizes, not
                                 # corpus size
+    slot_packed: tuple = ()     # packed posting store: per-slot (c_rw,
+                                # c_tf, c_fm) width classes (0 = slot reads
+                                # the raw residual stream); () = the index
+                                # has no packed store (legacy/sharded data
+                                # pytrees with raw post_* arrays)
 
 
 RANKERS_WITH_HITS = frozenset(

@@ -316,6 +316,7 @@ def plan_query(
     local_df: dict[str, int] | None = None,
     emit_factors: bool = False,
     expansion_limit: int = 0,
+    packed_store=None,          # ops.packed_store.PackedStore of `index`
 ) -> CompiledQuery:
     node = simplify(ast_root)
     node = (expand_wildcards(node, index.term_strs, expansion_limit)
@@ -354,6 +355,8 @@ def plan_query(
     slot_hits: list[int] = []
 
     n_qwords = S  # hQwords is keyed by word -> unique count
+    slot_packed: list = []
+    pk_starts = np.zeros((max(S, 1), 3), np.int32)
     for s, term in enumerate(st.terms):
         tid = index.term_id(term)
         if tid >= 0:
@@ -362,6 +365,29 @@ def plan_query(
             th = int(index.term_hits[tid])
         else:
             t0 = t1 = df = th = 0
+        if packed_store is not None:
+            from ..ops.packed_store import CLASSES
+            tc = packed_store.term_class[tid] if tid >= 0 else None
+            if tc is not None and tc[0] > 0:
+                slot_packed.append(tuple(CLASSES[c - 1] for c in tc))
+                pk_starts[s] = packed_store.term_start[tid]
+                starts[s] = 0
+            else:
+                slot_packed.append((0, 0, 0))
+                starts[s] = (int(packed_store.res_offsets[tid])
+                             if tid >= 0 else 0)
+            lengths[s] = t1 - t0
+            hit_starts[s] = int(index.post_hit_offset[t0]) if t1 > t0 else 0
+            hit_lengths[s] = (int(index.post_hit_offset[t1])
+                              - int(index.post_hit_offset[t0]))                 if t1 > t0 else 0
+            eff_df = local_df.get(term, df) if local_df else df
+            idf[s] = compute_idf(eff_df, total_docs, plain=idf_plain,
+                                 normalized_tfidf=tfidf_normalized,
+                                 n_qwords=n_qwords)
+            mult[s] = st.mult[s] if st.mult[s] > 0 else 1.0
+            slot_df.append(df)
+            slot_hits.append(th)
+            continue
         starts[s] = t0
         lengths[s] = t1 - t0
         hit_starts[s] = int(index.post_hit_offset[t0]) if t1 > t0 else 0
@@ -610,6 +636,8 @@ def plan_query(
         slot_limited=slot_limited, ranker_expr=ranker_expr,
         emit_factors=emit_factors, slot_occs=slot_occs,
         sparse=sparse,
+        slot_packed=(tuple(slot_packed) if packed_store is not None
+                     else ()),
     )
     fl = getattr(index, "field_lens", None)
     if fl is not None and getattr(fl, "size", 0):
@@ -631,6 +659,8 @@ def plan_query(
         "filter_vals": tuple(fvals),
         "zspans": tuple(zone_spans),
     }
+    if packed_store is not None:
+        runtime["pk_starts"] = pk_starts
     return CompiledQuery(
         sig=sig, runtime=runtime, slot_terms=list(st.terms),
         slot_df=slot_df, slot_hits=slot_hits,

@@ -26,6 +26,7 @@ class Daemon:
                  host: str = "127.0.0.1", flush_period: float = 60.0,
                  config=None, repl_port: int | None = None,
                  agent_port: int | None = None,
+                 api_port: int | None = None,
                  ping_interval: float = 5.0):
         self.catalog = Catalog(data_dir)
         if config is not None:
@@ -40,6 +41,10 @@ class Daemon:
         if agent_port is not None:
             from .agent import AgentServer
             self.agent = AgentServer(self.catalog, host, agent_port)
+        self.api = None
+        if api_port is not None:
+            from .api import ApiServer
+            self.api = ApiServer(self.catalog, host, api_port)
         self.flush_period = flush_period
         self.ping_interval = ping_interval
 
@@ -101,6 +106,8 @@ class Daemon:
             await self.repl.start()
         if self.agent is not None:
             await self.agent.start()
+        if self.api is not None:
+            await self.api.start()
         pinger = asyncio.create_task(self._periodic_ping())
         flusher = asyncio.create_task(self._periodic_flush())
         stop = asyncio.Event()
@@ -133,6 +140,8 @@ class Daemon:
         await self.http.stop()
         if self.agent is not None:
             await self.agent.stop()
+        if self.api is not None:
+            await self.api.stop()
         for t in self.catalog.tables.values():
             if t.data_dir:
                 t.flush()
@@ -151,6 +160,9 @@ def main(argv=None) -> None:
     ap.add_argument("--listen-agent", type=int, default=None,
                     help="serve the master<->agent search protocol "
                          "(distributed tables) on this port")
+    ap.add_argument("--listen-api", type=int, default=None,
+                    help="serve the legacy SphinxAPI binary protocol "
+                         "on this port (classic sphinxapi clients)")
     args = ap.parse_args(argv)
     cfg = None
     if args.config:
@@ -159,11 +171,13 @@ def main(argv=None) -> None:
         sd = cfg.searchd
         d = Daemon(args.data_dir or sd.data_dir, sd.listen_mysql,
                    sd.listen_http, sd.host, sd.rt_flush_period, config=cfg,
-                   repl_port=args.listen_repl, agent_port=args.listen_agent)
+                   repl_port=args.listen_repl, agent_port=args.listen_agent,
+                   api_port=args.listen_api)
     else:
         d = Daemon(args.data_dir, args.listen_mysql, args.listen_http,
                    args.host, args.rt_flush_period,
-                   repl_port=args.listen_repl, agent_port=args.listen_agent)
+                   repl_port=args.listen_repl, agent_port=args.listen_agent,
+                   api_port=args.listen_api)
     asyncio.run(d.run())
 
 

@@ -180,11 +180,50 @@ def _register_late():
         "\u0400" <= c <= "\u04ff" for c in w) else porter_stem(w))
 
 
+# libstemmer language pack (reference vendors libstemmer_c the same way,
+# SURVEY #52): Snowball algorithms for 15 languages via the environment's
+# nltk implementation, loaded lazily per language. Accepts both the
+# reference's config names (libstemmer_german / libstemmer_de) and short
+# stem_de-style aliases.
+_LIBSTEMMER_LANGS = {
+    "ar": "arabic", "da": "danish", "nl": "dutch", "en": "english",
+    "fi": "finnish", "fr": "french", "de": "german", "hu": "hungarian",
+    "it": "italian", "no": "norwegian", "pt": "portuguese",
+    "ro": "romanian", "ru": "russian", "es": "spanish", "sv": "swedish",
+}
+_LANG_BY_NAME = {v: v for v in _LIBSTEMMER_LANGS.values()}
+_LANG_BY_NAME.update(_LIBSTEMMER_LANGS)
+
+
+def _load_libstemmer(lang: str) -> Callable[[str], str]:
+    from nltk.stem.snowball import SnowballStemmer
+    st = SnowballStemmer(lang)
+    stem = st.stem
+
+    def run(word: str) -> str:
+        out = stem(word)
+        return out if out else word
+    return run
+
+
 def get_morph(name: str) -> Callable[[str], str]:
     if "stem_ru" not in _MORPHS:
         _register_late()
     if name not in _MORPHS:
-        raise ValueError(f"unknown morphology processor: {name!r}")
+        lang = None
+        if name.startswith("libstemmer_"):
+            lang = _LANG_BY_NAME.get(name[len("libstemmer_"):])
+        elif name.startswith("stem_") and len(name) == 7:
+            lang = _LIBSTEMMER_LANGS.get(name[5:])
+        if lang is not None:
+            try:
+                _MORPHS[name] = _load_libstemmer(lang)
+            except ImportError:
+                raise ValueError(
+                    f"morphology {name!r} needs the snowball language "
+                    f"pack, which is unavailable in this build")
+        else:
+            raise ValueError(f"unknown morphology processor: {name!r}")
     return _MORPHS[name]
 
 

@@ -369,3 +369,63 @@ class TestTokenizerFeatures:
         assert {m.docid for m in r1.matches} == {1, 2}
         r2 = idx.search(SearchQuery(match="m&m"))
         assert [m.docid for m in r2.matches] == [1]
+
+
+class TestLibstemmerPack:
+    """Snowball language pack (libstemmer analog, SURVEY #52): golden
+    stems per language + config-name aliases + end-to-end search."""
+
+    GOLDEN = {
+        "libstemmer_german": [("aufeinanderschlugen", "aufeinanderschlug"),
+                              ("häuser", "haus"), ("laufen", "lauf")],
+        "libstemmer_fr": [("continuellement", "continuel"),
+                          ("mangeaient", "mang")],
+        "stem_es": [("torcedores", "torcedor"), ("fácilmente", "facil")],
+        "stem_it": [("abbandonata", "abbandon"),
+                    ("rapidamente", "rapid")],
+        "libstemmer_swedish": [("jaktkarlarne", "jaktkarl"),
+                               ("stockholmare", "stockholm")],
+        "stem_da": [("indtagelsen", "indtag")],
+        "stem_no": [("havnedistriktene", "havnedistrikt")],
+        "stem_pt": [("jabuticabeiras", "jabuticabeir")],
+        "stem_nl": [("lichamelijkheden", "licham")],
+        "stem_fi": [("kolmekymmentä", "kolmekymmen")],
+    }
+
+    def test_golden_stems(self):
+        from manticoresearch_tpu.text.morphology import get_morph
+        for name, pairs in self.GOLDEN.items():
+            m = get_morph(name)
+            for word, want in pairs:
+                assert m(word) == want, (name, word)
+
+    def test_unknown_morph_raises(self):
+        import pytest as _pytest
+        from manticoresearch_tpu.text.morphology import get_morph
+        with _pytest.raises(ValueError):
+            get_morph("stem_xx")
+        with _pytest.raises(ValueError):
+            get_morph("libstemmer_klingon")
+
+    def test_german_search_end_to_end(self):
+        from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        from manticoresearch_tpu.text.dictionary import DictSettings
+        schema = Schema(fields=["content"], attrs=[])
+        b = IndexBuilder(schema,
+                         dict_settings=DictSettings(
+                             morphology=("libstemmer_de",)))
+        b.add_documents([
+            dict(id=1, content="die häuser am see"),
+            dict(id=2, content="ein haus im wald"),
+            dict(id=3, content="wir laufen schnell"),
+        ])
+        idx = SearchIndex(b.build())
+        # 'haus' and 'häuser' stem identically -> both docs match
+        r = idx.search(SearchQuery(match="haus"))
+        assert {m.docid for m in r.matches} == {1, 2}
+        r2 = idx.search(SearchQuery(match="lief")) # different stem: no hit
+        assert r2.matches == []
+        r3 = idx.search(SearchQuery(match="laufe"))
+        assert {m.docid for m in r3.matches} == {3}

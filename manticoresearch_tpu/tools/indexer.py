@@ -18,8 +18,8 @@ import sys
 import time
 
 
-def read_source(path: str):
-    """Yield document dicts from csv/tsv/jsonl."""
+def read_source(path: str, sql_query: str | None = None):
+    """Yield document dicts from csv/tsv/jsonl/xmlpipe2/sqlite sources."""
     if path.endswith(".jsonl") or path.endswith(".ndjson"):
         with open(path, "r", encoding="utf-8") as f:
             for line in f:
@@ -31,19 +31,70 @@ def read_source(path: str):
         with open(path, "r", encoding="utf-8", newline="") as f:
             for row in csv.DictReader(f, delimiter=delim):
                 yield row
+    elif path.endswith(".xml"):
+        yield from read_xmlpipe2(path)
+    elif path.endswith((".db", ".sqlite", ".sqlite3")):
+        yield from read_sql_source(path, sql_query)
     else:
         raise ValueError(f"unsupported source format: {path}")
 
 
+def read_xmlpipe2(path: str):
+    """xmlpipe2 source (CSphSource_XMLPipe2, sphinx.cpp:24763-25400):
+    <sphinx:docset> with an optional inline <sphinx:schema> and one
+    <sphinx:document id=N> per document, streamed via iterparse so
+    arbitrarily large dumps index in O(1) memory."""
+    import xml.etree.ElementTree as ET
+
+    def tag(e):
+        # the sphinx: prefix is not a bound XML namespace in the wire
+        # format; some dumps declare it, some don't
+        t = e.tag
+        return t.split("}", 1)[1] if "}" in t else t.split(":", 1)[-1]
+
+    for _, elem in ET.iterparse(path, events=("end",)):
+        t = tag(elem)
+        if t == "document":
+            doc: dict = {"id": int(elem.get("id", 0))}
+            for child in elem:
+                doc[tag(child)] = (child.text or "").strip()
+            yield doc
+            elem.clear()       # free the subtree (streaming)
+        elif t == "killlist":
+            elem.clear()
+
+
+def read_sql_source(path: str, sql_query: str | None):
+    """SQL source over the stdlib sqlite3 driver (CSphSource_SQL
+    semantics, sphinx.h:1788-2347: sql_query rows map by column name,
+    first column must be the document id). MySQL/PostgreSQL drivers are
+    not vendored in this build — mirror the table into SQLite or use
+    csv/jsonl/xmlpipe2 dumps."""
+    import sqlite3
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    con.row_factory = sqlite3.Row
+    try:
+        q = sql_query or "SELECT * FROM documents"
+        for row in con.execute(q):
+            d = dict(row)
+            if "id" not in d:
+                first = list(d)[0]
+                d["id"] = d.pop(first)
+            yield d
+    finally:
+        con.close()
+
+
 def build_one(name: str, schema, tok, dic, source: str, out: str,
-              quiet: bool = False) -> int:
+              quiet: bool = False, sql_query: str | None = None) -> int:
     from ..index.builder import IndexBuilder
     from ..index.storage import save_packed
 
     t0 = time.time()
     b = IndexBuilder(schema, tok, dic)
     n = 0
-    for doc in read_source(source):
+    for doc in read_source(source, sql_query):
         b.add_document(doc)
         n += 1
     packed = b.build()
@@ -68,6 +119,8 @@ def main(argv=None) -> int:
     ap.add_argument("--rotate", action="store_true",
                     help="write to <path>.new and SIGHUP the running "
                          "daemon to swap it in (reference --rotate)")
+    ap.add_argument("--sql-query", default=None,
+                    help="row query for sqlite sources (sql_query)")
     args = ap.parse_args(argv)
 
     if args.config:
@@ -105,12 +158,12 @@ def main(argv=None) -> int:
         aname, _, atype = spec.partition("=")
         attrs.append(AttrDef(aname, AttrType(atype)))
     schema = Schema(fields=fields, attrs=attrs)
-    build_one(args.out, schema, None, None, args.source, args.out, args.quiet)
+    out = args.out + ".new" if args.rotate else args.out
+    build_one(args.out, schema, None, None, args.source, out, args.quiet,
+              sql_query=args.sql_query)
+    if args.rotate:
+        _signal_rotate(args.out, args.quiet)
     return 0
-
-
-if __name__ == "__main__":
-    sys.exit(main())
 
 
 def _signal_rotate(index_path: str, quiet: bool) -> None:
@@ -133,3 +186,7 @@ def _signal_rotate(index_path: str, quiet: bool) -> None:
     except (ValueError, OSError) as e:
         if not quiet:
             print(f"rotate: could not signal daemon: {e}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -149,3 +149,64 @@ class TestDocstore:
         assert back.stored_fields["content"][41] == "hello world doc 42"
         r = SearchIndex(back).search(SearchQuery(match="hello"))
         assert len(r.matches) == 20
+
+
+class TestSources:
+    def test_xmlpipe2(self, tmp_path):
+        from manticoresearch_tpu.tools.indexer import read_source
+        p = tmp_path / "dump.xml"
+        p.write_text(
+            '<?xml version="1.0" encoding="utf-8"?>\n'
+            '<sphinx:docset xmlns:sphinx="sphinx">\n'
+            '<sphinx:schema>\n'
+            '  <sphinx:field name="subject"/>\n'
+            '  <sphinx:attr name="published" type="timestamp"/>\n'
+            '</sphinx:schema>\n'
+            '<sphinx:document id="11"><subject>hello xml</subject>'
+            '<published>1000</published></sphinx:document>\n'
+            '<sphinx:document id="12"><subject>second doc</subject>'
+            '<published>2000</published></sphinx:document>\n'
+            '</sphinx:docset>\n')
+        docs = list(read_source(str(p)))
+        assert [d["id"] for d in docs] == [11, 12]
+        assert docs[0]["subject"] == "hello xml"
+        assert docs[1]["published"] == "2000"
+
+    def test_sqlite_source(self, tmp_path):
+        import sqlite3
+        from manticoresearch_tpu.tools.indexer import read_source
+        p = str(tmp_path / "src.db")
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE documents (id INTEGER, title TEXT, "
+                    "price INTEGER)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)",
+                        [(1, "first row", 10), (2, "second row", 20)])
+        con.commit()
+        con.close()
+        docs = list(read_source(p))
+        assert [d["id"] for d in docs] == [1, 2]
+        assert docs[1]["title"] == "second row"
+        docs2 = list(read_source(p, "SELECT id, title FROM documents "
+                                    "WHERE price > 15"))
+        assert [d["id"] for d in docs2] == [2]
+
+    def test_xmlpipe2_build_end_to_end(self, tmp_path):
+        from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+        from manticoresearch_tpu.index.storage import load_packed
+        from manticoresearch_tpu.tools.indexer import main as indexer_main
+        p = tmp_path / "d.xml"
+        p.write_text(
+            '<sphinx:docset xmlns:sphinx="s">'
+            '<sphinx:document id="1"><body>green apples</body>'
+            '<price>3</price></sphinx:document>'
+            '<sphinx:document id="2"><body>red apples</body>'
+            '<price>5</price></sphinx:document>'
+            '</sphinx:docset>')
+        out = str(tmp_path / "idx")
+        rc = indexer_main(["--source", str(p), "--fields", "body",
+                           "--attrs", "price=uint", "--out", out,
+                           "--quiet"])
+        assert rc == 0
+        idx = SearchIndex(load_packed(out))
+        r = idx.search(SearchQuery(match="apples"))
+        assert {m.docid for m in r.matches} == {1, 2}

@@ -90,3 +90,47 @@ class TestReplication:
             assert sorted(x[0] for x in r.rows) == [1, 2]
         finally:
             rep2.stop()
+
+
+class TestSST:
+    def test_replica_joins_via_snapshot(self, primary, tmp_path):
+        """A replica with no history joins after the primary's binlog was
+        truncated by FLUSH: only SST can produce the full state."""
+        cat, s, port = primary
+        for i in range(1, 6):
+            s.execute(f"INSERT INTO t (id, body, grp) VALUES "
+                      f"({i}, 'early doc {i}', 1)")
+        s.execute("FLUSH TABLE t")          # snapshot + binlog reset
+        for i in range(6, 9):
+            s.execute(f"INSERT INTO t (id, body, grp) VALUES "
+                      f"({i}, 'late doc {i}', 2)")
+        # joining replica: empty table, own data_dir, sst=True
+        from manticoresearch_tpu.index.rt import RtIndex
+        prim_t = cat.get("t")
+        rep = RtIndex("t", prim_t.schema, prim_t.tok_settings,
+                      prim_t.dict_settings,
+                      data_dir=str(tmp_path / "replica_sst"))
+        r = Replica(rep, "127.0.0.1", port, sst=True)
+        r.start()
+        try:
+            t0 = time.time()
+            while time.time() - t0 < 15:
+                if r.error:
+                    raise AssertionError(r.error)
+                if rep.n_docs == 8:
+                    break
+                time.sleep(0.05)
+            assert rep.n_docs == 8
+            res = rep.search(SearchQuery(match="early", limit=10))
+            assert {m.docid for m in res.matches} == {1, 2, 3, 4, 5}
+            res2 = rep.search(SearchQuery(match="late", limit=10))
+            assert {m.docid for m in res2.matches} == {6, 7, 8}
+            # live stream continues after the snapshot
+            s.execute("INSERT INTO t (id, body, grp) VALUES "
+                      "(9, 'fresh doc', 3)")
+            t0 = time.time()
+            while time.time() - t0 < 15 and rep.n_docs < 9:
+                time.sleep(0.05)
+            assert rep.n_docs == 9
+        finally:
+            r.stop()

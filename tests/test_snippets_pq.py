@@ -171,3 +171,82 @@ class TestJsonHighlight:
         hl = out["hits"]["hits"][0]["highlight"]
         assert "<b>apple</b>" in hl["title"][0]
         assert "<b>apple</b>" in hl["body"][0]
+
+
+class TestSnippetOptions:
+    """Round-2 option surface (sphinxexcerpt.cpp passage options)."""
+
+    def _mk(self):
+        from manticoresearch_tpu.text.dictionary import Dictionary
+        from manticoresearch_tpu.text.tokenizer import Tokenizer
+        return Tokenizer(), Dictionary()
+
+    def test_passage_id_macro(self):
+        from manticoresearch_tpu.exec.snippets import (SnippetOptions,
+                                                       build_snippet)
+        tok, dic = self._mk()
+        text = ("alpha beta gamma delta epsilon zeta eta theta iota " * 4
+                + " needle " + "kappa lamda mu nu xi omicron pi rho " * 4
+                + " needle again")
+        s = build_snippet(text, "needle", tok, dic, SnippetOptions(
+            before_match="<span id=%PASSAGE_ID%>", after_match="</span>",
+            around=2, limit=0))
+        assert "<span id=1>needle</span>" in s
+        assert "<span id=2>needle</span>" in s
+
+    def test_weight_order_and_limit_passages(self):
+        from manticoresearch_tpu.exec.snippets import (SnippetOptions,
+                                                       build_snippet)
+        tok, dic = self._mk()
+        filler = "word " * 30
+        text = ("one fish here " + filler
+                + " two fish and red fish swim " + filler
+                + " blue fish")
+        # weight_order: densest passage (3 hits) first
+        s = build_snippet(text, "fish", tok, dic, SnippetOptions(
+            around=2, weight_order=True, limit=0))
+        first = s.split(" ... ")[0] if " ... " in s else s
+        assert "two" in first or "red" in first
+        # limit_passages=1 keeps only the densest
+        s2 = build_snippet(text, "fish", tok, dic, SnippetOptions(
+            around=2, limit_passages=1, limit=0))
+        assert s2.count("<b>fish</b>") >= 2 and "one fish" not in s2
+
+    def test_limit_words(self):
+        from manticoresearch_tpu.exec.snippets import (SnippetOptions,
+                                                       build_snippet)
+        tok, dic = self._mk()
+        filler = "pad " * 40
+        text = "hit alpha " + filler + " hit beta " + filler + " hit gamma"
+        s = build_snippet(text, "hit", tok, dic, SnippetOptions(
+            around=3, limit=0, limit_words=8))
+        assert len(s.replace("<b>", "").replace("</b>", "").split()) <= 14
+
+    def test_force_all_words(self):
+        from manticoresearch_tpu.exec.snippets import (SnippetOptions,
+                                                       build_snippet)
+        tok, dic = self._mk()
+        filler = "x " * 200
+        text = "apple starts here " + filler + " banana finishes there"
+        s = build_snippet(text, "apple banana", tok, dic, SnippetOptions(
+            around=1, limit=30, force_all_words=True))
+        assert "<b>apple</b>" in s and "<b>banana</b>" in s
+
+    def test_passage_boundary_sentence(self):
+        from manticoresearch_tpu.exec.snippets import (SnippetOptions,
+                                                       build_snippet)
+        tok, dic = self._mk()
+        text = "first sentence stops. the needle is here. third part"
+        s = build_snippet(text, "needle", tok, dic, SnippetOptions(
+            around=10, limit=0, passage_boundary="sentence"))
+        assert "first" not in s and "third" not in s
+        assert "<b>needle</b>" in s
+
+    def test_html_strip_mode(self):
+        from manticoresearch_tpu.exec.snippets import (SnippetOptions,
+                                                       build_snippet)
+        tok, dic = self._mk()
+        text = "<p>the <i>needle</i> here</p>"
+        s = build_snippet(text, "needle", tok, dic, SnippetOptions(
+            limit=0, html_strip_mode="strip"))
+        assert "<i>" not in s and "<b>needle</b>" in s

@@ -24,6 +24,7 @@ DOC_FACTORS = {"bm25", "max_lcs", "field_mask", "query_word_count",
                "doc_word_count"}
 FIELD_FACTORS = {"lcs", "user_weight", "hit_count", "word_count", "tf_idf",
                  "min_hit_pos", "exact_hit", "sum_idf", "min_idf", "max_idf",
+                 "min_gaps", "atc",
                  "exact_order", "lccs", "wlccs", "min_best_span_pos"}
 
 
@@ -292,6 +293,91 @@ class FactorContext:
                 jnp.where(sval == 1, srow, N), sfield].max(
                 jnp.where(sval == 1, runv, jnp.zeros_like(runv)))
             return out
+        if name == "min_gaps":
+            # minimum gaps over windows containing every distinct matched
+            # keyword of the field (UpdateMinGaps, sphinxsearch.cpp:3643):
+            # classic minimum-window — for each window-end hit i, the start
+            # is min over present slots of that slot's latest occurrence;
+            # gaps = span - (distinct_words - 1) - 1.
+            pos_mask = (1 << 23) - 1
+            srow, spk, sqp, sslot, sval = self._sorted_stream()
+            sfield = ((spk >> 24) & 0x7F).astype(jnp.int32)
+            spos = (spk & pos_mask).astype(jnp.int32)
+            M = srow.shape[0]
+            idx = jnp.arange(M, dtype=jnp.int32)
+            p_row = jnp.concatenate([jnp.full(1, -1, srow.dtype),
+                                     srow[:-1]])
+            p_fld = jnp.concatenate([jnp.full(1, -1, sfield.dtype),
+                                     sfield[:-1]])
+            head = (srow != p_row) | (sfield != p_fld)
+            seg_id = jnp.cumsum(head.astype(jnp.int32)) - 1
+            seen = self._seen_qword_field()      # [N+1, F, S]
+            rowv = jnp.where(sval == 1, srow, N)
+            W = jnp.sum(seen, axis=-1)[rowv, sfield]  # words in segment
+            j_min = jnp.full(M, 2**30, jnp.int32)
+            all_ok = jnp.ones(M, dtype=bool)
+            for s in range(S):
+                is_s = (sslot == s) & (sval == 1)
+                last_s = jax.lax.cummax(jnp.where(is_s, idx, -1))
+                lc = jnp.clip(last_s, 0, M - 1)
+                ok_s = (last_s >= 0) & (seg_id[lc] == seg_id)
+                present = seen[rowv, sfield, s] > 0
+                j_min = jnp.where(present & ok_s,
+                                  jnp.minimum(j_min, last_s), j_min)
+                all_ok &= (~present) | ok_s
+            jc = jnp.clip(j_min, 0, M - 1)
+            gaps = spos - spos[jc] - (W - 1)
+            valid = all_ok & (sval == 1) & (W >= 1)
+            big = jnp.int32(2**30)
+            out = jnp.full((N + 1, F), big, jnp.int32).at[
+                jnp.where(valid, srow, N), sfield].min(
+                jnp.where(valid, gaps, big))
+            return jnp.where(out >= big, 0, out)
+        if name == "atc":
+            # aggregate term closeness (UpdateATC/TermTC, sphinxsearch.cpp
+            # :3904-3995): per hit, sum idf(neighbor)/|dpos|^1.75 over the
+            # nearest distinct-keyword neighbors within 10 stream hits each
+            # way (same-keyword pairs x0.25, same-position skipped);
+            # field atc = log(1 + sum_q atc_q * idf_q).
+            pos_mask = (1 << 23) - 1
+            srow, spk, sqp, sslot, sval = self._sorted_stream()
+            sfield = ((spk >> 24) & 0x7F).astype(jnp.int32)
+            spos = (spk & pos_mask).astype(jnp.int32)
+            M = srow.shape[0]
+            idx = jnp.arange(M, dtype=jnp.int32)
+            idfv = rt["idf"][: max(S, 1)]
+            slot_c = jnp.clip(sslot, 0, max(S - 1, 0))
+            n_words = (max(S, 1) + 31) // 32
+            tc = jnp.zeros(M, jnp.float32)
+            for step in (-1, 1):
+                seen_m = [jnp.zeros(M, jnp.int32) for _ in range(n_words)]
+                for d in range(1, 11):
+                    j = idx + step * d
+                    jc = jnp.clip(j, 0, M - 1)
+                    ok = ((j >= 0) & (j < M) & (sval == 1)
+                          & (srow[jc] == srow) & (sfield[jc] == sfield)
+                          & (sval[jc] == 1))
+                    slot_j = slot_c[jc]
+                    delta = jnp.abs(spos - spos[jc])
+                    ok &= delta > 0            # same hitpos: skipped
+                    already = jnp.zeros(M, dtype=bool)
+                    for w in range(n_words):
+                        already |= ((seen_m[w] >> (slot_j & 31)) & 1
+                                    ).astype(bool) & ((slot_j >> 5) == w)
+                    take = ok & ~already
+                    dup = slot_j == slot_c
+                    contrib = idfv[slot_j] / (
+                        delta.astype(jnp.float32) ** jnp.float32(1.75))
+                    contrib = jnp.where(dup, contrib * 0.25, contrib)
+                    tc = tc + jnp.where(take, contrib, 0.0)
+                    for w in range(n_words):
+                        seen_m[w] = seen_m[w] | jnp.where(
+                            take & ((slot_j >> 5) == w),
+                            jnp.int32(1) << (slot_j & 31), 0)
+            A = jnp.zeros((N + 1, F, max(S, 1)), jnp.float32).at[
+                jnp.where(sval == 1, srow, N), sfield, slot_c].add(
+                jnp.where(sval == 1, tc, 0.0))
+            return jnp.log1p(jnp.sum(A * idfv[None, None, :], axis=-1))
         if name == "exact_hit":
             # field content == query: first hit at pos 1 and the field's
             # token count equals the lcs span (approximation of the

@@ -249,3 +249,54 @@ class TestPackedFactors:
         r = s.execute("SELECT id, PACKEDFACTORS() FROM pf2 "
                       "WHERE MATCH('x')")[0]
         assert r.error and "ranker=expr" in r.error
+
+
+class TestMinGapsAtc:
+    """min_gaps (UpdateMinGaps minimum-window) + atc (TermTC closeness)."""
+
+    @pytest.fixture(scope="class")
+    def gidx(self):
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        b = IndexBuilder(Schema(fields=["content"], attrs=[]))
+        b.add_documents([
+            dict(id=1, content="alpha beta"),             # gaps 0
+            dict(id=2, content="alpha filler beta"),      # gaps 1
+            dict(id=3, content="alpha x y beta alpha"),   # gaps 0 (b@4,a@5)
+            dict(id=4, content="alpha w w w beta"),       # gaps 3
+            dict(id=5, content="alpha only here"),        # one word -> 0
+        ])
+        from manticoresearch_tpu.exec.searcher import SearchIndex
+        return SearchIndex(b.build())
+
+    def test_min_gaps_golden(self, gidx):
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        r = gidx.search(SearchQuery(
+            match="alpha | beta",
+            ranker=("expr", "sum(min_gaps)*100"), limit=10))
+        assert r.error is None
+        got = {m.docid: m.weight for m in r.matches}
+        assert got[1] == 0 and got[2] == 100 and got[3] == 0
+        assert got[4] == 300 and got[5] == 0
+
+    def test_atc_golden(self, gidx):
+        import math
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        from manticoresearch_tpu.query.planner import compute_idf
+        r = gidx.search(SearchQuery(
+            match="alpha | beta",
+            ranker=("expr", "sum(atc)*10000"), limit=10))
+        assert r.error is None
+        got = {m.docid: m.weight for m in r.matches}
+        # doc1 "alpha beta": tc(alpha)=idf_b/1^1.75, tc(beta)=idf_a/1^1.75
+        # atc = log(1 + idf_a*tc_a... accumulate per-term then * idf:
+        #   A[a]=idf_b, A[b]=idf_a -> atc=log(1+2*idf_a*idf_b)
+        idf_a = compute_idf(5, 5, n_qwords=2)   # alpha: df=5 of 5
+        idf_b = compute_idf(4, 5, n_qwords=2)   # beta: df=4 of 5
+        want1 = int(math.log1p(2 * idf_a * idf_b) * 10000)
+        assert abs(got[1] - want1) <= 1
+        # doc2 distance 2: contributions /2^1.75
+        want2 = int(math.log1p(2 * idf_a * idf_b / 2 ** 1.75) * 10000)
+        assert abs(got[2] - want2) <= 1
+        # single-word doc: no neighbors -> 0
+        assert got[5] == 0

@@ -857,6 +857,10 @@ def _eval_expr(expr: tuple, termmask, phrase_results, alive, size):
         left = _eval_expr(expr[1], termmask, phrase_results, alive, size)
         right = _eval_expr(expr[2], termmask, phrase_results, alive, size)
         return left & ~right
+    if op == "maybe":
+        # MAYBE: matching is the left arm only; the right arm contributed
+        # its tfidf/hits to the rank upstream (ExtMaybe semantics)
+        return _eval_expr(expr[1], termmask, phrase_results, alive, size)
     if op == "quorum":
         slots_t, m_need = expr[1], expr[2]
         cnt = jnp.zeros(termmask.shape[0], termmask.dtype)
@@ -889,6 +893,9 @@ def _collect_phrase_nodes(expr: tuple) -> list[tuple]:
         return out
     if op == "andnot":
         return _collect_phrase_nodes(expr[1]) + _collect_phrase_nodes(expr[2])
+    if op == "maybe":
+        return _collect_phrase_nodes(expr[1]) + _collect_phrase_nodes(
+            expr[2])
     return []
 
 

@@ -81,6 +81,8 @@ def expr_has_all(expr: tuple) -> bool:
         return any(expr_has_all(c) for c in expr[1])
     if op == "andnot":
         return expr_has_all(expr[1]) or expr_has_all(expr[2])
+    if op == "maybe":
+        return expr_has_all(expr[1])
     return False
 
 
@@ -101,6 +103,8 @@ def expr_slots(expr: tuple) -> set[int]:
         return set(expr[1])
     if op in ("proximity", "near", "sentence", "paragraph"):
         return set(expr[1])
+    if op == "maybe":
+        return expr_slots(expr[1]) | expr_slots(expr[2])
     raise ValueError(f"unknown expr op {op!r}")
 
 
@@ -123,6 +127,8 @@ def ranker_term_slots(expr: tuple) -> tuple[int, ...]:
             return walk(e[1])
         if op == "quorum":
             return list(e[1])
+        if op == "maybe":
+            return walk(e[1]) + walk(e[2])
         if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
             return []
         raise ValueError(f"unknown expr op {op!r}")
@@ -145,6 +151,9 @@ def positive_phrase_nodes(expr: tuple) -> tuple:
         return out
     if op == "andnot":
         return positive_phrase_nodes(expr[1])
+    if op == "maybe":
+        return positive_phrase_nodes(expr[1]) + positive_phrase_nodes(
+            expr[2])
     return ()
 
 
@@ -169,4 +178,6 @@ def positive_slots(expr: tuple) -> set[int]:
     if op == "near":
         # NOTNEAR's right side never contributes weight
         return {expr[1][0]} if expr[3] else set(expr[1])
+    if op == "maybe":
+        return positive_slots(expr[1]) | positive_slots(expr[2])
     raise ValueError(f"unknown expr op {op!r}")

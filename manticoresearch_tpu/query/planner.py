@@ -173,7 +173,13 @@ def simplify(node):
             return None
         return QAndNot(left, right)
     if isinstance(node, QMaybe):
-        return simplify(node.left)  # MAYBE only affects ranking; TODO weights
+        left = simplify(node.left)
+        right = simplify(node.right)
+        if right is None:
+            return left
+        if left is None:
+            return None
+        return QMaybe(left, right)
     return node
 
 
@@ -214,6 +220,10 @@ def expand_wildcards(node, term_strs: list[str], expansion_limit: int = 0):
     if isinstance(node, QAndNot):
         return QAndNot(expand_wildcards(node.left, term_strs, expansion_limit),
                        expand_wildcards(node.right, term_strs, expansion_limit))
+    if isinstance(node, QMaybe):
+        return QMaybe(expand_wildcards(node.left, term_strs, expansion_limit),
+                      expand_wildcards(node.right, term_strs,
+                                       expansion_limit))
     return node
 
 
@@ -274,6 +284,11 @@ def _lower(node, st: _SlotTable, positive: bool):
     if isinstance(node, QAndNot):
         return ("andnot", _lower(node.left, st, positive),
                 _lower(node.right, st, False))
+    if isinstance(node, QMaybe):
+        # MAYBE: matching follows the left arm; the right arm's hits and
+        # tfidf contribute to rank when present (ExtMaybe, searchnode.cpp)
+        return ("maybe", _lower(node.left, st, positive),
+                _lower(node.right, st, positive))
     if isinstance(node, QQuorum):
         slots = tuple(st.get(w, node.fields, positive) for w in node.words)
         return ("quorum", slots, node.m)

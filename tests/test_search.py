@@ -321,3 +321,44 @@ class TestManyTerms:
         assert r.error is None
         # quorum >= 2: docs whose BOTH words are in w000..w039 -> d=0..38
         assert {m.docid for m in r.matches} == set(range(1, 40))
+
+
+class TestMaybe:
+    """MAYBE: matches follow the left arm; the right arm boosts rank when
+    present (ExtMaybe, searchnode.cpp)."""
+
+    @pytest.fixture(scope="class")
+    def midx(self):
+        schema = Schema(fields=["content"], attrs=[])
+        b = IndexBuilder(schema)
+        b.add_documents([
+            dict(id=1, content="apple pie with cream"),
+            dict(id=2, content="apple tart plain"),
+            dict(id=3, content="cream only here"),
+            dict(id=4, content="unrelated words entirely"),
+        ])
+        return SearchIndex(b.build())
+
+    def test_maybe_match_set(self, midx):
+        r = midx.search(SearchQuery(match="apple MAYBE cream"))
+        assert r.error is None
+        # matching = left arm only: doc 3 (cream only) must NOT match
+        assert {m.docid for m in r.matches} == {1, 2}
+
+    def test_maybe_boosts_weight(self, midx):
+        r = midx.search(SearchQuery(match="apple MAYBE cream"))
+        w = {m.docid: m.weight for m in r.matches}
+        rb = midx.search(SearchQuery(match="apple"))
+        wb = {m.docid: m.weight for m in rb.matches}
+        # doc1 (has cream) gains rank over the bare query; doc2 unchanged
+        # relative ordering: doc1 must now outrank doc2
+        assert w[1] > w[2]
+        assert r.matches[0].docid == 1
+        # the MAYBE arm's tfidf flows into the weight of doc1
+        assert wb[1] == wb[2]   # bare query can't split the pair
+        idf_apple = ref_idf(2, 4, 2)
+        idf_cream = ref_idf(2, 4, 2)
+        # doc1: both words tf=1 -> tfidf = (1/2.2)*(idf_a+idf_c);
+        # apple@1 cream@4 not adjacent -> lcs rank 1
+        want1 = bm25part(1 / 2.2 * (idf_apple + idf_cream)) + 1000
+        assert w[1] == want1

@@ -107,6 +107,8 @@ def _search_with_stats(index, q, stats_kwargs):
             field_weights=q.field_weights, idf_plain=q.idf_plain,
             tfidf_normalized=q.tfidf_normalized,
             expansion_limit=q.expansion_limit,
+            boolean_simplify=q.boolean_simplify,
+            expand_keywords=q.expand_keywords,
             packed_store=index.packed.packed_store(),
             **{"emit_factors": _wants_packedfactors(q.select),
                **stats_kwargs},

@@ -37,6 +37,8 @@ class SearchQuery:
     idf_plain: bool = False
     tfidf_normalized: bool = True
     expansion_limit: int = 0             # max dict terms per wildcard
+    boolean_simplify: bool = False       # opt-in boolean transforms
+    expand_keywords: bool = False        # keyword -> (kw | kw* | =kw)
     select: list[str] | None = None      # None = * (all attrs)
     cutoff: int = 0
     group_by: str | None = None          # attr name or expression
@@ -114,7 +116,7 @@ class SearchIndex:
         key = (
             q.match, q.ranker, q.max_matches, q.offset + q.limit,
             tuple(q.sort), q.idf_plain, q.tfidf_normalized, emit_factors,
-            q.expansion_limit,
+            q.expansion_limit, q.boolean_simplify, q.expand_keywords,
             tuple(sorted(q.field_weights.items())),
             tuple((f.attr, f.kind, tuple(f.values), f.lo, f.hi, f.exclude,
                    f.lo_excl, f.hi_excl) for f in q.filters),
@@ -132,6 +134,8 @@ class SearchIndex:
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
             emit_factors=emit_factors, expansion_limit=q.expansion_limit,
             packed_store=self.packed.packed_store(),
+            boolean_simplify=q.boolean_simplify,
+            expand_keywords=q.expand_keywords,
         )
         if len(self._plan_cache) > 8192:
             self._plan_cache.clear()

@@ -419,6 +419,8 @@ class Session:
             sort=sort,
             idf_plain="plain" in str(opts.get("idf", "")),
             expansion_limit=int(opts.get("expansion_limit", 0)),
+            boolean_simplify=str(opts.get("boolean_simplify", "0")) == "1",
+            expand_keywords=str(opts.get("expand_keywords", "0")) == "1",
             tfidf_normalized="tfidf_unnormalized" not in str(opts.get("idf", "")),
             select=[it.alias or it.expr for it in st.items],
             group_by=st.group_by,

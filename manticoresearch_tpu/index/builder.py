@@ -101,6 +101,25 @@ class PackedIndex:
             return i
         return -1
 
+    def attr_index(self, name: str):
+        """Secondary index over a numeric attr: (sorted_values,
+        rowid_permutation) — the host keeps the values for bound searches,
+        the device keeps the permutation (secondaryindex.h:36 analog)."""
+        if not hasattr(self, "_attr_idx"):
+            self._attr_idx = {}
+        if name not in self._attr_idx:
+            if name in self.attrs_int:
+                vals = self.attrs_int[name]
+            elif name in self.attrs_float:
+                vals = self.attrs_float[name]
+            elif name in self.attrs_big:
+                vals = np.clip(self.attrs_big[name], -(2**31), 2**31 - 1)
+            else:
+                raise KeyError(name)
+            perm = np.argsort(vals, kind="stable").astype(np.int32)
+            self._attr_idx[name] = (np.asarray(vals)[perm], perm)
+        return self._attr_idx[name]
+
     def packed_store(self):
         """Bit-plane packed posting store (built lazily, cached): the HBM
         posting format for single-shard serving (ops/packed_store.py)."""

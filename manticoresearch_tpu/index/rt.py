@@ -295,8 +295,12 @@ class RtIndex:
         import jax.numpy as jnp
         seg = self.segments[si]
         dev = seg.search.device
+        p = seg.packed
+        # attr values changed: drop the secondary-index cache and rebuild
+        # the device permutations so scan-index plans stay correct
+        if hasattr(p, "_attr_idx"):
+            p._attr_idx = {}
         for name in list(dev.attrs):
-            p = seg.packed
             if name in p.attrs_int:
                 dev.attrs[name] = jnp.asarray(p.attrs_int[name])
             elif name in p.attrs_float:
@@ -305,6 +309,13 @@ class RtIndex:
                 dev.attrs[name] = jnp.asarray(
                     np.clip(p.attrs_big[name], -(2**31), 2**31 - 1
                             ).astype(np.int32))
+        for name in list(dev.attr_perm):
+            _, perm = p.attr_index(name)
+            old = dev.attr_perm[name]
+            pad = old.shape[0] - len(perm)
+            dev.attr_perm[name] = jnp.asarray(np.concatenate(
+                [perm.astype(np.int32),
+                 np.full(pad, p.n_docs, np.int32)]))
 
     # -- binlog (RtBinlog_c analog, sphinxrt.cpp:762) -----------------------
     def _binlog_write(self, rec: dict) -> None:

@@ -45,6 +45,8 @@ class DeviceIndex:
     docid_hi: jax.Array              # i32[N+1]: docid >> 31 (for cross-shard tie-break)
     docid_lo: jax.Array              # i32[N+1]: docid & 0x7fffffff
     attrs: dict[str, jax.Array]      # numeric SoA columns, each [N]
+    attr_perm: dict[str, jax.Array]  # secondary index: rowids sorted by
+                                     # attr value (+pad row N), each [N+1]
     mva_offsets: dict[str, jax.Array]
     mva_values: dict[str, jax.Array]
 
@@ -66,6 +68,7 @@ class DeviceIndex:
             "docid_hi": self.docid_hi,
             "docid_lo": self.docid_lo,
             "attrs": self.attrs,
+            "attr_perm": self.attr_perm,
             "mva_offsets": self.mva_offsets,
             "mva_values": self.mva_values,
         }
@@ -160,6 +163,16 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
     if packed.field_lens.size:
         fl[:n, : packed.field_lens.shape[1]] = packed.field_lens
 
+    # secondary indexes: rowid permutations per numeric attr (values stay
+    # host-side in PackedIndex.attr_index for bound searches)
+    attr_perm = {}
+    perm_len = _pow2(n + 1)      # >= any scan bucket (pow2 of a subset)
+    for name in (list(packed.attrs_int) + list(packed.attrs_float)
+                 + list(packed.attrs_big)):
+        _, perm = packed.attr_index(name)
+        attr_perm[name] = put(padp(perm.astype(np.int32), n,
+                                   perm_len - n))
+
     did = np.append(packed.doc_ids, 2**62)  # pad row sorts last on ties
     docid_hi = (did >> 31).astype(np.int32)
     docid_lo = (did & 0x7FFFFFFF).astype(np.int32)
@@ -182,6 +195,7 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
         docid_hi=put(docid_hi),
         docid_lo=put(docid_lo),
         attrs={k: put(v) for k, v in attrs.items()},
+        attr_perm=attr_perm,
         mva_offsets=mva_off,
         mva_values=mva_val,
     )

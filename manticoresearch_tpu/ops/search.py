@@ -245,7 +245,9 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
     # routinely exceed it; reference qword lists are unbounded)
     W = max(1, (S + 31) // 32)
     sparse = sig.sparse
-    B = int(sum(slot_pb)) if sparse else 0
+    scan_index = getattr(sig, "scan_index", "")
+    B = (sig.scan_bucket if scan_index else int(sum(slot_pb))) \
+        if sparse else 0
     size = B if sparse else N + 1
     sink = size - 1  # dense: the pad row N; sparse: scatters are 0-gated
 
@@ -319,7 +321,28 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             key = "res_fieldmask" if slot_packed else "post_fieldmask"
             return jax.lax.dynamic_slice(data[key], (st,), (sz,))
 
-        if sparse:
+        if sparse and scan_index:
+            # ---- filtered fullscan over a secondary-index slice ----
+            # candidates = rows whose indexed attr falls in the filter's
+            # value window (pre-sliced host-side); one device sort brings
+            # them into ascending-row candidate order
+            perm = data["attr_perm"][scan_index]
+            rowsl = jax.lax.dynamic_slice(
+                perm, (rt["scan_start"][0],), (B,))
+            msk0 = jnp.arange(B, dtype=jnp.int32) < rt["scan_len"][0]
+            cand_row = jax.lax.sort(jnp.where(msk0, rowsl, N))
+            tfidf = jnp.zeros(B, jnp.float32)
+            termmask = jnp.zeros((B, W), jnp.int32)
+            fieldhit = (jnp.zeros((B, F), jnp.int32) if need_fieldmask
+                        else None)
+            rows_vec = cand_row
+            alive = data["alive"][cand_row]
+
+            def to_idx(r):
+                return jnp.clip(
+                    jnp.searchsorted(cand_row, r).astype(jnp.int32),
+                    0, B - 1)
+        elif sparse:
             # ---- sparse phase 1: gather -> one sort -> segment-reduce ----
             # Candidate set = union of every slot's posting rows (including
             # field-limited slots: their rows must be candidates even though

@@ -64,6 +64,12 @@ class PlanSig:
                                 # the raw residual stream); () = the index
                                 # has no packed store (legacy/sharded data
                                 # pytrees with raw post_* arrays)
+    scan_index: str = ""        # filtered fullscan pre-selection: evaluate
+                                # over a slice of this attr's sorted-value
+                                # rowid permutation instead of all N rows —
+                                # the secondary-index/histogram analog
+                                # (histogram.h:19, sphinx.cpp:12676)
+    scan_bucket: int = 0        # pow2 candidate bucket for scan_index
 
 
 RANKERS_WITH_HITS = frozenset(

@@ -183,6 +183,86 @@ def simplify(node):
     return node
 
 
+def transform_boolean_simplify(node):
+    """Opt-in boolean transformations (sphTransformExtendedQuery with
+    boolean_simplify=1, sphinxquery.cpp transformation set): duplicate
+    sibling removal and common-keyword factoring
+    (a x) | (a y) -> a (x | y). Like the reference, this may perturb
+    ranking slightly (shared subtree tf aggregation) — hence opt-in."""
+    if isinstance(node, QAnd):
+        kids = [transform_boolean_simplify(c) for c in node.children]
+        out = []
+        for c in kids:                       # dedupe identical siblings
+            if c not in out:
+                out.append(c)
+        return out[0] if len(out) == 1 else QAnd(tuple(out))
+    if isinstance(node, QOr):
+        kids = [transform_boolean_simplify(c) for c in node.children]
+        out = []
+        for c in kids:
+            if c not in out:
+                out.append(c)
+        if len(out) == 1:
+            return out[0]
+        # common keyword factoring across AND groups
+        groups = []
+        for c in out:
+            groups.append(list(c.children) if isinstance(c, QAnd) else [c])
+        common = [t for t in groups[0]
+                  if isinstance(t, QTerm)
+                  and all(t in g for g in groups[1:])]
+        if common:
+            rests = []
+            for g in groups:
+                rest = [t for t in g if t not in common]
+                if not rest:
+                    # one arm is exactly the common part: the OR collapses
+                    # to it (a | (a x) -> a)
+                    return (common[0] if len(common) == 1
+                            else QAnd(tuple(common)))
+                rests.append(rest[0] if len(rest) == 1
+                             else QAnd(tuple(rest)))
+            return QAnd(tuple(common) + (QOr(tuple(rests)),))
+        return QOr(tuple(out))
+    if isinstance(node, QAndNot):
+        return QAndNot(transform_boolean_simplify(node.left),
+                       transform_boolean_simplify(node.right))
+    if isinstance(node, QMaybe):
+        return QMaybe(transform_boolean_simplify(node.left),
+                      transform_boolean_simplify(node.right))
+    return node
+
+
+def expand_keywords_ast(node, index):
+    """expand_keywords=1 (sphinx.cpp ExpandKeywords): every plain keyword
+    becomes ( word | word* | =word ), letting stem/exact/prefix forms
+    compete; wildcard expansion then resolves the starred form."""
+    if isinstance(node, QTerm) and not node.wildcard and not node.exact \
+            and node.word:
+        alts = [node]
+        alts.append(QTerm(node.word + "*", node.fields, boost=node.boost,
+                          wildcard=True, zones=node.zones))
+        from ..text.dictionary import DictSettings
+        ds = getattr(index, "dict_settings", DictSettings())
+        if ds.index_exact_words:
+            alts.append(QTerm(node.word, node.fields, exact=True,
+                              boost=node.boost, zones=node.zones))
+        return QOr(tuple(alts))
+    if isinstance(node, QAnd):
+        return QAnd(tuple(expand_keywords_ast(c, index)
+                          for c in node.children))
+    if isinstance(node, QOr):
+        return QOr(tuple(expand_keywords_ast(c, index)
+                         for c in node.children))
+    if isinstance(node, QAndNot):
+        return QAndNot(expand_keywords_ast(node.left, index),
+                       expand_keywords_ast(node.right, index))
+    if isinstance(node, QMaybe):
+        return QMaybe(expand_keywords_ast(node.left, index),
+                      expand_keywords_ast(node.right, index))
+    return node
+
+
 def expand_wildcards(node, term_strs: list[str], expansion_limit: int = 0):
     """word* / *infix* -> OR over matching dictionary terms (ExpandPrefix,
     sphinx.cpp:15021). Returns a new AST."""
@@ -332,8 +412,14 @@ def plan_query(
     emit_factors: bool = False,
     expansion_limit: int = 0,
     packed_store=None,          # ops.packed_store.PackedStore of `index`
+    boolean_simplify: bool = False,
+    expand_keywords: bool = False,
 ) -> CompiledQuery:
     node = simplify(ast_root)
+    if node is not None and expand_keywords:
+        node = expand_keywords_ast(node, index)
+    if node is not None and boolean_simplify:
+        node = simplify(transform_boolean_simplify(node))
     node = (expand_wildcards(node, index.term_strs, expansion_limit)
             if node is not None else None)
     if node is None:
@@ -645,6 +731,49 @@ def plan_query(
     else:
         sparse = sparse_capable and B_total <= max(index.n_docs // 2, 0)
 
+    # filtered fullscan: pre-select candidates from a numeric attr's
+    # secondary index instead of touching all N rows (the histogram /
+    # filter-iterator economics, histogram.h:19, sphinx.cpp:12676-12692)
+    scan_index = ""
+    scan_bucket = 0
+    scan_start = scan_len = 0
+    if (not sparse and expr == ("all",) and eff_ranker == "none"
+            and not emit_factors and _mode != "never"
+            and packed_store is not None):
+        for f in filters or []:
+            if f.exclude or f.attr in ("id",):
+                continue
+            try:
+                svals, _perm = index.attr_index(f.attr)
+            except (KeyError, AttributeError):
+                continue
+            if f.kind in ("range_i", "range_f"):
+                lo = f.lo if f.lo is not None else -np.inf
+                hi = f.hi if f.hi is not None else np.inf
+                li = int(np.searchsorted(
+                    svals, lo, "right" if f.lo_excl else "left"))
+                hi_i = int(np.searchsorted(
+                    svals, hi, "left" if f.hi_excl else "right"))
+            elif f.kind == "values" and f.values:
+                li = int(np.searchsorted(svals, min(f.values), "left"))
+                hi_i = int(np.searchsorted(svals, max(f.values), "right"))
+            else:
+                continue
+            size = max(hi_i - li, 0)
+            if size <= index.n_docs // 2:
+                scan_index = f.attr
+                scan_bucket = _next_pow2(size, 1024)
+                # shift the window start left if the bucket would run past
+                # the permutation end — extra candidates are real rows
+                # outside the value window; the filter kills them exactly
+                scan_start = max(0, min(li, index.n_docs - scan_bucket))
+                scan_len = min(scan_bucket,
+                               max(index.n_docs - scan_start, 0),
+                               (hi_i - scan_start))
+                k = min(k, scan_bucket)
+                sparse = True
+                break
+
     sig = PlanSig(
         expr=expr, n_slots=S, ranker=eff_ranker,
         filters=tuple(fspecs), k=k, order=order,
@@ -653,6 +782,7 @@ def plan_query(
         sparse=sparse,
         slot_packed=(tuple(slot_packed) if packed_store is not None
                      else ()),
+        scan_index=scan_index, scan_bucket=scan_bucket,
     )
     fl = getattr(index, "field_lens", None)
     if fl is not None and getattr(fl, "size", 0):
@@ -676,6 +806,9 @@ def plan_query(
     }
     if packed_store is not None:
         runtime["pk_starts"] = pk_starts
+    if scan_index:
+        runtime["scan_start"] = np.asarray([scan_start], np.int32)
+        runtime["scan_len"] = np.asarray([scan_len], np.int32)
     return CompiledQuery(
         sig=sig, runtime=runtime, slot_terms=list(st.terms),
         slot_df=slot_df, slot_hits=slot_hits,

@@ -120,3 +120,73 @@ def test_packed_fieldmask_ranker(index, corpus):
                                  ranker="none"))
     want = _brute(corpus, "alpha", field="title")
     assert {m.docid for m in r.matches} == want
+
+
+class TestScanIndex:
+    """Filtered fullscan pre-selection via the attr secondary index
+    (histogram/filter-iterator analog, sphinx.cpp:12676)."""
+
+    @pytest.fixture(scope="class")
+    def sidx(self):
+        import random
+        rng = random.Random(5)
+        schema = Schema(fields=["content"],
+                        attrs=[AttrDef("price", AttrType.UINT),
+                               AttrDef("score", AttrType.FLOAT)])
+        b = IndexBuilder(schema)
+        docs = []
+        for i in range(1, 4001):
+            docs.append(dict(id=i, content=f"text {i}",
+                             price=rng.randint(0, 999),
+                             score=round(rng.random() * 100, 2)))
+        b.add_documents(docs)
+        return SearchIndex(b.build()), docs
+
+    def test_scan_plan_selected(self, sidx):
+        idx, docs = sidx
+        cq = idx.plan(SearchQuery(
+            match="", filters=[AttrFilterDef("price", "range_i",
+                                             lo=100, hi=120)]))
+        assert cq.sig.scan_index == "price" and cq.sig.sparse
+
+    def test_range_scan_exact(self, sidx):
+        idx, docs = sidx
+        r = idx.search(SearchQuery(
+            match="", limit=4000, max_matches=4000,
+            filters=[AttrFilterDef("price", "range_i", lo=100, hi=120)]))
+        assert r.error is None
+        want = {d["id"] for d in docs if 100 <= d["price"] <= 120}
+        assert {m.docid for m in r.matches} == want
+        assert r.total_found == len(want)
+
+    def test_combined_filters_on_slice(self, sidx):
+        idx, docs = sidx
+        r = idx.search(SearchQuery(
+            match="", limit=4000, max_matches=4000,
+            filters=[AttrFilterDef("price", "range_i", lo=0, hi=50),
+                     AttrFilterDef("score", "range_f", lo=0.0, hi=25.0)]))
+        want = {d["id"] for d in docs
+                if d["price"] <= 50 and 0.0 <= round(d["score"], 2) <= 25.0}
+        got = {m.docid for m in r.matches}
+        assert got == want
+
+    def test_wide_filter_stays_dense(self, sidx):
+        idx, docs = sidx
+        cq = idx.plan(SearchQuery(
+            match="", filters=[AttrFilterDef("price", "range_i",
+                                             lo=0, hi=998)]))
+        assert not cq.sig.scan_index
+        r = idx.search(SearchQuery(
+            match="", limit=4000, max_matches=4000,
+            filters=[AttrFilterDef("price", "range_i", lo=0, hi=998)]))
+        want = {d["id"] for d in docs if d["price"] <= 998}
+        assert {m.docid for m in r.matches} == want
+
+    def test_order_by_attr_on_scan(self, sidx):
+        idx, docs = sidx
+        r = idx.search(SearchQuery(
+            match="", limit=10, sort=[("price", True), ("id", True)],
+            filters=[AttrFilterDef("price", "range_i", lo=400, hi=420)]))
+        sel = sorted((d["price"], d["id"]) for d in docs
+                     if 400 <= d["price"] <= 420)[:10]
+        assert [(m.attrs["price"], m.docid) for m in r.matches] == sel

@@ -210,3 +210,56 @@ class TestSources:
         idx = SearchIndex(load_packed(out))
         r = idx.search(SearchQuery(match="apples"))
         assert {m.docid for m in r.matches} == {1, 2}
+
+
+class TestIndextoolDepth:
+    @pytest.fixture(scope="class")
+    def saved(self, tmp_path_factory):
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.index.storage import save_packed
+        from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
+        d = tmp_path_factory.mktemp("itool")
+        b = IndexBuilder(Schema(
+            fields=["content"],
+            attrs=[AttrDef("price", AttrType.UINT),
+                   AttrDef("tags", AttrType.MVA)]))
+        docs = [dict(id=i, content=f"common word{i % 7} text",
+                     price=i, tags=[i % 3, 5]) for i in range(1, 201)]
+        b.add_documents(docs)
+        p = str(d / "idx")
+        save_packed(b.build(), p)
+        return p
+
+    def test_deep_check_passes(self, saved, capsys):
+        from manticoresearch_tpu.tools.indextool import main
+        assert main(["--check", saved]) == 0
+        assert "check passed" in capsys.readouterr().out
+
+    def test_check_catches_corruption(self, saved, tmp_path):
+        import shutil
+        from manticoresearch_tpu.index.storage import load_packed, save_packed
+        from manticoresearch_tpu.tools.indextool import check_index
+        bad = str(tmp_path / "bad")
+        shutil.copytree(saved, bad)
+        p = load_packed(bad)
+        p.hit_packed[0] = (99 << 24) | 5      # field 99 out of range
+        save_packed(p, bad)
+        errs = check_index(bad)
+        assert any("field id" in e for e in errs)
+
+    def test_dumpdocids_and_hitlist(self, saved, capsys):
+        from manticoresearch_tpu.tools.indextool import main
+        assert main(["--dumpdocids", saved, "--limit", "5"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert out == ["1", "2", "3", "4", "5"]
+        assert main(["--dumphitlist", saved, "--word", "common",
+                     "--limit", "3"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines[0] == "docid\tfield\tpos\tend"
+        assert lines[1].startswith("1\t0\t1")
+
+    def test_stats(self, saved, capsys):
+        from manticoresearch_tpu.tools.indextool import main
+        assert main(["--stats", saved]) == 0
+        out = capsys.readouterr().out
+        assert "docs:         200" in out and "posting packed" in out

@@ -51,6 +51,22 @@ def get_native_lib():
             ]
             lib.mt_crc64.restype = ctypes.c_uint64
             lib.mt_crc64.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            # bulk-build dictionary API
+            lib.mt_dict_new.restype = ctypes.c_void_p
+            lib.mt_dict_free.argtypes = [ctypes.c_void_p]
+            lib.mt_dict_n_terms.restype = ctypes.c_int
+            lib.mt_dict_n_terms.argtypes = [ctypes.c_void_p]
+            lib.mt_dict_pool_len.restype = ctypes.c_int64
+            lib.mt_dict_pool_len.argtypes = [ctypes.c_void_p]
+            lib.mt_dict_export.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.mt_dict_tokenize.restype = ctypes.c_int
+            lib.mt_dict_tokenize.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
             _LIB = lib
         except (OSError, subprocess.SubprocessError):
             _LIB = None

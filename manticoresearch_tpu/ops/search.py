@@ -470,6 +470,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             return jnp.where(msk, hrow, N), jnp.where(msk, hpk, 0), msk
 
         zctr = 0  # trace-time cursor into rt["zspans"] (planner order)
+        zspan_acc: dict = {}   # ZONESPAN groups: zlim -> per-zone presence
         for s, lmask, f_start, f_end, zlim in sig.slot_limited:
             hrowL, hpkL, mskL = slot_hits(s)
             hfield = (hpkL >> 24) & 0x7F
@@ -478,18 +479,35 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 # ZONE:(z1,z2): the hit must lie inside some instance of a
                 # listed zone (ExtTerm zone filtering, sphinxsearch zones):
                 # predecessor search over (row, span-start-key), then check
-                # that span's end covers the hit in the same row+field
+                # that span's end covers the hit in the same row+field.
+                # ZONESPAN ('='-prefixed names): additionally record WHICH
+                # span instance each member slot hit, for the joint
+                # same-instance constraint applied after this loop.
+                is_span = zlim[0].startswith("=")
+                group = None
+                if is_span:
+                    group = zspan_acc.setdefault(
+                        zlim, {"slots": [], "zones": {}})
+                    group["slots"].append(s)
                 inz = jnp.zeros_like(ok)
-                for _zname in zlim:
+                for j, _zname in enumerate(zlim):
                     zrow, zskey, zekey = rt["zspans"][zctr]
                     zctr += 1
                     lo = jnp.zeros_like(hrowL)
                     hi = jnp.full_like(hrowL, zrow.shape[0])
                     zi, zex = _lex_search_le(hrowL, hpkL, zrow, zskey,
                                              lo, hi, n_hit_iters)
-                    inz = inz | (zex & (zrow[zi] == hrowL)
-                                 & (zekey[zi] >= hpkL)
-                                 & ((zskey[zi] >> 24) == hfield))
+                    hit_in = (zex & (zrow[zi] == hrowL)
+                              & (zekey[zi] >= hpkL)
+                              & ((zskey[zi] >> 24) == hfield))
+                    inz = inz | hit_in
+                    if group is not None:
+                        nsp = zrow.shape[0]
+                        pres = jnp.zeros(nsp, jnp.bool_).at[
+                            jnp.clip(jnp.where(hit_in, zi, 0), 0,
+                                     nsp - 1)].max(hit_in)
+                        group["zones"].setdefault(j, (zrow, []))[1].append(
+                            pres)
                 ok &= inz
             if f_start:
                 # ^word: hit at in-field position 1 (sphinxquery field_start)
@@ -522,6 +540,37 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                         jnp.where(ok & (hfield == f), 1, 0))
                      for f in range(F)], axis=1)
                 fieldhit = fieldhit | fbits
+
+        # ZONESPAN joint constraint: all member keywords must hit the SAME
+        # zone instance (sphinxsearch zones ZONESPAN semantics). Exact when
+        # the members sit as term leaves under one AND (or a single term);
+        # other shapes keep the per-keyword ZONE approximation (documented
+        # divergence). tf still counts every in-zone hit.
+        def _and_context(members):
+            if len(members) <= 1:
+                return True
+            e = sig.expr
+            if e[0] == "and":
+                leaves = {c[1] for c in e[1] if c[0] == "term"}
+                return all(s_m in leaves for s_m in members)
+            return False
+
+        for zlim_g, g in zspan_acc.items():
+            members = g["slots"]
+            if not _and_context(members):
+                continue
+            doc_ok = jnp.zeros(size, dtype=bool)
+            for j, (zrow, pres_list) in g["zones"].items():
+                full = pres_list[0]
+                for pz in pres_list[1:]:
+                    full = full & pz
+                rows_of_span = jnp.where(full, zrow, N)
+                doc_ok = doc_ok.at[to_idx(rows_of_span)].max(full)
+            for s_m in members:
+                bit = jnp.int32(1) << (s_m & 31)
+                termmask = termmask.at[:, s_m >> 5].set(
+                    jnp.where(doc_ok, termmask[:, s_m >> 5],
+                              termmask[:, s_m >> 5] & ~bit))
 
         # phrase/proximity nodes produce their own per-doc match + tf.
         # NOTE: phrase docs keep the *sum of member terms'* TFIDF — the

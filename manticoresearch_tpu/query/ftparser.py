@@ -147,13 +147,15 @@ class FtQueryParser:
 
     def _parse_zone_spec(self, text: str) -> tuple[str, ...]:
         """ZONE:(h1,h2) / ZONE:h1 / ZONESPAN:... (sphinxquery.y zone
-        grammar). ZONESPAN's same-instance restriction is approximated by
-        ZONE semantics for now (each keyword must be inside some instance
-        of a listed zone)."""
+        grammar). ZONESPAN zone names carry an '=' prefix through the
+        plan: the kernel applies the same-span-instance constraint to the
+        slots sharing the spec (exact for AND-of-keywords contexts)."""
+        span = text.startswith("ZONESPAN")
         body = text.split(":", 1)[1]
         if body.startswith("("):
             body = body[1:-1]
-        return tuple(z.strip().lower() for z in body.split(",") if z.strip())
+        return tuple(("=" if span else "") + z.strip().lower()
+                     for z in body.split(",") if z.strip())
 
     # --- grammar -----------------------------------------------------------
     def _parse_and_list(self):

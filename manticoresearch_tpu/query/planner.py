@@ -674,7 +674,7 @@ def plan_query(
     for entry in slot_limited:
         for zname in entry[4]:
             zr, zs, ze = index_zones.get(
-                zname, (np.zeros(0, np.int32),) * 3)
+                zname.lstrip("="), (np.zeros(0, np.int32),) * 3)
             nz = _next_pow2(max(len(zr), 1), 1)
             pad = nz - len(zr)
             big = np.full(pad, 2**31 - 1, np.int32)   # sentinel: matches no row

@@ -102,3 +102,44 @@ class TestZonesSharded:
         assert sorted(m.docid for m in r.matches) == list(range(1, 17, 2))
         r = sh.search(SearchQuery(match="apple"))
         assert len(r.matches) == 16
+
+
+class TestZonespan:
+    """ZONESPAN: all keywords inside the SAME zone instance
+    (sphinxsearch zones same-span constraint)."""
+
+    @pytest.fixture(scope="class")
+    def zidx(self):
+        docs = [
+            # doc 1: apple+banana together in ONE h1 span
+            dict(id=1, body="<h1>apple banana</h1> filler"),
+            # doc 2: apple and banana in DIFFERENT h1 spans
+            dict(id=2, body="<h1>apple pie</h1> mid <h1>banana split</h1>"),
+            # doc 3: apple in h1, banana outside any zone
+            dict(id=3, body="<h1>apple core</h1> banana loose"),
+            # doc 4: no zones
+            dict(id=4, body="apple banana plain"),
+        ]
+        b = IndexBuilder(Schema(fields=["body"]),
+                         TokenizerSettings(html_strip=True,
+                                           index_zones=("h1",)))
+        b.add_documents(docs)
+        return SearchIndex(b.build())
+
+    def ids(self, index, q):
+        r = index.search(SearchQuery(match=q))
+        assert r.error is None, (q, r.error)
+        return sorted(m.docid for m in r.matches)
+
+    def test_same_span_required(self, zidx):
+        # ZONE (any-instance) matches docs 1 and 2; ZONESPAN only doc 1
+        assert self.ids(zidx, "ZONE:h1 apple banana") == [1, 2]
+        assert self.ids(zidx, "ZONESPAN:h1 apple banana") == [1]
+
+    def test_single_term_equals_zone(self, zidx):
+        assert self.ids(zidx, "ZONESPAN:h1 apple") == \
+            self.ids(zidx, "ZONE:h1 apple") == [1, 2, 3]
+
+    def test_three_words_same_span(self, zidx):
+        assert self.ids(zidx, "ZONESPAN:h1 apple pie") == [2]
+        assert self.ids(zidx, "ZONESPAN:h1 apple split") == []

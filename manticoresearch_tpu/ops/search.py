@@ -1034,6 +1034,54 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
                                    n_hit_iters)
         ok = valid & exb & (data["hit_rowid"][idxb] == a_row) & \
             ((data["hit_packed"][idxb] & HITMAN_KEY_MASK) > lb)
+    elif op == "near" and len(node) > 4:
+        # general NEAR/N: operands are keywords, phrases, or nested NEAR
+        # chains (searchnode.cpp FSMmultinear over child nodes). Each
+        # side's hit stream = keyword hits or the child node's anchor
+        # emissions (with span); spans are near iff the gap between them
+        # is <= n: Rs <= Le+n AND Rs >= Ls-n-(rspan-1).
+        ndist, not_near, ld, rd = node[2], node[3], node[4], node[5]
+
+        def side(desc):
+            kind, payload, span = desc
+            if kind == "slot":
+                r, k, okm = hits_of(payload[0])
+                return r, k, okm, span
+            sub = _eval_phrase_node(
+                (("phrase", payload) if kind == "phrase" else payload),
+                data, rt, N, slot_hb, n_hit_iters, size, to_idx)
+            _, _, r, k, okm = sub
+            return r, k, okm, span
+
+        l_row, l_key, l_ok, lspan = side(ld)
+        r_row, r_key, r_ok, rspan = side(rd)
+        # searchable right-side array: invalid entries to (N, maxkey) so
+        # the (row, key) order survives one device sort
+        inval = jnp.int32(2**31 - 1)   # > any real fid<<24|pos key
+        rr, rk = jax.lax.sort(
+            (jnp.where(r_ok, r_row, N),
+             jnp.where(r_ok, r_key, inval)), num_keys=2)
+        Mr = rr.shape[0]
+        le_key = l_key + (lspan - 1)
+        lo = jnp.zeros_like(l_row)
+        hi = jnp.full_like(l_row, Mr)
+        # the search spans the whole (bucketed) side array, so iterations
+        # must cover the bucket, not the live hit count
+        iters = max(1, int(np.ceil(np.log2(max(Mr, 2))))) + 1
+        idx, exists = _lex_search_le(l_row, le_key + ndist, rr, rk,
+                                     lo, hi, iters)
+        cand_ok = exists & (rr[idx] == l_row) & \
+            (rk[idx] != inval) & \
+            (rk[idx] >= l_key - ndist - (rspan - 1))
+        ok = l_ok & (~cand_ok if not_near else cand_ok)
+        # emit the matched group's RIGHT edge so chains (A NEAR B) NEAR C
+        # measure the next distance from the latest matched element
+        # (FSMmultinear extends the span as operands match)
+        a_row = l_row
+        a_key = jnp.where(ok & cand_ok,
+                          jnp.maximum(le_key, rk[idx] + (rspan - 1)),
+                          l_key) if not not_near else l_key
+        valid = l_ok
     elif op == "near":
         # binary NEAR/N / NOTNEAR/N over keywords (ExtMultinear twofer,
         # searchnode.cpp FSMmultinear): anchor on the left word's hits; match
@@ -1053,6 +1101,9 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
         within = exists & (val_row == a_row) & \
             (jnp.abs(a_key - val_key) <= ndist)
         ok = valid & (~within if not_near else within)
+        if not not_near:
+            # matched pair's right edge feeds parent NEAR chains
+            a_key = jnp.where(ok, jnp.maximum(a_key, val_key), a_key)
     elif op == "phrase":
         anchor = slots_t[0]
         a_row, a_key, valid = hits_of(anchor)

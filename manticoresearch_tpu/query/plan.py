@@ -76,6 +76,14 @@ RANKERS_WITH_HITS = frozenset(
     {"proximity_bm25", "proximity", "wordcount", "matchany", "expr"})
 
 
+def _desc_slots(desc) -> tuple:
+    """Slots of a NEAR operand descriptor (slot/phrase/nearsub)."""
+    kind, payload, _span = desc
+    if kind in ("slot", "phrase"):
+        return tuple(payload)
+    return tuple(payload[1])          # nearsub: its flattened slot list
+
+
 def expr_has_all(expr: tuple) -> bool:
     """True if the expression contains a fullscan ("all") node anywhere —
     such plans must touch every row and cannot run on the sparse
@@ -183,7 +191,10 @@ def positive_slots(expr: tuple) -> set[int]:
         return set(expr[1])
     if op == "near":
         # NOTNEAR's right side never contributes weight
-        return {expr[1][0]} if expr[3] else set(expr[1])
+        if expr[3]:
+            return set(_desc_slots(expr[4])) if len(expr) > 4 \
+                else {expr[1][0]}
+        return set(expr[1])
     if op == "maybe":
         return positive_slots(expr[1]) | positive_slots(expr[2])
     raise ValueError(f"unknown expr op {op!r}")

@@ -17,7 +17,7 @@ import numpy as np
 
 from .ast import (QAll, QAnd, QAndNot, QMaybe, QNear, QOr, QPhrase,
                   QQuorum, QSentence, QTerm)
-from .plan import FilterSpec, PlanSig
+from .plan import FilterSpec, PlanSig, _desc_slots
 
 
 @dataclass
@@ -378,13 +378,33 @@ def _lower(node, st: _SlotTable, positive: bool):
             return ("proximity", slots, node.proximity)
         return ("phrase", slots)
     if isinstance(node, QNear):
-        if not (isinstance(node.left, QTerm) and isinstance(node.right, QTerm)):
+        if isinstance(node.left, QTerm) and isinstance(node.right, QTerm):
+            sa = st.get(node.left.word, node.left.fields, positive)
+            sb = st.get(node.right.word, node.right.fields,
+                        positive and not node.not_near)
+            return ("near", (sa, sb), node.n, node.not_near)
+
+        # general operands: phrases and nested NEAR chains
+        # (searchnode.cpp FSMmultinear over arbitrary child nodes)
+        def op_desc(nd, pos_flag):
+            if isinstance(nd, QTerm):
+                s = st.get(nd.word, nd.fields, pos_flag, nd.boost,
+                           nd.field_start, nd.field_end, nd.zones)
+                return ("slot", (s,), 1)
+            if isinstance(nd, QPhrase) and not nd.proximity:
+                slots = tuple(st.get(w, nd.fields, pos_flag)
+                              for w in nd.words)
+                return ("phrase", slots, len(slots))
+            if isinstance(nd, QNear) and not nd.not_near:
+                sub = _lower(nd, st, pos_flag)
+                span = sub[4][2] if len(sub) > 4 else 1
+                return ("nearsub", sub, span)
             raise NotImplementedError(
-                "NEAR between non-keyword operands lands later")
-        sa = st.get(node.left.word, node.left.fields, positive)
-        sb = st.get(node.right.word, node.right.fields,
-                    positive and not node.not_near)
-        return ("near", (sa, sb), node.n, node.not_near)
+                "NEAR operands must be keywords, phrases, or NEAR chains")
+        ld = op_desc(node.left, positive)
+        rd = op_desc(node.right, positive and not node.not_near)
+        all_slots = tuple(_desc_slots(ld)) + tuple(_desc_slots(rd))
+        return ("near", all_slots, node.n, node.not_near, ld, rd)
     if isinstance(node, QSentence):
         if not (isinstance(node.left, QTerm) and isinstance(node.right, QTerm)):
             raise NotImplementedError(

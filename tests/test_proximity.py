@@ -264,3 +264,47 @@ class TestHandleDupes:
                                     ranker="wordcount"))
         # qwords to,be,or,not,to,be over doc1 hits (2,2,1,1,2,2) = 10
         assert {m.docid: m.weight for m in r.matches}[1] == 10
+
+
+class TestGeneralNear:
+    """NEAR over phrases and chains (FSMmultinear over child nodes)."""
+
+    @pytest.fixture(scope="class")
+    def nidx(self):
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        docs = [
+            # "red apple" phrase, 'juice' 2 words after the phrase end
+            dict(id=1, content="red apple sweet tangy juice drink"),
+            # phrase present, juice far away (9 words after)
+            dict(id=2, content="red apple a b c d e f g h i juice"),
+            # no phrase (words split)
+            dict(id=3, content="red tasty apple juice"),
+            # juice BEFORE the phrase, 2 words gap
+            dict(id=4, content="juice of the red apple tree"),
+            # chain test corpus
+            dict(id=5, content="alpha beta gamma"),
+            dict(id=6, content="alpha x x x x x beta gamma"),
+        ]
+        b = IndexBuilder(Schema(fields=["content"], attrs=[]))
+        b.add_documents(docs)
+        from manticoresearch_tpu.exec.searcher import SearchIndex
+        return SearchIndex(b.build())
+
+    def ids(self, idx, q):
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        r = idx.search(SearchQuery(match=q))
+        assert r.error is None, (q, r.error)
+        return sorted(m.docid for m in r.matches)
+
+    def test_phrase_near_term(self, nidx):
+        assert self.ids(nidx, '"red apple" NEAR/4 juice') == [1, 4]
+        assert self.ids(nidx, '"red apple" NEAR/10 juice') == [1, 2, 4]
+        assert self.ids(nidx, '"red apple" NEAR/1 juice') == []
+
+    def test_term_near_phrase(self, nidx):
+        assert self.ids(nidx, 'juice NEAR/4 "red apple"') == [1, 4]
+
+    def test_near_chain(self, nidx):
+        assert self.ids(nidx, "alpha NEAR/2 beta NEAR/2 gamma") == [5]
+        assert self.ids(nidx, "alpha NEAR/6 beta NEAR/2 gamma") == [5, 6]

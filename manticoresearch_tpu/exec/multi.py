@@ -77,6 +77,16 @@ def search_rt(rt, q):
         return _search_rt_grouped(rt, q, parts)
 
     total_docs, df = rt.global_stats()
+    if q.global_idf:
+        # corpus-wide stats from the table's global-IDF file
+        # (sphinxglobalidf; built by indextool --buildidf)
+        gstats = _load_table_global_idf(rt)
+        if gstats is None:
+            from .searcher import SearchResult
+            return SearchResult([], 0, 0, 0.0, [], error=(
+                "OPTION global_idf needs a global_idf='<path>' table "
+                "option pointing at an indextool --buildidf file"))
+        df, total_docs = gstats
     # each part plans/executes with global stats; fetch enough rows to merge
     from .searcher import _wants_packedfactors
     part_q = dc_replace(q, offset=0, limit=q.offset + q.limit, select=None)
@@ -87,6 +97,23 @@ def search_rt(rt, q):
         results.append(_search_with_stats(part, part_q, cq_kwargs))
     merged = merge_part_results(results, q, rt.schema)
     return merged
+
+
+def _load_table_global_idf(rt):
+    """Load (and cache) the table's global-IDF file, or None."""
+    path = (getattr(rt, "options", None) or {}).get("global_idf")
+    if not path:
+        return None
+    cached = getattr(rt, "_gidf_cache", None)
+    if cached is not None and cached[0] == path:
+        return cached[1]
+    from ..tools.indextool import load_global_idf
+    try:
+        df, total = load_global_idf(path)
+    except (OSError, KeyError, ValueError):
+        return None
+    rt._gidf_cache = (path, (df, total))
+    return df, total
 
 
 def _search_with_stats(index, q, stats_kwargs):

@@ -39,6 +39,7 @@ class SearchQuery:
     expansion_limit: int = 0             # max dict terms per wildcard
     boolean_simplify: bool = False       # opt-in boolean transforms
     expand_keywords: bool = False        # keyword -> (kw | kw* | =kw)
+    global_idf: bool = False             # use the table's .idf file stats
     select: list[str] | None = None      # None = * (all attrs)
     cutoff: int = 0
     group_by: str | None = None          # attr name or expression

@@ -421,6 +421,7 @@ class Session:
             expansion_limit=int(opts.get("expansion_limit", 0)),
             boolean_simplify=str(opts.get("boolean_simplify", "0")) == "1",
             expand_keywords=str(opts.get("expand_keywords", "0")) == "1",
+            global_idf=str(opts.get("global_idf", "0")) == "1",
             tfidf_normalized="tfidf_unnormalized" not in str(opts.get("idf", "")),
             select=[it.alias or it.expr for it in st.items],
             group_by=st.group_by,

@@ -146,10 +146,22 @@ def main(argv=None) -> int:
     ap.add_argument("--word", help="term for --dumphitlist")
     ap.add_argument("--stats", metavar="PATH",
                     help="index size/statistics summary")
+    ap.add_argument("--buildidf", nargs="+", metavar="PATH",
+                    help="merge per-index dictionaries into a global IDF "
+                         "file (indextool --buildidf idx1 idx2 --out f.idf)")
+    ap.add_argument("--out", help="output file for --buildidf")
     ap.add_argument("--limit", type=int, default=100)
     args = ap.parse_args(argv)
 
     from ..index.storage import load_packed
+
+    if args.buildidf:
+        if not args.out:
+            ap.error("--buildidf needs --out")
+        build_global_idf(args.buildidf, args.out)
+        print(f"wrote global idf for {len(args.buildidf)} indexes "
+              f"-> {args.out}")
+        return 0
 
     if args.dumpdocids:
         p = load_packed(args.dumpdocids)
@@ -213,3 +225,32 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def build_global_idf(paths: list[str], out: str) -> None:
+    """Merge dictionaries of several indexes into one global-IDF table
+    (sphinxglobalidf / indextool --buildidf analog): term -> summed df,
+    plus the summed document count."""
+    from ..index.storage import load_packed
+    df: dict[str, int] = {}
+    total = 0
+    for p in paths:
+        idx = load_packed(p)
+        total += idx.n_docs
+        for t, d in zip(idx.term_strs, idx.term_docs.tolist()):
+            df[t] = df.get(t, 0) + int(d)
+    terms = sorted(df)
+    with open(out, "wb") as f:
+        np.savez_compressed(
+            f,
+            terms=np.asarray(terms, dtype=object),
+            df=np.asarray([df[t] for t in terms], np.int64),
+            total_docs=np.asarray([total], np.int64))
+
+
+def load_global_idf(path: str):
+    """-> (df dict, total_docs)."""
+    z = np.load(path, allow_pickle=True)
+    terms = z["terms"].tolist()
+    dfs = z["df"].tolist()
+    return dict(zip(terms, dfs)), int(z["total_docs"][0])

@@ -263,3 +263,47 @@ class TestIndextoolDepth:
         assert main(["--stats", saved]) == 0
         out = capsys.readouterr().out
         assert "docs:         200" in out and "posting packed" in out
+
+
+class TestGlobalIdf:
+    def test_buildidf_and_option(self, tmp_path):
+        import math
+        from manticoresearch_tpu.exec.session import Catalog, Session
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.index.storage import save_packed
+        from manticoresearch_tpu.query.planner import compute_idf
+        from manticoresearch_tpu.schema import Schema
+        from manticoresearch_tpu.tools.indextool import (build_global_idf,
+                                                         load_global_idf)
+        # two shards with different df for 'shared'
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        for p, rng in ((p1, range(1, 6)), (p2, range(6, 16))):
+            b = IndexBuilder(Schema(fields=["c"], attrs=[]))
+            b.add_documents([dict(id=i, c="shared plus w%d" % i)
+                             for i in rng])
+            save_packed(b.build(), p)
+        idf_path = str(tmp_path / "g.idf")
+        build_global_idf([p1, p2], idf_path)
+        df, total = load_global_idf(idf_path)
+        assert df["shared"] == 15 and total == 15
+
+        cat = Catalog()
+        s = Session(cat)
+        s.execute("CREATE TABLE t (c text)")
+        for i in range(1, 4):
+            s.execute(f"INSERT INTO t (id, c) VALUES ({i}, 'shared x{i}')")
+        cat.get("t").options["global_idf"] = idf_path
+        r_local = s.execute("SELECT id, weight() FROM t "
+                            "WHERE MATCH('shared')")[0]
+        r_glob = s.execute("SELECT id, weight() FROM t "
+                           "WHERE MATCH('shared') OPTION global_idf=1")[0]
+        assert r_glob.error is None, r_glob.error
+        # local: df=3/3 docs; global: df=15/15 docs — weights must differ
+        # per the reference idf formula with the overridden stats
+        w_l = r_local.rows[0][1]
+        w_g = r_glob.rows[0][1]
+        lidf = compute_idf(3, 3)
+        gidf = compute_idf(15, 15)
+        assert w_l == int((1 / 2.2 * lidf + 0.5) * 1000) + 1000
+        assert w_g == int((1 / 2.2 * gidf + 0.5) * 1000) + 1000
+        s.close()

@@ -168,6 +168,7 @@ def settings_from_sql_options(options: dict[str, str]
         wordforms=tuple(wordforms),
         index_exact_words=_b("index_exact_words"),
         min_stemming_len=_i("min_stemming_len", 1),
+        token_filter=str(o.get("token_filter", "")),
     )
     return tok, dic
 

@@ -926,9 +926,12 @@ class Session:
                             rows=[("transformed_tree",
                                    self.last_plan or "NONE")])
         if k == "show_plugins":
-            from ..plugins import udf_names
-            return QLResult(columns=["Type", "Name", "Library"],
-                            rows=[("udf", n, "") for n in udf_names()])
+            from ..plugins import token_filter_names, udf_names
+            return QLResult(
+                columns=["Type", "Name", "Library"],
+                rows=[("udf", n, "") for n in udf_names()]
+                + [("index_token_filter", n, "")
+                   for n in token_filter_names()])
         if k == "create_function":
             from ..plugins import PluginError, load_udf_soname
             try:
@@ -941,9 +944,19 @@ class Session:
             if not unregister_udf(st.args[0]):
                 return QLResult.err(f"no function '{st.args[0]}'")
             return QLResult.ok()
-        if k in ("create_plugin", "drop_plugin"):
-            return QLResult.err("native plugins are not supported; use "
-                                "CREATE FUNCTION with a python SONAME")
+        if k == "create_plugin":
+            from ..plugins import PluginError, load_plugin_soname
+            name, ptype, soname = st.args
+            try:
+                load_plugin_soname(name, str(ptype), soname)
+            except PluginError as e:
+                return QLResult.err(str(e))
+            return QLResult.ok()
+        if k == "drop_plugin":
+            from ..plugins import unregister_token_filter
+            if not unregister_token_filter(st.args[0]):
+                return QLResult.err(f"no plugin '{st.args[0]}'")
+            return QLResult.ok()
         if k == "show_agent_status":
             # per-mirror dashboards of every distributed table
             # (HandleMysqlShowAgentStatus over HostDashboard_t counters,

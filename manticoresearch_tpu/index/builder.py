@@ -238,6 +238,7 @@ class IndexBuilder:
         index_zones = tuple(self.tok_settings.index_zones)
         trivial_dict = (not ds.stopwords and not ds.morphology
                         and not ds.wordforms and not ds.index_exact_words
+                        and not getattr(ds, "token_filter", "")
                         and not index_sp and not index_zones)
 
         # bulk native path: decode+fold+split+dict-assign per field in ONE

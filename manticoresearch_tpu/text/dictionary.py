@@ -22,6 +22,7 @@ class DictSettings:
     wordforms: tuple[tuple[str, str], ...] = ()  # (from, to) pairs
     index_exact_words: bool = False
     min_stemming_len: int = 1
+    token_filter: str = ""        # registered token-filter plugin name
 
     def key(self) -> tuple:
         return (
@@ -30,6 +31,7 @@ class DictSettings:
             self.wordforms,
             self.index_exact_words,
             self.min_stemming_len,
+            self.token_filter,
         )
 
 
@@ -48,6 +50,24 @@ class Dictionary:
         form as an extra "=token" term (reference CSphDictExact,
         sphinx.cpp:1020-1033 — exact terms carry a magic prefix).
         """
+        s = self.settings
+        if s.token_filter:
+            from ..plugins import get_token_filter
+            tf = get_token_filter(s.token_filter)
+            if tf is not None:
+                out = tf(token)
+                if out is None:
+                    return []
+                if isinstance(out, (list, tuple)):
+                    res: list[str] = []
+                    for t2 in out:
+                        res.extend(self._process_tail(str(t2)))
+                    return res
+                token = str(out)
+        return self._process_tail(token)
+
+    def _process_tail(self, token: str) -> list[str]:
+        """Stopword/morphology/wordforms pipeline after token filters."""
         s = self.settings
         if token in s.stopwords:
             return []

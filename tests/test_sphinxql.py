@@ -668,3 +668,30 @@ class TestQueryTransforms:
                         "OPTION expand_keywords=1")[0]
         assert exp.error is None, exp.error
         assert {r[0] for r in exp.rows} == {1, 2, 4}
+
+
+class TestTokenFilterPlugins:
+    def test_create_plugin_token_filter(self):
+        import sys
+        sys.path.insert(0, "/tmp/tfmod")
+        cat = Catalog()
+        s = Session(cat)
+        (r,) = s.execute("CREATE PLUGIN splitter TYPE 'index_token_filter' "
+                         "SONAME 'mytf:camel_split'")
+        assert r.error is None, r.error
+        s.execute("CREATE TABLE tf (c text) token_filter='splitter'")
+        s.execute("INSERT INTO tf (id, c) VALUES (1, 'prefixalpha xxx')")
+        s.execute("INSERT INTO tf (id, c) VALUES (2, 'alpha beta')")
+        # filter emitted both 'prefixalpha' and 'alpha' for doc1; 'xxx'
+        # was dropped entirely
+        r1 = s.execute("SELECT id FROM tf WHERE MATCH('alpha')")[0]
+        assert {row[0] for row in r1.rows} == {1, 2}
+        r2 = s.execute("SELECT id FROM tf WHERE MATCH('prefixalpha')")[0]
+        assert {row[0] for row in r2.rows} == {1}
+        r3 = s.execute("SELECT id FROM tf WHERE MATCH('xxx')")[0]
+        assert r3.rows == []
+        (p,) = s.execute("SHOW PLUGINS")
+        assert ("index_token_filter", "splitter", "") in p.rows
+        (d,) = s.execute("DROP PLUGIN splitter")
+        assert d.error is None
+        s.close()

@@ -147,6 +147,46 @@ class Daemon:
                 t.flush()
 
 
+def run_watchdog(argv: list[str]) -> None:
+    """Supervisor process (SetWatchDog, searchd.cpp:17886): fork the real
+    daemon as a child, restart it on abnormal exit with backoff, forward
+    TERM/INT/HUP. The child runs with faulthandler enabled so a crash
+    leaves a traceback in <data-dir>/crash.log before the restart."""
+    import subprocess
+    import sys
+    import time as _t
+
+    child_argv = [sys.executable, "-m", "manticoresearch_tpu.server.daemon"
+                  ] + [a for a in argv if a != "--watchdog"]
+    stop = {"flag": False}
+    child = {"proc": None}
+
+    def fwd(signum, _frame):
+        if signum in (signal.SIGTERM, signal.SIGINT):
+            stop["flag"] = True
+        if child["proc"] and child["proc"].poll() is None:
+            child["proc"].send_signal(signum)
+
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+            signal.signal(sig, fwd)
+    except ValueError:
+        pass        # not the main thread (tests): no signal forwarding
+
+    backoff = 1.0
+    while not stop["flag"]:
+        env = dict(os.environ, PYTHONFAULTHANDLER="1")
+        t0 = _t.time()
+        child["proc"] = subprocess.Popen(child_argv, env=env)
+        rc = child["proc"].wait()
+        if stop["flag"] or rc == 0:
+            break
+        print(f"watchdog: daemon died rc={rc}; restarting in "
+              f"{backoff:.0f}s", flush=True)
+        _t.sleep(backoff)
+        backoff = 1.0 if _t.time() - t0 > 60 else min(backoff * 2, 30.0)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description="manticoresearch-tpu daemon")
     ap.add_argument("--config", default=None, help="TOML config file")
@@ -163,7 +203,23 @@ def main(argv=None) -> None:
     ap.add_argument("--listen-api", type=int, default=None,
                     help="serve the legacy SphinxAPI binary protocol "
                          "on this port (classic sphinxapi clients)")
+    ap.add_argument("--watchdog", action="store_true",
+                    help="run under a supervisor that restarts the "
+                         "daemon on crashes (SetWatchDog analog)")
     args = ap.parse_args(argv)
+    if args.watchdog:
+        import sys
+        run_watchdog(argv if argv is not None else sys.argv[1:])
+        return
+    # crash log: a hard fault leaves a traceback next to the data
+    # (CrashLogger/sphBacktrace analog, searchd.cpp crash handler)
+    import faulthandler
+    if args.data_dir:
+        os.makedirs(args.data_dir, exist_ok=True)
+        _crash_fh = open(os.path.join(args.data_dir, "crash.log"), "a")
+        faulthandler.enable(_crash_fh)
+    else:
+        faulthandler.enable()
     cfg = None
     if args.config:
         from ..config import load_config

@@ -502,3 +502,52 @@ class TestRotationAndThreads:
         finally:
             s1.close()
             s2.close()
+
+
+class TestWatchdog:
+    def test_restarts_crashed_daemon(self, tmp_path):
+        """Watchdog relaunches the child after an abnormal exit and
+        forwards TERM (SetWatchDog semantics)."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import textwrap
+        import time
+        # stand-in child that crashes once then serves until TERM
+        mod = tmp_path / "fakechild.py"
+        marker = tmp_path / "starts.txt"
+        mod.write_text(textwrap.dedent(f"""
+            import os, signal, sys, time
+            with open({str(marker)!r}, 'a') as f:
+                f.write('x')
+            n = len(open({str(marker)!r}).read())
+            if n == 1:
+                sys.exit(3)           # first run: crash
+            signal.signal(signal.SIGTERM, lambda *a: sys.exit(0))
+            while True:
+                time.sleep(0.1)
+        """))
+        from manticoresearch_tpu.server import daemon as D
+        import threading
+        argv = ["--data-dir", str(tmp_path / "d")]
+        orig = [sys.executable, "-m", "manticoresearch_tpu.server.daemon"]
+        # patch the child command to our stand-in
+        real_popen = subprocess.Popen
+
+        def fake_popen(cmd, **kw):
+            return real_popen([sys.executable, str(mod)], **kw)
+        subprocess.Popen = fake_popen
+        try:
+            th = threading.Thread(target=D.run_watchdog, args=(argv,),
+                                  daemon=True)
+            th.start()
+            t0 = time.time()
+            while time.time() - t0 < 15:
+                if marker.exists() and len(marker.read_text()) >= 2:
+                    break
+                time.sleep(0.05)
+            assert len(marker.read_text()) >= 2   # crashed + restarted
+        finally:
+            subprocess.Popen = real_popen
+            os.kill(os.getpid(), 0)  # no-op; thread is daemonized

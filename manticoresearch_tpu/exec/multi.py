@@ -136,6 +136,7 @@ def _search_with_stats(index, q, stats_kwargs):
             expansion_limit=q.expansion_limit,
             boolean_simplify=q.boolean_simplify,
             expand_keywords=q.expand_keywords,
+            collation=q.collation,
             packed_store=index.packed.packed_store(),
             **{"emit_factors": _wants_packedfactors(q.select),
                **stats_kwargs},

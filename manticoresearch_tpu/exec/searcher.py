@@ -40,6 +40,7 @@ class SearchQuery:
     boolean_simplify: bool = False       # opt-in boolean transforms
     expand_keywords: bool = False        # keyword -> (kw | kw* | =kw)
     global_idf: bool = False             # use the table's .idf file stats
+    collation: str = "binary"            # string compare collation
     select: list[str] | None = None      # None = * (all attrs)
     cutoff: int = 0
     group_by: str | None = None          # attr name or expression
@@ -118,6 +119,7 @@ class SearchIndex:
             q.match, q.ranker, q.max_matches, q.offset + q.limit,
             tuple(q.sort), q.idf_plain, q.tfidf_normalized, emit_factors,
             q.expansion_limit, q.boolean_simplify, q.expand_keywords,
+            q.collation,
             tuple(sorted(q.field_weights.items())),
             tuple((f.attr, f.kind, tuple(f.values), f.lo, f.hi, f.exclude,
                    f.lo_excl, f.hi_excl) for f in q.filters),
@@ -137,6 +139,7 @@ class SearchIndex:
             packed_store=self.packed.packed_store(),
             boolean_simplify=q.boolean_simplify,
             expand_keywords=q.expand_keywords,
+            collation=q.collation,
         )
         if len(self._plan_cache) > 8192:
             self._plan_cache.clear()

@@ -422,6 +422,8 @@ class Session:
             boolean_simplify=str(opts.get("boolean_simplify", "0")) == "1",
             expand_keywords=str(opts.get("expand_keywords", "0")) == "1",
             global_idf=str(opts.get("global_idf", "0")) == "1",
+            collation=str(self.variables.get("collation_connection",
+                                             "binary")).lower(),
             tfidf_normalized="tfidf_unnormalized" not in str(opts.get("idf", "")),
             select=[it.alias or it.expr for it in st.items],
             group_by=st.group_by,

@@ -137,22 +137,27 @@ class PackedIndex:
             return i
         return -1
 
-    def str_ordinals(self, name: str):
+    def str_ordinals(self, name: str, ci: bool = False):
         """String attr as sorted-unique ordinals: (uniques, value->ord,
         ord_array[i32]). Ordinal order == lexicographic order, so device
         equality/IN/range filters and ORDER BY on the ordinal array are
         exact within this index (the reference compares strings directly,
-        sphinxfilter.cpp string filters; we pre-factor the comparison)."""
+        sphinxfilter.cpp string filters; we pre-factor the comparison).
+        ci=True folds case first (utf8_general_ci collation: values that
+        fold equal share one ordinal)."""
         if not hasattr(self, "_str_ord"):
             self._str_ord = {}
-        if name not in self._str_ord:
+        key = (name, ci)
+        if key not in self._str_ord:
             vals = self.attrs_str[name]
+            if ci:
+                vals = [v.casefold() for v in vals]
             uniq = sorted(set(vals))
             lookup = {v: i for i, v in enumerate(uniq)}
-            self._str_ord[name] = (
+            self._str_ord[key] = (
                 uniq, lookup,
                 np.asarray([lookup[v] for v in vals] or [0], np.int32))
-        return self._str_ord[name]
+        return self._str_ord[key]
 
     def json_docs(self, name: str) -> list:
         """Parsed JSON attr column (values may arrive as JSON strings from

@@ -97,8 +97,10 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
         # precision copy stays on host in PackedIndex.attrs_big)
         attrs[name] = np.clip(arr, -(2**31), 2**31 - 1).astype(np.int32)
     for name in packed.attrs_str:
-        # strings live on device as lexicographic ordinals (filters/ORDER BY)
+        # strings live on device as lexicographic ordinals (filters/ORDER
+        # BY); the case-folded twin serves utf8_general_ci collation
         attrs[name] = packed.str_ordinals(name)[2]
+        attrs[name + "\x00ci"] = packed.str_ordinals(name, ci=True)[2]
 
     put = (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
 

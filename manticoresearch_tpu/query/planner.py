@@ -434,6 +434,7 @@ def plan_query(
     packed_store=None,          # ops.packed_store.PackedStore of `index`
     boolean_simplify: bool = False,
     expand_keywords: bool = False,
+    collation: str = "binary",
 ) -> CompiledQuery:
     node = simplify(ast_root)
     if node is not None and expand_keywords:
@@ -584,26 +585,37 @@ def plan_query(
         if ad is None and f.attr != "id":
             raise ValueError(f"unknown attr {f.attr!r} in filter")
         if ad is not None and ad.type.value == "string":
-            uniq, lookup, _ = index.str_ordinals(f.attr)
+            # collation: utf8_general_ci compares case-folded
+            # (CollateUtf8GeneralCI, sphinxstd collations); the device
+            # column switches to the case-folded ordinal twin
+            ci = collation in ("utf8_general_ci", "utf8_ci",
+                               "libc_ci")
+            uniq, lookup, _ = index.str_ordinals(f.attr, ci=ci)
+            dev_attr = f.attr + "\x00ci" if ci else f.attr
+
+            def _fold(v):
+                return str(v).casefold() if ci else str(v)
             if f.kind == "values":
-                ords = sorted(lookup.get(str(v), -1) for v in f.values)
+                ords = sorted(lookup.get(_fold(v), -1) for v in f.values)
                 nv = _next_pow2(len(ords), 1)
                 arr = np.asarray(ords + [ords[-1]] * (nv - len(ords)),
                                  np.int32)
-                fspecs.append(FilterSpec(f.attr, "values", f.exclude,
+                fspecs.append(FilterSpec(dev_attr, "values", f.exclude,
                                          n_values=nv))
                 fvals.append(arr)
             elif f.kind in ("range_i", "range_f"):
                 import bisect as _bisect
                 lo = 0
                 if f.lo is not None:
-                    lo = (_bisect.bisect_right(uniq, str(f.lo)) if f.lo_excl
-                          else _bisect.bisect_left(uniq, str(f.lo)))
+                    lo = (_bisect.bisect_right(uniq, _fold(f.lo))
+                          if f.lo_excl
+                          else _bisect.bisect_left(uniq, _fold(f.lo)))
                 hi = len(uniq) - 1
                 if f.hi is not None:
-                    hi = (_bisect.bisect_left(uniq, str(f.hi)) if f.hi_excl
-                          else _bisect.bisect_right(uniq, str(f.hi))) - 1
-                fspecs.append(FilterSpec(f.attr, "range_i", f.exclude))
+                    hi = (_bisect.bisect_left(uniq, _fold(f.hi))
+                          if f.hi_excl
+                          else _bisect.bisect_right(uniq, _fold(f.hi))) - 1
+                fspecs.append(FilterSpec(dev_attr, "range_i", f.exclude))
                 fvals.append(np.asarray([lo, hi], np.int32))
             else:
                 raise NotImplementedError(

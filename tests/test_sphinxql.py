@@ -695,3 +695,24 @@ class TestTokenFilterPlugins:
         (d,) = s.execute("DROP PLUGIN splitter")
         assert d.error is None
         s.close()
+
+
+class TestCollation:
+    def test_utf8_general_ci_filters(self):
+        cat = Catalog()
+        s = Session(cat)
+        s.execute("CREATE TABLE cl (c text, name string)")
+        s.execute("INSERT INTO cl (id, c, name) VALUES (1, 'x', 'Alice')")
+        s.execute("INSERT INTO cl (id, c, name) VALUES (2, 'x', 'alice')")
+        s.execute("INSERT INTO cl (id, c, name) VALUES (3, 'x', 'Bob')")
+        # binary (default): case-sensitive
+        r = s.execute("SELECT id FROM cl WHERE name='alice'")[0]
+        assert [row[0] for row in r.rows] == [2]
+        # utf8_general_ci: case-folded comparison
+        s.execute("SET collation_connection='utf8_general_ci'")
+        r2 = s.execute("SELECT id FROM cl WHERE name='ALICE'")[0]
+        assert r2.error is None, r2.error
+        assert sorted(row[0] for row in r2.rows) == [1, 2]
+        r3 = s.execute("SELECT id FROM cl WHERE name='bob'")[0]
+        assert [row[0] for row in r3.rows] == [3]
+        s.close()

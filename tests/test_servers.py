@@ -534,9 +534,12 @@ class TestWatchdog:
         orig = [sys.executable, "-m", "manticoresearch_tpu.server.daemon"]
         # patch the child command to our stand-in
         real_popen = subprocess.Popen
+        spawned = []
 
         def fake_popen(cmd, **kw):
-            return real_popen([sys.executable, str(mod)], **kw)
+            p = real_popen([sys.executable, str(mod)], **kw)
+            spawned.append(p)
+            return p
         subprocess.Popen = fake_popen
         try:
             th = threading.Thread(target=D.run_watchdog, args=(argv,),
@@ -550,4 +553,10 @@ class TestWatchdog:
             assert len(marker.read_text()) >= 2   # crashed + restarted
         finally:
             subprocess.Popen = real_popen
-            os.kill(os.getpid(), 0)  # no-op; thread is daemonized
+            for p in spawned:           # reap the surviving stand-in
+                if p.poll() is None:
+                    p.terminate()
+                    try:
+                        p.wait(timeout=5)
+                    except subprocess.TimeoutExpired:
+                        p.kill()

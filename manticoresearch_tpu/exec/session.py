@@ -59,6 +59,7 @@ class Catalog:
         from .qcache import QueryCache
         self.data_dir = data_dir
         self.tables: dict[str, RtIndex] = {}
+        self.globals: dict[str, Any] = {}    # SET GLOBAL state
         self.qcache = QueryCache()
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
@@ -73,6 +74,7 @@ class Catalog:
             return
         with open(p) as f:
             man = json.load(f)
+        self.globals = dict(man.get("globals", {}))
         for name, meta in man.get("tables", {}).items():
             if meta.get("type") == "distributed":
                 self.tables[name] = self._make_distributed(
@@ -106,7 +108,8 @@ class Catalog:
         man = {"tables": {n: {"schema": t.schema.to_json(),
                               "type": self.table_type(t),
                               "options": getattr(t, "options", {})}
-                          for n, t in self.tables.items()}}
+                          for n, t in self.tables.items()},
+               "globals": self.globals}
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(man, f)
@@ -153,6 +156,12 @@ class Catalog:
             retry_count=int(opts.get("retry_count", 2)),
             retry_delay_ms=int(opts.get("retry_delay", 0)),
         )
+
+    def set_global(self, name: str, value) -> None:
+        """Persist a SET GLOBAL server variable (sphinxql_state analog):
+        stored in the manifest, reloaded on startup."""
+        self.globals[str(name)] = value
+        self._save_manifest()
 
     def rotate(self) -> list[str]:
         """Pick up `<name>.new` index dirs written by `indexer --rotate`
@@ -286,6 +295,10 @@ class Session:
                 setattr(self.catalog.qcache,
                         st.name.removeprefix("qcache_"), int(st.value))
                 self.catalog.qcache.clear()
+            elif getattr(st, "is_global", False):
+                # SET GLOBAL persists across restarts via the catalog
+                # manifest (sphinxql_state file semantics)
+                self.catalog.set_global(st.name, st.value)
             else:
                 self.variables[st.name] = st.value
             return [QLResult.ok()]

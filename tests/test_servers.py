@@ -560,3 +560,16 @@ class TestWatchdog:
                         p.wait(timeout=5)
                     except subprocess.TimeoutExpired:
                         p.kill()
+
+
+class TestGlobalVars:
+    def test_set_global_persists(self, tmp_path):
+        from manticoresearch_tpu.exec.session import Catalog, Session
+        dd = str(tmp_path / "g")
+        cat = Catalog(dd)
+        s = Session(cat)
+        (r,) = s.execute("SET GLOBAL query_log_min_msec = 250")
+        assert r.error is None
+        s.close()
+        cat2 = Catalog(dd)
+        assert cat2.globals.get("query_log_min_msec") == 250

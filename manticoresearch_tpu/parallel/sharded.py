@@ -231,6 +231,8 @@ class ShardedIndex:
         axis = self.axis
         k = min(sig.k, D * k_local)
 
+        order = sig.order
+
         def per_shard(data, rt_shard, rt_repl):
             # shard_map keeps the sharded axis as a size-1 leading dim
             data = jax.tree.map(lambda x: x[0], data)
@@ -249,6 +251,27 @@ class ShardedIndex:
                 jnp.arange(D, dtype=jnp.int32), k_local,
                 total_repeat_length=gw.shape[0])
             found = jax.lax.psum(out["found"], axis)
+            if order[0] == "attr":
+                # attr-ordered merge: the sort key (numeric attr value)
+                # rides the gather; ties break (docid asc) like the
+                # reference sorter comparators (sphinxsort.cpp)
+                name, asc, is_float = order[1], order[2], order[3]
+                keyv = data["attrs"][name][rid]
+                if is_float:
+                    sortk = keyv if asc else -keyv
+                else:
+                    sortk = keyv if asc else ~keyv
+                gk = jax.lax.all_gather(sortk, axis).reshape(-1)
+                _, shi, slo, sw2, srid, sshard = jax.lax.sort(
+                    (gk, ghi, glo, gw, grid, gshard), num_keys=3)
+                return {
+                    "weight": sw2[:k],
+                    "docid_hi": shi[:k],
+                    "docid_lo": slo[:k],
+                    "rowid": srid[:k],
+                    "shard": sshard[:k],
+                    "found": found,
+                }
             # merged order: weight desc, docid asc  (MinimizeAggrResult /
             # MergeAllMatches semantics, searchd.cpp:4816,3990)
             sw, shi, slo, srid, sshard = jax.lax.sort(
@@ -306,11 +329,18 @@ class ShardedIndex:
         return merge_part_results(results, q, self.schema)
 
     def plan(self, q) -> CompiledQuery:
+        from ..exec.searcher import _resolve_order
         ast = self.parser.parse(q.match)
+        try:
+            order = _resolve_order(q, self.schema)
+        except ValueError:
+            order = ("rel",)
+        if order[0] not in ("rel", "attr"):
+            order = ("rel",)
         return plan_query(
             ast, self.union,
             filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
-            order=("rel",), field_weights=q.field_weights,
+            order=order, field_weights=q.field_weights,
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
         )
 
@@ -333,10 +363,23 @@ class ShardedIndex:
             ad = self.schema.attr(f.attr)
             return ad is not None and ad.type.value in ("string", "json")
 
+        def _ici_sortable() -> bool:
+            sort = q.sort or [("weight", False)]
+            primary = sort[0][0]
+            if primary in ("weight", "@weight", "weight()"):
+                return True
+            ad = self.schema.attr(primary)
+            if ad is None or ad.type.value not in (
+                    "uint", "bool", "timestamp", "float", "bigint"):
+                return False
+            # secondary keys beyond the implicit docid tiebreak need the
+            # host merge
+            rest = [c for c, _a in sort[1:] if c not in ("id", "@id")]
+            return not rest
+
         needs_per_shard = (
             any(_host_merge_filter(f) for f in (q.filters or []))
-            or (q.sort or [("weight", False)])[0][0] not in
-            ("weight", "@weight", "weight()"))
+            or not _ici_sortable())
         if needs_per_shard:
             # per-shard kernels + host merge, with GLOBAL term stats so
             # weights match the single shard_mapped program (SetupLocalDF)

@@ -130,3 +130,44 @@ def test_sharded_order_by_attr(single, sharded):
     r1 = single.search(q)
     r2 = sharded.search(q)
     assert [m.docid for m in r2.matches] == [m.docid for m in r1.matches]
+
+
+class TestIciAttrOrder:
+    def test_attr_order_takes_single_program(self, monkeypatch):
+        """Numeric attr ORDER BY rides the one shard_mapped program (the
+        host-merge fallback must NOT be hit)."""
+        import numpy as np
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.parallel.sharded import (ShardedIndex,
+                                                          make_mesh,
+                                                          partition_documents)
+        from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
+        schema = Schema(fields=["c"],
+                        attrs=[AttrDef("price", AttrType.UINT),
+                               AttrDef("score", AttrType.FLOAT)])
+        docs = [dict(id=i, c="word common", price=(i * 37) % 100,
+                     score=((i * 13) % 50) / 2.0)
+                for i in range(1, 201)]
+        shards = []
+        for part in partition_documents(docs, 4):
+            b = IndexBuilder(schema)
+            b.add_documents(part)
+            shards.append(b.build())
+        sh = ShardedIndex(shards, make_mesh(4))
+
+        def boom(q):
+            raise AssertionError("host fallback used for attr order")
+        monkeypatch.setattr(sh, "_per_shard_search", boom)
+
+        for col, asc, is_float in (("price", True, False),
+                                   ("price", False, False),
+                                   ("score", True, True),
+                                   ("score", False, True)):
+            r = sh.search(SearchQuery(match="common", limit=20,
+                                      sort=[(col, asc), ("id", True)]))
+            assert r.error is None, r.error
+            want = sorted(docs, key=lambda d: (d[col] if asc else -d[col],
+                                               d["id"]))[:20]
+            got = [(m.attrs[col], m.docid) for m in r.matches]
+            assert got == [(d[col], d["id"]) for d in want], (col, asc)

@@ -392,10 +392,12 @@ class Session:
             # replayable SphinxQL-format query log (searchd.cpp:2918)
             import time as _t
             stamp = _t.strftime("%Y-%m-%d %H:%M:%S")
+            stmt = (self.current_info or "").strip().rstrip(";")
             self.query_log.write(
-                f"/* {stamp} conn 1 real {res.time_ms/1000.0:.3f} "
-                f"wall {res.time_ms/1000.0:.3f} found {res.total_found} */ "
-                f"SELECT ... FROM {','.join(st.indexes)};\n")
+                f"/* {stamp} conn {self.tid} real "
+                f"{res.time_ms / 1000.0:.3f} "
+                f"wall {res.time_ms / 1000.0:.3f} found {res.total_found} "
+                f"*/ {stmt};\n")
             self.query_log.flush()
 
         main = self._project(st, res, tables[0].schema, tables[0])

@@ -41,6 +41,7 @@ class _Segment:
 
 class RtIndex:
     MERGE_SEGMENT_LIMIT = 12         # progressive merge threshold
+    BINLOG_MAX_BYTES = 128 << 20     # size-triggered binlog rotation
 
     def __init__(self, name: str, schema: Schema,
                  tokenizer_settings: TokenizerSettings | None = None,
@@ -323,6 +324,11 @@ class RtIndex:
             self._binlog.write(json.dumps(rec) + "\n")
             self._binlog.flush()
             os.fsync(self._binlog.fileno())
+            # size-triggered rotation (binlog_max_log_size semantics,
+            # sphinxrt binlog files): checkpoint + reset when the log
+            # outgrows the cap — replay time stays bounded
+            if self._binlog.tell() > self.BINLOG_MAX_BYTES:
+                self.flush()
 
     def _replay_binlog(self) -> None:
         if not self._binlog_path or not os.path.exists(self._binlog_path):

@@ -81,6 +81,21 @@ class Daemon:
                 except Exception:  # noqa: BLE001 — keep the daemon alive
                     pass
 
+    async def _periodic_optimize(self) -> None:
+        """auto_optimize analog (manticore auto-OPTIMIZE task): tables
+        whose segment count crosses 2x the progressive-merge limit get an
+        OPTIMIZE pass in the background."""
+        while True:
+            await asyncio.sleep(max(self.flush_period * 2, 30.0))
+            for t in list(self.catalog.tables.values()):
+                segs = getattr(t, "segments", None)
+                limit = getattr(t, "MERGE_SEGMENT_LIMIT", 0)
+                if segs is not None and limit and len(segs) > 2 * limit:
+                    try:
+                        await asyncio.to_thread(t.optimize)
+                    except Exception:  # noqa: BLE001 — keep serving
+                        pass
+
     async def _periodic_ping(self) -> None:
         """Agent dashboard ping (taskping.cpp:119): keeps mirror liveness
         fresh so HA strategies avoid dead hosts before a query pays the
@@ -110,6 +125,7 @@ class Daemon:
             await self.api.start()
         pinger = asyncio.create_task(self._periodic_ping())
         flusher = asyncio.create_task(self._periodic_flush())
+        optimizer = asyncio.create_task(self._periodic_optimize())
         stop = asyncio.Event()
         loop = asyncio.get_running_loop()
         for sig in (signal.SIGINT, signal.SIGTERM):
@@ -136,6 +152,7 @@ class Daemon:
                 pass
         flusher.cancel()
         pinger.cancel()
+        optimizer.cancel()
         await self.mysql.stop()
         await self.http.stop()
         if self.agent is not None:

@@ -307,3 +307,27 @@ class TestGlobalIdf:
         assert w_l == int((1 / 2.2 * lidf + 0.5) * 1000) + 1000
         assert w_g == int((1 / 2.2 * gidf + 0.5) * 1000) + 1000
         s.close()
+
+
+class TestReplay:
+    def test_log_and_replay(self, tmp_path):
+        import io
+        from manticoresearch_tpu.exec.session import Catalog, Session
+        from manticoresearch_tpu.tools.replay import main as replay_main
+        dd = str(tmp_path / "data")
+        cat = Catalog(dd)
+        s = Session(cat)
+        log = io.StringIO()
+        s.query_log = log
+        s.execute("CREATE TABLE r (c text)")
+        s.execute("INSERT INTO r (id, c) VALUES (1, 'replay me twice')")
+        s.execute("SELECT id FROM r WHERE MATCH('replay')")
+        s.execute("SELECT id FROM r WHERE MATCH('twice') LIMIT 5")
+        s.close()
+        logfile = tmp_path / "q.log"
+        logfile.write_text(log.getvalue())
+        assert "MATCH('replay')" in log.getvalue()   # replayable verbatim
+        # replay against the same data dir
+        rc = replay_main(["--log", str(logfile), "--data-dir", dd,
+                          "--quiet"])
+        assert rc == 0

@@ -101,6 +101,8 @@ def _parse_tokenizer(sec: dict) -> TokenizerSettings:
         phrase_boundary=sec.get("phrase_boundary", ""),
         phrase_boundary_step=int(sec.get("phrase_boundary_step", 0)),
         regexp_filter=tuple(sec.get("regexp_filter", [])),
+        bigram_index=str(sec.get("bigram_index", "")),
+        bigram_freq_words=tuple(sec.get("bigram_freq_words", [])),
     )
 
 
@@ -155,6 +157,8 @@ def settings_from_sql_options(options: dict[str, str]
         phrase_boundary_step=_i("phrase_boundary_step", 0),
         regexp_filter=tuple(e.strip() for e in str(
             o.get("regexp_filter", "")).split(";") if e.strip()),
+        bigram_index=str(o.get("bigram_index", "")).strip(),
+        bigram_freq_words=_list("bigram_freq_words"),
     )
     wordforms = []
     for pair in str(o.get("wordforms", "")).split(","):

@@ -241,9 +241,12 @@ class IndexBuilder:
         ds = self.dict_settings
         index_sp = self.tok_settings.index_sp
         index_zones = tuple(self.tok_settings.index_zones)
+        bigram_mode = self.tok_settings.bigram_index
+        bigram_freq = set(self.tok_settings.bigram_freq_words)
         trivial_dict = (not ds.stopwords and not ds.morphology
                         and not ds.wordforms and not ds.index_exact_words
                         and not getattr(ds, "token_filter", "")
+                        and not bigram_mode
                         and not index_sp and not index_zones)
 
         # bulk native path: decode+fold+split+dict-assign per field in ONE
@@ -342,14 +345,34 @@ class IndexBuilder:
                     tokens = self.tokenizer.tokenize(str(text))
                 field_lens[rowid, fid] = len(tokens)
                 last_pos = tokens[-1].position if tokens else 0
+                ptoks: list[tuple[str, int]] = []
                 for t in tokens:
+                    first = None
                     for term in self.dictionary.process(t.text):
+                        if first is None and not term.startswith("="):
+                            first = term
                         tid = vocab.setdefault(term, len(vocab))
                         hits_tid.append(tid)
                         hits_row.append(rowid)
                         hits_packed.append(
                             hitman_pack(fid, t.position, t.position == last_pos)
                         )
+                    if bigram_mode and first is not None:
+                        ptoks.append((first, t.position))
+                if bigram_mode:
+                    # bigram_index: adjacent surviving terms emit an extra
+                    # "w1 w2" term anchored at w1 (sphinx.cpp bigram
+                    # indexing; space-joined pair tokens)
+                    for (w1, p1), (w2, _p2) in zip(ptoks, ptoks[1:]):
+                        if bigram_mode == "first_freq" and                                 w1 not in bigram_freq:
+                            continue
+                        if bigram_mode == "both_freq" and not (
+                                w1 in bigram_freq and w2 in bigram_freq):
+                            continue
+                        tid = vocab.setdefault(f"{w1} {w2}", len(vocab))
+                        hits_tid.append(tid)
+                        hits_row.append(rowid)
+                        hits_packed.append(hitman_pack(fid, p1, False))
                 if index_sp and tokens:
                     # a sentence ends at token i when .!? appears between it
                     # and the next token; a blank line ends a paragraph

@@ -939,7 +939,8 @@ def _eval_expr(expr: tuple, termmask, phrase_results, alive, size):
         for s in slots_t:
             cnt = cnt + ((termmask[:, s >> 5] >> (s & 31)) & 1)
         return cnt >= m_need
-    if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
+    if op in ("phrase", "proximity", "near", "sentence", "paragraph",
+              "bigram_phrase"):
         return phrase_results[expr][0]
     raise ValueError(f"unknown expr op {op!r}")
 
@@ -956,7 +957,8 @@ def _slot_membership(slot, member_slots: tuple, n_slots: int):
 
 def _collect_phrase_nodes(expr: tuple) -> list[tuple]:
     op = expr[0]
-    if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
+    if op in ("phrase", "proximity", "near", "sentence", "paragraph",
+              "bigram_phrase"):
         return [expr]
     if op in ("and", "or"):
         out = []
@@ -1034,6 +1036,11 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
                                    n_hit_iters)
         ok = valid & exb & (data["hit_rowid"][idxb] == a_row) & \
             ((data["hit_packed"][idxb] & HITMAN_KEY_MASK) > lb)
+    elif op == "bigram_phrase":
+        # bigram fast path: the pair term's hits ARE the phrase anchors
+        # (w1's position per occurrence) — no positional searches needed
+        a_row, a_key, valid = hits_of(node[2])
+        ok = valid
     elif op == "near" and len(node) > 4:
         # general NEAR/N: operands are keywords, phrases, or nested NEAR
         # chains (searchnode.cpp FSMmultinear over child nodes). Each

@@ -117,6 +117,8 @@ def expr_slots(expr: tuple) -> set[int]:
         return set(expr[1])
     if op in ("proximity", "near", "sentence", "paragraph"):
         return set(expr[1])
+    if op == "bigram_phrase":
+        return set(expr[1]) | {expr[2]}
     if op == "maybe":
         return expr_slots(expr[1]) | expr_slots(expr[2])
     raise ValueError(f"unknown expr op {op!r}")
@@ -143,7 +145,8 @@ def ranker_term_slots(expr: tuple) -> tuple[int, ...]:
             return list(e[1])
         if op == "maybe":
             return walk(e[1]) + walk(e[2])
-        if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
+        if op in ("phrase", "proximity", "near", "sentence", "paragraph",
+                  "bigram_phrase"):
             return []
         raise ValueError(f"unknown expr op {op!r}")
     seen: list[int] = []
@@ -156,7 +159,8 @@ def ranker_term_slots(expr: tuple) -> tuple[int, ...]:
 def positive_phrase_nodes(expr: tuple) -> tuple:
     """Phrase/proximity nodes not under a NOT branch, in tree order."""
     op = expr[0]
-    if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
+    if op in ("phrase", "proximity", "near", "sentence", "paragraph",
+              "bigram_phrase"):
         return (expr,)
     if op in ("and", "or"):
         out: tuple = ()
@@ -187,7 +191,8 @@ def positive_slots(expr: tuple) -> set[int]:
         return out
     if op == "andnot":
         return positive_slots(expr[1])
-    if op in ("quorum", "phrase", "proximity", "sentence", "paragraph"):
+    if op in ("quorum", "phrase", "proximity", "sentence", "paragraph",
+              "bigram_phrase"):
         return set(expr[1])
     if op == "near":
         # NOTNEAR's right side never contributes weight

@@ -455,6 +455,40 @@ def plan_query(
 
     st = _SlotTable(all_mask, mask_of)
     expr = _lower(node, st, True)
+
+    # bigram fast path (sphinx.cpp bigram indexing): a qualifying 2-word
+    # phrase is answered by the "w1 w2" pair term's hit list — anchors are
+    # identical to the phrase FSM's, so match/tf/rank emission are exact
+    bmode = getattr(index.tokenizer_settings, "bigram_index", "")
+    bigram_slots: set = set()
+    if bmode:
+        bfreq = set(getattr(index.tokenizer_settings,
+                            "bigram_freq_words", ()))
+
+        def _bg(e):
+            if e[0] == "phrase" and len(e[1]) == 2:
+                sa, sb = e[1]
+                wa, wb = st.terms[sa], st.terms[sb]
+                qual = (bmode == "all"
+                        or (bmode == "first_freq" and wa in bfreq)
+                        or (bmode == "both_freq" and wa in bfreq
+                            and wb in bfreq))
+                plain = (st.masks[sa] == all_mask
+                         and st.masks[sb] == all_mask
+                         and st.flags[sa] == (False, False)
+                         and st.flags[sb] == (False, False)
+                         and not st.zones[sa] and not st.zones[sb])
+                if qual and plain:
+                    bslot = st.get(f"{wa} {wb}", None, True)
+                    bigram_slots.add(bslot)
+                    return ("bigram_phrase", e[1], bslot)
+                return e
+            if e[0] in ("and", "or"):
+                return (e[0], tuple(_bg(c) for c in e[1]))
+            if e[0] in ("andnot", "maybe"):
+                return (e[0], _bg(e[1]), _bg(e[2]))
+            return e
+        expr = _bg(expr)
     S = len(st.terms)
     if S > 127:
         # the ranker hit stream packs the slot id into 7 bits
@@ -476,7 +510,10 @@ def plan_query(
     slot_df: list[int] = []
     slot_hits: list[int] = []
 
-    n_qwords = S  # hQwords is keyed by word -> unique count
+    # hQwords is keyed by word -> unique count; bigram pair terms are
+    # matching machinery, not query words (ranking parity with the
+    # non-bigram index requires excluding them)
+    n_qwords = S - len(bigram_slots)
     slot_packed: list = []
     pk_starts = np.zeros((max(S, 1), 3), np.int32)
     for s, term in enumerate(st.terms):
@@ -869,6 +906,8 @@ def _positional_hits_need(expr, hit_lengths) -> int:
     op = expr[0]
     if op == "phrase":
         return int(hit_lengths[expr[1][0]])
+    if op == "bigram_phrase":
+        return int(hit_lengths[expr[2]])
     if op == "near":
         return int(hit_lengths[expr[1][0]])
     if op == "proximity":
@@ -884,7 +923,8 @@ def _positional_hits_need(expr, hit_lengths) -> int:
 
 def _has_positional(expr) -> bool:
     op = expr[0]
-    if op in ("phrase", "proximity", "near", "sentence", "paragraph"):
+    if op in ("phrase", "proximity", "near", "sentence", "paragraph",
+              "bigram_phrase"):
         return True
     if op in ("and", "or"):
         return any(_has_positional(c) for c in expr[1])

@@ -43,6 +43,8 @@ class TokenizerSettings:
     phrase_boundary: str = ""   # charset spec of boundary chars
     phrase_boundary_step: int = 0
     regexp_filter: tuple = ()   # ("pattern => replacement", ...)
+    bigram_index: str = ""      # "" | all | first_freq | both_freq
+    bigram_freq_words: tuple = ()
 
     def key(self) -> tuple:
         return (
@@ -62,6 +64,8 @@ class TokenizerSettings:
             self.phrase_boundary,
             self.phrase_boundary_step,
             self.regexp_filter,
+            self.bigram_index,
+            self.bigram_freq_words,
         )
 
 

@@ -308,3 +308,52 @@ class TestGeneralNear:
     def test_near_chain(self, nidx):
         assert self.ids(nidx, "alpha NEAR/2 beta NEAR/2 gamma") == [5]
         assert self.ids(nidx, "alpha NEAR/6 beta NEAR/2 gamma") == [5, 6]
+
+
+class TestBigrams:
+    """bigram_index: 2-word phrases answered by pair terms; weights must
+    be IDENTICAL to the non-bigram index (anchors are the same)."""
+
+    def _build(self, bigram, docs, **tok):
+        from manticoresearch_tpu.exec.searcher import SearchIndex
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.schema import Schema
+        from manticoresearch_tpu.text.tokenizer import TokenizerSettings
+        ts = TokenizerSettings(bigram_index=bigram, **tok)
+        b = IndexBuilder(Schema(fields=["c"], attrs=[]), ts)
+        b.add_documents(docs)
+        return SearchIndex(b.build())
+
+    DOCS = [
+        dict(id=1, c="the quick brown fox jumps"),
+        dict(id=2, c="quick thinking saves the brown bear"),
+        dict(id=3, c="a fox and a bear"),
+        dict(id=4, c="quick brown quick brown"),
+    ]
+
+    def test_bigram_all_matches_plain(self):
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        plain = self._build("", self.DOCS)
+        bg = self._build("all", self.DOCS)
+        # the plan actually uses the pair term
+        cq = bg.plan(SearchQuery(match='"quick brown"'))
+        assert cq.sig.expr[0] == "bigram_phrase", cq.sig.expr
+        assert "quick brown" in cq.slot_terms
+        for q in ('"quick brown"', '"brown fox"', '"a fox"',
+                  'fox | "brown bear"'):
+            a = plain.search(SearchQuery(match=q, limit=10))
+            b = bg.search(SearchQuery(match=q, limit=10))
+            assert a.error is None and b.error is None
+            assert [(m.docid, m.weight) for m in a.matches] == \
+                   [(m.docid, m.weight) for m in b.matches], q
+
+    def test_freq_modes(self):
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        bg = self._build("first_freq", self.DOCS,
+                         bigram_freq_words=("the", "a"))
+        cq = bg.plan(SearchQuery(match='"the quick"'))
+        assert cq.sig.expr[0] == "bigram_phrase"
+        cq2 = bg.plan(SearchQuery(match='"quick brown"'))
+        assert cq2.sig.expr[0] == "phrase"     # 'quick' not a freq word
+        r = bg.search(SearchQuery(match='"the quick"'))
+        assert [m.docid for m in r.matches] == [1]

@@ -24,6 +24,25 @@ def _apply_sort(matches, q):
             matches.sort(key=lambda m: m.weight, reverse=not asc)
         elif col in ("id", "@id"):
             matches.sort(key=lambda m: m.docid, reverse=not asc)
+        elif "." in col:
+            # JSON path ORDER BY: host-evaluated per row (the reference
+            # sorts JSON fields with host expressions too)
+            from ..query.expr import eval_expr_host, parse_expr
+            tree = parse_expr(col)
+
+            def jkey(m, _t=tree):
+                try:
+                    v = eval_expr_host(_t, m.attrs, m.weight, m.docid)
+                except Exception:   # noqa: BLE001 — missing path -> None
+                    v = None
+                # None sorts last regardless of direction; mixed types
+                # compare as (type_rank, value)
+                if v is None:
+                    return (2, 0)
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    return (0, v)
+                return (1, str(v))
+            matches.sort(key=jkey, reverse=not asc)
         else:
             default = next((m.attrs[col] for m in matches
                             if m.attrs.get(col) is not None), 0)

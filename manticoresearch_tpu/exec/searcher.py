@@ -149,6 +149,23 @@ class SearchIndex:
     def search(self, q: SearchQuery) -> SearchResult:
         if q.group_by:
             return self._search_grouped(q)
+        primary = (q.sort or [("weight", False)])[0][0]
+        if "." in primary and primary not in ("weight()",):
+            base = primary.split(".", 1)[0]
+            ad = self.schema.attr(base)
+            if ad is not None and ad.type.value == "json":
+                # JSON-path ORDER BY: fetch the match window (bounded by
+                # max_matches, like the reference sorter) and host-sort
+                from dataclasses import replace as _rep
+                from .multi import _apply_sort
+                wide = _rep(q, sort=[("weight", False), ("id", True)],
+                            offset=0, limit=q.max_matches)
+                res = self.search(wide)
+                if res.error:
+                    return res
+                _apply_sort(res.matches, q)
+                res.matches = res.matches[q.offset:q.offset + q.limit]
+                return res
         t0 = time.perf_counter()
         prof: list[tuple[str, float]] = []
         try:

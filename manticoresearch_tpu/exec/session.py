@@ -366,10 +366,25 @@ class Session:
                 import random
                 random.shuffle(res.matches)
             else:
-                res.matches.sort(
-                    key=lambda m: eval_expr_host(tree, m.attrs, m.weight,
-                                                 m.docid),
-                    reverse=not asc)
+                def _val(m, _t=tree):
+                    try:
+                        return eval_expr_host(_t, m.attrs, m.weight,
+                                              m.docid)
+                    except ExprError:
+                        return None
+                have = [m for m in res.matches if _val(m) is not None]
+                none_rows = [m for m in res.matches if _val(m) is None]
+
+                def _k(m):
+                    v = _val(m)
+                    if isinstance(v, (int, float)) \
+                            and not isinstance(v, bool):
+                        return (0, v)
+                    return (1, str(v))
+                have.sort(key=_k, reverse=not asc)
+                # rows with no value (missing JSON path) sort last in
+                # either direction, like the reference's null ordering
+                res.matches = have + none_rows
             res.matches = res.matches[offset:offset + limit]
         if (q.group_by == "1" and st.group_by is None and res.error is None
                 and not res.matches):

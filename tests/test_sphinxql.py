@@ -716,3 +716,23 @@ class TestCollation:
         r3 = s.execute("SELECT id FROM cl WHERE name='bob'")[0]
         assert [row[0] for row in r3.rows] == [3]
         s.close()
+
+
+class TestJsonOrderBy:
+    def test_order_by_json_path(self):
+        cat = Catalog()
+        s = Session(cat)
+        s.execute("CREATE TABLE jo (c text, j json)")
+        rows = [(1, 30), (2, 10), (3, 20), (4, None)]
+        for i, v in rows:
+            jv = '{}' if v is None else '{"rank": %d}' % v
+            s.execute(f"INSERT INTO jo (id, c, j) VALUES "
+                      f"({i}, 'word', '{jv}')")
+        r = s.execute("SELECT id FROM jo WHERE MATCH('word') "
+                      "ORDER BY j.rank ASC")[0]
+        assert r.error is None, r.error
+        assert [row[0] for row in r.rows] == [2, 3, 1, 4]
+        r2 = s.execute("SELECT id FROM jo WHERE MATCH('word') "
+                       "ORDER BY j.rank DESC")[0]
+        assert [row[0] for row in r2.rows] == [1, 3, 2, 4]
+        s.close()

@@ -148,6 +148,12 @@ class SearchIndex:
 
     def search(self, q: SearchQuery) -> SearchResult:
         if q.group_by:
+            gb = q.group_by
+            if "." in gb and self.schema.attr(gb) is None:
+                base = gb.split(".", 1)[0]
+                ad = self.schema.attr(base)
+                if ad is not None and ad.type.value == "json":
+                    return self._host_grouped(q)
             return self._search_grouped(q)
         primary = (q.sort or [("weight", False)])[0][0]
         if "." in primary and primary not in ("weight()",):
@@ -255,6 +261,117 @@ class SearchIndex:
                     queries[i], plans[i], row[:k], row[k:2 * k],
                     int(row[2 * k]), t0)
         return results  # type: ignore[return-value]
+
+    def _host_grouped(self, q: SearchQuery) -> SearchResult:
+        """GROUP BY over a JSON path: the key is host-evaluated per match
+        (the reference also computes JSON grouping via host expressions);
+        aggregates reduce in Python over the match window (bounded by
+        max_matches)."""
+        import re as _re
+        from dataclasses import replace as _rep
+
+        from ..query.expr import ExprError, eval_expr_host, parse_expr
+
+        t0 = time.perf_counter()
+        try:
+            key_tree = parse_expr(q.group_by)
+        except ExprError as e:
+            return SearchResult([], 0, 0, 0.0, [], error=str(e))
+        base_q = _rep(q, group_by=None, select=None, having=None,
+                      sort=[("weight", False), ("id", True)],
+                      offset=0, limit=q.max_matches)
+        res = self.search(base_q)
+        if res.error:
+            return res
+
+        agg_re = _re.compile(
+            r"^\s*(count|sum|min|max|avg)\s*\(\s*(distinct\s+)?(.*?)"
+            r"\s*\)\s*$", _re.IGNORECASE)
+        selects = list(q.select or ["count(*)"])
+        if not any(agg_re.match(s2) for s2 in selects):
+            selects.append("count(*)")
+
+        def keyof(m):
+            try:
+                v = eval_expr_host(key_tree, m.attrs, m.weight, m.docid)
+            except ExprError:
+                v = None
+            return v if not isinstance(v, (list, dict)) else str(v)
+
+        groups: dict = {}
+        for m in res.matches:
+            groups.setdefault(keyof(m), []).append(m)
+
+        rows = []
+        for key, ms in groups.items():
+            rep = ms[0]
+            attrs = {q.group_by: key}
+            for sel in selects:
+                am = agg_re.match(sel)
+                if not am:
+                    continue
+                kind = am.group(1).lower()
+                arg = am.group(3)
+                if kind == "count" and am.group(2):
+                    vals = set()
+                    tree = parse_expr(arg)
+                    for m2 in ms:
+                        try:
+                            vals.add(eval_expr_host(tree, m2.attrs,
+                                                    m2.weight, m2.docid))
+                        except ExprError:
+                            pass
+                    attrs[sel] = len(vals)
+                    continue
+                if kind == "count":
+                    attrs[sel] = len(ms)
+                    continue
+                tree = parse_expr(arg)
+                nums = []
+                for m2 in ms:
+                    try:
+                        v = eval_expr_host(tree, m2.attrs, m2.weight,
+                                           m2.docid)
+                    except ExprError:
+                        v = None
+                    if v is not None and not isinstance(v, str):
+                        nums.append(v)
+                if not nums:
+                    attrs[sel] = 0
+                elif kind == "sum":
+                    attrs[sel] = sum(nums)
+                elif kind == "min":
+                    attrs[sel] = min(nums)
+                elif kind == "max":
+                    attrs[sel] = max(nums)
+                else:
+                    attrs[sel] = sum(nums) / len(nums)
+            attrs.update(rep.attrs)
+            attrs[q.group_by] = key
+            rows.append(Match(rep.docid, rep.weight, attrs))
+
+        primary, asc = (q.sort or [("weight", False)])[0]
+        if primary in ("@count", "count(*)"):
+            rows.sort(key=lambda m: (m.attrs.get("count(*)", 0), -m.docid),
+                      reverse=not asc)
+        elif primary == q.group_by:
+            rows.sort(key=lambda m: (m.attrs.get(q.group_by) is None,
+                                     str(m.attrs.get(q.group_by))),
+                      reverse=not asc)
+        else:
+            rows.sort(key=lambda m: m.weight, reverse=not asc)
+
+        if q.having is not None:
+            col, op_s, val = q.having
+            import operator as _op
+            ops = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
+                   "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+            rows = [m for m in rows if ops[op_s](m.attrs.get(col, 0), val)]
+
+        total = len(rows)
+        rows = rows[q.offset:q.offset + q.limit]
+        dt = (time.perf_counter() - t0) * 1000.0
+        return SearchResult(rows, total, total, dt, res.word_stats)
 
     def _search_grouped(self, q: SearchQuery) -> SearchResult:
         """GROUP BY execution (CSphKBufferGroupSorter semantics via the

@@ -736,3 +736,26 @@ class TestJsonOrderBy:
                        "ORDER BY j.rank DESC")[0]
         assert [row[0] for row in r2.rows] == [1, 3, 2, 4]
         s.close()
+
+
+class TestJsonGroupBy:
+    def test_group_by_json_path(self):
+        import json as _json
+        cat = Catalog()
+        s = Session(cat)
+        s.execute("CREATE TABLE jg (c text, j json)")
+        data = [(1, "red", 5), (2, "red", 7), (3, "blue", 1),
+                (4, "red", 2), (5, "blue", 9)]
+        for i, color, score in data:
+            jv = _json.dumps({"color": color, "score": score}).replace(
+                '"', '\\"')
+            s.execute(f"INSERT INTO jg (id, c, j) VALUES "
+                      f"({i}, 'word', '{jv}')")
+        r = s.execute("SELECT j.color, count(*), sum(j.score) FROM jg "
+                      "WHERE MATCH('word') GROUP BY j.color "
+                      "ORDER BY count(*) DESC")[0]
+        assert r.error is None, r.error
+        got = {row[0]: (row[1], row[2]) for row in r.rows}
+        assert got == {"red": (3, 14), "blue": (2, 10)}
+        assert r.rows[0][0] == "red"     # count desc ordering
+        s.close()

@@ -80,10 +80,15 @@ class WorkloadGen:
         classes: dict = {}
         td = packed.term_docs
         th = packed.term_hits if hasattr(packed, "term_hits") else None
+        # the packed-store width classes are part of the plan shape too
+        # (sig.slot_packed): twins must share them or warmup misses
+        store = packed.packed_store()
         for t in range(lo, min(hi, vocab)):
             df = int(td[t]) if t < len(td) else 0
             hits = int(th[t]) if th is not None and t < len(th) else df
-            classes.setdefault((p2(df), p2(hits)), []).append(t)
+            pk = tuple(store.term_class[t]) if t < len(store.term_class) \
+                else (0, 0, 0)
+            classes.setdefault((p2(df), p2(hits), pk), []).append(t)
         # keep classes with >= 2 members so twins differ
         self.classes = [v for v in classes.values() if len(v) >= 2]
         if not self.classes:
@@ -92,19 +97,25 @@ class WorkloadGen:
     def _fmt(self, t):
         return f"t{t:0{self.width}d}"
 
-    def term(self):
-        """-> (warm_term_str, measured_term_str), same shape class."""
-        cls = self.classes[self.rng.randint(len(self.classes))]
+    def term(self, avoid_class: int = -1):
+        """-> (warm_term_str, measured_term_str, class_id): twins from one
+        shape class (avoid_class forces a different class so two-term
+        queries never collapse a slot in one batch arm only)."""
+        while True:
+            ci = int(self.rng.randint(len(self.classes)))
+            if ci != avoid_class or len(self.classes) == 1:
+                break
+        cls = self.classes[ci]
         i, j = self.rng.choice(len(cls), 2, replace=False) \
             if len(cls) >= 2 else (0, 0)
-        return self._fmt(cls[i]), self._fmt(cls[j])
+        return self._fmt(cls[i]), self._fmt(cls[j]), ci
 
     def config1(self, n):
         """single-term MATCH() BM25 top-10."""
         from manticoresearch_tpu.exec.searcher import SearchQuery
         pairs = [self.term() for _ in range(n)]
-        return ([SearchQuery(match=w, limit=10) for w, _ in pairs],
-                [SearchQuery(match=m, limit=10) for _, m in pairs])
+        return ([SearchQuery(match=w, limit=10) for w, _m, _c in pairs],
+                [SearchQuery(match=m, limit=10) for _w, m, _c in pairs])
 
     def config2(self, n):
         """boolean AND/OR + integer range filters (mixed)."""
@@ -113,7 +124,8 @@ class WorkloadGen:
         warm, meas = [], []
         for _ in range(n):
             r = self.rng.rand()
-            (w1, m1), (w2, m2) = self.term(), self.term()
+            w1, m1, c1 = self.term()
+            w2, m2, _c2 = self.term(avoid_class=c1)
             if r < 0.4:
                 warm.append(SearchQuery(match=w1, limit=10))
                 meas.append(SearchQuery(match=m1, limit=10))
@@ -137,7 +149,8 @@ class WorkloadGen:
         warm, meas = [], []
         fwt = {"content": 3}
         for _ in range(n):
-            (w1, m1), (w2, m2) = self.term(), self.term()
+            w1, m1, c1 = self.term()
+            w2, m2, _c2 = self.term(avoid_class=c1)
             if self.rng.rand() < 0.5:
                 warm.append(SearchQuery(match=f'"{w1} {w2}"', limit=10,
                                         field_weights=fwt))
@@ -159,7 +172,8 @@ class WorkloadGen:
                                select=["count(*)", "sum(year)"],
                                sort=[("@count", False)], limit=10)
         pairs = [self.term() for _ in range(n)]
-        return ([mk(w) for w, _ in pairs], [mk(m) for _, m in pairs])
+        return ([mk(w) for w, _m, _c in pairs],
+                [mk(m) for _w, m, _c in pairs])
 
 
 def _run_batches(idx, gen_pair, n_batches, batch_size, budget_s,

@@ -801,7 +801,30 @@ class Session:
             return self._snippets(st)
         if st.func == "PQ":
             return self._call_pq(st)
+        if st.func == "AUTOCOMPLETE":
+            return self._autocomplete(st)
         return QLResult.err(f"unsupported CALL {st.func}")
+
+    def _autocomplete(self, st: CallStmt) -> QLResult:
+        """CALL AUTOCOMPLETE('prefix', 'table' [, N as limit]): dictionary
+        prefix completions ranked by document frequency (the reference's
+        CALL AUTOCOMPLETE over the dict)."""
+        import bisect as _b
+        if len(st.args) < 2:
+            return QLResult.err("CALL AUTOCOMPLETE(prefix, table) required")
+        prefix, index = str(st.args[0]).lower(), str(st.args[1])
+        limit = int(st.named.get("limit", 10))
+        t = self.catalog.get(index)
+        cand: dict[str, int] = {}
+        for part in t.searchable_parts():
+            terms = part.packed.term_strs
+            i = _b.bisect_left(terms, prefix)
+            while i < len(terms) and terms[i].startswith(prefix):
+                cand[terms[i]] = cand.get(terms[i], 0) + int(
+                    part.packed.term_docs[i])
+                i += 1
+        rows = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        return QLResult(columns=["query"], rows=[(w,) for w, _ in rows])
 
     def _snippets(self, st: CallStmt) -> QLResult:
         """CALL SNIPPETS((data...), index, query [, opt AS name...])

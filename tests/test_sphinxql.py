@@ -759,3 +759,23 @@ class TestJsonGroupBy:
         assert got == {"red": (3, 14), "blue": (2, 10)}
         assert r.rows[0][0] == "red"     # count desc ordering
         s.close()
+
+
+class TestAutocomplete:
+    def test_call_autocomplete(self):
+        cat = Catalog()
+        s = Session(cat)
+        s.execute("CREATE TABLE ac (c text)")
+        docs = ["program in python", "programming languages",
+                "program flow", "progress report", "prose text"]
+        for i, c in enumerate(docs, 1):
+            s.execute(f"INSERT INTO ac (id, c) VALUES ({i}, '{c}')")
+        (r,) = s.execute("CALL AUTOCOMPLETE('prog', 'ac')")
+        assert r.error is None
+        words = [row[0] for row in r.rows]
+        # 'program' df=2 ranks first; all completions share the prefix
+        assert words[0] == "program"
+        assert set(words) == {"program", "programming", "progress"}
+        (r2,) = s.execute("CALL AUTOCOMPLETE('prog', 'ac', 1 as limit)")
+        assert [row[0] for row in r2.rows] == ["program"]
+        s.close()

@@ -256,11 +256,20 @@ class ShardedIndex:
                 # rides the gather; ties break (docid asc) like the
                 # reference sorter comparators (sphinxsort.cpp)
                 name, asc, is_float = order[1], order[2], order[3]
-                keyv = data["attrs"][name][rid]
+                col = data["attrs"][name]
+                keyv = col[jnp.clip(rid, 0, col.shape[0] - 1)]
                 if is_float:
                     sortk = keyv if asc else -keyv
+                    pad = jnp.float32(jnp.inf)
                 else:
                     sortk = keyv if asc else ~keyv
+                    pad = jnp.int32(2**31 - 1)
+                # entries past the shard's own match count are garbage
+                # rows (the attr-ordered kernel fills the chunk): they
+                # must sort last in the merge
+                local_found = out["found"]
+                valid = jnp.arange(k_local, dtype=jnp.int32) < local_found
+                sortk = jnp.where(valid, sortk, pad)
                 gk = jax.lax.all_gather(sortk, axis).reshape(-1)
                 _, shi, slo, sw2, srid, sshard = jax.lax.sort(
                     (gk, ghi, glo, gw, grid, gshard), num_keys=3)

@@ -459,11 +459,11 @@ def plan_query(
     # bigram fast path (sphinx.cpp bigram indexing): a qualifying 2-word
     # phrase is answered by the "w1 w2" pair term's hit list — anchors are
     # identical to the phrase FSM's, so match/tf/rank emission are exact
-    bmode = getattr(index.tokenizer_settings, "bigram_index", "")
+    _ts = getattr(index, "tokenizer_settings", None)
+    bmode = getattr(_ts, "bigram_index", "") if _ts is not None else ""
     bigram_slots: set = set()
     if bmode:
-        bfreq = set(getattr(index.tokenizer_settings,
-                            "bigram_freq_words", ()))
+        bfreq = set(getattr(_ts, "bigram_freq_words", ()))
 
         def _bg(e):
             if e[0] == "phrase" and len(e[1]) == 2:

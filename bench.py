@@ -89,8 +89,13 @@ class WorkloadGen:
             pk = tuple(store.term_class[t]) if t < len(store.term_class) \
                 else (0, 0, 0)
             classes.setdefault((p2(df), p2(hits), pk), []).append(t)
-        # keep classes with >= 2 members so twins differ
-        self.classes = [v for v in classes.values() if len(v) >= 2]
+        # keep classes with >= 2 members so twins differ; cap the class
+        # count (top by population) — every distinct class is a distinct
+        # compiled plan shape, and the matrix of shapes (esp. two-term
+        # configs) otherwise turns warmup into a compile storm
+        pool = sorted((v for v in classes.values() if len(v) >= 2),
+                      key=len, reverse=True)[:6]
+        self.classes = pool
         if not self.classes:
             self.classes = [list(range(lo, min(hi, vocab)))]
 
@@ -192,11 +197,16 @@ def _run_batches(idx, gen_pair, n_batches, batch_size, budget_s,
 
     times = []
     t_all = time.perf_counter()
-    for _ in range(n_batches):
+    for bi in range(n_batches):
         if deadline is not None and time.perf_counter() > deadline:
             break
         warm, meas = gen_pair(batch_size)
         run(warm)
+        if bi == 0:
+            # the first warmup pays the compiles; the measurement budget
+            # starts once shapes are hot (the global deadline still
+            # bounds total wall)
+            t_all = time.perf_counter()
         t0 = time.perf_counter()
         run(meas)
         times.append(time.perf_counter() - t0)

@@ -798,7 +798,14 @@ def plan_query(
     elif _mode == "always":
         sparse = sparse_capable
     else:
-        sparse = sparse_capable and B_total <= max(index.n_docs // 2, 0)
+        # measured on v5e @200k docs: the dense [N] scatter + top-k beats
+        # the candidate sort until the corpus is large enough that the
+        # dense passes dominate (config1 735 vs 503 qps dense-vs-sparse
+        # at 200k); the union sort wins when cost tracks postings, i.e.
+        # big N with a comparatively small candidate set
+        sparse = (sparse_capable
+                  and index.n_docs >= 400_000
+                  and B_total <= max(index.n_docs // 4, 0))
 
     # filtered fullscan: pre-select candidates from a numeric attr's
     # secondary index instead of touching all N rows (the histogram /

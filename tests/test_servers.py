@@ -546,7 +546,9 @@ class TestWatchdog:
                                   daemon=True)
             th.start()
             t0 = time.time()
-            while time.time() - t0 < 15:
+            # generous window: the restart backoff is 1s but a loaded
+            # host can stretch child startup considerably
+            while time.time() - t0 < 60:
                 if marker.exists() and len(marker.read_text()) >= 2:
                     break
                 time.sleep(0.05)

@@ -258,13 +258,15 @@ def main():
         ("1_single_term_bm25", gen.config1, True),
         ("2_boolean_filters", gen.config2, True),
         ("3_phrase_proximity", gen.config3, True),
-        ("4_facet_groupby", gen.config4, False),
+        ("4_facet_groupby", gen.config4, True),
     ):
         if cid[0] not in wanted:
             continue
         if deadline is not None and time.perf_counter() > deadline:
             break
         bs = args.batch if batched else max(args.batch // 8, 8)
+        if cid.startswith("4"):
+            bs = max(args.batch // 4, 8)   # grouped kernels are heavier
         qps, times = _run_batches(idx, gen_fn, args.batches, bs,
                                   args.budget, batched, deadline)
         if qps is None:

@@ -207,9 +207,17 @@ class SearchIndex:
         results: list[SearchResult | None] = [None] * len(queries)
         groups: dict[tuple, list[int]] = {}
         plans: list[CompiledQuery | None] = [None] * len(queries)
+        deferred: list[tuple[int, object]] = []
         for i, q in enumerate(queries):
             if q.group_by:
-                results[i] = self.search(q)
+                # grouped queries: launch now (async), fetch after every
+                # launch is in flight — overlaps device work + link RTT
+                gb = q.group_by
+                if "." in gb and self.schema.attr(gb) is None:
+                    results[i] = self.search(q)     # host-grouped path
+                    continue
+                _, fin = self._search_grouped(q, _defer=True)
+                deferred.append((i, fin))
                 continue
             try:
                 cq = self.plan(q)
@@ -260,6 +268,10 @@ class SearchIndex:
                 results[i] = self._finish(
                     queries[i], plans[i], row[:k], row[k:2 * k],
                     int(row[2 * k]), t0)
+        # phase 4: grouped queries — every launch has been in flight since
+        # phase 0; the fetches now drain overlapped device work
+        for i, fin in deferred:
+            results[i] = fin()
         return results  # type: ignore[return-value]
 
     def _host_grouped(self, q: SearchQuery) -> SearchResult:
@@ -373,9 +385,14 @@ class SearchIndex:
         dt = (time.perf_counter() - t0) * 1000.0
         return SearchResult(rows, total, total, dt, res.word_stats)
 
-    def _search_grouped(self, q: SearchQuery) -> SearchResult:
+    def _search_grouped(self, q: SearchQuery, _defer: bool = False):
         """GROUP BY execution (CSphKBufferGroupSorter semantics via the
-        sort-segment-reduce tail, ops/groupby.py)."""
+        sort-segment-reduce tail, ops/groupby.py).
+
+        _defer=True returns (launched, finish): the device launch happens
+        immediately (async dispatch) and finish() does the blocking
+        fetch + rendering — search_batch overlaps grouped launches this
+        way instead of paying launch+RTT serially per query."""
         import re as _re
 
         from ..ops.groupby import AggSpec, GroupSpec, get_groupby_fn
@@ -442,13 +459,26 @@ class SearchIndex:
                               order=order, k=k,
                               emit_eligible=bool(gconcats))
         except (ValueError, NotImplementedError) as e:
-            return SearchResult([], 0, 0, 0.0, [], error=str(e))
+            err = SearchResult([], 0, 0, 0.0, [], error=str(e))
+            if _defer:
+                return True, (lambda: err)
+            return err
 
         fn = get_groupby_fn(
             cq.sig, gspec, self.packed.n_docs, max(self.schema.n_fields, 1),
             cq.slot_pb, cq.slot_hb, cq.n_hit_iters)
         out = fn(self.device.data_pytree(), cq.runtime)
 
+        def _finish_grouped():
+            return self._render_grouped(
+                q, cq, gspec, out, aggs, agg_names, plain_cols, gconcats,
+                k, t0)
+        if _defer:
+            return True, _finish_grouped
+        return _finish_grouped()
+
+    def _render_grouped(self, q, cq, gspec, out, aggs, agg_names,
+                        plain_cols, gconcats, k, t0) -> SearchResult:
         rep_rowid = np.asarray(out["rep_rowid"])
         rep_weight = np.asarray(out["rep_weight"])
         gkey = np.asarray(out["group_key"])

@@ -137,3 +137,31 @@ class TestExprParse:
         t = parse_expr("INTERVAL(price, 10, 50)")
         assert t == ("call", "INTERVAL",
                      (("attr", "price"), ("num", 10.0), ("num", 50.0)))
+
+
+def test_grouped_queries_in_search_batch():
+    """search_batch defers grouped launches and overlaps their fetches;
+    results must equal one-by-one execution."""
+    from manticoresearch_tpu.exec.searcher import SearchIndex, SearchQuery
+    from manticoresearch_tpu.index.builder import IndexBuilder
+    from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
+    b = IndexBuilder(Schema(fields=["c"],
+                            attrs=[AttrDef("g", AttrType.UINT),
+                                   AttrDef("v", AttrType.UINT)]))
+    b.add_documents([dict(id=i, c=f"word tag{i % 5}", g=i % 3, v=i)
+                     for i in range(1, 61)])
+    idx = SearchIndex(b.build())
+    qs = [SearchQuery(match="word", group_by="g",
+                      select=["count(*)", "sum(v)"],
+                      sort=[("@count", False)], limit=5),
+          SearchQuery(match="tag1", limit=10),
+          SearchQuery(match="tag2", group_by="g", select=["count(*)"],
+                      sort=[("@count", False)], limit=5)]
+    batch = idx.search_batch(qs)
+    solo = [idx.search(q) for q in qs]
+    for rb, rs in zip(batch, solo):
+        assert rb.error is None and rs.error is None
+        assert [(m.docid, m.weight, tuple(sorted(m.attrs.items())))
+                for m in rb.matches] == \
+               [(m.docid, m.weight, tuple(sorted(m.attrs.items())))
+                for m in rs.matches]

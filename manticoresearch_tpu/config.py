@@ -173,6 +173,8 @@ def settings_from_sql_options(options: dict[str, str]
         index_exact_words=_b("index_exact_words"),
         min_stemming_len=_i("min_stemming_len", 1),
         token_filter=str(o.get("token_filter", "")),
+        min_prefix_len=_i("min_prefix_len", 0),
+        min_infix_len=_i("min_infix_len", 0),
     )
     return tok, dic
 

@@ -538,8 +538,7 @@ class SearchIndex:
 
         rows = rows[q.offset:q.offset + q.limit]
         dt = (time.perf_counter() - t0) * 1000.0
-        stats = [WordStat(t, d, h) for t, d, h in
-                 zip(cq.slot_terms, cq.slot_df, cq.slot_hits)]
+        stats = [WordStat(t, d, h) for t, d, h in cq.stat_list]
         return SearchResult(rows, min(n_groups, q.max_matches), n_groups,
                             dt, stats)
 
@@ -570,10 +569,7 @@ class SearchIndex:
                 m.attrs["packedfactors()"] = _render_packed_factors(
                     pf, j, self.schema.fields, cq.slot_terms, cq.runtime)
         dt = (time.perf_counter() - t0) * 1000.0
-        stats = [
-            WordStat(t, d, h)
-            for t, d, h in zip(cq.slot_terms, cq.slot_df, cq.slot_hits)
-        ]
+        stats = [WordStat(t, d, h) for t, d, h in cq.stat_list]
         total = min(found, q.max_matches)
         res = SearchResult(matches, total, found, dt, stats)
         res.plan_repr = f"{cq.sig.expr} ranker={cq.sig.ranker}"

@@ -321,6 +321,29 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             key = "res_fieldmask" if slot_packed else "post_fieldmask"
             return jax.lax.dynamic_slice(data[key], (st,), (sz,))
 
+        def slot_tf_raw(s, st, sz):
+            """Raw per-posting tf (merge groups need it pre-saturation).
+            Packed slots decode the tf planes directly; raw slots invert
+            tfq = tf/(tf+K1) and round — exact for any realistic tf (f32
+            error passes 0.5 only past ~10^5 occurrences per doc)."""
+            pk = slot_packed[s] if slot_packed else None
+            if pk and pk[1]:
+                from .packed_store import BLOCK, decode_words
+                c = pk[1]
+                nb = max(sz // BLOCK, 1)
+                w = jax.lax.dynamic_slice(
+                    data[f"pktf_w_{c}"], (rt["pk_starts"][s, 1], 0),
+                    (nb, 4 * c))
+                return decode_words(w, c).reshape(-1).astype(jnp.float32)
+            key = "res_tfq" if slot_packed else "post_tfq"
+            tfq = jax.lax.dynamic_slice(data[key], (st,), (sz,))
+            return jnp.round(jnp.float32(1.2) * tfq
+                             / (jnp.float32(1.0) - tfq))
+
+        merge_groups = tuple(getattr(sig, "merge_groups", ()) or ())
+        grouped_slots = {s for g in merge_groups for s in g}
+        lim_tf_store: dict = {}
+
         if sparse and scan_index:
             # ---- filtered fullscan over a secondary-index slice ----
             # candidates = rows whose indexed attr falls in the filter's
@@ -523,6 +546,8 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             rowL = to_idx(jnp.where(ok, hrowL, N))
             tf_lim = jnp.zeros(size, jnp.int32).at[rowL].add(
                 jnp.where(ok, 1, 0))
+            if s in grouped_slots:
+                lim_tf_store[s] = tf_lim
             present = tf_lim > 0
             if s in pos_slots:
                 tfq_lim = tf_lim.astype(jnp.float32) / (
@@ -571,6 +596,25 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 termmask = termmask.at[:, s_m >> 5].set(
                     jnp.where(doc_ok, termmask[:, s_m >> 5],
                               termmask[:, s_m >> 5] & ~bit))
+
+        # payload term-merge groups (ExtPayload, sphinx.cpp:14880): the
+        # expansions of one wildcard pattern rank as a single qword — raw
+        # tf sums across the group, then tfidf += sum/(sum+K1) * group_idf.
+        # Grouped slots carry per-slot idf 0, so the passes above added
+        # nothing for them.
+        for gi, g in enumerate(merge_groups):
+            acc = jnp.zeros(size, jnp.float32)
+            for s in g:
+                if s in limited_set:
+                    acc = acc + lim_tf_store[s].astype(jnp.float32)
+                    continue
+                row, msk, st_, sz = slot_postings(s)
+                tf = slot_tf_raw(s, st_, sz)
+                acc = acc.at[to_idx(row)].add(jnp.where(msk, tf, 0.0))
+            gc = jnp.where(acc > 0,
+                           acc / (acc + jnp.float32(1.2)) * rt["gidf"][gi],
+                           0.0)
+            tfidf = tfidf + jax.lax.optimization_barrier(gc)
 
         # phrase/proximity nodes produce their own per-doc match + tf.
         # NOTE: phrase docs keep the *sum of member terms'* TFIDF — the

@@ -19,6 +19,10 @@ class QTerm:
     field_start: bool = False                # ^word — must start the field
     field_end: bool = False                  # word$ — must end the field
     zones: tuple = ()                        # ZONE:(...) limit (tag names)
+    expanded: str = ""                       # wildcard pattern this term was
+    #                                          expanded from ("" = not an
+    #                                          expansion; XQKeyword_t
+    #                                          m_bExpanded analog)
 
 
 @dataclass(frozen=True)

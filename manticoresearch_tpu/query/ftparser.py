@@ -41,7 +41,8 @@ _TOKEN_RE = re.compile(
   | (?P<field>@(?:@relaxed|!?\(\s*[\w,\s]+\s*\)|!?[\w*]+))
   | (?P<zone>ZONESPAN:(?:\(\s*[\w,\s]+\s*\)|\w+)|ZONE:(?:\(\s*[\w,\s]+\s*\)|\w+))
   | (?P<maybe>MAYBE\b)
-  | (?P<word>[^\s()|!\-"@]+)
+  | (?P<esc>\\.)
+  | (?P<word>[^\s()|!\-"@\\]+)
   | (?P<space>\s+)
     """,
     re.VERBOSE,
@@ -59,6 +60,7 @@ class _Tok:
 def _lex(q: str) -> list[_Tok]:
     out = []
     pos = 0
+    last_word_end = -1   # end offset of the last emitted word-ish token
     while pos < len(q):
         m = _TOKEN_RE.match(q, pos)
         if not m:
@@ -68,7 +70,21 @@ def _lex(q: str) -> list[_Tok]:
         kind = m.lastgroup
         if kind == "space":
             continue
-        out.append(_Tok(kind, m.group()))
+        if kind == "esc":
+            # \X: X loses any operator meaning (EscapeString counterpart,
+            # PrepareQueryEmulation escape table, searchd.cpp:2168); it
+            # joins the adjacent word chunk and the plain tokenizer later
+            # folds non-charset chars to separators
+            kind, text = "word", m.group()[1]
+        else:
+            text = m.group()
+        if kind == "word" and out and out[-1].kind == "word" \
+                and m.start() == last_word_end:
+            out[-1] = _Tok("word", out[-1].text + text)
+        else:
+            out.append(_Tok(kind, text))
+        if kind == "word":
+            last_word_end = m.end()
     return out
 
 
@@ -289,8 +305,23 @@ class FtQueryParser:
             body = body[:-1]
         wildcard = "*" in body or "?" in body
         if wildcard:
-            return QTerm(body.lower(), self.cur_fields, exact, boost,
-                         wildcard=True, zones=self.cur_zones)
+            ds = self.dictionary.settings
+            if getattr(ds, "min_prefix_len", 0) <= 0 \
+                    and getattr(ds, "min_infix_len", 0) <= 0:
+                # wildcards disabled: wild chars are not in the charset and
+                # fold to separators; remaining keywords go through the
+                # normal pipeline (min_word_len/stopwords apply)
+                body = body.replace("*", " ").replace("?", " ").strip()
+                if not body:
+                    return None
+                wildcard = False
+            elif all(c in "*?" for c in body):
+                # just wildcards: the keyword drops entirely
+                # (sphHasExpandableWildcards, sphinx.cpp:14917)
+                return None
+            else:
+                return QTerm(body.lower(), self.cur_fields, exact, boost,
+                             wildcard=True, zones=self.cur_zones)
         terms = self._terms_of(body, exact)
         if not terms:
             return None

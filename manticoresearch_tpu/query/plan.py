@@ -70,6 +70,13 @@ class PlanSig:
                                 # the secondary-index/histogram analog
                                 # (histogram.h:19, sphinx.cpp:12676)
     scan_bucket: int = 0        # pow2 candidate bucket for scan_index
+    merge_groups: tuple = ()    # wildcard payload term-merge (ExtPayload,
+                                # sphinx.cpp:14880-14912): tuples of slot
+                                # ids that rank as ONE qword — the kernel
+                                # sums raw tf across the group and scores
+                                # sum/(sum+K1)*group_idf; grouped slots get
+                                # per-slot idf 0 and share one query
+                                # position
 
 
 RANKERS_WITH_HITS = frozenset(

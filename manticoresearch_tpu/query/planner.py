@@ -43,6 +43,9 @@ class CompiledQuery:
     slot_pb: tuple                 # per-slot posting bucket (pow2 of df)
     slot_hb: tuple                 # per-slot hit bucket (pow2 of hit count)
     n_hit_iters: int
+    # display word stats: (word, docs, hits) with wildcard expansions
+    # aggregated under the original pattern (sphinx.cpp:14873 AddStat)
+    stat_list: list = field(default_factory=list)
 
 
 def _next_pow2(x: int, lo: int = 128) -> int:
@@ -239,11 +242,15 @@ def expand_keywords_ast(node, index):
     compete; wildcard expansion then resolves the starred form."""
     if isinstance(node, QTerm) and not node.wildcard and not node.exact \
             and node.word:
-        alts = [node]
-        alts.append(QTerm(node.word + "*", node.fields, boost=node.boost,
-                          wildcard=True, zones=node.zones))
         from ..text.dictionary import DictSettings
         ds = getattr(index, "dict_settings", DictSettings())
+        alts = [node]
+        # the starred form only competes when expansion is available
+        # (KWE_STAR skipped otherwise, sphinx.cpp:5955)
+        if getattr(ds, "min_prefix_len", 0) > 0 \
+                or getattr(ds, "min_infix_len", 0) > 0:
+            alts.append(QTerm(node.word + "*", node.fields, boost=node.boost,
+                              wildcard=True, zones=node.zones))
         if ds.index_exact_words:
             alts.append(QTerm(node.word, node.fields, exact=True,
                               boost=node.boost, zones=node.zones))
@@ -263,48 +270,133 @@ def expand_keywords_ast(node, index):
     return node
 
 
-def expand_wildcards(node, term_strs: list[str], expansion_limit: int = 0):
-    """word* / *infix* -> OR over matching dictionary terms (ExpandPrefix,
-    sphinx.cpp:15021). Returns a new AST."""
-    if isinstance(node, QTerm) and node.wildcard:
-        pat = node.word
-        matches: list[str] = []
-        if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
-            prefix = pat[:-1]
-            i = bisect.bisect_left(term_strs, prefix)
-            while i < len(term_strs) and term_strs[i].startswith(prefix):
-                matches.append(term_strs[i])
-                i += 1
+_WILDS = set("*?%")          # sphIsWild (sphinxstd.h)
+
+
+def _expansion_terms(pat: str, term_strs: list[str],
+                     min_prefix: int, min_infix: int,
+                     expansion_limit: int) -> list[str] | None:
+    """Dictionary terms a wildcard pattern expands to, replicating
+    sphExpandGetWords (sphinx.cpp:14931-15018). Returns None when the
+    pattern's fixed part is under the min prefix/infix length (the
+    reference warns and leaves the term unexpanded — matching nothing)."""
+    import fnmatch
+
+    if pat[:2] == "=*":            # '=*term' counts as infix
+        pat = pat[1:]
+    if pat[:1] and pat[0] not in _WILDS or min_infix <= 0:
+        # prefix expansion: skip an exact-form modifier and any leading
+        # wilds (non-infixed path), then the fixed prefix runs to the
+        # first remaining wild
+        p = pat[1:] if pat[:1] == "=" else pat
+        p = p.lstrip("".join(_WILDS))
+        fixed = p
+        for i, ch in enumerate(p):
+            if ch in _WILDS:
+                fixed = p[:i]
+                break
+        if len(fixed) < min_prefix:
+            return None
+        # the match pattern drops the leading wilds (reference quirk:
+        # '*earc*' on a prefix-only index behaves as 'earc*')
+        pattern = p
+    else:
+        # infix expansion: the longest run of non-wild chars gates
+        runs = [r for r in
+                "".join(c if c not in _WILDS else " " for c in pat).split()]
+        longest = max((len(r) for r in runs), default=0)
+        if longest < min_infix:
+            return None
+        pattern = pat
+    matches: list[str] = []
+    if pattern.endswith("*") and not any(c in _WILDS for c in pattern[:-1]):
+        prefix = pattern[:-1]
+        i = bisect.bisect_left(term_strs, prefix)
+        while i < len(term_strs) and term_strs[i].startswith(prefix):
+            matches.append(term_strs[i])
+            i += 1
+            if expansion_limit and len(matches) >= expansion_limit:
+                break
+    else:
+        fpat = pattern.replace("%", "?")
+        for t in term_strs:
+            if fnmatch.fnmatchcase(t, fpat):
+                matches.append(t)
                 if expansion_limit and len(matches) >= expansion_limit:
                     break
-        else:
-            import fnmatch
-            for t in term_strs:
-                if fnmatch.fnmatchcase(t, pat):
-                    matches.append(t)
-                    if expansion_limit and len(matches) >= expansion_limit:
-                        break
-        if not matches:
-            return QTerm(pat, node.fields, zones=node.zones)  # df=0
-        if len(matches) == 1:
-            return QTerm(matches[0], node.fields, boost=node.boost,
-                         zones=node.zones)
-        return QOr(tuple(QTerm(m, node.fields, boost=node.boost,
-                               zones=node.zones) for m in matches))
-    if isinstance(node, QAnd):
-        return QAnd(tuple(expand_wildcards(c, term_strs, expansion_limit)
-                          for c in node.children))
-    if isinstance(node, QOr):
-        return QOr(tuple(expand_wildcards(c, term_strs, expansion_limit)
-                         for c in node.children))
-    if isinstance(node, QAndNot):
-        return QAndNot(expand_wildcards(node.left, term_strs, expansion_limit),
-                       expand_wildcards(node.right, term_strs, expansion_limit))
-    if isinstance(node, QMaybe):
-        return QMaybe(expand_wildcards(node.left, term_strs, expansion_limit),
-                      expand_wildcards(node.right, term_strs,
-                                       expansion_limit))
-    return node
+    return matches
+
+
+def expand_wildcards(node, index, expansion_limit: int = 0,
+                     expanded_out: dict | None = None):
+    """word* / *infix* -> OR over matching dictionary terms (ExpandPrefix,
+    sphinx.cpp:15021 + sphExpandXQNode:14794). Returns a new AST.
+
+    Gating mirrors the reference: expansion needs min_prefix_len>0 or
+    min_infix_len>0 (index settings); otherwise wild chars are separators
+    and fold away. `expanded_out` (pattern -> list of expanded terms)
+    records expansions so word stats aggregate under the original pattern
+    (AddStat of the root word, sphinx.cpp:14873)."""
+    term_strs = index.term_strs
+    ds = getattr(index, "dict_settings", None)
+    min_prefix = getattr(ds, "min_prefix_len", 0) if ds else 0
+    min_infix = getattr(ds, "min_infix_len", 0) if ds else 0
+    enabled = min_prefix > 0 or min_infix > 0
+
+    def rec(node):
+        if isinstance(node, QTerm) and node.wildcard:
+            pat = node.word
+            if not enabled:
+                # wild chars are not in the charset: they fold to
+                # separators and the bare keyword remains
+                bare = "".join(c for c in pat if c not in _WILDS)
+                if not bare:
+                    return None
+                return QTerm(bare, node.fields, boost=node.boost,
+                             zones=node.zones)
+            n_wild = sum(1 for c in pat if c in _WILDS)
+            if n_wild == len(pat):
+                # just wilds: the keyword drops entirely
+                return None
+            if n_wild == 0:
+                return QTerm(pat, node.fields, zones=node.zones)
+            matches = _expansion_terms(pat, term_strs, min_prefix,
+                                       min_infix, expansion_limit)
+            if expanded_out is not None:
+                expanded_out[pat] = list(matches or ())
+            if not matches:
+                return QTerm(pat, node.fields, zones=node.zones)  # df=0
+            if len(matches) == 1:
+                return QTerm(matches[0], node.fields, boost=node.boost,
+                             zones=node.zones, expanded=pat)
+            return QOr(tuple(QTerm(m, node.fields, boost=node.boost,
+                                   zones=node.zones, expanded=pat)
+                             for m in matches))
+        if isinstance(node, QAnd):
+            return QAnd(tuple(c2 for c in node.children
+                              if (c2 := rec(c)) is not None))
+        if isinstance(node, QOr):
+            return QOr(tuple(c2 for c in node.children
+                             if (c2 := rec(c)) is not None))
+        if isinstance(node, QAndNot):
+            left = rec(node.left)
+            right = rec(node.right)
+            if left is None:
+                return None
+            if right is None:
+                return left
+            return QAndNot(left, right)
+        if isinstance(node, QMaybe):
+            left = rec(node.left)
+            right = rec(node.right)
+            if left is None:
+                return None
+            if right is None:
+                return left
+            return QMaybe(left, right)
+        return node
+
+    return rec(node)
 
 
 class _SlotTable:
@@ -322,13 +414,15 @@ class _SlotTable:
         self.mult: list[float] = []
         self.qpos: list[int] = []   # query atom position (m_iAtomPos), 1-based
         self._cursor = 0            # advances per leaf occurrence
+        self.groups: list[tuple] = []   # payload merge groups (slot tuples)
         self.all_mask = all_fields_mask
         self.mask_of = mask_of
 
     def get(self, term: str, fields, positive: bool, weight: float = 1.0,
             field_start: bool = False, field_end: bool = False,
-            zones: tuple = ()) -> int:
-        self._cursor += 1
+            zones: tuple = (), advance: bool = True) -> int:
+        if advance:
+            self._cursor += 1
         mask = self.mask_of(fields)
         key = (term, mask, field_start, field_end, zones)
         if key in self.slots:
@@ -360,6 +454,25 @@ def _lower(node, st: _SlotTable, positive: bool):
     if isinstance(node, QAnd):
         return ("and", tuple(_lower(c, st, positive) for c in node.children))
     if isinstance(node, QOr):
+        # an OR whose children are all expansions of ONE wildcard pattern is
+        # the reference's payload term-merge node (BuildExpandedTree +
+        # ExtPayload, sphinx.cpp:14880): the expansions share the original
+        # atom position and rank as a single merged qword
+        pats = {c.expanded for c in node.children
+                if isinstance(c, QTerm)} if node.children else set()
+        if len(pats) == 1 and "" not in pats \
+                and all(isinstance(c, QTerm) for c in node.children) \
+                and not any(c.zones for c in node.children):
+            slots = []
+            for i, c in enumerate(node.children):
+                s = st.get(c.word, c.fields, positive, c.boost,
+                           c.field_start, c.field_end, c.zones,
+                           advance=(i == 0))
+                slots.append(s)
+            uniq = tuple(dict.fromkeys(slots))
+            if len(uniq) > 1:
+                st.groups.append(uniq)
+            return ("or", tuple(("term", s) for s in uniq))
         return ("or", tuple(_lower(c, st, positive) for c in node.children))
     if isinstance(node, QAndNot):
         return ("andnot", _lower(node.left, st, positive),
@@ -441,8 +554,17 @@ def plan_query(
         node = expand_keywords_ast(node, index)
     if node is not None and boolean_simplify:
         node = simplify(transform_boolean_simplify(node))
-    node = (expand_wildcards(node, index.term_strs, expansion_limit)
-            if node is not None else None)
+    expanded_records: dict[str, list[str]] = {}
+    if node is not None:
+        pre_expand = node
+        node = expand_wildcards(node, index, expansion_limit,
+                                expanded_out=expanded_records)
+        if node is None:
+            # every keyword dropped during expansion (e.g. lone '*'):
+            # matches NOTHING — not a fullscan (the reference's empty
+            # transformed tree)
+            node = QTerm(word="\x00")
+            del pre_expand
     if node is None:
         node = QAll()
 
@@ -512,8 +634,22 @@ def plan_query(
 
     # hQwords is keyed by word -> unique count; bigram pair terms are
     # matching machinery, not query words (ranking parity with the
-    # non-bigram index requires excluding them)
-    n_qwords = S - len(bigram_slots)
+    # non-bigram index requires excluding them). All expansions of one
+    # wildcard pattern count as ONE query word: the reference's payload
+    # term-merge node is a single hQwords entry (sphExpandXQNode,
+    # sphinx.cpp:14880-14912)
+    term2pat = {t: p for p, terms in expanded_records.items() for t in terms}
+    _seen_pat: set[str] = set()
+    n_qwords = 0
+    for _s in range(S):
+        if _s in bigram_slots:
+            continue
+        _p = term2pat.get(st.terms[_s])
+        if _p is None:
+            n_qwords += 1
+        elif _p not in _seen_pat:
+            _seen_pat.add(_p)
+            n_qwords += 1
     slot_packed: list = []
     pk_starts = np.zeros((max(S, 1), 3), np.int32)
     for s, term in enumerate(st.terms):
@@ -558,6 +694,29 @@ def plan_query(
         mult[s] = st.mult[s] if st.mult[s] > 0 else 1.0
         slot_df.append(df)
         slot_hits.append(th)
+
+    # word stats for SHOW META / the API words block: expansions aggregate
+    # under their original starred pattern with SUMMED dict docs/hits
+    # (AddStat of the root word with tWordlist totals, sphinx.cpp:14873)
+    stat_list: list[tuple[str, int, int]] = []
+    _emitted: set[str] = set()
+    for s in range(S):
+        t = st.terms[s]
+        if t == "\x00":
+            continue   # dropped-keywords sentinel: no stat (the reference
+            #            reports no words for a fully-dropped query)
+        p = term2pat.get(t)
+        if p is None:
+            stat_list.append((t, slot_df[s], slot_hits[s]))
+        elif p not in _emitted:
+            _emitted.add(p)
+            sdocs = shits = 0
+            for et in expanded_records[p]:
+                etid = index.term_id(et)
+                if etid >= 0:
+                    sdocs += int(index.term_docs[etid])
+                    shits += int(index.term_hits[etid])
+            stat_list.append((p, sdocs, shits))
 
     # hit-conditional slots (field limits / ^field-start / field-end$):
     # evaluated over hits; the kernel skips them in the posting pass.
@@ -850,6 +1009,38 @@ def plan_query(
                 sparse = True
                 break
 
+    # payload term-merge groups (ExtPayload, sphinx.cpp:14880): a group of
+    # expansion slots ranks as ONE qword. The merged idf comes from the
+    # UNION document count of the expansions' postings (the materialized
+    # payload's m_iDocs); per-slot idf zeroes out so only the group
+    # contributes tfidf.
+    merge_groups = tuple(tuple(g) for g in st.groups)
+    gidf = np.zeros(max(len(merge_groups), 1), np.float32)
+    for gi, g in enumerate(merge_groups):
+        rows_parts = []
+        for s in g:
+            tid = index.term_id(st.terms[s])
+            if tid >= 0:
+                g0 = int(index.term_offsets[tid])
+                g1 = int(index.term_offsets[tid + 1])
+                rows_parts.append(index.post_rowid[g0:g1])
+            idf[s] = 0.0
+        union_df = (int(np.unique(np.concatenate(rows_parts)).size)
+                    if rows_parts else 0)
+        if local_df:
+            # distributed global-df: per-shard unions sum exactly (shards
+            # partition rows); the sharded planner keys them by pattern
+            pat = None
+            for p, terms in expanded_records.items():
+                if st.terms[g[0]] in terms:
+                    pat = p
+                    break
+            if pat is not None and pat in local_df:
+                union_df = local_df[pat]
+        gidf[gi] = compute_idf(union_df, total_docs, plain=idf_plain,
+                               normalized_tfidf=tfidf_normalized,
+                               n_qwords=n_qwords)
+
     sig = PlanSig(
         expr=expr, n_slots=S, ranker=eff_ranker,
         filters=tuple(fspecs), k=k, order=order,
@@ -859,6 +1050,7 @@ def plan_query(
         slot_packed=(tuple(slot_packed) if packed_store is not None
                      else ()),
         scan_index=scan_index, scan_bucket=scan_bucket,
+        merge_groups=merge_groups,
     )
     fl = getattr(index, "field_lens", None)
     if fl is not None and getattr(fl, "size", 0):
@@ -880,6 +1072,8 @@ def plan_query(
         "filter_vals": tuple(fvals),
         "zspans": tuple(zone_spans),
     }
+    if merge_groups:
+        runtime["gidf"] = gidf
     if packed_store is not None:
         runtime["pk_starts"] = pk_starts
     if scan_index:
@@ -887,7 +1081,7 @@ def plan_query(
         runtime["scan_len"] = np.asarray([scan_len], np.int32)
     return CompiledQuery(
         sig=sig, runtime=runtime, slot_terms=list(st.terms),
-        slot_df=slot_df, slot_hits=slot_hits,
+        slot_df=slot_df, slot_hits=slot_hits, stat_list=stat_list,
         slot_pb=slot_pb, slot_hb=slot_hb, n_hit_iters=n_hit_iters,
     )
 

@@ -23,6 +23,11 @@ class DictSettings:
     index_exact_words: bool = False
     min_stemming_len: int = 1
     token_filter: str = ""        # registered token-filter plugin name
+    # wildcard expansion gates (reference index settings m_iMinPrefixLen /
+    # m_iMinInfixLen, sphinx.cpp:14466-14467; 0 = wildcards disabled and
+    # stars fold away as separators)
+    min_prefix_len: int = 0
+    min_infix_len: int = 0
 
     def key(self) -> tuple:
         return (
@@ -32,6 +37,8 @@ class DictSettings:
             self.index_exact_words,
             self.min_stemming_len,
             self.token_filter,
+            self.min_prefix_len,
+            self.min_infix_len,
         )
 
 

@@ -145,25 +145,21 @@ def porter_stem(word: str) -> str:
 
 
 def soundex(word: str) -> str:
-    """Standard Soundex (reference: sphinxsoundex.cpp semantics: in-place,
-    only for plain ascii words)."""
-    if not word or not word.isascii() or not word.isalpha():
+    """Exact replica of stem_soundex (sphinxsoundex.cpp:14-39). NOT
+    standard Soundex: dedup compares against the last EMITTED char (codes
+    collapse across vowels; the first letter never matches a digit), and
+    zero-padding stops at the original word length."""
+    if not word or not all("a" <= c <= "z" for c in word):
         return word
-    codes = {
-        **dict.fromkeys("bfpv", "1"), **dict.fromkeys("cgjkqsxz", "2"),
-        **dict.fromkeys("dt", "3"), "l": "4", **dict.fromkeys("mn", "5"),
-        "r": "6",
-    }
-    w = word.lower()
-    out = w[0]
-    prev = codes.get(w[0], "")
-    for c in w[1:]:
-        code = codes.get(c, "")
-        if code and code != prev:
-            out += code
-        if c not in "hw":
-            prev = code
-    return out
+    table = "01230120022455012623010202"
+    out = [word[0]]
+    for c in word[1:]:
+        code = table[ord(c) - ord("a")]
+        if code != "0" and out[-1] != code:
+            out.append(code)
+    while len(out) < 4 and len(out) < len(word):
+        out.append("0")
+    return "".join(out)
 
 
 _MORPHS: dict[str, Callable[[str], str]] = {

@@ -1,0 +1,797 @@
+"""Golden-model test runner: builds indexes from a rendered sphinx.conf,
+runs the recorded queries through the engine, and shapes results exactly as
+the reference harness records them in model.bin.
+
+Mirrors /root/reference/test/ubertest.php + helpers.inc:
+- DB emulation: DB_Create/DB_Insert/sql_query run against in-memory sqlite3
+  (CSphSource_SQL semantics: first column = docid, attr columns by name,
+  remaining columns are full-text fields in order).
+- API queries: PHP sphinxapi defaults — limit 20, SPH_MATCH_EXTENDED2,
+  SPH_RANK_PROXIMITY_BM25, SPH_SORT_RELEVANCE (sphinxapi.php:485-503);
+  legacy modes converted per PrepareQueryEmulation (searchd.cpp:2141-2186).
+- SphinxQL queries: driven through the engine Session; rows rendered as
+  mysqli associative arrays of strings.
+- Comparison: CompareResultSetFixup semantics (helpers.inc:816-893) —
+  time/warning/status/fields/resarray/roundoff dropped, floats rounded via
+  roundoff, loose scalar equality, arrays compared key-wise (PHP ==).
+"""
+from __future__ import annotations
+
+import os
+import re
+import sqlite3
+from dataclasses import dataclass, field
+
+from .testcase import (GoldenTest, parse_sphinx_conf, section_dict)
+
+TESTROOT = "/root/reference/test"
+
+SPH_ATTR_INTEGER = 1
+SPH_ATTR_TIMESTAMP = 2
+SPH_ATTR_BOOL = 4
+SPH_ATTR_FLOAT = 5
+SPH_ATTR_BIGINT = 6
+SPH_ATTR_STRING = 7
+SPH_ATTR_MULTI = 0x40000001
+SPH_ATTR_MULTI64 = 0x40000002
+
+
+class GoldenUnsupported(Exception):
+    """Raised when a test needs a feature the runner doesn't drive yet."""
+
+
+# ---------------------------------------------------------------------------
+# sqlite emulation of the MySQL test database
+
+_MYSQL_STRIP = [
+    (re.compile(r"\bENGINE\s*=\s*\w+", re.I), ""),
+    (re.compile(r"\bDEFAULT\s+CHARSET\s*=\s*\w+", re.I), ""),
+    (re.compile(r"\bCHARACTER\s+SET\s+\w+", re.I), ""),
+    (re.compile(r"\bCOLLATE\s*=?\s*[\w_]+", re.I), ""),
+    (re.compile(r"\bAUTO_INCREMENT\b", re.I), ""),
+    (re.compile(r"\bUNSIGNED\b", re.I), ""),
+]
+_KEY_LINE = re.compile(
+    r",\s*(?:PRIMARY\s+)?(?:UNIQUE\s+)?(?:KEY|INDEX)\s*[^,()]*(\([^)]*\))?",
+    re.I)
+
+
+def mysql_to_sqlite(sql: str) -> str:
+    for rx, rep in _MYSQL_STRIP:
+        sql = rx.sub(rep, sql)
+    sql = _KEY_LINE.sub("", sql)
+    return sql
+
+
+def open_db(gt: GoldenTest) -> sqlite3.Connection:
+    con = sqlite3.connect(":memory:")
+    con.row_factory = sqlite3.Row
+    import zlib
+    import time as _time
+    con.create_function("UNIX_TIMESTAMP", 0, lambda: int(_time.time()))
+    con.create_function("UNIX_TIMESTAMP", 1, lambda s: int(s or 0))
+    con.create_function("CRC32", 1,
+                        lambda s: zlib.crc32(str(s).encode()) & 0xFFFFFFFF)
+    con.create_function("CONCAT", -1,
+                        lambda *a: "".join("" if x is None else str(x)
+                                           for x in a))
+    con.create_function("RAND", 0, lambda: 0.5)
+    for stmt in gt.db_create:
+        for one in _split_sql(mysql_to_sqlite(stmt)):
+            con.execute(one)
+    for stmt in gt.db_insert:
+        for one in _split_sql(stmt):
+            if not re.match(r"\s*(INSERT|REPLACE)\b", one, re.I):
+                try:
+                    con.execute(one)    # SET NAMES and friends
+                except sqlite3.Error:
+                    pass
+                continue
+            con.execute(one)
+    con.commit()
+    return con
+
+
+def _split_sql(text: str) -> list[str]:
+    """Split on top-level semicolons (quote-aware)."""
+    out, buf, q = [], [], None
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if q:
+            buf.append(c)
+            if c == "\\" and q == "'" and i + 1 < len(text):
+                buf.append(text[i + 1])
+                i += 1
+            elif c == q:
+                q = None
+        elif c in "'\"`":
+            q = c
+            buf.append(c)
+        elif c == ";":
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# schema extraction from a source section
+
+_ATTR_KEYS = {
+    "sql_attr_uint": ("UINT", SPH_ATTR_INTEGER),
+    "sql_attr_timestamp": ("TIMESTAMP", SPH_ATTR_TIMESTAMP),
+    "sql_attr_bool": ("BOOL", SPH_ATTR_BOOL),
+    "sql_attr_float": ("FLOAT", SPH_ATTR_FLOAT),
+    "sql_attr_bigint": ("BIGINT", SPH_ATTR_BIGINT),
+    "sql_attr_string": ("STRING", SPH_ATTR_STRING),
+    "sql_attr_json": ("JSON", 0),
+}
+
+
+@dataclass
+class SourceDef:
+    fields: list[str] = field(default_factory=list)
+    attrs: list = field(default_factory=list)      # AttrDef list
+    attr_codes: dict = field(default_factory=dict)  # name -> SPH_ATTR code
+    attr_bits: dict = field(default_factory=dict)   # name -> bitcount
+    docs: list = field(default_factory=list)        # row dicts
+
+
+def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
+    from manticoresearch_tpu.schema import AttrDef, AttrType
+
+    sd = SourceDef()
+    mva_defs = []   # (name, is64, from_what, query)
+    for key, (tname, code) in _ATTR_KEYS.items():
+        for val in src.get(key, []):
+            name = val.strip()
+            bits = 0
+            if ":" in name and key == "sql_attr_uint":
+                name, _, b = name.partition(":")
+                name, bits = name.strip(), int(b.strip())
+            sd.attr_codes[name] = code
+            if bits:
+                sd.attr_bits[name] = bits
+            sd.attrs.append(AttrDef(name, getattr(AttrType, tname)))
+    for val in src.get("sql_attr_multi", []):
+        # "uint tag from field" | "uint tag from query; SELECT ..."
+        m = re.match(r"\s*(uint|bigint|timestamp)\s+(\w+)\s+from\s+"
+                     r"(field|query|ranged-query)\s*(?:;(.*))?$",
+                     val.strip(), re.I | re.S)
+        if not m:
+            raise GoldenUnsupported(f"sql_attr_multi syntax: {val!r}")
+        typ, name, fromwhat, query = m.groups()
+        is64 = typ.lower() == "bigint"
+        mva_defs.append((name, is64, fromwhat.lower(), query))
+        sd.attr_codes[name] = SPH_ATTR_MULTI64 if is64 else SPH_ATTR_MULTI
+        sd.attrs.append(AttrDef(name, AttrType.MVA64 if is64
+                                else AttrType.MVA))
+    field_string = [v.strip() for v in src.get("sql_field_string", [])]
+    for name in field_string:
+        sd.attr_codes[name] = SPH_ATTR_STRING
+        sd.attrs.append(AttrDef(name, AttrType.STRING))
+
+    for pre in src.get("sql_query_pre", []):
+        try:
+            con.execute(pre)
+        except sqlite3.Error:
+            pass   # SET NAMES etc.
+
+    q = src.get("sql_query", [None])[0]
+    if q is None:
+        raise GoldenUnsupported("source has no sql_query")
+    if "$start" in q or "$end" in q:
+        raise GoldenUnsupported("ranged sql_query")
+    cur = con.execute(q)
+    cols = [d[0] for d in cur.description]
+    id_col = cols[0]
+    attr_names = set(sd.attr_codes)
+    sd.fields = [c for c in cols[1:] if c not in attr_names
+                 or c in field_string]
+
+    mva_from_query: dict[str, dict[int, list[int]]] = {}
+    for name, is64, fromwhat, query in mva_defs:
+        if fromwhat in ("query", "ranged-query"):
+            mp: dict[int, list[int]] = {}
+            if query:
+                for row in con.execute(query):
+                    mp.setdefault(int(row[0]), []).append(int(row[1]))
+            mva_from_query[name] = mp
+
+    for row in cur:
+        d = dict(row)
+        doc = {"id": int(d[id_col])}
+        for f in sd.fields:
+            doc[f] = "" if d.get(f) is None else str(d[f])
+        for a in sd.attrs:
+            name = a.name
+            code = sd.attr_codes[name]
+            if code in (SPH_ATTR_MULTI, SPH_ATTR_MULTI64):
+                if name in mva_from_query:
+                    doc[name] = mva_from_query[name].get(doc["id"], [])
+                else:
+                    raw = str(d.get(name) or "")
+                    doc[name] = [int(x) for x in
+                                 re.split(r"[,\s]+", raw) if x.strip()]
+            elif code == SPH_ATTR_FLOAT:
+                doc[name] = float(d.get(name) or 0.0)
+            elif code == SPH_ATTR_STRING:
+                doc[name] = "" if d.get(name) is None else str(d[name])
+            elif code == 0:    # JSON
+                doc[name] = d.get(name)
+            else:
+                v = int(d.get(name) or 0)
+                bits = sd.attr_bits.get(name)
+                if bits:
+                    v &= (1 << bits) - 1
+                doc[name] = v
+        sd.docs.append(doc)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# index settings mapping
+
+def _read_listfile(path_spec: str) -> list[str]:
+    words: list[str] = []
+    for path in path_spec.split():
+        if os.path.isfile(path):
+            with open(path, encoding="utf-8", errors="replace") as f:
+                words.extend(f.read().split())
+    return words
+
+
+def index_options(idx: dict) -> tuple[dict, dict]:
+    """sphinx.conf index keys -> (CREATE TABLE-style options dict,
+    query-time defaults dict)."""
+    o: dict[str, str] = {}
+    qdef: dict = {}
+
+    def one(key, default=None):
+        v = idx.get(key)
+        return v[-1] if v else default
+
+    passthrough = [
+        "charset_table", "min_word_len", "ngram_chars", "ngram_len",
+        "overshort_step", "html_strip", "html_index_attrs",
+        "html_remove_elements", "index_sp", "index_zones", "blend_chars",
+        "blend_mode", "phrase_boundary", "phrase_boundary_step",
+        "bigram_index", "bigram_freq_words", "index_exact_words",
+        "min_stemming_len", "morphology", "min_prefix_len",
+        "min_infix_len", "regexp_filter",
+    ]
+    for k in passthrough:
+        v = one(k)
+        if v is not None:
+            o[k] = v
+    # legacy star syntax: enable_star=0 with prefix/infix means every
+    # keyword is implicitly expanded; enable_star=1 is the 3.x default
+    # (stars explicit). Tests setting enable_star=0 are unsupported.
+    if one("enable_star") == "0" and (one("min_prefix_len", "0") != "0" or
+                                      one("min_infix_len", "0") != "0"):
+        raise GoldenUnsupported("enable_star=0 implicit expansion")
+    if one("min_word_len", "1") in ("0",):
+        o["min_word_len"] = "1"
+    sw = one("stopwords")
+    if sw:
+        o["stopwords"] = " ".join(_read_listfile(sw))
+    wf = one("wordforms")
+    if wf:
+        pairs = []
+        for line in _read_listfile_lines(wf):
+            if ">" in line:
+                src_w, _, dst = line.partition(">")
+                src_w = src_w.strip().lstrip("~=").strip()
+                dst = dst.strip()
+                if " " in src_w or " " in dst.strip():
+                    raise GoldenUnsupported("multi-word wordforms")
+                if src_w and dst:
+                    pairs.append(f"{src_w} > {dst}")
+        o["wordforms"] = ",".join(pairs)
+    ex = one("exceptions")
+    if ex:
+        o["exceptions"] = ";".join(_read_listfile_lines(ex))
+    if one("expand_keywords", "0") not in ("0", None):
+        qdef["expand_keywords"] = True
+    if one("global_idf"):
+        raise GoldenUnsupported("global_idf file")
+    hitless = one("hitless_words")
+    if hitless:
+        raise GoldenUnsupported("hitless_words")
+    return o, qdef
+
+
+def _read_listfile_lines(path_spec: str) -> list[str]:
+    lines: list[str] = []
+    for path in path_spec.split():
+        if os.path.isfile(path):
+            with open(path, encoding="utf-8", errors="replace") as f:
+                for ln in f:
+                    ln = ln.split("#")[0].strip()
+                    if ln:
+                        lines.append(ln)
+    return lines
+
+
+# ---------------------------------------------------------------------------
+# the environment for one subtest
+
+class GoldenEnv:
+    def __init__(self, gt: GoldenTest, subtest: int, tmpdir: str):
+        from manticoresearch_tpu.exec.session import Catalog, Session
+
+        self.gt = gt
+        self.subtest = subtest
+        cfg_text = gt.render_config(subtest, data_path=tmpdir)
+        self.sections = parse_sphinx_conf(cfg_text)
+        self.catalog = Catalog()
+        self.session = Session(self.catalog)
+        self.index_order: list[str] = []
+        self.attr_codes: dict[str, dict] = {}
+        self.distributed: dict[str, list[str]] = {}
+        self.query_defaults: dict[str, dict] = {}
+        self._build()
+
+    def _build(self):
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.index.rt import rt_from_packed
+        from manticoresearch_tpu.config import settings_from_sql_options
+        from manticoresearch_tpu.schema import Schema, AttrDef, AttrType
+
+        con = open_db(self.gt)
+        for sec in self.sections:
+            if sec.kind != "index":
+                continue
+            idx = section_dict(self.sections, "index", sec.name)
+            typ = (idx.get("type") or ["plain"])[-1]
+            if typ == "distributed":
+                locals_ = [v.strip() for v in idx.get("local", [])]
+                if idx.get("agent") or idx.get("agent_blackhole") \
+                        or idx.get("agent_persistent"):
+                    raise GoldenUnsupported("distributed with remote agents")
+                self.distributed[sec.name] = locals_
+                self.index_order.append(sec.name)
+                continue
+            if typ == "rt":
+                o, qdef = index_options(idx)
+                tok, dic = settings_from_sql_options(o)
+                flds = [v.strip() for v in idx.get("rt_field", [])]
+                attrs = []
+                codes = {}
+                for key, (tname, code) in [
+                        ("rt_attr_uint", ("UINT", SPH_ATTR_INTEGER)),
+                        ("rt_attr_bigint", ("BIGINT", SPH_ATTR_BIGINT)),
+                        ("rt_attr_float", ("FLOAT", SPH_ATTR_FLOAT)),
+                        ("rt_attr_timestamp",
+                         ("TIMESTAMP", SPH_ATTR_TIMESTAMP)),
+                        ("rt_attr_bool", ("BOOL", SPH_ATTR_BOOL)),
+                        ("rt_attr_string", ("STRING", SPH_ATTR_STRING)),
+                        ("rt_attr_json", ("JSON", 0)),
+                        ("rt_attr_multi", ("MVA", SPH_ATTR_MULTI)),
+                        ("rt_attr_multi_64", ("MVA64", SPH_ATTR_MULTI64))]:
+                    for val in idx.get(key, []):
+                        name = val.strip()
+                        codes[name] = code
+                        attrs.append(AttrDef(name, getattr(AttrType, tname)))
+                schema = Schema(fields=flds, attrs=attrs)
+                from manticoresearch_tpu.index.rt import RtIndex
+                self.catalog.tables[sec.name] = RtIndex(
+                    sec.name, schema, tok, dic)
+                self.catalog.tables[sec.name].options = dict(o)
+                self.attr_codes[sec.name] = codes
+                self.query_defaults[sec.name] = qdef
+                self.index_order.append(sec.name)
+                continue
+            if typ not in ("plain",):
+                raise GoldenUnsupported(f"index type {typ}")
+            srcnames = idx.get("source")
+            if not srcnames:
+                raise GoldenUnsupported("plain index without source")
+            o, qdef = index_options(idx)
+            tok, dic = settings_from_sql_options(o)
+            sd = None
+            docs: list[dict] = []
+            for srcname in srcnames:
+                src = section_dict(self.sections, "source", srcname.strip())
+                styp = (src.get("type") or [""])[-1]
+                if styp not in ("mysql", "pgsql", "sqlite"):
+                    raise GoldenUnsupported(f"source type {styp}")
+                one = read_source(src, con)
+                if sd is None:
+                    sd = one
+                docs.extend(one.docs)
+            schema = Schema(fields=sd.fields, attrs=sd.attrs)
+            b = IndexBuilder(schema, tok, dic)
+            b.add_documents(docs)
+            packed = b.build()
+            rt = rt_from_packed(sec.name, packed)
+            rt.options = dict(o)
+            self.catalog.tables[sec.name] = rt
+            self.attr_codes[sec.name] = dict(sd.attr_codes)
+            self.query_defaults[sec.name] = qdef
+            self.index_order.append(sec.name)
+        con.close()
+
+    # -- API query execution ---------------------------------------------
+    def resolve_indexes(self, spec: str) -> list[str]:
+        names: list[str] = []
+        if spec in ("*", "", None):
+            wanted = [n for n in self.index_order]
+        else:
+            wanted = [s.strip() for s in re.split(r"[,\s]+", spec)
+                      if s.strip()]
+        for n in wanted:
+            if n in self.distributed:
+                for ln in self.distributed[n]:
+                    if ln not in names:
+                        names.append(ln)
+            elif n in self.catalog.tables:
+                if n not in names:
+                    names.append(n)
+            else:
+                raise GoldenUnsupported(f"unknown index {n!r}")
+        return names
+
+    def run_api_query(self, q) -> dict:
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        from manticoresearch_tpu.query.planner import AttrFilterDef
+        from manticoresearch_tpu.exec.multi import merge_part_results
+
+        attrs = q.attrs
+        text = q.query
+        mode = attrs.get("mode", "")
+        ranker_names = {
+            "": "proximity_bm25", "proximity_bm25": "proximity_bm25",
+            "bm25": "bm25", "none": "none", "wordcount": "wordcount",
+            "proximity": "proximity", "matchany": "matchany",
+            "fieldmask": "fieldmask", "sph04": "sph04", "expr": "expr",
+        }
+        rname = attrs.get("ranker", "")
+        if rname not in ranker_names:
+            raise GoldenUnsupported(f"ranker {rname}")
+        ranker = ranker_names[rname]
+
+        # legacy mode conversion (PrepareQueryEmulation, searchd.cpp:2141)
+        if mode in ("all", "any", "phrase"):
+            esc = re.sub(r'([<\\()|\-!@~"&/^$=])', r"\\\1", text)
+            if mode == "all":
+                text = esc
+                ranker = "proximity"
+            elif mode == "any":
+                text = '"' + esc + '"/1'
+                ranker = "matchany"
+            else:
+                text = '"' + esc + '"'
+                ranker = "proximity"
+        elif mode == "fullscan":
+            text = ""
+        elif mode in ("extended", "extended2", ""):
+            pass
+        else:
+            raise GoldenUnsupported(f"match mode {mode}")
+
+        limit = 20
+        if attrs.get("limits"):
+            limit = int(attrs["limits"])
+        cutoff = int(attrs.get("cutoff", 0) or 0)
+
+        filters = []
+        if attrs.get("filter"):
+            name = attrs["filter"]
+            exclude = attrs.get("filter_exclude") == "1"
+            if attrs.get("filter_value") is not None:
+                filters.append(AttrFilterDef(
+                    attr=name, kind="values",
+                    values=[int(attrs["filter_value"])], exclude=exclude))
+            elif attrs.get("filter_range"):
+                lo, hi = _parse_range(attrs["filter_range"])
+                filters.append(AttrFilterDef(
+                    attr=name, kind="range_i", lo=lo, hi=hi,
+                    exclude=exclude))
+            elif attrs.get("filter_str"):
+                filters.append(AttrFilterDef(
+                    attr=name, kind="values",
+                    values=[attrs["filter_str"]], exclude=exclude))
+
+        sortmode = attrs.get("sortmode", "")
+        sortby = attrs.get("sortby", "")
+        if sortmode == "":
+            sort = [("weight", False), ("id", True)]
+        elif sortmode == "attr_asc":
+            sort = [(sortby, True), ("id", True)]
+        elif sortmode == "attr_desc":
+            sort = [(sortby, False), ("id", True)]
+        elif sortmode == "extended":
+            sort = _parse_extended_sort(sortby)
+        else:
+            raise GoldenUnsupported(f"sort mode {sortmode}")
+
+        if attrs.get("groupattr") or attrs.get("groupsort") not in (
+                None, "@group desc") or attrs.get("groupdistinct"):
+            if attrs.get("groupattr"):
+                raise GoldenUnsupported("API group-by")
+
+        if attrs.get("select"):
+            raise GoldenUnsupported("API select list")
+        if attrs.get("index_weights"):
+            raise GoldenUnsupported("index_weights")
+
+        names = self.resolve_indexes(attrs.get("index", "*"))
+        qdef = {}
+        for n in names:
+            qdef.update(self.query_defaults.get(n, {}))
+        sq = SearchQuery(match=text, limit=limit, offset=0,
+                         max_matches=1000, ranker=ranker, sort=sort,
+                         filters=filters, cutoff=cutoff,
+                         expand_keywords=bool(qdef.get("expand_keywords")))
+
+        if len(names) == 1:
+            res = self.catalog.get(names[0]).search(sq)
+        else:
+            parts = [self.catalog.get(n) for n in names]
+            results = [p.search(sq) for p in parts]
+            for r in results:
+                if r.error:
+                    res = r
+                    break
+            else:
+                res = merge_part_results(results, sq,
+                                         parts[0].schema)
+        return self.shape_api_result(res, names, q)
+
+    def shape_api_result(self, res, names, q) -> dict:
+        attrs_map: dict[str, int] = {}
+        for n in names:
+            attrs_map.update(self.attr_codes.get(n, {}))
+        out: dict = {"error": res.error or "", "warning": res.warning or ""}
+        if res.error:
+            # the API reports failed queries with just the error string
+            out["query"] = q.query
+            return out
+        out["attrs"] = attrs_map
+        resarray = bool(int(q.attrs.get("resarray", 0) or 0))
+        matches: dict | list = [] if resarray else {}
+        for m in res.matches:
+            vals = {}
+            for aname, code in attrs_map.items():
+                v = m.attrs.get(aname)
+                if code in (SPH_ATTR_MULTI, SPH_ATTR_MULTI64):
+                    vals[aname] = [int(x) for x in (v or [])]
+                elif code == SPH_ATTR_FLOAT:
+                    vals[aname] = float(v or 0.0)
+                elif code == SPH_ATTR_STRING:
+                    vals[aname] = "" if v is None else str(v)
+                elif code == 0:
+                    vals[aname] = v
+                else:
+                    vals[aname] = int(v or 0)
+            if resarray:
+                matches.append({"id": m.docid, "weight": str(m.weight),
+                                "attrs": vals})
+            else:
+                matches[m.docid] = {"weight": str(m.weight), "attrs": vals}
+        if matches or not resarray:
+            out["matches"] = matches
+        if not matches and not resarray:
+            out.pop("matches")
+        out["total"] = str(res.total)
+        out["total_found"] = str(res.total_found)
+        words = {}
+        for ws in res.word_stats:
+            words[ws.word] = {"docs": str(ws.docs), "hits": str(ws.hits)}
+        if words:
+            out["words"] = words
+        out["query"] = q.query
+        return out
+
+    # -- SphinxQL query execution ----------------------------------------
+    def run_ql_query(self, q) -> dict:
+        out: dict = {"sphinxql": q.query.strip()}
+        results = self.session.execute(q.query)
+        r = results[0] if results else None
+        if r is None:
+            out["total_affected"] = 0
+            return out
+        if r.error:
+            out["error"] = r.error
+            out["errno"] = 1064
+            return out
+        if r.columns:
+            no_time = ("show" in q.query.lower()
+                       and "meta" in q.query.lower())
+            rows = []
+            for row in r.rows:
+                d = {}
+                for c, v in zip(r.columns, row):
+                    d[c] = _render_cell(v)
+                if no_time and d.get("Variable_name") == "time":
+                    continue
+                rows.append(d)
+            out["total_rows"] = len(r.rows)
+            if rows:
+                out["rows"] = rows
+            return out
+        out["total_affected"] = r.affected
+        return out
+
+    def run_query(self, q) -> dict:
+        if q.type == "sphinxql":
+            return self.run_ql_query(q)
+        if q.type == "api":
+            return self.run_api_query(q)
+        if q.type == "comment":
+            return {"comment": q.query}
+        raise GoldenUnsupported(f"query type {q.type}")
+
+
+def _render_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        s = f"{v:.6f}"
+        return s
+    return str(v)
+
+
+def _parse_range(s: str) -> tuple[int, int]:
+    m = re.match(r"\s*(-?\d+)\s*[,:\-]\s*(-?\d+)\s*$", s)
+    if not m:
+        raise GoldenUnsupported(f"filter_range {s!r}")
+    return int(m.group(1)), int(m.group(2))
+
+
+def _parse_extended_sort(sortby: str) -> list:
+    out = []
+    for part in sortby.split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        name = toks[0].strip()
+        asc = len(toks) > 1 and toks[1].strip().lower() == "asc"
+        if name in ("@weight", "weight()"):
+            name = "weight"
+        elif name in ("@id",):
+            name = "id"
+        elif name.startswith("@"):
+            raise GoldenUnsupported(f"sort key {name}")
+        out.append((name, asc))
+    if not any(k == "id" for k, _ in out):
+        out.append(("id", True))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# comparison (CompareResultSetFixup + PHP loose ==)
+
+_DROP_KEYS = ("time", "warning", "status", "fields", "resarray", "roundoff")
+
+
+def fixup(result: dict, roundoff: int = 0) -> dict:
+    if not isinstance(result, dict):
+        return result
+    out = {k: v for k, v in result.items() if k not in _DROP_KEYS}
+    if roundoff and isinstance(out.get("matches"), (dict, list)):
+        att = result.get("attrs") or {}
+        fnames = [k for k, v in att.items() if v == SPH_ATTR_FLOAT]
+        it = (out["matches"].values() if isinstance(out["matches"], dict)
+              else out["matches"])
+        for m in it:
+            for fn in fnames:
+                if fn in m.get("attrs", {}):
+                    m["attrs"][fn] = f"%.{roundoff}f" % float(
+                        m["attrs"][fn])
+    if "sphinxql" in out and isinstance(out["sphinxql"], str):
+        out["sphinxql"] = out["sphinxql"].strip()
+    return out
+
+
+def loose_eq(a, b) -> bool:
+    """PHP `==` semantics: arrays compare key-wise ignoring order; scalars
+    compare numerically when both look numeric."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        if len(a) != len(b):
+            return False
+        bk = {str(k): v for k, v in b.items()}
+        for k, v in a.items():
+            sk = str(k)
+            if sk not in bk:
+                return False
+            if not loose_eq(v, bk[sk]):
+                return False
+        return True
+    if isinstance(a, list) and isinstance(b, dict):
+        return loose_eq({i: v for i, v in enumerate(a)}, b)
+    if isinstance(b, list) and isinstance(a, dict):
+        return loose_eq(a, {i: v for i, v in enumerate(b)})
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(loose_eq(x, y)
+                                        for x, y in zip(a, b))
+    if a is None or b is None:
+        return a == b or a in (None, "") and b in (None, "")
+    na, nb = _as_num(a), _as_num(b)
+    if na is not None and nb is not None:
+        if isinstance(na, float) or isinstance(nb, float):
+            # float attrs round-trip through f32 + PHP serialize; compare
+            # at f32 precision
+            import math
+            return math.isclose(float(na), float(nb),
+                                rel_tol=2e-6, abs_tol=1e-6)
+        return na == nb
+    return str(a) == str(b)
+
+
+def _as_num(v):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        s = v.strip()
+        try:
+            return int(s)
+        except ValueError:
+            try:
+                return float(s)
+            except ValueError:
+                return None
+    return None
+
+
+def compare_result(ours: dict, model: dict) -> str | None:
+    """None if equal; else a short diff description."""
+    roundoff = 0
+    if isinstance(model, dict):
+        roundoff = int(model.get("roundoff") or 0)
+    a = fixup(ours, roundoff)
+    b = fixup(model, roundoff)
+    if isinstance(b, dict) and "error" in b and b["error"] \
+            and isinstance(a, dict):
+        # the reference records daemon-specific error TEXT; only the
+        # error-ness is comparable across engines
+        if a.get("error"):
+            return None
+        return f"expected an error ({b['error']!r}), got success"
+    if isinstance(a, dict) and a.get("error") and isinstance(b, dict) \
+            and not b.get("error"):
+        return f"engine error: {a['error']!r}"
+    if loose_eq(a, b):
+        return None
+    import json
+    return ("mismatch\n  ours:  %s\n  model: %s" % (
+        json.dumps(a, default=str, sort_keys=True)[:2000],
+        json.dumps(b, default=str, sort_keys=True)[:2000]))
+
+
+def run_subtest(gt: GoldenTest, subtest: int, model_subtest: list,
+                tmpdir: str) -> list[str]:
+    """Run one variant combination; returns a list of per-query failure
+    strings (empty = pass)."""
+    if isinstance(model_subtest, list) and model_subtest == ["failed"]:
+        return []    # the reference itself failed this variant; skip
+    env = GoldenEnv(gt, subtest, tmpdir)
+    failures: list[str] = []
+    n = min(len(gt.queries), len(model_subtest))
+    if len(gt.queries) != len(model_subtest):
+        failures.append(
+            f"query count mismatch: test.xml has {len(gt.queries)}, "
+            f"model has {len(model_subtest)}")
+    for i in range(n):
+        q = gt.queries[i]
+        model = model_subtest[i]
+        if q.type == "comment":
+            continue
+        ours = env.run_query(q)
+        diff = compare_result(ours, model)
+        if diff:
+            failures.append(f"query {i} ({q.query[:60]!r}): {diff}")
+    return failures

@@ -281,9 +281,11 @@ class TestManyTerms:
 
     @pytest.fixture(scope="class")
     def bigindex(self):
+        from manticoresearch_tpu.text.dictionary import DictSettings
         schema = Schema(fields=["content"],
                         attrs=[AttrDef("gid", AttrType.UINT)])
-        b = IndexBuilder(schema)
+        b = IndexBuilder(schema,
+                         dict_settings=DictSettings(min_prefix_len=1))
         docs = []
         for d in range(50):
             # doc d contains words w{d} and w{d+1} .. plus shared "common"
@@ -291,6 +293,9 @@ class TestManyTerms:
             docs.append(dict(id=d + 1, gid=d % 4, content=" ".join(words)))
         b.add_documents(docs)
         return SearchIndex(b.build())
+
+    # wildcard tests need expansion enabled (min_prefix_len, like the
+    # reference: wildcards are off unless prefix/infix indexing is on)
 
     def test_or_over_40_terms(self, bigindex):
         q = " | ".join(f"w{i:03d}" for i in range(40))

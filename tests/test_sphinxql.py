@@ -636,7 +636,7 @@ class TestQueryTransforms:
         cat = Catalog()
         s = Session(cat)
         s.execute("CREATE TABLE qt (content text) index_exact_words='1' "
-                  "morphology='stem_en'")
+                  "morphology='stem_en' min_prefix_len='1'")
         docs = ["running shoes for speed", "running fast daily",
                 "shoes polish kit", "runningback position"]
         for i, c in enumerate(docs, 1):

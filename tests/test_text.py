@@ -137,9 +137,13 @@ class TestMorphology:
         assert porter_stem(word) == stem
 
     def test_soundex(self):
+        # reference stem_soundex (sphinxsoundex.cpp) — NOT standard
+        # Soundex: codes collapse across vowels ('z'/'k' both 2 in
+        # tymczak merge), golden-verified against test_012 models
         assert soundex("robert") == "r163"
         assert soundex("rupert") == "r163"
-        assert soundex("tymczak") == "t522"
+        assert soundex("tymczak") == "t520"
+        assert soundex("admin") == "a350"
 
 
 class TestDictionary:

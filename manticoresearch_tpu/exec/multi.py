@@ -60,9 +60,19 @@ def merge_part_results(results, q, schema):
     err = next((r.error for r in results if r.error), None)
     if err:
         return SearchResult([], 0, 0, 0.0, [], error=err)
-    all_matches = [m for r in results for m in r.matches]
+    # docid dupes across parts: the copy from the LAST part wins and the
+    # kills shrink the totals (KillPlainDupes tag ordering inside
+    # KillDupesAndFlatten, searchd.cpp:3990)
+    seen: dict[int, object] = {}
+    n_copies = 0
+    for r in results:
+        for m in r.matches:
+            seen[m.docid] = m
+            n_copies += 1
+    all_matches = list(seen.values())
+    killed = n_copies - len(all_matches)
     _apply_sort(all_matches, q)
-    total_found = sum(r.total_found for r in results)
+    total_found = sum(r.total_found for r in results) - killed
     window = all_matches[q.offset:q.offset + q.limit]
     # word stats: sum by term across parts
     stats_map: dict[str, list[int]] = {}

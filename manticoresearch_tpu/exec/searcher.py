@@ -208,16 +208,32 @@ class SearchIndex:
         groups: dict[tuple, list[int]] = {}
         plans: list[CompiledQuery | None] = [None] * len(queries)
         deferred: list[tuple[int, object]] = []
+        g_groups: dict[tuple, list[int]] = {}
+        g_plans: dict[int, tuple] = {}
         for i, q in enumerate(queries):
             if q.group_by:
-                # grouped queries: launch now (async), fetch after every
-                # launch is in flight — overlaps device work + link RTT
                 gb = q.group_by
                 if "." in gb and self.schema.attr(gb) is None:
                     results[i] = self.search(q)     # host-grouped path
                     continue
-                _, fin = self._search_grouped(q, _defer=True)
-                deferred.append((i, fin))
+                try:
+                    plan = self._plan_grouped(q)
+                except (ValueError, NotImplementedError) as e:
+                    results[i] = SearchResult([], 0, 0, 0.0, [],
+                                              error=str(e))
+                    continue
+                (cq, gspec, aggs, agg_names, plain_cols, gconcats,
+                 k) = plan
+                if gconcats:
+                    # GROUP_CONCAT needs the dense eligible mask — keep
+                    # the overlapped single-launch path
+                    _, fin = self._search_grouped(q, _defer=True)
+                    deferred.append((i, fin))
+                    continue
+                g_plans[i] = plan
+                gkey = (cq.sig, gspec, cq.slot_pb, cq.slot_hb,
+                        cq.n_hit_iters)
+                g_groups.setdefault(gkey, []).append(i)
                 continue
             try:
                 cq = self.plan(q)
@@ -246,20 +262,37 @@ class SearchIndex:
             padded += [padded[-1]] * (B - len(padded))
             rt_b = jax.tree.map(lambda *xs: np.stack(xs), *padded)
             pending.append((sig, idxs, fn(data, rt_b)))
+        # grouped queries batch the same way (one launch + shared fetch per
+        # plan shape — the FACET multi-sorter single pass)
+        from ..ops.groupby import get_batched_groupby_fn
+        g_pending = []
+        for (sig, gspec, pb, hb, nhi), idxs in g_groups.items():
+            fn = get_batched_groupby_fn(
+                sig, gspec, self.packed.n_docs,
+                max(self.schema.n_fields, 1), pb, hb, nhi)
+            B = 1
+            while B < len(idxs):
+                B <<= 1
+            padded = [g_plans[i][0].runtime for i in idxs]
+            padded += [padded[-1]] * (B - len(padded))
+            rt_b = jax.tree.map(lambda *xs: np.stack(xs), *padded)
+            g_pending.append((gspec, idxs, fn(data, rt_b)))
         # phase 2: ONE device->host fetch — group outputs concatenated on
         # device first (every separate fetch pays the accelerator-link RTT)
-        if len(pending) > 1:
+        outs = [p[2] for p in pending] + [p[2] for p in g_pending]
+        if len(outs) > 1:
             import jax.numpy as jnp
-            flat = jnp.concatenate([p[2].reshape(-1) for p in pending])
+            flat = jnp.concatenate([o.reshape(-1) for o in outs])
             flat_host = np.asarray(flat)
             fetched = []
             off = 0
-            for p in pending:
-                size = int(np.prod(p[2].shape))
-                fetched.append(flat_host[off:off + size].reshape(p[2].shape))
+            for o in outs:
+                size = int(np.prod(o.shape))
+                fetched.append(flat_host[off:off + size].reshape(o.shape))
                 off += size
         else:
-            fetched = [np.asarray(p[2]) for p in pending]
+            fetched = [np.asarray(o) for o in outs]
+        g_fetched = fetched[len(pending):]
         # phase 3: unpack
         for (sig, idxs, _), packed_out in zip(pending, fetched):
             k = sig.k
@@ -268,8 +301,30 @@ class SearchIndex:
                 results[i] = self._finish(
                     queries[i], plans[i], row[:k], row[k:2 * k],
                     int(row[2 * k]), t0)
-        # phase 4: grouped queries — every launch has been in flight since
-        # phase 0; the fetches now drain overlapped device work
+        for (gspec, idxs, _), pout in zip(g_pending, g_fetched):
+            k = gspec.k
+            for bi, i in enumerate(idxs):
+                row = pout[bi]
+                (cq, gspec_i, aggs, agg_names, plain_cols, gconcats,
+                 kk) = g_plans[i]
+                out = {"rep_rowid": row[0:k], "rep_weight": row[k:2 * k],
+                       "group_key": row[2 * k:3 * k],
+                       "count": row[3 * k:4 * k],
+                       "n_groups": int(row[-2]), "found": int(row[-1])}
+                off2 = 4 * k
+                for j, a in enumerate(aggs):
+                    arr = row[off2:off2 + k]
+                    off2 += k
+                    if a.kind == "avg" or (a.is_float and a.kind in
+                                           ("sum", "min", "max")):
+                        arr = arr.view(np.float32)
+                    out[f"agg{j}"] = arr
+                results[i] = self._render_grouped(
+                    queries[i], cq, gspec_i, out, list(aggs),
+                    list(agg_names), list(plain_cols), list(gconcats),
+                    kk, t0)
+        # phase 4: GROUP_CONCAT stragglers — launches have been in flight
+        # since phase 0; the fetches now drain overlapped device work
         for i, fin in deferred:
             results[i] = fin()
         return results  # type: ignore[return-value]
@@ -400,69 +455,13 @@ class SearchIndex:
 
         t0 = time.perf_counter()
         try:
-            ast = self.parser.parse(q.match)
-            cq = plan_query(
-                ast, self.packed,
-                filters=q.filters, ranker=q.ranker,
-                max_matches=q.max_matches, window=q.offset + q.limit,
-                order=("rel",), field_weights=q.field_weights,
-                idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
-                packed_store=self.packed.packed_store(),
-            )
-            key_expr = parse_expr(q.group_by)
-
-            agg_re = _re.compile(
-                r"^\s*(count|sum|min|max|avg)\s*\(\s*(distinct\s+)?(.*?)\s*\)\s*$",
-                _re.IGNORECASE)
-            gc_re = _re.compile(
-                r"^\s*group_concat\s*\(\s*(.*?)\s*\)\s*$", _re.IGNORECASE)
-            aggs: list[AggSpec] = []
-            agg_names: list[str] = []
-            plain_cols: list[str] = []
-            gconcats: list[tuple[str, str]] = []
-            for sel in (q.select or ["count(*)"]):
-                gm = gc_re.match(sel)
-                if gm:
-                    # GROUP_CONCAT runs host-side over the match mask
-                    # (sphinxsort.cpp:1904+ computes it on CPU too)
-                    if self.schema.attr(q.group_by) is None:
-                        raise NotImplementedError(
-                            "GROUP_CONCAT requires a plain-attribute "
-                            "GROUP BY")
-                    gconcats.append((sel, gm.group(1)))
-                    continue
-                m = agg_re.match(sel)
-                if not m:
-                    if sel not in ("id", "weight()", "*") and sel != q.group_by:
-                        plain_cols.append(sel)
-                    continue
-                kind = m.group(1).lower()
-                arg = m.group(3)
-                if kind == "count" and m.group(2):
-                    aggs.append(AggSpec("count_distinct", parse_expr(arg)))
-                elif kind == "count":
-                    aggs.append(AggSpec("count", None))
-                else:
-                    tree = parse_expr(arg)
-                    aggs.append(AggSpec(
-                        kind, tree, infer_is_float(tree, self.schema)))
-                agg_names.append(sel)
-            if "count(*)" not in [a.lower().replace(" ", "")
-                                  for a in agg_names]:
-                aggs.append(AggSpec("count", None))
-                agg_names.append("count(*)")
-
-            order = _resolve_group_order(q, self.schema)
-            k = max(1, min(q.max_matches, q.offset + q.limit,
-                           max(self.packed.n_docs, 1)))
-            gspec = GroupSpec(key_expr=key_expr, aggs=tuple(aggs),
-                              order=order, k=k,
-                              emit_eligible=bool(gconcats))
+            plan = self._plan_grouped(q)
         except (ValueError, NotImplementedError) as e:
             err = SearchResult([], 0, 0, 0.0, [], error=str(e))
             if _defer:
                 return True, (lambda: err)
             return err
+        (cq, gspec, aggs, agg_names, plain_cols, gconcats, k) = plan
 
         fn = get_groupby_fn(
             cq.sig, gspec, self.packed.n_docs, max(self.schema.n_fields, 1),
@@ -476,6 +475,76 @@ class SearchIndex:
         if _defer:
             return True, _finish_grouped
         return _finish_grouped()
+
+    def _plan_grouped(self, q: SearchQuery):
+        """Plan a device GROUP BY query: (cq, gspec, aggs, agg_names,
+        plain_cols, gconcats, k). Raises ValueError/NotImplementedError on
+        unsupported shapes (caller falls back or errors)."""
+        import re as _re
+
+        from ..ops.groupby import AggSpec, GroupSpec
+        from ..query.expr import infer_is_float, parse_expr
+
+        ast = self.parser.parse(q.match)
+        cq = plan_query(
+            ast, self.packed,
+            filters=q.filters, ranker=q.ranker,
+            max_matches=q.max_matches, window=q.offset + q.limit,
+            order=("rel",), field_weights=q.field_weights,
+            idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
+            packed_store=self.packed.packed_store(),
+        )
+        key_expr = parse_expr(q.group_by)
+
+        agg_re = _re.compile(
+            r"^\s*(count|sum|min|max|avg)\s*\(\s*(distinct\s+)?(.*?)\s*\)\s*$",
+            _re.IGNORECASE)
+        gc_re = _re.compile(
+            r"^\s*group_concat\s*\(\s*(.*?)\s*\)\s*$", _re.IGNORECASE)
+        aggs: list[AggSpec] = []
+        agg_names: list[str] = []
+        plain_cols: list[str] = []
+        gconcats: list[tuple[str, str]] = []
+        for sel in (q.select or ["count(*)"]):
+            gm = gc_re.match(sel)
+            if gm:
+                # GROUP_CONCAT runs host-side over the match mask
+                # (sphinxsort.cpp:1904+ computes it on CPU too)
+                if self.schema.attr(q.group_by) is None:
+                    raise NotImplementedError(
+                        "GROUP_CONCAT requires a plain-attribute "
+                        "GROUP BY")
+                gconcats.append((sel, gm.group(1)))
+                continue
+            m = agg_re.match(sel)
+            if not m:
+                if sel not in ("id", "weight()", "*") and sel != q.group_by:
+                    plain_cols.append(sel)
+                continue
+            kind = m.group(1).lower()
+            arg = m.group(3)
+            if kind == "count" and m.group(2):
+                aggs.append(AggSpec("count_distinct", parse_expr(arg)))
+            elif kind == "count":
+                aggs.append(AggSpec("count", None))
+            else:
+                tree = parse_expr(arg)
+                aggs.append(AggSpec(
+                    kind, tree, infer_is_float(tree, self.schema)))
+            agg_names.append(sel)
+        if "count(*)" not in [a.lower().replace(" ", "")
+                              for a in agg_names]:
+            aggs.append(AggSpec("count", None))
+            agg_names.append("count(*)")
+
+        order = _resolve_group_order(q, self.schema)
+        k = max(1, min(q.max_matches, q.offset + q.limit,
+                       max(self.packed.n_docs, 1)))
+        gspec = GroupSpec(key_expr=key_expr, aggs=tuple(aggs),
+                          order=order, k=k,
+                          emit_eligible=bool(gconcats))
+        return (cq, gspec, tuple(aggs), tuple(agg_names),
+                tuple(plain_cols), tuple(gconcats), k)
 
     def _render_grouped(self, q, cq, gspec, out, aggs, agg_names,
                         plain_cols, gconcats, k, t0) -> SearchResult:

@@ -48,9 +48,9 @@ class GroupSpec:
 
 
 @lru_cache(maxsize=512)
-def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
-                   n_fields: int, slot_pb: tuple = (), slot_hb: tuple = (),
-                   n_hit_iters: int = 0):
+def _build_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
+                      n_fields: int, slot_pb: tuple = (),
+                      slot_hb: tuple = (), n_hit_iters: int = 0):
     if gspec.emit_eligible and sig.sparse:
         # host-side GROUP_CONCAT needs a dense per-row match mask
         from dataclasses import replace
@@ -113,6 +113,9 @@ def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
                 continue
             v = eval_expr(a.expr, attrs, weight)
             v = jnp.broadcast_to(v, (Z,))
+            # accumulator dtype strictly follows is_float so the packed
+            # batched layout's bitcast round-trips deterministically
+            v = v.astype(jnp.float32 if a.is_float else jnp.int32)
             v_sorted = v[s_idx]
             if a.kind in ("sum", "avg"):
                 dt = jnp.float32 if (a.is_float or a.kind == "avg") else jnp.int32
@@ -179,7 +182,50 @@ def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
             out["eligible"] = eligible
         return out
 
-    return jax.jit(fn)
+    return fn
+
+
+@lru_cache(maxsize=512)
+def get_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
+                   n_fields: int, slot_pb: tuple = (), slot_hb: tuple = (),
+                   n_hit_iters: int = 0):
+    return jax.jit(_build_groupby_fn(sig, gspec, n_rows, n_fields,
+                                     slot_pb, slot_hb, n_hit_iters))
+
+
+def groupby_row_width(gspec: GroupSpec) -> int:
+    """i32 row width of the packed batched layout: k x (rowid, weight,
+    key, count) ++ k per aggregate ++ (n_groups, found)."""
+    return gspec.k * (4 + len(gspec.aggs)) + 2
+
+
+@lru_cache(maxsize=512)
+def get_batched_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
+                           n_fields: int, slot_pb: tuple = (),
+                           slot_hb: tuple = (), n_hit_iters: int = 0):
+    """Batched variant: vmap over per-query runtimes, one launch + ONE
+    packed i32 fetch for B same-shape grouped queries (the multi-sorter
+    single pass of CheckMultiQuery/FACET, sphinx.cpp:15474 — and the
+    accelerator-link RTT amortization that the relevance path already has
+    in get_batched_search_fn). Float aggregates ride bitcast to i32."""
+    kern = _build_groupby_fn(sig, gspec, n_rows, n_fields, slot_pb,
+                             slot_hb, n_hit_iters)
+    vkern = jax.vmap(kern, in_axes=(None, 0))
+
+    def packed(data, rt_b):
+        out = vkern(data, rt_b)
+        parts = [out["rep_rowid"], out["rep_weight"], out["group_key"],
+                 out["count"]]
+        for i in range(len(gspec.aggs)):
+            arr = out[f"agg{i}"]
+            if arr.dtype != jnp.int32:
+                arr = jax.lax.bitcast_convert_type(arr, jnp.int32)
+            parts.append(arr)
+        parts.append(out["n_groups"][:, None])
+        parts.append(out["found"][:, None])
+        return jnp.concatenate(parts, axis=1)
+
+    return jax.jit(packed)
 
 
 def _f32_sortable_i32(v):

@@ -111,6 +111,42 @@ def _lex_search_le(key_a, key_b, arr_a, arr_b, lo, hi, n_iters,
     return jnp.clip(idx, 0, len(arr_a) - 1), exists
 
 
+def _pred_scan(a_row, a_key, b_row, b_key, b_valid):
+    """Vectorized predecessor lookup in ONE sorted hit slice: for each
+    query (a_row[i], a_key[i]), the largest valid (b_row[j], b_key[j]) <=
+    it. Computed as one lax.sort of the concatenated (row, key, tag)
+    triples + an associative "last b seen" scan + scatter-back — replacing
+    per-element binary search, whose random gathers are ~2 orders of
+    magnitude slower than sort/scan passes on TPU (v5e measured: 512k
+    gather ~30ms vs contiguous slice ~0.3ms; see build_match_core note).
+    Returns (pred_row, pred_key, pred_exists) aligned with the queries."""
+    na = a_row.shape[0]
+    nb = b_row.shape[0]
+    big = jnp.int32(2**31 - 1)
+    rows = jnp.concatenate([jnp.where(b_valid, b_row, big), a_row])
+    keys = jnp.concatenate([jnp.where(b_valid, b_key, big), a_key])
+    # tag: 0 for b entries (sorted BEFORE equal queries, so exact ties are
+    # visible to the scan), 1+i for query i
+    tag = jnp.concatenate([jnp.zeros(nb, jnp.int32),
+                           jnp.arange(1, na + 1, dtype=jnp.int32)])
+    rows_s, keys_s, tag_s = jax.lax.sort((rows, keys, tag), num_keys=3)
+    bflag = tag_s == 0
+    # "last b entry at-or-before me": cummax over b positions (a single
+    # cumulative-reduce pass — associative_scan's O(n log n) slice graph
+    # took minutes to compile on TPU for 2^20 inputs)
+    iota = jnp.arange(rows_s.shape[0], dtype=jnp.int32)
+    j = jax.lax.cummax(jnp.where(bflag, iota, -1))
+    jc = jnp.clip(j, 0, rows_s.shape[0] - 1)
+    seen_r = rows_s[jc]
+    seen_k = keys_s[jc]
+    seen_h = j >= 0
+    idx = jnp.where(tag_s > 0, tag_s - 1, na)
+    pr = jnp.zeros(na + 1, jnp.int32).at[idx].set(seen_r)[:na]
+    pk = jnp.zeros(na + 1, jnp.int32).at[idx].set(seen_k)[:na]
+    ph = jnp.zeros(na + 1, jnp.bool_).at[idx].set(seen_h)[:na]
+    return pr, pk, ph
+
+
 def _eval_mva_filter(spec: FilterSpec, offsets, values, vals, rows, n_iters):
     """Multi-value attribute filters (Filter_MVA ANY/ALL semantics,
     sphinxfilter.cpp): per-doc sorted value segments in CSR; membership and
@@ -342,7 +378,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
 
         merge_groups = tuple(getattr(sig, "merge_groups", ()) or ())
         grouped_slots = {s for g in merge_groups for s in g}
-        lim_tf_store: dict = {}
+        lim_present_store: dict = {}
 
         if sparse and scan_index:
             # ---- filtered fullscan over a secondary-index slice ----
@@ -546,14 +582,20 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             rowL = to_idx(jnp.where(ok, hrowL, N))
             tf_lim = jnp.zeros(size, jnp.int32).at[rowL].add(
                 jnp.where(ok, 1, 0))
-            if s in grouped_slots:
-                lim_tf_store[s] = tf_lim
             present = tf_lim > 0
+            if s in grouped_slots:
+                lim_present_store[s] = present
             if s in pos_slots:
-                tfq_lim = tf_lim.astype(jnp.float32) / (
-                    tf_lim.astype(jnp.float32) + jnp.float32(1.2))
+                # BM25 tf of a field-limited term is the DOC-LEVEL tf from
+                # the doclist (golden test_037: '@title test' ranks with
+                # both hits although only the title hit matches); only the
+                # match mask is hit-filtered
+                rowP, mskP, stP, szP = slot_postings(s)
+                tfqP = slot_tfq(s, stP, szP)
+                tfq_doc = jnp.zeros(size, jnp.float32).at[
+                    to_idx(rowP)].add(jnp.where(mskP, tfqP, 0.0))
                 tfidf = tfidf + jnp.where(
-                    present, tfq_lim * rt["idf"][s] * rt["mult"][s], 0.0)
+                    present, tfq_doc * rt["idf"][s] * rt["mult"][s], 0.0)
             termmask = termmask.at[:, s >> 5].set(
                 termmask[:, s >> 5]
                 | jnp.where(present, jnp.int32(1) << (s & 31), 0))
@@ -605,12 +647,15 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
         for gi, g in enumerate(merge_groups):
             acc = jnp.zeros(size, jnp.float32)
             for s in g:
-                if s in limited_set:
-                    acc = acc + lim_tf_store[s].astype(jnp.float32)
-                    continue
                 row, msk, st_, sz = slot_postings(s)
                 tf = slot_tf_raw(s, st_, sz)
-                acc = acc.at[to_idx(row)].add(jnp.where(msk, tf, 0.0))
+                part = jnp.zeros(size, jnp.float32).at[to_idx(row)].add(
+                    jnp.where(msk, tf, 0.0))
+                if s in limited_set:
+                    # doc-level tf, gated on an in-field hit (see the
+                    # limited pass above)
+                    part = jnp.where(lim_present_store[s], part, 0.0)
+                acc = acc + part
             gc = jnp.where(acc > 0,
                            acc / (acc + jnp.float32(1.2)) * rt["gidf"][gi],
                            0.0)
@@ -1073,13 +1118,9 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
             ((bkey[nxt_c] >> 24) == fld)
         ub = jnp.where(same_next, bkey[nxt_c], ((fld + 1) << 24) - 1)
         # does slot b have a hit in (lb, ub] within the same row?
-        lo_b = rt["hit_starts"][sb] * jnp.ones_like(a_row)
-        hi_b = lo_b + h_lens[sb]
-        idxb, exb = _lex_search_le(a_row, ub, data["hit_rowid"],
-                                   data["hit_packed"], lo_b, hi_b,
-                                   n_hit_iters)
-        ok = valid & exb & (data["hit_rowid"][idxb] == a_row) & \
-            ((data["hit_packed"][idxb] & HITMAN_KEY_MASK) > lb)
+        b_row, b_key, b_msk = hits_of(sb)
+        pr, pk, ph = _pred_scan(a_row, ub, b_row, b_key, b_msk)
+        ok = valid & ph & (pr == a_row) & (pk > lb)
     elif op == "bigram_phrase":
         # bigram fast path: the pair term's hits ARE the phrase anchors
         # (w1's position per occurrence) — no positional searches needed
@@ -1099,38 +1140,26 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
                 r, k, okm = hits_of(payload[0])
                 return r, k, okm, span
             sub = _eval_phrase_node(
-                (("phrase", payload) if kind == "phrase" else payload),
+                (("phrase", payload, tuple(range(len(payload))))
+                 if kind == "phrase" else payload),
                 data, rt, N, slot_hb, n_hit_iters, size, to_idx)
             _, _, r, k, okm = sub
             return r, k, okm, span
 
         l_row, l_key, l_ok, lspan = side(ld)
         r_row, r_key, r_ok, rspan = side(rd)
-        # searchable right-side array: invalid entries to (N, maxkey) so
-        # the (row, key) order survives one device sort
-        inval = jnp.int32(2**31 - 1)   # > any real fid<<24|pos key
-        rr, rk = jax.lax.sort(
-            (jnp.where(r_ok, r_row, N),
-             jnp.where(r_ok, r_key, inval)), num_keys=2)
-        Mr = rr.shape[0]
         le_key = l_key + (lspan - 1)
-        lo = jnp.zeros_like(l_row)
-        hi = jnp.full_like(l_row, Mr)
-        # the search spans the whole (bucketed) side array, so iterations
-        # must cover the bucket, not the live hit count
-        iters = max(1, int(np.ceil(np.log2(max(Mr, 2))))) + 1
-        idx, exists = _lex_search_le(l_row, le_key + ndist, rr, rk,
-                                     lo, hi, iters)
-        cand_ok = exists & (rr[idx] == l_row) & \
-            (rk[idx] != inval) & \
-            (rk[idx] >= l_key - ndist - (rspan - 1))
+        pr, pk, ph = _pred_scan(l_row, le_key + ndist,
+                                r_row, r_key, r_ok)
+        cand_ok = ph & (pr == l_row) & \
+            (pk >= l_key - ndist - (rspan - 1))
         ok = l_ok & (~cand_ok if not_near else cand_ok)
         # emit the matched group's RIGHT edge so chains (A NEAR B) NEAR C
         # measure the next distance from the latest matched element
         # (FSMmultinear extends the span as operands match)
         a_row = l_row
         a_key = jnp.where(ok & cand_ok,
-                          jnp.maximum(le_key, rk[idx] + (rspan - 1)),
+                          jnp.maximum(le_key, pk + (rspan - 1)),
                           l_key) if not not_near else l_key
         valid = l_ok
     elif op == "near":
@@ -1141,37 +1170,28 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
         sa, sb = slots_t
         ndist, not_near = node[2], node[3]
         a_row, a_key, valid = hits_of(sa)
-        lo = rt["hit_starts"][sb] * jnp.ones_like(a_row)
-        hi = lo + h_lens[sb]
-        idx, exists = _lex_search_le(
-            a_row, a_key + ndist, data["hit_rowid"],
-            data["hit_packed"], lo, hi, n_hit_iters,
-            b_mask=HITMAN_KEY_MASK)
-        val_row = data["hit_rowid"][idx]
-        val_key = data["hit_packed"][idx] & HITMAN_KEY_MASK
-        within = exists & (val_row == a_row) & \
-            (jnp.abs(a_key - val_key) <= ndist)
+        b_row, b_key, b_msk = hits_of(sb)
+        pr, pk, ph = _pred_scan(a_row, a_key + ndist, b_row, b_key, b_msk)
+        within = ph & (pr == a_row) & (jnp.abs(a_key - pk) <= ndist)
         ok = valid & (~within if not_near else within)
         if not not_near:
             # matched pair's right edge feeds parent NEAR chains
-            a_key = jnp.where(ok, jnp.maximum(a_key, val_key), a_key)
+            a_key = jnp.where(ok, jnp.maximum(a_key, pk), a_key)
     elif op == "phrase":
         anchor = slots_t[0]
         a_row, a_key, valid = hits_of(anchor)
 
+        deltas = node[2] if len(node) > 2 else tuple(range(len(slots_t)))
         ok = valid
         for qi, s in enumerate(slots_t):
             if qi == 0:
                 continue
-            tgt_key = a_key + qi  # position shifted by query distance
-            lo = rt["hit_starts"][s] * jnp.ones_like(a_row)
-            hi = lo + h_lens[s]
-            found = _lex_binary_search_pair(
-                a_row, tgt_key, data["hit_rowid"],
-                data["hit_packed"], lo, hi, n_hit_iters,
-                b_mask=HITMAN_KEY_MASK,
-            )
-            ok &= found
+            # position shifted by query distance (gaps where stopped words
+            # held positions)
+            tgt_key = a_key + deltas[qi]
+            b_row, b_key, b_msk = hits_of(s)
+            pr, pk, ph = _pred_scan(a_row, tgt_key, b_row, b_key, b_msk)
+            ok &= ph & (pr == a_row) & (pk == tgt_key)
     else:
         # proximity "..."~n (FSMproximity_c, searchnode.cpp:3958): all words
         # within a per-field window: max_pos - min_pos <= qlen + n - 1 where
@@ -1183,23 +1203,19 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
         # non-overlapping completions; match/no-match identical, tf may
         # differ on overlaps — same caveat as phrase).
         ndist = node[2]
-        qlen = len(slots_t) - 1
+        # query span covers stopped-word gaps (atom positions)
+        qlen = node[3][-1] if len(node) > 3 and node[3] \
+            else len(slots_t) - 1
         W = qlen + ndist  # exclusive lower bound: key - val < W
         rows_l, keys_l, msks_l = zip(*[hits_of(s) for s in slots_t])
         a_row = jnp.concatenate(rows_l)
         a_key = jnp.concatenate(keys_l)
         ok = jnp.concatenate(msks_l)
         for s in slots_t:
-            lo = rt["hit_starts"][s] * jnp.ones_like(a_row)
-            hi = lo + h_lens[s]
-            idx, exists = _lex_search_le(
-                a_row, a_key, data["hit_rowid"],
-                data["hit_packed"], lo, hi, n_hit_iters,
-                b_mask=HITMAN_KEY_MASK)
-            val_row = data["hit_rowid"][idx]
-            val_key = data["hit_packed"][idx] & HITMAN_KEY_MASK
+            b_row, b_key, b_msk = hits_of(s)
+            pr, pk, ph = _pred_scan(a_row, a_key, b_row, b_key, b_msk)
             # same doc + within window (cross-field deltas exceed 2^24 > W)
-            ok &= exists & (val_row == a_row) & (a_key - val_key < W)
+            ok &= ph & (pr == a_row) & (a_key - pk < W)
 
     if size is None:
         size = N + 1

@@ -30,6 +30,9 @@ class QPhrase:
     words: tuple[str, ...]
     fields: tuple[str, ...] | None = None
     proximity: int = 0        # "..."~N ; 0 = exact phrase
+    # per-word query-position offsets relative to the first word (gaps >1
+    # where stopped/overshort words held a position); () = 0,1,2,...
+    positions: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -345,7 +345,7 @@ class FtQueryParser:
                 break
             self._next()
             if t.kind == "word":
-                words.extend(self._terms_of(t.text, exact=False))
+                words.append(t.text)
             # other specials inside quotes are separators
         # suffix: ~N proximity or /N quorum
         prox = 0
@@ -362,8 +362,21 @@ class FtQueryParser:
                     quorum = val
             except ValueError:
                 raise QueryParseError(f"bad phrase suffix {txt!r}")
+        # tokenize the whole quoted text at once: stopped/overshort tokens
+        # keep their POSITION (stopword_step/overshort_step semantics), so
+        # phrase matching preserves the gaps — "walking in my shoes" with
+        # in/my stopped must match walking@p, shoes@p+3 (the reference
+        # keeps atom positions for killed phrase words)
+        entries: list[tuple[str, int]] = []
+        for tk in self.tokenizer.tokenize(" ".join(words)):
+            term = self.dictionary.process_query_term(tk.text, exact=False)
+            if term is not None:
+                entries.append((term, tk.position))
+        words = [e[0] for e in entries]
         if not words:
             return None
+        base = entries[0][1]
+        deltas = tuple(e[1] - base for e in entries)
         if quorum is not None:
             m = int(quorum) if quorum >= 1 else max(1, int(len(words) * quorum))
             if m >= len(words):
@@ -372,4 +385,5 @@ class FtQueryParser:
             return QQuorum(tuple(words), m, self.cur_fields)
         if len(words) == 1:
             return QTerm(words[0], self.cur_fields)
-        return QPhrase(tuple(words), self.cur_fields, proximity=prox)
+        return QPhrase(tuple(words), self.cur_fields, proximity=prox,
+                       positions=deltas)

@@ -275,7 +275,8 @@ _WILDS = set("*?%")          # sphIsWild (sphinxstd.h)
 
 def _expansion_terms(pat: str, term_strs: list[str],
                      min_prefix: int, min_infix: int,
-                     expansion_limit: int) -> list[str] | None:
+                     expansion_limit: int,
+                     exact_forms: bool = False) -> list[str] | None:
     """Dictionary terms a wildcard pattern expands to, replicating
     sphExpandGetWords (sphinx.cpp:14931-15018). Returns None when the
     pattern's fixed part is under the min prefix/infix length (the
@@ -308,9 +309,13 @@ def _expansion_terms(pat: str, term_strs: list[str],
         if longest < min_infix:
             return None
         pattern = pat
+    # with morphology/exact forms, expansion runs over the nonstemmed
+    # shadow entries ("="-prefixed; MAGIC_WORD_HEAD_NONSTEMMED analog) and
+    # the expanded terms ARE those shadow entries
+    shadow = "=" if exact_forms else ""
     matches: list[str] = []
     if pattern.endswith("*") and not any(c in _WILDS for c in pattern[:-1]):
-        prefix = pattern[:-1]
+        prefix = shadow + pattern[:-1]
         i = bisect.bisect_left(term_strs, prefix)
         while i < len(term_strs) and term_strs[i].startswith(prefix):
             matches.append(term_strs[i])
@@ -318,8 +323,14 @@ def _expansion_terms(pat: str, term_strs: list[str],
             if expansion_limit and len(matches) >= expansion_limit:
                 break
     else:
-        fpat = pattern.replace("%", "?")
-        for t in term_strs:
+        fpat = shadow + pattern.replace("%", "?")
+        if shadow:
+            lo = bisect.bisect_left(term_strs, "=")
+            hi = bisect.bisect_left(term_strs, ">")
+            cand = term_strs[lo:hi]
+        else:
+            cand = term_strs
+        for t in cand:
             if fnmatch.fnmatchcase(t, fpat):
                 matches.append(t)
                 if expansion_limit and len(matches) >= expansion_limit:
@@ -342,6 +353,7 @@ def expand_wildcards(node, index, expansion_limit: int = 0,
     min_prefix = getattr(ds, "min_prefix_len", 0) if ds else 0
     min_infix = getattr(ds, "min_infix_len", 0) if ds else 0
     enabled = min_prefix > 0 or min_infix > 0
+    exact_forms = bool(ds and (ds.index_exact_words or ds.morphology))
 
     def rec(node):
         if isinstance(node, QTerm) and node.wildcard:
@@ -361,7 +373,8 @@ def expand_wildcards(node, index, expansion_limit: int = 0,
             if n_wild == 0:
                 return QTerm(pat, node.fields, zones=node.zones)
             matches = _expansion_terms(pat, term_strs, min_prefix,
-                                       min_infix, expansion_limit)
+                                       min_infix, expansion_limit,
+                                       exact_forms=exact_forms)
             if expanded_out is not None:
                 expanded_out[pat] = list(matches or ())
             if not matches:
@@ -487,9 +500,10 @@ def _lower(node, st: _SlotTable, positive: bool):
         return ("quorum", slots, node.m)
     if isinstance(node, QPhrase):
         slots = tuple(st.get(w, node.fields, positive) for w in node.words)
+        deltas = node.positions or tuple(range(len(slots)))
         if node.proximity:
-            return ("proximity", slots, node.proximity)
-        return ("phrase", slots)
+            return ("proximity", slots, node.proximity, deltas)
+        return ("phrase", slots, deltas)
     if isinstance(node, QNear):
         if isinstance(node.left, QTerm) and isinstance(node.right, QTerm):
             sa = st.get(node.left.word, node.left.fields, positive)
@@ -588,7 +602,8 @@ def plan_query(
         bfreq = set(getattr(_ts, "bigram_freq_words", ()))
 
         def _bg(e):
-            if e[0] == "phrase" and len(e[1]) == 2:
+            if e[0] == "phrase" and len(e[1]) == 2 \
+                    and (len(e) < 3 or e[2] == (0, 1)):
                 sa, sb = e[1]
                 wa, wb = st.terms[sa], st.terms[sb]
                 qual = (bmode == "all"

@@ -56,7 +56,17 @@ class Schema:
             raise ValueError("device fast path supports up to 32 full-text fields")
         names = [f for f in self.fields] + [a.name for a in self.attrs]
         if len(set(names)) != len(names):
-            raise ValueError("duplicate column names in schema")
+            # one exception: a full-text field may share its name with a
+            # STRING attribute — the reference's sql_field_string /
+            # rt_field+rt_attr_string "indexed and stored" columns
+            # (sphinx.h:1788+). SELECT resolves the attr; MATCH @name the
+            # field.
+            for n in {x for x in names if names.count(x) > 1}:
+                ok = (names.count(n) == 2 and n in self.fields
+                      and any(a.name == n and a.type is AttrType.STRING
+                              for a in self.attrs))
+                if not ok:
+                    raise ValueError("duplicate column names in schema")
 
     @property
     def n_fields(self) -> int:

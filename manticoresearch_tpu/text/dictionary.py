@@ -89,9 +89,14 @@ class Dictionary:
                     break
         if term in s.stopwords or not term:
             return []
-        if s.index_exact_words and term != token:
-            return [term, "=" + token]
-        if s.index_exact_words:
+        # nonstemmed shadow entries (MAGIC_WORD_HEAD_NONSTEMMED analog):
+        # indexed with index_exact_words, and ALSO whenever morphology
+        # coexists with wildcard indexing — the reference expands wildcards
+        # over nonstemmed forms only (sphExpandGetWords "prefix expansion
+        # should work on nonstemmed words only", sphinx.cpp:14965)
+        if s.index_exact_words or (
+                self._morphs and (s.min_prefix_len > 0
+                                  or s.min_infix_len > 0)):
             return [term, "=" + token]
         return [term]
 

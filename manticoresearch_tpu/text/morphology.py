@@ -329,112 +329,365 @@ def russian_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Metaphone (original 1990 algorithm) — reference sphinxmetaphone.cpp.
+# Double Metaphone (Lawrence Philips, 2000) — the algorithm the reference's
+# stem_dmetaphone implements (sphinxmetaphone.cpp:586): UPPERCASE primary
+# code, no length cap, and words containing non-ASCII codepoints other than
+# C-cedilla / N-tilde pass through unchanged.
+
+def _dm_slavo_germanic(w: str) -> bool:
+    return "W" in w or "K" in w or "CZ" in w or "WITZ" in w
+
+
 def metaphone(word: str) -> str:
-    if not word or not word.isascii() or not word.isalpha():
-        return word
-    w = word.upper()
-    # initial-letter exceptions
-    for pre, rep in (("AE", "E"), ("GN", "N"), ("KN", "N"), ("PN", "N"),
-                     ("WR", "R"), ("X", "S"), ("WH", "W")):
-        if w.startswith(pre):
-            w = rep + w[len(pre):]
-            break
-    out = []
-    vowels = "AEIOU"
-    i = 0
+    up = word.upper()
+    for c in up:
+        o = ord(c)
+        if o > 128 and o not in (0xC7, 0xE7, 0xD1, 0xF1):
+            return word
+    w = up.replace(chr(0xC7), "\x80").replace(chr(0xE7), "\x80") \
+          .replace(chr(0xD1), "\x81").replace(chr(0xF1), "\x81")
+    # internal markers: \x80 = C-cedilla, \x81 = N-tilde
     n = len(w)
+    pad = w + " " * 10
+    vowels = "AEIOUY"
 
-    def ch(k):
-        return w[k] if 0 <= k < n else ""
+    def at(i):
+        return pad[i] if i >= 0 else ""
 
-    while i < n and len(out) < 6:
-        c = w[i]
-        if c in vowels:
+    def stringat(start, length, *subs):
+        if start < 0:
+            return False
+        piece = pad[start:start + length]
+        return piece in subs
+
+    def isvowel(i):
+        return 0 <= i < n and pad[i] in vowels
+
+    sg = _dm_slavo_germanic(w)
+    pri: list[str] = []
+    i = 0
+
+    if stringat(0, 2, "GN", "KN", "PN", "WR", "PS"):
+        i = 1
+    if at(0) == "X":
+        pri.append("S")
+        i = 1
+
+    while i < n:
+        c = pad[i]
+        if c in "AEIOUY":
             if i == 0:
-                out.append(c)
-        elif c in "FJLMNR":
-            if not (out and out[-1] == c):
-                out.append({"F": "F", "J": "J", "L": "L", "M": "M",
-                            "N": "N", "R": "R"}[c])
+                pri.append("A")
+            i += 1
+        elif c == "\x80":                      # C-cedilla
+            pri.append("S")
+            i += 1
+        elif c == "\x81":                      # N-tilde
+            pri.append("N")
+            i += 1
         elif c == "B":
-            if not (i == n - 1 and ch(i - 1) == "M"):
-                out.append("B")
+            pri.append("P")
+            i += 2 if at(i + 1) == "B" else 1
         elif c == "C":
-            if ch(i + 1) == "I" and ch(i + 2) == "A":
-                out.append("X")
-            elif ch(i + 1) == "H":
-                out.append("X" if ch(i - 1) != "S" else "K")
-                i += 1
-            elif ch(i + 1) in "IEY":
-                if ch(i - 1) != "S":
-                    out.append("S")
-            else:
-                out.append("K")
-        elif c == "D":
-            if ch(i + 1) == "G" and ch(i + 2) in "EIY":
-                out.append("J")
-                i += 1
-            else:
-                out.append("T")
-        elif c == "G":
-            if ch(i + 1) == "H":
-                if i + 1 == n - 1 or ch(i + 2) not in vowels:
-                    i += 1  # silent GH
+            # germanic CH as K: e.g. 'ACH-' but not 'BACHER'/'MACHER'
+            if i > 1 and not isvowel(i - 2) and stringat(i - 1, 3, "ACH") \
+                    and at(i + 2) != "I" \
+                    and (at(i + 2) != "E"
+                         or stringat(i - 2, 6, "BACHER", "MACHER")):
+                pri.append("K")
+                i += 2
+            elif i == 0 and stringat(0, 6, "CAESAR"):
+                pri.append("S")
+                i += 2
+            elif stringat(i, 4, "CHIA"):
+                pri.append("K")
+                i += 2
+            elif stringat(i, 2, "CH"):
+                if i > 0 and stringat(i, 4, "CHAE"):
+                    pri.append("K")
+                elif i == 0 and (stringat(i + 1, 5, "HARAC", "HARIS")
+                                 or stringat(i + 1, 3, "HOR", "HYM", "HIA",
+                                             "HEM")) \
+                        and not stringat(0, 5, "CHORE"):
+                    pri.append("K")
+                elif stringat(0, 4, "VAN ", "VON ") \
+                        or stringat(0, 3, "SCH") \
+                        or stringat(i - 2, 6, "ORCHES", "ARCHIT", "ORCHID") \
+                        or stringat(i + 2, 1, "T", "S") \
+                        or ((stringat(i - 1, 1, "A", "O", "U", "E")
+                             or i == 0)
+                            and stringat(i + 2, 1, "L", "R", "N", "M", "B",
+                                         "H", "F", "V", "W", " ")):
+                    pri.append("K")
+                elif i > 0:
+                    pri.append("K" if stringat(0, 2, "MC") else "X")
                 else:
-                    out.append("K")
-            elif ch(i + 1) == "N":
-                pass  # silent in GN, GNED
-            elif ch(i + 1) in "IEY":
-                out.append("J")
+                    pri.append("X")
+                i += 2
+            elif stringat(i, 2, "CZ") and not stringat(i - 2, 4, "WICZ"):
+                pri.append("S")
+                i += 2
+            elif stringat(i + 1, 3, "CIA"):
+                pri.append("X")
+                i += 3
+            elif stringat(i, 2, "CC") and not (i == 1 and at(0) == "M"):
+                if stringat(i + 2, 1, "I", "E", "H") \
+                        and not stringat(i + 2, 2, "HU"):
+                    if (i == 1 and at(i - 1) == "A") \
+                            or stringat(i - 1, 5, "UCCEE", "UCCES"):
+                        pri.append("KS")
+                    else:
+                        pri.append("X")
+                    i += 3
+                else:
+                    pri.append("K")
+                    i += 2
+            elif stringat(i, 2, "CK", "CG", "CQ"):
+                pri.append("K")
+                i += 2
+            elif stringat(i, 2, "CI", "CE", "CY"):
+                pri.append("S")
+                i += 2
             else:
-                out.append("K")
+                pri.append("K")
+                if stringat(i + 1, 2, " C", " Q", " G"):
+                    i += 3
+                elif stringat(i + 1, 1, "C", "K", "Q") \
+                        and not stringat(i + 1, 2, "CE", "CI"):
+                    i += 2
+                else:
+                    i += 1
+        elif c == "D":
+            if stringat(i, 2, "DG"):
+                if stringat(i + 2, 1, "I", "E", "Y"):
+                    pri.append("J")
+                    i += 3
+                else:
+                    pri.append("TK")
+                    i += 2
+            elif stringat(i, 2, "DT", "DD"):
+                pri.append("T")
+                i += 2
+            else:
+                pri.append("T")
+                i += 1
+        elif c == "F":
+            pri.append("F")
+            i += 2 if at(i + 1) == "F" else 1
+        elif c == "G":
+            if at(i + 1) == "H":
+                if i > 0 and not isvowel(i - 1):
+                    pri.append("K")
+                    i += 2
+                elif i == 0:
+                    if at(i + 2) == "I":
+                        pri.append("J")
+                    else:
+                        pri.append("K")
+                    i += 2
+                elif (i > 1 and stringat(i - 2, 1, "B", "H", "D")) \
+                        or (i > 2 and stringat(i - 3, 1, "B", "H", "D")) \
+                        or (i > 3 and stringat(i - 4, 1, "B", "H")):
+                    i += 2
+                else:
+                    if i > 2 and at(i - 1) == "U" \
+                            and stringat(i - 3, 1, "C", "G", "L", "R", "T"):
+                        pri.append("F")
+                    elif i > 0 and at(i - 1) != "I":
+                        pri.append("K")
+                    i += 2
+            elif at(i + 1) == "N":
+                if i == 1 and isvowel(0) and not sg:
+                    pri.append("KN")
+                elif not stringat(i + 2, 2, "EY") and at(i + 1) != "Y" \
+                        and not sg:
+                    pri.append("N")
+                else:
+                    pri.append("KN")
+                i += 2
+            elif stringat(i + 1, 2, "LI") and not sg:
+                pri.append("KL")
+                i += 2
+            elif i == 0 and (at(i + 1) == "Y"
+                             or stringat(i + 1, 2, "ES", "EP", "EB", "EL",
+                                         "EY", "IB", "IL", "IN", "IE",
+                                         "EI", "ER")):
+                pri.append("K")
+                i += 2
+            elif (stringat(i + 1, 2, "ER") or at(i + 1) == "Y") \
+                    and not stringat(0, 6, "DANGER", "RANGER", "MANGER") \
+                    and not stringat(i - 1, 1, "E", "I") \
+                    and not stringat(i - 1, 3, "RGY", "OGY"):
+                pri.append("K")
+                i += 2
+            elif stringat(i + 1, 1, "E", "I", "Y") \
+                    or stringat(i - 1, 4, "AGGI", "OGGI"):
+                if stringat(0, 4, "VAN ", "VON ") or stringat(0, 3, "SCH") \
+                        or stringat(i + 1, 2, "ET"):
+                    pri.append("K")
+                elif stringat(i + 1, 4, "IER "):
+                    pri.append("J")
+                else:
+                    pri.append("J")
+                i += 2
+            else:
+                pri.append("K")
+                i += 2 if at(i + 1) == "G" else 1
         elif c == "H":
-            if ch(i - 1) in vowels and ch(i + 1) not in vowels:
-                pass
-            elif ch(i - 1) in "CSPTG":
-                pass
+            if (i == 0 or isvowel(i - 1)) and isvowel(i + 1):
+                pri.append("H")
+                i += 2
             else:
-                out.append("H")
+                i += 1
+        elif c == "J":
+            if stringat(i, 4, "JOSE") or stringat(0, 4, "SAN "):
+                if (i == 0 and at(i + 4) == " ") or stringat(0, 4, "SAN "):
+                    pri.append("H")
+                else:
+                    pri.append("J")
+                i += 1
+            else:
+                if i == 0 and not stringat(i, 4, "JOSE"):
+                    pri.append("J")
+                elif isvowel(i - 1) and not sg \
+                        and (at(i + 1) == "A" or at(i + 1) == "O"):
+                    pri.append("J")
+                elif i == n - 1:
+                    pri.append("J")
+                elif not stringat(i + 1, 1, "L", "T", "K", "S", "N", "M",
+                                  "B", "Z") \
+                        and not stringat(i - 1, 1, "S", "K", "L"):
+                    pri.append("J")
+                i += 2 if at(i + 1) == "J" else 1
         elif c == "K":
-            if ch(i - 1) != "C":
-                out.append("K")
+            pri.append("K")
+            i += 2 if at(i + 1) == "K" else 1
+        elif c == "L":
+            if at(i + 1) == "L":
+                i += 2
+            else:
+                i += 1
+            pri.append("L")
+        elif c == "M":
+            pri.append("M")
+            if (stringat(i - 1, 3, "UMB")
+                    and (i + 1 == n - 1 or stringat(i + 2, 2, "ER"))) \
+                    or at(i + 1) == "M":
+                i += 2
+            else:
+                i += 1
+        elif c == "N":
+            pri.append("N")
+            i += 2 if at(i + 1) == "N" else 1
         elif c == "P":
-            if ch(i + 1) == "H":
-                out.append("F")
-                i += 1
+            if at(i + 1) == "H":
+                pri.append("F")
+                i += 2
             else:
-                out.append("P")
+                pri.append("P")
+                i += 2 if stringat(i + 1, 1, "P", "B") else 1
         elif c == "Q":
-            out.append("K")
+            pri.append("K")
+            i += 2 if at(i + 1) == "Q" else 1
+        elif c == "R":
+            # french ending e.g. 'rogier' drops to secondary only
+            if not (i == n - 1 and not sg
+                    and stringat(i - 2, 2, "IE")
+                    and not stringat(i - 4, 2, "ME", "MA")):
+                pri.append("R")
+            i += 2 if at(i + 1) == "R" else 1
         elif c == "S":
-            if ch(i + 1) == "H":
-                out.append("X")
+            if stringat(i - 1, 3, "ISL", "YSL"):
                 i += 1
-            elif ch(i + 1) == "I" and ch(i + 2) in "OA":
-                out.append("X")
+            elif i == 0 and stringat(i, 5, "SUGAR"):
+                pri.append("X")
+                i += 1
+            elif stringat(i, 2, "SH"):
+                if stringat(i + 1, 4, "HEIM", "HOEK", "HOLM", "HOLZ"):
+                    pri.append("S")
+                else:
+                    pri.append("X")
+                i += 2
+            elif stringat(i, 3, "SIO", "SIA") or stringat(i, 4, "SIAN"):
+                pri.append("S")
+                i += 3
+            elif (i == 0 and stringat(i + 1, 1, "M", "N", "L", "W")) \
+                    or stringat(i + 1, 1, "Z"):
+                pri.append("S")
+                i += 2 if stringat(i + 1, 1, "Z") else 1
+            elif stringat(i, 2, "SC"):
+                if at(i + 2) == "H":
+                    if stringat(i + 3, 2, "OO", "ER", "EN", "UY", "ED",
+                                "EM"):
+                        if stringat(i + 3, 2, "ER", "EN"):
+                            pri.append("X")
+                        else:
+                            pri.append("SK")
+                        i += 3
+                    else:
+                        pri.append("X")
+                        i += 3
+                elif stringat(i + 2, 1, "I", "E", "Y"):
+                    pri.append("S")
+                    i += 3
+                else:
+                    pri.append("SK")
+                    i += 3
             else:
-                out.append("S")
+                if not (i == n - 1 and stringat(i - 2, 2, "AI", "OI")):
+                    pri.append("S")
+                i += 2 if stringat(i + 1, 1, "S", "Z") else 1
         elif c == "T":
-            if ch(i + 1) == "H":
-                out.append("0")
-                i += 1
-            elif ch(i + 1) == "I" and ch(i + 2) in "OA":
-                out.append("X")
+            if stringat(i, 4, "TION") or stringat(i, 3, "TIA", "TCH"):
+                pri.append("X")
+                i += 3
+            elif stringat(i, 2, "TH") or stringat(i, 3, "TTH"):
+                if stringat(i + 2, 2, "OM", "AM") \
+                        or stringat(0, 4, "VAN ", "VON ") \
+                        or stringat(0, 3, "SCH"):
+                    pri.append("T")
+                else:
+                    pri.append("0")
+                i += 2
             else:
-                out.append("T")
+                pri.append("T")
+                i += 2 if stringat(i + 1, 1, "T", "D") else 1
         elif c == "V":
-            out.append("F")
+            pri.append("F")
+            i += 2 if at(i + 1) == "V" else 1
         elif c == "W":
-            if ch(i + 1) in vowels:
-                out.append("W")
+            if stringat(i, 2, "WR"):
+                pri.append("R")
+                i += 2
+            else:
+                if i == 0 and (isvowel(i + 1) or stringat(i, 2, "WH")):
+                    if isvowel(i + 1):
+                        pri.append("A")
+                    else:
+                        pri.append("A")
+                if (i == n - 1 and isvowel(i - 1)) \
+                        or stringat(i - 1, 5, "EWSKI", "EWSKY", "OWSKI",
+                                    "OWSKY") \
+                        or stringat(0, 3, "SCH"):
+                    i += 1
+                elif stringat(i, 4, "WICZ", "WITZ"):
+                    pri.append("TS")
+                    i += 4
+                else:
+                    i += 1
         elif c == "X":
-            out.append("K")
-            out.append("S")
-        elif c == "Y":
-            if ch(i + 1) in vowels:
-                out.append("Y")
+            if not (i == n - 1
+                    and (stringat(i - 3, 3, "IAU", "EAU")
+                         or stringat(i - 2, 2, "AU", "OU"))):
+                pri.append("KS")
+            i += 2 if stringat(i + 1, 1, "C", "X") else 1
         elif c == "Z":
-            out.append("S")
-        i += 1
-    return "".join(out).lower()
+            if at(i + 1) == "H":
+                pri.append("J")
+                i += 2
+            else:
+                pri.append("S")
+                i += 2 if at(i + 1) == "Z" else 1
+        else:
+            i += 1
+    return "".join(pri)

@@ -80,14 +80,23 @@ class Token:
 class Tokenizer:
     def __init__(self, settings: TokenizerSettings | None = None):
         self.settings = settings or TokenizerSettings()
-        self._lc = get_lowercaser(self.settings.charset_table)
         self._ngram_set: np.ndarray | None = None
         if self.settings.ngram_chars:
+            # ngram_chars is a charset spec with optional -> remaps: its
+            # chars join the fold table (word chars), and the n-gram check
+            # runs on FOLDED codepoints (remap targets) — the reference
+            # merges ngram_chars into the charset the same way
+            # (CSphTokenizerBase::SetNgramChars)
+            self._lc = get_lowercaser(self.settings.charset_table + ", "
+                                      + self.settings.ngram_chars)
             ranges = parse_charset_spec(self.settings.ngram_chars)
-            pts = []
+            pts = set()
             for r in ranges:
-                pts.extend(range(r.start, r.end + 1))
+                pts.update(range(r.remap_start,
+                                 r.remap_start + (r.end - r.start) + 1))
             self._ngram_set = np.array(sorted(pts), dtype=np.int32)
+        else:
+            self._lc = get_lowercaser(self.settings.charset_table)
         self._strip = None
         if self.settings.html_strip:
             from .htmlstrip import parse_index_attrs, strip_html

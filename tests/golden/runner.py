@@ -63,19 +63,79 @@ def mysql_to_sqlite(sql: str) -> str:
     return sql
 
 
+_MYSQL_ESC = re.compile(r"\\(.)")
+
+
+def _unescape_mysql_strings(sql: str) -> str:
+    """MySQL backslash escapes inside '...' literals -> sqlite ('' for
+    quotes, literal otherwise)."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        out.append(c)
+        i += 1
+        if c == "'":
+            while i < n:
+                c = sql[i]
+                if c == "\\" and i + 1 < n:
+                    nxt = sql[i + 1]
+                    if nxt == "'":
+                        out.append("''")
+                    elif nxt == '"':
+                        out.append('"')
+                    elif nxt == "\\":
+                        out.append("\\")
+                    elif nxt == "n":
+                        out.append("\n")
+                    elif nxt == "t":
+                        out.append("\t")
+                    else:
+                        out.append(nxt)
+                    i += 2
+                    continue
+                out.append(c)
+                i += 1
+                if c == "'":
+                    if i < n and sql[i] == "'":   # '' stays escaped
+                        out.append("'")
+                        i += 1
+                        continue
+                    break
+    return "".join(out)
+
+
+def _mysql_ts(s) -> int:
+    import calendar
+    import time as _time
+    if s is None:
+        return 0
+    s = str(s).strip()
+    if s.isdigit():
+        return int(s)
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return calendar.timegm(_time.strptime(s, fmt))
+        except ValueError:
+            continue
+    return 0
+
+
 def open_db(gt: GoldenTest) -> sqlite3.Connection:
     con = sqlite3.connect(":memory:")
     con.row_factory = sqlite3.Row
     import zlib
     import time as _time
     con.create_function("UNIX_TIMESTAMP", 0, lambda: int(_time.time()))
-    con.create_function("UNIX_TIMESTAMP", 1, lambda s: int(s or 0))
+    con.create_function("UNIX_TIMESTAMP", 1, _mysql_ts)
+    con.create_function("COMPRESS", 1, lambda s: s)
     con.create_function("CRC32", 1,
                         lambda s: zlib.crc32(str(s).encode()) & 0xFFFFFFFF)
     con.create_function("CONCAT", -1,
                         lambda *a: "".join("" if x is None else str(x)
                                            for x in a))
     con.create_function("RAND", 0, lambda: 0.5)
+    con.create_function("REPEAT", 2, lambda s, k: str(s or "") * int(k))
     for stmt in gt.db_create:
         for one in _split_sql(mysql_to_sqlite(stmt)):
             con.execute(one)
@@ -87,7 +147,7 @@ def open_db(gt: GoldenTest) -> sqlite3.Connection:
                 except sqlite3.Error:
                     pass
                 continue
-            con.execute(one)
+            con.execute(_unescape_mysql_strings(one))
     con.commit()
     return con
 
@@ -143,6 +203,7 @@ class SourceDef:
     attr_codes: dict = field(default_factory=dict)  # name -> SPH_ATTR code
     attr_bits: dict = field(default_factory=dict)   # name -> bitcount
     docs: list = field(default_factory=list)        # row dicts
+    kill_ids: list = field(default_factory=list)    # sql_query_killlist
 
 
 def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
@@ -164,13 +225,13 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
     for val in src.get("sql_attr_multi", []):
         # "uint tag from field" | "uint tag from query; SELECT ..."
         m = re.match(r"\s*(uint|bigint|timestamp)\s+(\w+)\s+from\s+"
-                     r"(field|query|ranged-query)\s*(?:;(.*))?$",
+                     r"(field|query|ranged-query)(?:\s+(\w+))?\s*(?:;(.*))?$",
                      val.strip(), re.I | re.S)
         if not m:
             raise GoldenUnsupported(f"sql_attr_multi syntax: {val!r}")
-        typ, name, fromwhat, query = m.groups()
+        typ, name, fromwhat, src_col, query = m.groups()
         is64 = typ.lower() == "bigint"
-        mva_defs.append((name, is64, fromwhat.lower(), query))
+        mva_defs.append((name, is64, fromwhat.lower(), query, src_col))
         sd.attr_codes[name] = SPH_ATTR_MULTI64 if is64 else SPH_ATTR_MULTI
         sd.attrs.append(AttrDef(name, AttrType.MVA64 if is64
                                 else AttrType.MVA))
@@ -185,6 +246,10 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
         except sqlite3.Error:
             pass   # SET NAMES etc.
 
+    for kq in src.get("sql_query_killlist", []):
+        for row in con.execute(kq):
+            sd.kill_ids.append(int(row[0]))
+
     q = src.get("sql_query", [None])[0]
     if q is None:
         raise GoldenUnsupported("source has no sql_query")
@@ -194,11 +259,17 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
     cols = [d[0] for d in cur.description]
     id_col = cols[0]
     attr_names = set(sd.attr_codes)
-    sd.fields = [c for c in cols[1:] if c not in attr_names
+    mva_src_cols = {src_col for _, _, fw, _, src_col in mva_defs
+                    if fw == "field" and src_col}
+    sd.fields = [c for c in cols[1:]
+                 if (c not in attr_names and c not in mva_src_cols)
                  or c in field_string]
 
+    mva_field_col = {name: (src_col or name)
+                     for name, _, fw, _, src_col in mva_defs
+                     if fw == "field"}
     mva_from_query: dict[str, dict[int, list[int]]] = {}
-    for name, is64, fromwhat, query in mva_defs:
+    for name, is64, fromwhat, query, _src in mva_defs:
         if fromwhat in ("query", "ranged-query"):
             mp: dict[int, list[int]] = {}
             if query:
@@ -218,7 +289,7 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
                 if name in mva_from_query:
                     doc[name] = mva_from_query[name].get(doc["id"], [])
                 else:
-                    raw = str(d.get(name) or "")
+                    raw = str(d.get(mva_field_col.get(name, name)) or "")
                     doc[name] = [int(x) for x in
                                  re.split(r"[,\s]+", raw) if x.strip()]
             elif code == SPH_ATTR_FLOAT:
@@ -338,6 +409,9 @@ class GoldenEnv:
         self.attr_codes: dict[str, dict] = {}
         self.distributed: dict[str, list[str]] = {}
         self.query_defaults: dict[str, dict] = {}
+        self._plain_build: dict[str, tuple] = {}
+        self._kills: dict[str, list] = {}
+        self._klist_target: dict[str, str] = {}
         self._build()
 
     def _build(self):
@@ -399,6 +473,7 @@ class GoldenEnv:
             tok, dic = settings_from_sql_options(o)
             sd = None
             docs: list[dict] = []
+            kill_ids: list[int] = []
             for srcname in srcnames:
                 src = section_dict(self.sections, "source", srcname.strip())
                 styp = (src.get("type") or [""])[-1]
@@ -408,6 +483,10 @@ class GoldenEnv:
                 if sd is None:
                     sd = one
                 docs.extend(one.docs)
+                kill_ids.extend(one.kill_ids)
+            self._kills[sec.name] = kill_ids
+            self._klist_target[sec.name] = (idx.get("killlist_target")
+                                            or [""])[-1]
             schema = Schema(fields=sd.fields, attrs=sd.attrs)
             b = IndexBuilder(schema, tok, dic)
             b.add_documents(docs)
@@ -418,7 +497,78 @@ class GoldenEnv:
             self.attr_codes[sec.name] = dict(sd.attr_codes)
             self.query_defaults[sec.name] = qdef
             self.index_order.append(sec.name)
+            self._plain_build[sec.name] = (schema, tok, dic, docs, o)
         con.close()
+
+        # <indexer><run>--merge DST SRC</run>: DST becomes DST ∪ SRC with
+        # SRC's kill-list applied to DST's rows first (indexer.cpp --merge
+        # / CSphIndex_VLN::Merge — re-building from the surviving union is
+        # semantically identical for live rows)
+        for run in self.gt.indexer_runs:
+            toks = run.split()
+            if toks[:1] == ["--merge"] and len(toks) >= 3:
+                dst, src = toks[1], toks[2]
+                if dst not in self._plain_build \
+                        or src not in self._plain_build:
+                    raise GoldenUnsupported(f"indexer run {run!r}")
+                schema, tok, dic, ddocs, o = self._plain_build[dst]
+                sdocs = self._plain_build[src][3]
+                apply_kills = True
+                rest = toks[3:]
+                i2 = 0
+                while i2 < len(rest):
+                    if rest[i2] == "--merge-dst-range" and i2 + 3 < len(rest) + 1:
+                        # keep only dst rows with attr in [min, max]
+                        a, lo, hi = (rest[i2 + 1], int(rest[i2 + 2]),
+                                     int(rest[i2 + 3]))
+                        ddocs = [d for d in ddocs
+                                 if lo <= int(d.get(a, 0)) <= hi]
+                        i2 += 4
+                    elif rest[i2] == "--merge-killlists":
+                        apply_kills = False   # lists merge, rows survive
+                        i2 += 1
+                    elif rest[i2] == "--rotate":
+                        i2 += 1
+                    else:
+                        raise GoldenUnsupported(f"indexer run {run!r}")
+                kills = (set(self._kills.get(src, ()))
+                         if apply_kills else set())
+                by_id = {d["id"]: d for d in ddocs
+                         if d["id"] not in kills}
+                for d in sdocs:
+                    by_id[d["id"]] = d
+                merged = list(by_id.values())
+                b = IndexBuilder(schema, tok, dic)
+                b.add_documents(merged)
+                rt = rt_from_packed(dst, b.build())
+                rt.options = dict(o)
+                self.catalog.tables[dst] = rt
+                self._plain_build[dst] = (schema, tok, dic, merged, o)
+            elif not toks or "--rotate" in toks[0]:
+                continue
+            else:
+                raise GoldenUnsupported(f"indexer run {run!r}")
+
+        # killlist_target (ApplyKillListsTo, searchd.cpp:15926-16005):
+        # index K's kill list (:kl) and/or own docids (:id) suppress rows
+        # of the listed target tables at load
+        for name, target_spec in self._klist_target.items():
+            if not target_spec:
+                continue
+            for tgt in target_spec.split(","):
+                tgt = tgt.strip()
+                mode = "both" if ":" not in tgt else ""
+                if ":" in tgt:
+                    tgt, _, mode = tgt.partition(":")
+                    mode = mode.strip()
+                ids: list[int] = []
+                if mode in ("kl", "both"):
+                    ids.extend(self._kills.get(name, ()))
+                if mode in ("id", "both") and name in self._plain_build:
+                    ids.extend(d["id"] for d in self._plain_build[name][3])
+                t = self.catalog.tables.get(tgt.strip())
+                if t is not None and ids:
+                    t.delete(ids)
 
     # -- API query execution ---------------------------------------------
     def resolve_indexes(self, spec: str) -> list[str]:
@@ -446,6 +596,15 @@ class GoldenEnv:
         from manticoresearch_tpu.exec.multi import merge_part_results
 
         attrs = q.attrs
+        known = {"mode", "ranker", "sortmode", "sortby", "filter",
+                 "filter_value", "filter_range", "filter_str",
+                 "filter_exclude", "index", "limits", "cutoff", "resarray",
+                 "roundoff", "expect_error", "groupattr", "groupfunc",
+                 "groupsort", "groupdistinct", "select", "index_weights",
+                 "tag", "comment"}
+        unknown = set(attrs) - known
+        if unknown:
+            raise GoldenUnsupported(f"API query attrs {sorted(unknown)}")
         text = q.query
         mode = attrs.get("mode", "")
         ranker_names = {
@@ -548,9 +707,11 @@ class GoldenEnv:
         return self.shape_api_result(res, names, q)
 
     def shape_api_result(self, res, names, q) -> dict:
-        attrs_map: dict[str, int] = {}
-        for n in names:
-            attrs_map.update(self.attr_codes.get(n, {}))
+        # multi-index result schema = the attr INTERSECTION in first-index
+        # order (MinimizeAggrResult schema unification, searchd.cpp:4816)
+        maps = [self.attr_codes.get(n, {}) for n in names] or [{}]
+        attrs_map = {k: v for k, v in maps[0].items()
+                     if all(k in m for m in maps[1:])}
         out: dict = {"error": res.error or "", "warning": res.warning or ""}
         if res.error:
             # the API reports failed queries with just the error string

@@ -52,6 +52,7 @@ class GoldenTest:
     skip_indexer: bool = False
     has_custom: bool = False
     query_attributes: list[str] = field(default_factory=list)
+    indexer_runs: list[str] = field(default_factory=list)
 
     @property
     def n_subtests(self) -> int:
@@ -228,6 +229,10 @@ def load_test(dirname: str, root: str = TESTROOT) -> GoldenTest:
             gt.custom_insert.append(c.text or "")
         elif t == "num_agents":
             gt.num_agents = int((c.text or "1").strip())
+        elif t == "indexer":
+            for r in c:
+                if _tag(r) == "run":
+                    gt.indexer_runs.append((r.text or "").strip())
         elif t in ("skip_indexer", "skip-indexer"):
             gt.skip_indexer = True
         elif t == "requires":

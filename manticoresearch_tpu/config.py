@@ -160,12 +160,35 @@ def settings_from_sql_options(options: dict[str, str]
         bigram_index=str(o.get("bigram_index", "")).strip(),
         bigram_freq_words=_list("bigram_freq_words"),
     )
-    wordforms = []
-    for pair in str(o.get("wordforms", "")).split(","):
-        if ">" in pair:
-            src, _, dst = pair.partition(">")
-            if src.strip() and dst.strip():
-                wordforms.append((src.strip(), dst.strip()))
+    # wordform lines normalize through the TOKENIZER (the reference folds
+    # each side; 'run-time > runer' is a multi-token source because '-'
+    # separates). Single->single pairs live in the dict; any multi-token
+    # side becomes a tokenizer multiform.
+    if o.get("wordforms"):
+        from .text.tokenizer import Tokenizer
+        from dataclasses import replace as _dc_replace
+        norm_tok = Tokenizer(tok)
+        wordforms = []
+        multiforms = []
+        for pair in str(o.get("wordforms", "")).split(","):
+            if ">" not in pair:
+                continue
+            src_w, _, dst = pair.partition(">")
+            src_t = [t.text for t in norm_tok.tokenize(src_w.strip())]
+            dst_t = [t.text for t in norm_tok.tokenize(dst.strip())]
+            if not src_t or not dst_t:
+                continue
+            if len(src_t) == 1 and len(dst_t) == 1:
+                wordforms.append((src_t[0], dst_t[0]))
+            else:
+                multiforms.append((tuple(src_t), tuple(dst_t)))
+                if len(dst_t) == 1:
+                    # single-token destinations bypass morphology like
+                    # plain wordform results do (identity mapping)
+                    wordforms.append((dst_t[0], dst_t[0]))
+        tok = _dc_replace(tok, multiforms=tuple(multiforms))
+    else:
+        wordforms = []
     dic = DictSettings(
         stopwords=frozenset(_list("stopwords")),
         morphology=_list("morphology"),

@@ -563,11 +563,12 @@ class Session:
             name = it.alias or it.expr
             raw = it.expr
             if raw == "*":
+                # SELECT * = id + attributes; plain full-text fields are
+                # not returned (the reference's result schema — fields are
+                # retrievable via explicit selection or a same-named
+                # string attr, sphinx.h:1486 CSphSchema)
                 cols.append("id")
                 getters.append(lambda m: m.docid)
-                for fname in schema.fields:
-                    cols.append(fname)
-                    getters.append(lambda m, n=fname: m.attrs.get(n))
                 for a in schema.attrs:
                     cols.append(a.name)
                     getters.append(lambda m, n=a.name: m.attrs.get(n))

@@ -292,9 +292,12 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
     use_lcs = sig.ranker in RANKERS_WITH_HITS
     pos_slots = tuple(sorted(positive_slots(sig.expr))) if sig.expr[0] != "all" else ()
     phrase_nodes = _collect_phrase_nodes(sig.expr)
-    from ..query.plan import positive_phrase_nodes, ranker_term_slots
+    from ..query.plan import (phrase_member_gating, positive_phrase_nodes,
+                              ranker_term_slots)
     rk_slots = ranker_term_slots(sig.expr) if use_lcs else ()
     rk_phrases = positive_phrase_nodes(sig.expr) if use_lcs else ()
+    gated_nodes, _free_slots = phrase_member_gating(sig.expr)
+    gated_all = {s for slots in gated_nodes.values() for s in slots}
 
     limited_set = {e[0] for e in sig.slot_limited}
 
@@ -420,7 +423,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                         bit_parts[w].append(jnp.zeros(sz, jnp.int32))
                     fm_parts.append(jnp.zeros(sz, jnp.int32))
                     continue
-                if s in pos_slots:
+                if s in pos_slots and s not in gated_all:
                     tfq = slot_tfq(s, st, sz)
                     contrib = jnp.where(
                         msk, tfq * rt["idf"][s] * rt["mult"][s], 0.0)
@@ -492,7 +495,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     continue  # evaluated on the hit pass below
                 row, msk, st, sz = slot_postings(s)
                 tfq = slot_tfq(s, st, sz)
-                if s in pos_slots:
+                if s in pos_slots and s not in gated_all:
                     contrib = jnp.where(
                         msk, tfq * rt["idf"][s] * rt["mult"][s], 0.0)
                     # barrier: stop XLA fusing the multiply into the
@@ -672,6 +675,23 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 node, data, rt, N, slot_hb, n_hit_iters, size, to_idx
             )
 
+        # gated member tfidf: a phrase/proximity member's tf*idf reaches a
+        # doc only where the NODE matched (its FSM emitted hits there) —
+        # phrase_member_gating docstring has the golden counterexample
+        for node, gslots in gated_nodes.items():
+            if node not in phrase_results:
+                continue
+            acc = jnp.zeros(size, jnp.float32)
+            for s in gslots:
+                row, msk, st_, sz_ = slot_postings(s)
+                tfq_ = slot_tfq(s, st_, sz_)
+                c_ = jnp.where(msk, tfq_ * rt["idf"][s] * rt["mult"][s],
+                               0.0)
+                acc = acc.at[to_idx(row)].add(
+                    jax.lax.optimization_barrier(c_))
+            pm_g = phrase_results[node][0]
+            tfidf = tfidf + jnp.where(pm_g, acc, 0.0)
+
         match = _eval_expr(sig.expr, termmask, phrase_results, alive, size)
 
         fmask_filters = jnp.ones(size, dtype=bool)
@@ -755,7 +775,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     parts_sp.append(jnp.ones_like(hrowS))
                     parts_slot.append(jnp.full_like(hrowS, s))
             for node in rk_phrases:
-                pm, ptf, a_row, a_key, a_ok = phrase_results[node]
+                pm, ptf, a_row, a_key, a_ok, a_w = phrase_results[node]
                 n_words = len(node[1])
                 first_slot = node[1][0]
                 # FSMphrase emission (searchnode.cpp:3920-3930): hit at the
@@ -764,7 +784,11 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 parts_row.append(jnp.where(a_ok, a_row, N))
                 parts_pk.append(jnp.where(a_ok, a_key, 0))
                 parts_qp.append(jnp.full_like(a_row, 1) * qpos[first_slot])
-                parts_w.append(jnp.where(a_ok, n_words, 0).astype(jnp.int32))
+                # proximity windows carry the FSM's delta-run weight;
+                # exact phrases fold the full word count
+                parts_w.append(jnp.where(
+                    a_ok, a_w if a_w is not None else n_words,
+                    0).astype(jnp.int32))
                 parts_sp.append(jnp.full_like(a_row, n_words))
                 parts_slot.append(jnp.full_like(a_row, first_slot))
             fw = rt["field_weights"]
@@ -1143,7 +1167,7 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
                 (("phrase", payload, tuple(range(len(payload))))
                  if kind == "phrase" else payload),
                 data, rt, N, slot_hb, n_hit_iters, size, to_idx)
-            _, _, r, k, okm = sub
+            _, _, r, k, okm, _w = sub
             return r, k, okm, span
 
         l_row, l_key, l_ok, lspan = side(ld)
@@ -1204,18 +1228,34 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
         # differ on overlaps — same caveat as phrase).
         ndist = node[2]
         # query span covers stopped-word gaps (atom positions)
-        qlen = node[3][-1] if len(node) > 3 and node[3] \
-            else len(slots_t) - 1
+        qdeltas = node[3] if len(node) > 3 and node[3] \
+            else tuple(range(len(slots_t)))
+        qlen = qdeltas[-1]
         W = qlen + ndist  # exclusive lower bound: key - val < W
         rows_l, keys_l, msks_l = zip(*[hits_of(s) for s in slots_t])
         a_row = jnp.concatenate(rows_l)
         a_key = jnp.concatenate(keys_l)
         ok = jnp.concatenate(msks_l)
-        for s in slots_t:
+        member_delta = []
+        for qi, s in enumerate(slots_t):
             b_row, b_key, b_msk = hits_of(s)
             pr, pk, ph = _pred_scan(a_row, a_key, b_row, b_key, b_msk)
             # same doc + within window (cross-field deltas exceed 2^24 > W)
             ok &= ph & (pr == a_row) & (a_key - pk < W)
+            member_delta.append(pk - qdeltas[qi])
+        # emitted-hit weight (FSMproximity_c::HitFSM delta-run fold,
+        # searchnode.cpp:4018-4046): members whose (pos - qpos) deltas
+        # coincide form chains; weight = count of members in chains of
+        # length >= 2, or 1 when every member stands alone
+        n_m = len(member_delta)
+        a_w = jnp.zeros_like(a_row)
+        for i in range(n_m):
+            cnt = jnp.zeros_like(a_row)
+            for j2 in range(n_m):
+                cnt = cnt + (member_delta[i] == member_delta[j2]
+                             ).astype(jnp.int32)
+            a_w = a_w + (cnt >= 2).astype(jnp.int32)
+        a_w = jnp.maximum(a_w, 1)
 
     if size is None:
         size = N + 1
@@ -1223,4 +1263,6 @@ def _eval_phrase_node(node, data, rt, N, slot_hb, n_hit_iters,
     if to_idx is not None:
         row_scatter = to_idx(row_scatter)
     tf = jnp.zeros(size, jnp.int32).at[row_scatter].add(jnp.where(ok, 1, 0))
-    return tf > 0, tf, a_row, a_key, ok
+    if op != "proximity":
+        a_w = None     # phrase emissions weigh n_words (constant)
+    return tf > 0, tf, a_row, a_key, ok, a_w

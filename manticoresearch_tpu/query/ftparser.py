@@ -78,6 +78,13 @@ def _lex(q: str) -> list[_Tok]:
             kind, text = "word", m.group()[1]
         else:
             text = m.group()
+        if kind == "not" and out and out[-1].kind == "word" \
+                and m.start() == last_word_end:
+            # '-'/'!' directly after a word char is part of the word
+            # ("16-35"): the tokenizer later folds it to a separator,
+            # splitting into adjacent keywords — NOT only negates at
+            # term start (reference lexer)
+            kind = "word"
         if kind == "word" and out and out[-1].kind == "word" \
                 and m.start() == last_word_end:
             out[-1] = _Tok("word", out[-1].text + text)
@@ -98,10 +105,21 @@ class FtQueryParser:
     def parse(self, query: str):
         if not query.strip():
             return QAll()
+        self._exc_dsts: list[str] = []
         self.toks = _lex(query)
+        if getattr(self.tokenizer, "_exc_map", None):
+            # exceptions (synonyms file) substitute over the keyword
+            # stream: runs of word chunks matching a source (split on
+            # whitespace, case-sensitive) collapse to a \x01<idx>
+            # destination placeholder — AFTER syntax lexing, so quorum
+            # '/N' suffixes etc. stay operators
+            self.toks = self._merge_exceptions(self.toks)
+        if getattr(self.tokenizer.settings, "multiforms", ()):
+            self.toks = self._merge_multiforms(self.toks)
         self.i = 0
         self.cur_fields: tuple[str, ...] | None = None
         self.cur_zones: tuple[str, ...] = ()
+        self.relaxed = False
         node = self._parse_and_list()
         if self.i < len(self.toks):
             raise QueryParseError(f"unexpected {self.toks[self.i].text!r}")
@@ -112,6 +130,77 @@ class FtQueryParser:
             # no matches). Use an impossible term (df=0 on any index).
             return QTerm(word="\x00")
         return node
+
+    def _merge_exceptions(self, toks: list[_Tok]) -> list[_Tok]:
+        by_first: dict[str, list] = {}
+        for src, dst in self.tokenizer._exc_map.items():
+            parts = src.split()
+            by_first.setdefault(parts[0], []).append((parts, dst))
+        for lst in by_first.values():
+            lst.sort(key=lambda p: -len(p[0]))
+        out: list[_Tok] = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            best = None
+            if t.kind == "word":
+                for parts, dst in by_first.get(t.text, ()):
+                    k = len(parts)
+                    if i + k <= len(toks) and all(
+                            toks[i + j].kind == "word"
+                            and toks[i + j].text == parts[j]
+                            for j in range(1, k)):
+                        best = (dst, k)
+                        break
+            if best:
+                out.append(_Tok("word", f"\x01{len(self._exc_dsts)}"))
+                self._exc_dsts.append(best[0])
+                i += best[1]
+            else:
+                out.append(t)
+                i += 1
+        return out
+
+    def _merge_multiforms(self, toks: list[_Tok]) -> list[_Tok]:
+        """Multi-word wordforms spanning whitespace-separated query atoms:
+        consecutive word chunks matching a source sequence collapse into
+        one chunk carrying the destination (CSphMultiformTokenizer runs
+        under the query parser in the reference, so '4 you' becomes the
+        single keyword '4you'). Within-chunk matches are handled by the
+        tokenizer itself."""
+        by_first: dict[str, list] = {}
+        for src, dst in self.tokenizer.settings.multiforms:
+            if len(src) > 1:
+                by_first.setdefault(src[0], []).append((src, dst))
+        for lst in by_first.values():
+            lst.sort(key=lambda p: -len(p[0]))
+
+        def fold_one(text):
+            tk = self.tokenizer.tokenize(text)
+            return tk[0].text if len(tk) == 1 else None
+
+        out: list[_Tok] = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            best = None
+            if t.kind == "word":
+                f0 = fold_one(t.text)
+                for src, dst in by_first.get(f0, ()):
+                    k = len(src)
+                    if i + k <= len(toks) and all(
+                            toks[i + j].kind == "word"
+                            and fold_one(toks[i + j].text) == src[j]
+                            for j in range(1, k)):
+                        best = (dst, k)
+                        break
+            if best:
+                out.append(_Tok("word", " ".join(best[0])))
+                i += best[1]
+            else:
+                out.append(t)
+                i += 1
+        return out
 
     # --- helpers -----------------------------------------------------------
     def _peek(self) -> _Tok | None:
@@ -144,7 +233,11 @@ class FtQueryParser:
     def _parse_field_spec(self, text: str) -> tuple[str, ...] | None:
         body = text[1:]
         if body == "@relaxed":
-            return self.cur_fields  # ignore-missing-fields flag; keep fields
+            # @@relaxed: unknown field references stop being errors
+            # (sphinxquery.cpp relaxed flag); limits to only-missing
+            # fields match nothing
+            self.relaxed = True
+            return self.cur_fields
         if body == "*":
             return None
         negate = body.startswith("!")
@@ -154,9 +247,14 @@ class FtQueryParser:
             names = [s.strip() for s in body.strip("()").split(",") if s.strip()]
         else:
             names = [body]
+        known = []
         for n in names:
             if n not in self.field_names:
+                if getattr(self, "relaxed", False):
+                    continue
                 raise QueryParseError(f"no field '{n}' in schema")
+            known.append(n)
+        names = known
         if negate:
             names = [f for f in self.field_names if f not in names]
         return tuple(names)
@@ -292,7 +390,26 @@ class FtQueryParser:
             return self._parse_atom()
         raise QueryParseError(f"unexpected {t.text!r}")
 
+    def _exc_terms(self, ph: str) -> list[str]:
+        """Placeholder \\x01<idx> -> the exception destination's terms
+        (indexed verbatim-lowercased by the builder, then dict-processed)."""
+        dst = self._exc_dsts[int(ph[1:])]
+        out = []
+        for w in dst.split():
+            term = self.dictionary.process_query_term(w.lower())
+            if term is not None:
+                out.append(term)
+        return out
+
     def _make_term_atom(self, raw: str):
+        if raw.startswith("\x01"):
+            terms = self._exc_terms(raw)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return QTerm(terms[0], self.cur_fields,
+                             zones=self.cur_zones)
+            return QPhrase(tuple(terms), self.cur_fields)
         m = _POST_WORD_RE.match(raw)
         exact = bool(m.group("exact"))
         body = m.group("body")
@@ -346,7 +463,11 @@ class FtQueryParser:
             self._next()
             if t.kind == "word":
                 words.append(t.text)
-            # other specials inside quotes are separators
+            elif t.kind in ("field", "zone", "maybe"):
+                # specials lose their meaning inside quotes; the chunk's
+                # word chars survive tokenization ('@steroids' -> steroids)
+                words.append(t.text)
+            # remaining specials inside quotes are separators
         # suffix: ~N proximity or /N quorum
         prox = 0
         quorum = None
@@ -362,16 +483,44 @@ class FtQueryParser:
                     quorum = val
             except ValueError:
                 raise QueryParseError(f"bad phrase suffix {txt!r}")
-        # tokenize the whole quoted text at once: stopped/overshort tokens
-        # keep their POSITION (stopword_step/overshort_step semantics), so
-        # phrase matching preserves the gaps — "walking in my shoes" with
-        # in/my stopped must match walking@p, shoes@p+3 (the reference
-        # keeps atom positions for killed phrase words)
+        # tokenize chunk-by-chunk: stopped/overshort tokens keep their
+        # POSITION (stopword_step/overshort_step semantics), so phrase
+        # matching preserves the gaps — "walking in my shoes" with in/my
+        # stopped must match walking@p, shoes@p+3. Wildcard chunks stay as
+        # starred members (expanded in the planner against the dict) when
+        # prefix/infix indexing allows it.
+        ds = self.dictionary.settings
+        wc_enabled = (getattr(ds, "min_prefix_len", 0) > 0
+                      or getattr(ds, "min_infix_len", 0) > 0)
         entries: list[tuple[str, int]] = []
-        for tk in self.tokenizer.tokenize(" ".join(words)):
-            term = self.dictionary.process_query_term(tk.text, exact=False)
-            if term is not None:
-                entries.append((term, tk.position))
+        base = 0
+        for chunk in words:
+            if chunk.startswith("\x01"):
+                for term in self._exc_terms(chunk):
+                    base += 1
+                    entries.append((term, base))
+                continue
+            if any(c in "*?" for c in chunk):
+                if not wc_enabled:
+                    chunk = chunk.replace("*", " ").replace("?", " ").strip()
+                    if not chunk:
+                        continue
+                elif all(c in "*?" for c in chunk):
+                    continue
+                else:
+                    base += 1
+                    entries.append((chunk.lower(), base))
+                    continue
+            toks = self.tokenizer.tokenize(chunk)
+            maxpos = 0
+            for tk in toks:
+                term = self.dictionary.process_query_term(tk.text,
+                                                          exact=False)
+                if term is not None:
+                    entries.append((term, base + tk.position))
+                maxpos = max(maxpos, tk.position)
+            base += maxpos if toks \
+                else self.tokenizer.settings.overshort_step
         words = [e[0] for e in entries]
         if not words:
             return None

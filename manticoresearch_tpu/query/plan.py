@@ -182,6 +182,48 @@ def positive_phrase_nodes(expr: tuple) -> tuple:
     return ()
 
 
+def phrase_member_gating(expr: tuple) -> tuple:
+    """(node -> member slots whose tfidf is gated on the node matching,
+    free slot set). A phrase/proximity member's tfidf reaches a doc only
+    through the node's FSM emissions — docs matching merely the word (not
+    the phrase) must not receive it (reference: qword hits flow through
+    the operator tree; golden test_019 '"test program" | basic'). Slots
+    that also occur as bare terms stay free (their bare instance always
+    contributes)."""
+    free: set[int] = set()
+    nodes: dict = {}
+
+    def walk(e, positive=True):
+        op = e[0]
+        if op == "term":
+            free.add(e[1])
+        elif op in ("and", "or"):
+            for c in e[1]:
+                walk(c, positive)
+        elif op == "andnot":
+            walk(e[1], positive)
+            walk(e[2], False)
+        elif op == "maybe":
+            walk(e[1], positive)
+            walk(e[2], positive)
+        elif op in ("phrase", "proximity", "bigram_phrase"):
+            if positive:
+                nodes[e] = tuple(e[1])
+            else:
+                free.update(e[1])
+        elif op in ("quorum", "near", "sentence", "paragraph"):
+            # ungated node types keep direct member contribution
+            free.update(positive_slots(e) if positive else ())
+        elif op == "all":
+            pass
+
+    walk(expr)
+    gated = {n: tuple(s for s in slots if s not in free)
+             for n, slots in nodes.items()}
+    gated = {n: slots for n, slots in gated.items() if slots}
+    return gated, free
+
+
 def positive_slots(expr: tuple) -> set[int]:
     """Slots whose TFIDF contributes to the doc weight: everything except
     slots under the NOT side of ANDNOT (reference: NOT subtrees never emit

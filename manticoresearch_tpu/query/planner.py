@@ -385,6 +385,42 @@ def expand_wildcards(node, index, expansion_limit: int = 0,
             return QOr(tuple(QTerm(m, node.fields, boost=node.boost,
                                    zones=node.zones, expanded=pat)
                              for m in matches))
+        if isinstance(node, QPhrase) and enabled \
+                and any(any(c in _WILDS for c in w) for w in node.words):
+            # wildcard inside a phrase: the member expands against the
+            # dict and the phrase becomes an OR over the variants (the
+            # reference's star-dict qword unions the expansions at the
+            # member level; the variant OR is equivalent for matching and
+            # exact for single-expansion members). A member with no
+            # expansions keeps an impossible sentinel (phrase matches
+            # nothing but other members still report stats).
+            import itertools
+            alt_lists: list[list[str]] = []
+            for w in node.words:
+                if any(c in _WILDS for c in w):
+                    matches = _expansion_terms(
+                        w, term_strs, min_prefix, min_infix,
+                        expansion_limit, exact_forms=exact_forms) or []
+                    if expanded_out is not None:
+                        expanded_out[w] = list(matches)
+                    alt_lists.append(list(matches) or ["\x00"])
+                else:
+                    alt_lists.append([w])
+            n_var = 1
+            for al in alt_lists:
+                n_var *= len(al)
+            if n_var > 36:
+                raise NotImplementedError(
+                    "phrase wildcard expansion too wide; raise "
+                    "expansion_limit granularity")
+            variants = [
+                QPhrase(tuple(c), node.fields, node.proximity,
+                        node.positions)
+                for c in itertools.product(*alt_lists)
+            ]
+            if len(variants) == 1:
+                return variants[0]
+            return QOr(tuple(variants))
         if isinstance(node, QAnd):
             return QAnd(tuple(c2 for c in node.children
                               if (c2 := rec(c)) is not None))
@@ -722,6 +758,7 @@ def plan_query(
             #            reports no words for a fully-dropped query)
         p = term2pat.get(t)
         if p is None:
+            _emitted.add(t)
             stat_list.append((t, slot_df[s], slot_hits[s]))
         elif p not in _emitted:
             _emitted.add(p)
@@ -732,6 +769,12 @@ def plan_query(
                     sdocs += int(index.term_docs[etid])
                     shits += int(index.term_hits[etid])
             stat_list.append((p, sdocs, shits))
+    # patterns that expanded to nothing still report a (0,0) stat under
+    # their starred form (AddStat on the empty expansion, sphinx.cpp:14865)
+    for p, terms in expanded_records.items():
+        if not terms and p not in _emitted:
+            _emitted.add(p)
+            stat_list.append((p, 0, 0))
 
     # hit-conditional slots (field limits / ^field-start / field-end$):
     # evaluated over hits; the kernel skips them in the posting pass.

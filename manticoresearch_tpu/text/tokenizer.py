@@ -45,6 +45,11 @@ class TokenizerSettings:
     regexp_filter: tuple = ()   # ("pattern => replacement", ...)
     bigram_index: str = ""      # "" | all | first_freq | both_freq
     bigram_freq_words: tuple = ()
+    # multi-word wordforms (CSphMultiformTokenizer, the reference wraps
+    # the tokenizer when any wordform line has a multi-token side):
+    # ((src tokens...), (dst tokens...)) pairs, matched greedily
+    # longest-first over the folded token stream
+    multiforms: tuple = ()
 
     def key(self) -> tuple:
         return (
@@ -66,6 +71,7 @@ class TokenizerSettings:
             self.regexp_filter,
             self.bigram_index,
             self.bigram_freq_words,
+            self.multiforms,
         )
 
 
@@ -75,6 +81,8 @@ class Token:
     position: int
     start: int = 0      # char offset of the raw token in the source text
     end: int = 0        # char offset past the raw token
+    mf: bool = False    # produced by a multiform substitution (exempt from
+    #                     the post-multiform min_word_len filter)
 
 
 class Tokenizer:
@@ -185,13 +193,69 @@ class Tokenizer:
         if self._strip is not None:
             text = self._strip(text)
         if self._features_active:
-            return self._tokenize_features(text)
-        if self._ngram_set is None:
+            out = self._tokenize_features(text)
+        elif self._ngram_set is None and not self.settings.multiforms:
             from ..native import get_native_lib
             lib = get_native_lib()
             if lib is not None:
                 return self._tokenize_native(lib, text)
-        out, _ = self._tokenize_plain(text, 0, 0)
+            out, _ = self._tokenize_plain(text, 0, 0)
+        else:
+            out, _ = self._tokenize_plain(text, 0, 0)
+        if self.settings.multiforms:
+            out = self._apply_multiforms(out)
+            min_len = self.settings.min_word_len
+            if min_len > 1:
+                # length filter runs AFTER substitution; the position a
+                # dropped token held stays consumed
+                out = [t for t in out if t.mf or len(t.text) >= min_len]
+        return out
+
+    def _apply_multiforms(self, toks: list[Token]) -> list[Token]:
+        """Multi-word wordform substitution over the folded token stream
+        (CSphMultiformTokenizer): greedy, longest source first; destination
+        tokens take sequential positions from the match start and later
+        tokens shift by the length delta."""
+        if not hasattr(self, "_mf_by_first"):
+            by_first: dict[str, list] = {}
+            for src, dst in self.settings.multiforms:
+                by_first.setdefault(src[0], []).append(
+                    (tuple(src), tuple(dst)))
+            for lst in by_first.values():
+                lst.sort(key=lambda p: -len(p[0]))
+            self._mf_by_first = by_first
+        by_first = self._mf_by_first
+        out: list[Token] = []
+        i = 0
+        shift = 0
+        n = len(toks)
+        while i < n:
+            t = toks[i]
+            cands = by_first.get(t.text)
+            matched = None
+            if cands:
+                for src, dst in cands:
+                    k = len(src)
+                    if i + k <= n and all(
+                            toks[i + j].text == src[j]
+                            and (j == 0 or toks[i + j].position
+                                 == toks[i + j - 1].position + 1)
+                            for j in range(k)):
+                        matched = (src, dst, k)
+                        break
+            if matched is None:
+                out.append(Token(t.text, t.position + shift,
+                                 t.start, t.end))
+                i += 1
+                continue
+            src, dst, k = matched
+            base = toks[i].position + shift
+            span = (toks[i].start, toks[i + k - 1].end)
+            for j, d in enumerate(dst):
+                out.append(Token(d, base + j, span[0], span[1], mf=True))
+            shift += len(dst) - (toks[i + k - 1].position
+                                 - toks[i].position + 1)
+            i += k
         return out
 
     def _tokenize_plain(self, text: str, pos: int,
@@ -216,11 +280,16 @@ class Tokenizer:
         ends = np.flatnonzero(run_end)
         assert len(starts) == len(ends)
 
-        min_len = self.settings.min_word_len
+        min_len = 1 if self.settings.multiforms \
+            else self.settings.min_word_len
         ov = self.settings.overshort_step
         for s, e in zip(starts.tolist(), ends.tolist()):
             length = e - s + 1
-            if length < min_len:
+            if length < min_len and not (
+                    self._ngram_set is not None
+                    and bool(self._is_ngram(folded[s:s + 1])[0])):
+                # n-gram splits are inherently 1 codepoint: min_word_len
+                # does not drop them (reference CJK behavior)
                 pos += ov
                 continue
             pos += 1
@@ -307,7 +376,8 @@ class Tokenizer:
         ends = np.flatnonzero(run_end).tolist()
         bound_idx = np.flatnonzero(is_bound).tolist()
 
-        min_len = self.settings.min_word_len
+        min_len = 1 if self.settings.multiforms \
+            else self.settings.min_word_len
         ov = self.settings.overshort_step
         step = self.settings.phrase_boundary_step
         out: list[Token] = []
@@ -329,7 +399,9 @@ class Tokenizer:
             run_blend = is_blend[s:e + 1] & ~is_word[s:e + 1]
             if not run_blend.any():
                 length = e - s + 1
-                if length < min_len:
+                if length < min_len and not (
+                        self._ngram_set is not None
+                        and bool(self._is_ngram(eff[s:s + 1])[0])):
                     pos += ov
                     continue
                 pos += 1

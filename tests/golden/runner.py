@@ -362,8 +362,8 @@ def index_options(idx: dict) -> tuple[dict, dict]:
                 src_w, _, dst = line.partition(">")
                 src_w = src_w.strip().lstrip("~=").strip()
                 dst = dst.strip()
-                if " " in src_w or " " in dst.strip():
-                    raise GoldenUnsupported("multi-word wordforms")
+                if "," in src_w or "," in dst:
+                    raise GoldenUnsupported("comma in wordform line")
                 if src_w and dst:
                     pairs.append(f"{src_w} > {dst}")
         o["wordforms"] = ",".join(pairs)
@@ -395,24 +395,75 @@ def _read_listfile_lines(path_spec: str) -> list[str]:
 # ---------------------------------------------------------------------------
 # the environment for one subtest
 
-class GoldenEnv:
-    def __init__(self, gt: GoldenTest, subtest: int, tmpdir: str):
-        from manticoresearch_tpu.exec.session import Catalog, Session
+class _AgentEnv:
+    """One emulated daemon: its own catalog/session/index registry,
+    built from the config rendered for its agent id (the reference
+    harness starts num_agents real searchd processes on localhost
+    ports — helpers.inc:1320, StartSearchd loops)."""
 
-        self.gt = gt
-        self.subtest = subtest
-        cfg_text = gt.render_config(subtest, data_path=tmpdir)
-        self.sections = parse_sphinx_conf(cfg_text)
+    def __init__(self):
+        from manticoresearch_tpu.exec.session import Catalog, Session
         self.catalog = Catalog()
         self.session = Session(self.catalog)
         self.index_order: list[str] = []
         self.attr_codes: dict[str, dict] = {}
-        self.distributed: dict[str, list[str]] = {}
+        # distributed table name -> list of (agent_id, local index name)
+        self.distributed: dict[str, list] = {}
         self.query_defaults: dict[str, dict] = {}
+
+
+class GoldenEnv:
+    def __init__(self, gt: GoldenTest, subtest: int, tmpdir: str):
+        self.gt = gt
+        self.subtest = subtest
+        self.agents: list[_AgentEnv] = []
         self._plain_build: dict[str, tuple] = {}
         self._kills: dict[str, list] = {}
         self._klist_target: dict[str, str] = {}
-        self._build()
+        for aid in range(max(1, gt.num_agents)):
+            cfg_text = gt.render_config(subtest, data_path=tmpdir,
+                                        agentid=aid)
+            self.sections = parse_sphinx_conf(cfg_text)
+            self.env = _AgentEnv()
+            self.agents.append(self.env)
+            self._aid = aid
+            self._build()
+
+    # agent-0 conveniences (most tests are single-daemon)
+    @property
+    def catalog(self):
+        return self.agents[0].catalog
+
+    @property
+    def session(self):
+        return self.agents[0].session
+
+    @property
+    def index_order(self):
+        return self.agents[0].index_order
+
+    @property
+    def attr_codes(self):
+        return self.agents[0].attr_codes
+
+    @property
+    def distributed(self):
+        return self.agents[0].distributed
+
+    @property
+    def query_defaults(self):
+        return self.agents[0].query_defaults
+
+    @staticmethod
+    def _agent_id_of(hostport: str) -> int:
+        """localhost:7700+N (the addresses render_config emits) -> N."""
+        m = re.match(r"^(?:localhost|127\.0\.0\.1):(\d+)$", hostport)
+        if not m:
+            raise GoldenUnsupported(f"agent address {hostport!r}")
+        port = int(m.group(1))
+        if not 7700 <= port < 7750:
+            raise GoldenUnsupported(f"agent port {port}")
+        return port - 7700
 
     def _build(self):
         from manticoresearch_tpu.index.builder import IndexBuilder
@@ -427,12 +478,31 @@ class GoldenEnv:
             idx = section_dict(self.sections, "index", sec.name)
             typ = (idx.get("type") or ["plain"])[-1]
             if typ == "distributed":
-                locals_ = [v.strip() for v in idx.get("local", [])]
-                if idx.get("agent") or idx.get("agent_blackhole") \
-                        or idx.get("agent_persistent"):
-                    raise GoldenUnsupported("distributed with remote agents")
-                self.distributed[sec.name] = locals_
-                self.index_order.append(sec.name)
+                if idx.get("agent_blackhole"):
+                    raise GoldenUnsupported("blackhole agents")
+                parts: list[tuple[int, str]] = []
+                for v in idx.get("local", []):
+                    parts.append((self._aid, v.strip()))
+                for spec in (idx.get("agent", [])
+                             + idx.get("agent_persistent", [])):
+                    # "host:port:idx1,idx2[,...]" (mirrors `|` unsupported)
+                    if "|" in spec:
+                        raise GoldenUnsupported("agent mirrors")
+                    m = re.match(r"^\s*([\w.]+:\d+):([\w,\s]+)$",
+                                 spec.strip())
+                    if not m:
+                        raise GoldenUnsupported(f"agent spec {spec!r}")
+                    aid = self._agent_id_of(m.group(1))
+                    for nm in m.group(2).split(","):
+                        parts.append((aid, nm.strip()))
+                self.env.distributed[sec.name] = parts
+                self.env.index_order.append(sec.name)
+                if all(a2 == self._aid for a2, _ in parts):
+                    # same-daemon parts: register a real distributed table
+                    # so SphinxQL SELECTs resolve it too
+                    self.env.catalog.create(
+                        sec.name, None, "distributed",
+                        {"local": [nm for _, nm in parts]})
                 continue
             if typ == "rt":
                 o, qdef = index_options(idx)
@@ -457,12 +527,12 @@ class GoldenEnv:
                         attrs.append(AttrDef(name, getattr(AttrType, tname)))
                 schema = Schema(fields=flds, attrs=attrs)
                 from manticoresearch_tpu.index.rt import RtIndex
-                self.catalog.tables[sec.name] = RtIndex(
+                self.env.catalog.tables[sec.name] = RtIndex(
                     sec.name, schema, tok, dic)
-                self.catalog.tables[sec.name].options = dict(o)
-                self.attr_codes[sec.name] = codes
-                self.query_defaults[sec.name] = qdef
-                self.index_order.append(sec.name)
+                self.env.catalog.tables[sec.name].options = dict(o)
+                self.env.attr_codes[sec.name] = codes
+                self.env.query_defaults[sec.name] = qdef
+                self.env.index_order.append(sec.name)
                 continue
             if typ not in ("plain",):
                 raise GoldenUnsupported(f"index type {typ}")
@@ -484,8 +554,8 @@ class GoldenEnv:
                     sd = one
                 docs.extend(one.docs)
                 kill_ids.extend(one.kill_ids)
-            self._kills[sec.name] = kill_ids
-            self._klist_target[sec.name] = (idx.get("killlist_target")
+            self._kills[(self._aid, sec.name)] = kill_ids
+            self._klist_target[(self._aid, sec.name)] = (idx.get("killlist_target")
                                             or [""])[-1]
             schema = Schema(fields=sd.fields, attrs=sd.attrs)
             b = IndexBuilder(schema, tok, dic)
@@ -493,11 +563,11 @@ class GoldenEnv:
             packed = b.build()
             rt = rt_from_packed(sec.name, packed)
             rt.options = dict(o)
-            self.catalog.tables[sec.name] = rt
-            self.attr_codes[sec.name] = dict(sd.attr_codes)
-            self.query_defaults[sec.name] = qdef
-            self.index_order.append(sec.name)
-            self._plain_build[sec.name] = (schema, tok, dic, docs, o)
+            self.env.catalog.tables[sec.name] = rt
+            self.env.attr_codes[sec.name] = dict(sd.attr_codes)
+            self.env.query_defaults[sec.name] = qdef
+            self.env.index_order.append(sec.name)
+            self._plain_build[(self._aid, sec.name)] = (schema, tok, dic, docs, o)
         con.close()
 
         # <indexer><run>--merge DST SRC</run>: DST becomes DST ∪ SRC with
@@ -508,11 +578,11 @@ class GoldenEnv:
             toks = run.split()
             if toks[:1] == ["--merge"] and len(toks) >= 3:
                 dst, src = toks[1], toks[2]
-                if dst not in self._plain_build \
-                        or src not in self._plain_build:
+                if (self._aid, dst) not in self._plain_build \
+                        or (self._aid, src) not in self._plain_build:
                     raise GoldenUnsupported(f"indexer run {run!r}")
-                schema, tok, dic, ddocs, o = self._plain_build[dst]
-                sdocs = self._plain_build[src][3]
+                schema, tok, dic, ddocs, o = self._plain_build[(self._aid, dst)]
+                sdocs = self._plain_build[(self._aid, src)][3]
                 apply_kills = True
                 rest = toks[3:]
                 i2 = 0
@@ -531,7 +601,7 @@ class GoldenEnv:
                         i2 += 1
                     else:
                         raise GoldenUnsupported(f"indexer run {run!r}")
-                kills = (set(self._kills.get(src, ()))
+                kills = (set(self._kills.get((self._aid, src), ()))
                          if apply_kills else set())
                 by_id = {d["id"]: d for d in ddocs
                          if d["id"] not in kills}
@@ -542,8 +612,8 @@ class GoldenEnv:
                 b.add_documents(merged)
                 rt = rt_from_packed(dst, b.build())
                 rt.options = dict(o)
-                self.catalog.tables[dst] = rt
-                self._plain_build[dst] = (schema, tok, dic, merged, o)
+                self.env.catalog.tables[dst] = rt
+                self._plain_build[(self._aid, dst)] = (schema, tok, dic, merged, o)
             elif not toks or "--rotate" in toks[0]:
                 continue
             else:
@@ -552,7 +622,9 @@ class GoldenEnv:
         # killlist_target (ApplyKillListsTo, searchd.cpp:15926-16005):
         # index K's kill list (:kl) and/or own docids (:id) suppress rows
         # of the listed target tables at load
-        for name, target_spec in self._klist_target.items():
+        for (aid_k, name), target_spec in list(self._klist_target.items()):
+            if aid_k != self._aid:
+                continue
             if not target_spec:
                 continue
             for tgt in target_spec.split(","):
@@ -563,31 +635,36 @@ class GoldenEnv:
                     mode = mode.strip()
                 ids: list[int] = []
                 if mode in ("kl", "both"):
-                    ids.extend(self._kills.get(name, ()))
-                if mode in ("id", "both") and name in self._plain_build:
-                    ids.extend(d["id"] for d in self._plain_build[name][3])
-                t = self.catalog.tables.get(tgt.strip())
+                    ids.extend(self._kills.get((self._aid, name), ()))
+                if mode in ("id", "both") and (self._aid, name) in self._plain_build:
+                    ids.extend(d["id"] for d in self._plain_build[(self._aid, name)][3])
+                t = self.env.catalog.tables.get(tgt.strip())
                 if t is not None and ids:
                     t.delete(ids)
 
     # -- API query execution ---------------------------------------------
-    def resolve_indexes(self, spec: str) -> list[str]:
-        names: list[str] = []
+    def resolve_indexes(self, spec: str, aid: int = 0) -> list[tuple]:
+        """Index spec -> ordered (agent_id, local index name) parts."""
+        env = self.agents[aid]
+        names: list[tuple] = []
         if spec in ("*", "", None):
-            wanted = [n for n in self.index_order]
+            wanted = [n for n in env.index_order]
         else:
             wanted = [s.strip() for s in re.split(r"[,\s]+", spec)
                       if s.strip()]
-        for n in wanted:
-            if n in self.distributed:
-                for ln in self.distributed[n]:
-                    if ln not in names:
-                        names.append(ln)
-            elif n in self.catalog.tables:
-                if n not in names:
-                    names.append(n)
+
+        def add(aid2, n):
+            if n in self.agents[aid2].distributed:
+                for a3, ln in self.agents[aid2].distributed[n]:
+                    add(a3, ln)
+            elif n in self.agents[aid2].catalog.tables:
+                if (aid2, n) not in names:
+                    names.append((aid2, n))
             else:
                 raise GoldenUnsupported(f"unknown index {n!r}")
+
+        for n in wanted:
+            add(aid, n)
         return names
 
     def run_api_query(self, q) -> dict:
@@ -662,6 +739,7 @@ class GoldenEnv:
 
         sortmode = attrs.get("sortmode", "")
         sortby = attrs.get("sortby", "")
+        sort_expr = None            # SPH_SORT_EXPR: host-sorted tail
         if sortmode == "":
             sort = [("weight", False), ("id", True)]
         elif sortmode == "attr_asc":
@@ -670,13 +748,33 @@ class GoldenEnv:
             sort = [(sortby, False), ("id", True)]
         elif sortmode == "extended":
             sort = _parse_extended_sort(sortby)
+        elif sortmode == "expr":
+            # SPH_SORT_EXPR sorts by expression value DESC, id ASC
+            # (sphinxsort expr sorter)
+            from manticoresearch_tpu.query.expr import parse_expr
+            sort_expr = parse_expr(sortby)
+            sort = [("weight", False), ("id", True)]
         else:
             raise GoldenUnsupported(f"sort mode {sortmode}")
 
-        if attrs.get("groupattr") or attrs.get("groupsort") not in (
-                None, "@group desc") or attrs.get("groupdistinct"):
-            if attrs.get("groupattr"):
-                raise GoldenUnsupported("API group-by")
+        group_by = None
+        group_distinct = attrs.get("groupdistinct")
+        group_sort = None
+        if attrs.get("groupattr"):
+            gfunc = attrs.get("groupfunc", "")
+            if gfunc not in ("", "attr"):
+                raise GoldenUnsupported(f"groupfunc {gfunc}")
+            group_by = attrs["groupattr"]
+            gs = attrs.get("groupsort", "@group desc")
+            toks2 = gs.split()
+            gname = toks2[0].lower()
+            gasc = len(toks2) > 1 and toks2[1].lower() == "asc"
+            gmap = {"@group": "@groupby", "@groupby": "@groupby",
+                    "@count": "@count", "@weight": "weight",
+                    "@id": "id"}
+            if gname not in gmap:
+                raise GoldenUnsupported(f"groupsort {gs!r}")
+            group_sort = [(gmap[gname], gasc)]
 
         if attrs.get("select"):
             raise GoldenUnsupported("API select list")
@@ -685,17 +783,27 @@ class GoldenEnv:
 
         names = self.resolve_indexes(attrs.get("index", "*"))
         qdef = {}
-        for n in names:
-            qdef.update(self.query_defaults.get(n, {}))
-        sq = SearchQuery(match=text, limit=limit, offset=0,
-                         max_matches=1000, ranker=ranker, sort=sort,
-                         filters=filters, cutoff=cutoff,
+        for aid, n in names:
+            qdef.update(self.agents[aid].query_defaults.get(n, {}))
+        wide = 1000 if sort_expr is not None else limit
+        sel = None
+        if group_by:
+            sel = ["count(*)"]
+            if group_distinct:
+                sel.append(f"count(distinct {group_distinct})")
+        sq = SearchQuery(match=text, limit=wide, offset=0,
+                         max_matches=1000, ranker=ranker,
+                         sort=(group_sort or sort), filters=filters,
+                         cutoff=cutoff, group_by=group_by, select=sel,
                          expand_keywords=bool(qdef.get("expand_keywords")))
 
         if len(names) == 1:
-            res = self.catalog.get(names[0]).search(sq)
+            aid, n = names[0]
+            res = self.agents[aid].catalog.get(n).search(sq)
         else:
-            parts = [self.catalog.get(n) for n in names]
+            if group_by:
+                raise GoldenUnsupported("multi-index API group-by")
+            parts = [self.agents[aid].catalog.get(n) for aid, n in names]
             results = [p.search(sq) for p in parts]
             for r in results:
                 if r.error:
@@ -704,14 +812,54 @@ class GoldenEnv:
             else:
                 res = merge_part_results(results, sq,
                                          parts[0].schema)
-        return self.shape_api_result(res, names, q)
+        if sort_expr is not None and not res.error:
+            from manticoresearch_tpu.query.expr import (ExprError,
+                                                        eval_expr_host)
+            # uint attrs evaluate UNSIGNED in expressions (the engine's
+            # host copies are signed i32)
+            umap = {k for k, v in
+                    (self.agents[names[0][0]].attr_codes.get(names[0][1],
+                                                             {})).items()
+                    if v in (SPH_ATTR_INTEGER, SPH_ATTR_TIMESTAMP,
+                             SPH_ATTR_BOOL)}
 
-    def shape_api_result(self, res, names, q) -> dict:
+            def skey(m):
+                row = {k: (v & 0xFFFFFFFF
+                           if k in umap and isinstance(v, int) else v)
+                       for k, v in m.attrs.items()}
+                try:
+                    v = eval_expr_host(sort_expr, row, m.weight, m.docid)
+                except ExprError:
+                    v = 0
+                return v
+            import numpy as _np
+            for m in res.matches:
+                # the server materializes the sort expression as a float
+                # @expr attr (sphinxsort expr sorter)
+                m.attrs["@expr"] = float(_np.float32(skey(m) or 0))
+            res.matches.sort(key=lambda m: (-m.attrs["@expr"], m.docid))
+            res.matches = res.matches[:limit]
+        return self.shape_api_result(res, names, q,
+                                     group_by=group_by,
+                                     group_distinct=group_distinct,
+                                     has_expr=sort_expr is not None)
+
+    def shape_api_result(self, res, names, q, group_by=None,
+                         group_distinct=None, has_expr=False) -> dict:
         # multi-index result schema = the attr INTERSECTION in first-index
         # order (MinimizeAggrResult schema unification, searchd.cpp:4816)
-        maps = [self.attr_codes.get(n, {}) for n in names] or [{}]
+        maps = [self.agents[aid].attr_codes.get(n, {})
+                for aid, n in names] or [{}]
         attrs_map = {k: v for k, v in maps[0].items()
                      if all(k in m for m in maps[1:])}
+        if has_expr:
+            attrs_map["@expr"] = SPH_ATTR_FLOAT
+        if group_by:
+            # the server appends the group-by magic attrs
+            attrs_map["@groupby"] = SPH_ATTR_BIGINT
+            attrs_map["@count"] = SPH_ATTR_INTEGER
+            if group_distinct:
+                attrs_map["@distinct"] = SPH_ATTR_INTEGER
         out: dict = {"error": res.error or "", "warning": res.warning or ""}
         if res.error:
             # the API reports failed queries with just the error string
@@ -723,8 +871,20 @@ class GoldenEnv:
         for m in res.matches:
             vals = {}
             for aname, code in attrs_map.items():
+                if aname == "@groupby":
+                    vals[aname] = m.attrs.get(group_by, 0)
+                    continue
+                if aname == "@count":
+                    vals[aname] = int(m.attrs.get("count(*)", 0))
+                    continue
+                if aname == "@distinct":
+                    vals[aname] = int(m.attrs.get(
+                        f"count(distinct {group_distinct})", 0))
+                    continue
                 v = m.attrs.get(aname)
-                if code in (SPH_ATTR_MULTI, SPH_ATTR_MULTI64):
+                if code == SPH_ATTR_MULTI:
+                    vals[aname] = [int(x) & 0xFFFFFFFF for x in (v or [])]
+                elif code == SPH_ATTR_MULTI64:
                     vals[aname] = [int(x) for x in (v or [])]
                 elif code == SPH_ATTR_FLOAT:
                     vals[aname] = float(v or 0.0)
@@ -732,8 +892,11 @@ class GoldenEnv:
                     vals[aname] = "" if v is None else str(v)
                 elif code == 0:
                     vals[aname] = v
-                else:
+                elif code == SPH_ATTR_BIGINT:
                     vals[aname] = int(v or 0)
+                else:
+                    # uint/bool/timestamp render unsigned (PHP sprintf %u)
+                    vals[aname] = int(v or 0) & 0xFFFFFFFF
             if resarray:
                 matches.append({"id": m.docid, "weight": str(m.weight),
                                 "attrs": vals})
@@ -756,7 +919,14 @@ class GoldenEnv:
     # -- SphinxQL query execution ----------------------------------------
     def run_ql_query(self, q) -> dict:
         out: dict = {"sphinxql": q.query.strip()}
-        results = self.session.execute(q.query)
+        aid = int(q.attrs.get("d", 0) or 0)    # target daemon (agent id)
+        if aid >= len(self.agents):
+            raise GoldenUnsupported(f"query targets agent {aid}")
+        if q.attrs.get("vip"):
+            out["vip"] = 1
+        if aid > 0:
+            out["agent"] = aid
+        results = self.agents[aid].session.execute(q.query)
         r = results[0] if results else None
         if r is None:
             out["total_affected"] = 0
@@ -837,10 +1007,24 @@ def _parse_extended_sort(sortby: str) -> list:
 _DROP_KEYS = ("time", "warning", "status", "fields", "resarray", "roundoff")
 
 
-def fixup(result: dict, roundoff: int = 0) -> dict:
+def fixup(result: dict, roundoff: int = 0,
+          variants_match: bool = False) -> dict:
     if not isinstance(result, dict):
         return result
     out = {k: v for k, v in result.items() if k not in _DROP_KEYS}
+    if variants_match and isinstance(out.get("attrs"), dict):
+        # variant checks compare data across attr-type variants: mva64
+        # folds to mva, @-magic bigints to int (CompareResultSetFixup,
+        # helpers.inc:883-893)
+        na = {}
+        for k, v in out["attrs"].items():
+            if v == SPH_ATTR_MULTI64:
+                v = SPH_ATTR_MULTI
+            if v == SPH_ATTR_BIGINT and str(k).startswith("@"):
+                v = SPH_ATTR_INTEGER
+            na[k] = v
+        out = dict(out)
+        out["attrs"] = na
     if roundoff and isinstance(out.get("matches"), (dict, list)):
         att = result.get("attrs") or {}
         fnames = [k for k, v in att.items() if v == SPH_ATTR_FLOAT]
@@ -908,13 +1092,14 @@ def _as_num(v):
     return None
 
 
-def compare_result(ours: dict, model: dict) -> str | None:
+def compare_result(ours: dict, model: dict,
+                   variants_match: bool = False) -> str | None:
     """None if equal; else a short diff description."""
     roundoff = 0
     if isinstance(model, dict):
         roundoff = int(model.get("roundoff") or 0)
-    a = fixup(ours, roundoff)
-    b = fixup(model, roundoff)
+    a = fixup(ours, roundoff, variants_match)
+    b = fixup(model, roundoff, variants_match)
     if isinstance(b, dict) and "error" in b and b["error"] \
             and isinstance(a, dict):
         # the reference records daemon-specific error TEXT; only the
@@ -928,9 +1113,17 @@ def compare_result(ours: dict, model: dict) -> str | None:
     if loose_eq(a, b):
         return None
     import json
+
+    def _norm(x):
+        if isinstance(x, dict):
+            return {str(k): _norm(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [_norm(v) for v in x]
+        return x
+
     return ("mismatch\n  ours:  %s\n  model: %s" % (
-        json.dumps(a, default=str, sort_keys=True)[:2000],
-        json.dumps(b, default=str, sort_keys=True)[:2000]))
+        json.dumps(_norm(a), default=str, sort_keys=True)[:2000],
+        json.dumps(_norm(b), default=str, sort_keys=True)[:2000]))
 
 
 def run_subtest(gt: GoldenTest, subtest: int, model_subtest: list,
@@ -952,7 +1145,8 @@ def run_subtest(gt: GoldenTest, subtest: int, model_subtest: list,
         if q.type == "comment":
             continue
         ours = env.run_query(q)
-        diff = compare_result(ours, model)
+        diff = compare_result(ours, model,
+                              "variant_match" in gt.requires)
         if diff:
             failures.append(f"query {i} ({q.query[:60]!r}): {diff}")
     return failures

@@ -177,8 +177,13 @@ class TestRussianAndMetaphone:
     def test_metaphone(self):
         from manticoresearch_tpu.text.morphology import get_morph
         mp = get_morph("metaphone")
-        assert mp("knight") == mp("night")
-        assert mp("phone")[0] == "f"
+        # Double Metaphone primary codes, UPPERCASE (stem_dmetaphone,
+        # sphinxmetaphone.cpp; golden-verified against test_012 models)
+        assert mp("knight") == mp("night") == "NT"
+        assert mp("phone") == "FN"
+        assert mp("admin") == "ATMN"
+        assert mp("smith") == "SM0"
+        assert mp("xavier") == "SF"
 
     def test_stem_enru_dispatch(self):
         from manticoresearch_tpu.text.morphology import get_morph

@@ -60,6 +60,8 @@ class Catalog:
         self.data_dir = data_dir
         self.tables: dict[str, RtIndex] = {}
         self.globals: dict[str, Any] = {}    # SET GLOBAL state
+        self.clusters: dict[str, Any] = {}   # name -> server.cluster.Cluster
+        self.cluster_service = None          # set by the daemon / tests
         self.qcache = QueryCache()
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
@@ -654,7 +656,31 @@ class Session:
         self.last_meta = meta
 
     # -- writes ----------------------------------------------------------
+    def _resolve_write_ref(self, ref: str):
+        """'cluster:table' write routing (HandleCmdReplicate,
+        searchdreplication.h:30): returns (table_name, cluster|None).
+        Plain writes into clustered tables are rejected like the
+        reference does."""
+        if ":" in ref:
+            c, _, tname = ref.partition(":")
+            cl = self.catalog.clusters.get(c)
+            if cl is None:
+                raise ValueError(f"unknown cluster '{c}'")
+            if tname not in cl.tables:
+                raise ValueError(
+                    f"table '{tname}' is not in cluster '{c}'")
+            return tname, cl
+        for c, cl in self.catalog.clusters.items():
+            if ref in cl.tables:
+                raise ValueError(
+                    f"table '{ref}' is a part of cluster '{c}', "
+                    f"use '{c}:{ref}'")
+        return ref, None
+
     def _insert(self, st: InsertStmt) -> QLResult:
+        tname, cl = self._resolve_write_ref(st.index)
+        if cl is not None:
+            return self._cluster_insert(st, tname, cl)
         t = self.catalog.get(st.index)
         from ..index.percolate import PercolateIndex
         if isinstance(t, PercolateIndex):
@@ -687,7 +713,48 @@ class Session:
             self.txn_tables.add(st.index)
         return QLResult.ok(n)
 
+    def _cluster_insert(self, st: InsertStmt, tname: str, cl) -> QLResult:
+        """Writes into cluster tables replicate as total-ordered commit
+        write sets (certify-then-apply; every member applies in the same
+        order)."""
+        import time as _time
+        t = self.catalog.get(tname)
+        cols = st.columns
+        if not cols:
+            cols = ["id"] + t.schema.fields + [a.name for a in t.schema.attrs]
+        docs = []
+        for row in st.rows:
+            if len(row) != len(cols):
+                return QLResult.err(
+                    f"column count mismatch: {len(cols)} vs {len(row)}")
+            doc = dict(zip(cols, row))
+            docid = int(doc.get("id", 0))
+            if not st.replace and docid in t.docid_seg:
+                return QLResult.err(f"duplicate id {docid}")
+            docs.append(doc)
+        rec = {"op": "commit", "docs": docs, "deletes": [],
+               "ts": _time.time()}
+        try:
+            cl.replicate(tname, rec)
+        except ValueError as e:
+            return QLResult.err(str(e))
+        return QLResult.ok(len(docs))
+
     def _delete(self, st: DeleteStmt) -> QLResult:
+        tname, cl = self._resolve_write_ref(st.index)
+        if cl is not None:
+            import time as _time
+            ids = _extract_id_list(st.conds)
+            if ids is None:
+                return QLResult.err(
+                    "cluster DELETE needs id conditions")
+            rec = {"op": "commit", "docs": [],
+                   "deletes": [int(x) for x in ids], "ts": _time.time()}
+            try:
+                cl.replicate(tname, rec)
+            except ValueError as e:
+                return QLResult.err(str(e))
+            return QLResult.ok(len(ids))
         t = self.catalog.get(st.index)
         from ..index.percolate import PercolateIndex
         if isinstance(t, PercolateIndex):
@@ -714,6 +781,19 @@ class Session:
         return QLResult.ok(n)
 
     def _update(self, st: UpdateStmt) -> QLResult:
+        tname, cl = self._resolve_write_ref(st.index)
+        if cl is not None:
+            import time as _time
+            uids = _extract_id_list(st.conds)
+            if uids is None:
+                return QLResult.err("cluster UPDATE needs id conditions")
+            rec = {"op": "update", "ids": [int(x) for x in uids],
+                   "values": st.values, "ts": _time.time()}
+            try:
+                cl.replicate(tname, rec)
+            except ValueError as e:
+                return QLResult.err(str(e))
+            return QLResult.ok(len(uids))
         t = self.catalog.get(st.index)
         ids = _extract_id_list(st.conds)
         if ids is None:
@@ -936,6 +1016,23 @@ class Session:
                     ("tables", str(len(self.catalog.tables)))]
             rows += [(k2, str(v)) for k2, v in
                      sorted(self.catalog.qcache.status().items())]
+            # per-cluster counters (SHOW STATUS LIKE 'cluster_%' — the
+            # reference's wsrep status surface, searchdreplication.cpp)
+            for cname, cl in sorted(self.catalog.clusters.items()):
+                rows += [
+                    (f"cluster_{cname}_node_state", cl.state_name),
+                    (f"cluster_{cname}_status",
+                     "primary" if cl.is_sequencer else "non-primary"),
+                    (f"cluster_{cname}_last_committed", str(cl.applied)),
+                    (f"cluster_{cname}_indexes",
+                     ",".join(sorted(cl.tables))),
+                ]
+            like = st.args[0] if st.args else None
+            if like:
+                import fnmatch as _fn
+                pat = like.replace("%", "*").replace("_", "?")
+                rows = [r for r in rows
+                        if _fn.fnmatchcase(r[0], pat)]
             return QLResult(columns=["Counter", "Value"], rows=rows)
         if k == "show_variables":
             rows = [("autocommit", str(int(self.autocommit)))]
@@ -1053,7 +1150,57 @@ class Session:
             self.catalog.drop(name)
             return QLResult.ok()
         if k == "truncate":
-            self.catalog.get(st.args[0]).truncate()
+            import time as _time
+            tname, cl = self._resolve_write_ref(st.args[0])
+            if cl is not None:
+                cl.replicate(tname, {"op": "truncate", "ts": _time.time()})
+                return QLResult.ok()
+            self.catalog.get(tname).truncate()
+            return QLResult.ok()
+        if k == "create_cluster":
+            from ..server.cluster import create_cluster
+            if self.catalog.cluster_service is None:
+                return QLResult.err("cluster service is not running "
+                                    "(start the daemon with --cluster)")
+            create_cluster(self.catalog, self.catalog.cluster_service,
+                           st.args[0])
+            return QLResult.ok()
+        if k == "join_cluster":
+            from ..server.cluster import join_cluster
+            if self.catalog.cluster_service is None:
+                return QLResult.err("cluster service is not running "
+                                    "(start the daemon with --cluster)")
+            if not st.args[1]:
+                return QLResult.err("JOIN CLUSTER needs AT 'host:port'")
+            join_cluster(self.catalog, self.catalog.cluster_service,
+                         st.args[0], st.args[1])
+            return QLResult.ok()
+        if k == "delete_cluster":
+            cl = self.catalog.clusters.pop(st.args[0], None)
+            if cl is None:
+                return QLResult.err(f"unknown cluster '{st.args[0]}'")
+            cl.stop()
+            return QLResult.ok()
+        if k == "cluster_add":
+            import time as _time
+            cl = self.catalog.clusters.get(st.args[0])
+            if cl is None:
+                return QLResult.err(f"unknown cluster '{st.args[0]}'")
+            t = self.catalog.get(st.args[1])    # must exist locally
+            cl.tables.add(st.args[1])
+            # membership replicates through the ordered log so every
+            # member accepts subsequent cluster:table writes (the
+            # reference ships the table to all nodes on ALTER CLUSTER ADD)
+            cl.replicate(st.args[1], {
+                "op": "cluster_add", "schema": t.schema.to_json(),
+                "options": dict(getattr(t, "options", {})),
+                "ts": _time.time()})
+            return QLResult.ok()
+        if k == "cluster_drop":
+            cl = self.catalog.clusters.get(st.args[0])
+            if cl is None:
+                return QLResult.err(f"unknown cluster '{st.args[0]}'")
+            cl.tables.discard(st.args[1])
             return QLResult.ok()
         if k == "optimize":
             self.catalog.get(st.args[0]).optimize()

@@ -30,7 +30,7 @@ _SQL_TOK = re.compile(r"""
     (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
-  | (?P<op><=|>=|<>|!=|:=|=|<|>|\(|\)|,|\*|\+|-|/|%|;)
+  | (?P<op><=|>=|<>|!=|:=|=|<|>|\(|\)|,|\*|\+|-|/|%|;|:)
   | (?P<ws>\s+|--[^\n]*|\#[^\n]*|/\*.*?\*/)
 """, re.VERBOSE | re.DOTALL)
 
@@ -266,6 +266,7 @@ class SqlParser:
             "ALTER": self.parse_alter,
             "RELOAD": self.parse_reload,
             "IMPORT": self.parse_import,
+            "JOIN": self.parse_join_cluster,
         }.get(head)
         if fn is None:
             raise SqlParseError(f"unsupported statement {head}")
@@ -506,10 +507,19 @@ class SqlParser:
         return FacetStmt(items, by, order, offset, limit)
 
     # --- writes ---
+    def table_ref(self) -> str:
+        """Table name, optionally cluster-qualified: `cluster:table`
+        (write routing into replication clusters, searchdsql.h)."""
+        n = self.name()
+        if self.peek() == ("op", ":"):
+            self.next()
+            return n + ":" + self.name()
+        return n
+
     def parse_insert(self, replace: bool):
         self.next()  # INSERT/REPLACE
         self.expect_kw("INTO")
-        index = self.name()
+        index = self.table_ref()
         columns: list[str] = []
         if self.peek() == ("op", "("):
             self.next()
@@ -536,14 +546,17 @@ class SqlParser:
 
     def parse_delete(self):
         self.expect_kw("DELETE")
+        if self.at_kw("CLUSTER"):
+            self.next()
+            return SimpleStmt("delete_cluster", [self.name()])
         self.expect_kw("FROM")
-        index = self.name()
+        index = self.table_ref()
         self.expect_kw("WHERE")
         return DeleteStmt(index, self.parse_conds())
 
     def parse_update(self):
         self.expect_kw("UPDATE")
-        index = self.name()
+        index = self.table_ref()
         self.expect_kw("SET")
         values = {}
         while True:
@@ -560,6 +573,13 @@ class SqlParser:
     # --- DDL / admin ---
     def parse_create(self):
         self.expect_kw("CREATE")
+        if self.eat_kw("CLUSTER"):
+            name = self.name()
+            while self.peek()[0] == "str":   # 'path'/'nodes' options
+                self.next()
+                if self.peek() == ("op", ","):
+                    self.next()
+            return SimpleStmt("create_cluster", [name])
         if self.eat_kw("FUNCTION"):
             name = self.name()
             self.expect_kw("RETURNS")
@@ -640,7 +660,13 @@ class SqlParser:
         if self.eat_kw("WARNINGS"):
             return SimpleStmt("show_warnings")
         if self.eat_kw("STATUS"):
-            return SimpleStmt("show_status")
+            like = None
+            if self.eat_kw("LIKE"):
+                k, v = self.next()
+                if k != "str":
+                    raise SqlParseError("LIKE needs a quoted pattern")
+                like = _unquote(v)
+            return SimpleStmt("show_status", [like] if like else [])
         if self.eat_kw("VARIABLES"):
             return SimpleStmt("show_variables")
         if self.eat_kw("VERSION"):
@@ -692,10 +718,23 @@ class SqlParser:
         self.expect_kw("TRANSACTION")
         return SimpleStmt("begin")
 
+    def parse_join_cluster(self):
+        # JOIN CLUSTER name AT 'host:port' (searchdreplication.cpp JOIN)
+        self.expect_kw("JOIN")
+        self.expect_kw("CLUSTER")
+        name = self.name()
+        addr = ""
+        if self.eat_kw("AT"):
+            k, v = self.next()
+            if k != "str":
+                raise SqlParseError("JOIN CLUSTER ... AT needs 'host:port'")
+            addr = _unquote(v)
+        return SimpleStmt("join_cluster", [name, addr])
+
     def parse_truncate(self):
         self.expect_kw("TRUNCATE")
         self.eat_kw("RTINDEX", "TABLE")
-        st = SimpleStmt("truncate", [self.name()])
+        st = SimpleStmt("truncate", [self.table_ref()])
         if self.eat_kw("WITH"):
             self.expect_kw("RECONFIGURE")
         return st
@@ -771,6 +810,14 @@ class SqlParser:
         # ALTER TABLE t ADD COLUMN c <type> | ALTER TABLE t DROP COLUMN c
         # (AlterSchemaAdd_c / searchdddl.cpp grammar shape)
         self.expect_kw("ALTER")
+        if self.at_kw("CLUSTER"):
+            self.next()
+            cname = self.name()
+            if self.eat_kw("ADD"):
+                return SimpleStmt("cluster_add", [cname, self.name()])
+            if self.eat_kw("DROP"):
+                return SimpleStmt("cluster_drop", [cname, self.name()])
+            raise SqlParseError("expected ADD or DROP after ALTER CLUSTER")
         self.eat_kw("TABLE", "RTINDEX", "INDEX")
         idx = self.name()
         op = self.eat_kw("ADD", "DROP")

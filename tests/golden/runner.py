@@ -308,6 +308,172 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
     return sd
 
 
+_XML_ATTR_KEYS = {
+    "xmlpipe_attr_uint": ("UINT", SPH_ATTR_INTEGER),
+    "xmlpipe_attr_timestamp": ("TIMESTAMP", SPH_ATTR_TIMESTAMP),
+    "xmlpipe_attr_bool": ("BOOL", SPH_ATTR_BOOL),
+    "xmlpipe_attr_float": ("FLOAT", SPH_ATTR_FLOAT),
+    "xmlpipe_attr_bigint": ("BIGINT", SPH_ATTR_BIGINT),
+    "xmlpipe_attr_string": ("STRING", SPH_ATTR_STRING),
+    "xmlpipe_attr_json": ("JSON", 0),
+    "xmlpipe_attr_multi": ("MVA", SPH_ATTR_MULTI),
+    "xmlpipe_attr_multi_64": ("MVA64", SPH_ATTR_MULTI64),
+}
+_XML_TYPE_MAP = {
+    "int": ("UINT", SPH_ATTR_INTEGER), "uint": ("UINT", SPH_ATTR_INTEGER),
+    "timestamp": ("TIMESTAMP", SPH_ATTR_TIMESTAMP),
+    "bool": ("BOOL", SPH_ATTR_BOOL), "float": ("FLOAT", SPH_ATTR_FLOAT),
+    "bigint": ("BIGINT", SPH_ATTR_BIGINT),
+    "string": ("STRING", SPH_ATTR_STRING), "str2ordinal":
+    ("STRING", SPH_ATTR_STRING), "json": ("JSON", 0),
+    "multi": ("MVA", SPH_ATTR_MULTI), "multi_64": ("MVA64", SPH_ATTR_MULTI64),
+}
+
+
+def read_xmlpipe_source(src: dict) -> SourceDef:
+    """xmlpipe2 source (CSphSource_XMLPipe2, sphinx.cpp:24763): the harness
+    supports `cat FILE` commands; schema from xmlpipe_field/xmlpipe_attr_*
+    keys plus an embedded <sphinx:schema>."""
+    import xml.etree.ElementTree as ET
+
+    from manticoresearch_tpu.schema import AttrDef, AttrType
+
+    cmd = (src.get("xmlpipe_command") or [""])[-1].strip()
+    m = re.match(r"^cat\s+(\S+)$", cmd)
+    if not m:
+        raise GoldenUnsupported(f"xmlpipe_command {cmd!r}")
+    path = m.group(1)
+    if not os.path.isfile(path):
+        raise GoldenUnsupported(f"xmlpipe file missing: {path}")
+    with open(path, encoding="utf-8", errors="replace") as f:
+        text = f.read()
+    # the sphinx: prefix is not a bound XML namespace in the wire format
+    text = re.sub(r"<(/?)sphinx:", r"<\1sphinx_", text)
+
+    sd = SourceDef()
+    order: list[str] = []          # field order
+    for key, (tname, code) in _XML_ATTR_KEYS.items():
+        for val in src.get(key, []):
+            name = val.strip()
+            sd.attr_codes[name] = code
+            sd.attrs.append(AttrDef(name, getattr(AttrType, tname)))
+    for val in src.get("xmlpipe_field", []):
+        order.append(val.strip())
+    for val in src.get("xmlpipe_field_string", []):
+        name = val.strip()
+        order.append(name)
+        sd.attr_codes[name] = SPH_ATTR_STRING
+        sd.attrs.append(AttrDef(name, AttrType.STRING))
+
+    root = ET.fromstring(text)
+    for schema in root.iter("sphinx_schema"):
+        for el in schema:
+            if el.tag == "sphinx_field":
+                nm = el.get("name", "").strip()
+                if nm and nm not in order:
+                    order.append(nm)
+                # <sphinx:field name=.. attr="string"/>: indexed AND
+                # stored as a string attribute
+                if el.get("attr", "").strip() == "string" \
+                        and nm not in sd.attr_codes:
+                    sd.attr_codes[nm] = SPH_ATTR_STRING
+                    sd.attrs.append(AttrDef(nm, AttrType.STRING))
+            elif el.tag == "sphinx_attr":
+                nm = el.get("name", "").strip()
+                typ = el.get("type", "int").strip()
+                if typ not in _XML_TYPE_MAP:
+                    raise GoldenUnsupported(f"xmlpipe attr type {typ}")
+                tname, code = _XML_TYPE_MAP[typ]
+                if nm and nm not in sd.attr_codes:
+                    sd.attr_codes[nm] = code
+                    sd.attrs.append(AttrDef(nm, getattr(AttrType, tname)))
+    sd.fields = order
+
+    for doc in root.iter("sphinx_document"):
+        d: dict = {"id": int(doc.get("id", 0))}
+        for child in doc:
+            nm = child.tag
+            val = (child.text or "").strip()
+            code = sd.attr_codes.get(nm)
+            if code in (SPH_ATTR_MULTI, SPH_ATTR_MULTI64):
+                d[nm] = [int(x) for x in re.split(r"[,\s]+", val)
+                         if x.strip()]
+            elif code == SPH_ATTR_FLOAT:
+                d[nm] = float(val or 0)
+            elif code in (SPH_ATTR_INTEGER, SPH_ATTR_TIMESTAMP,
+                          SPH_ATTR_BOOL, SPH_ATTR_BIGINT):
+                d[nm] = int(val or 0)
+            else:
+                d[nm] = val
+        for f in sd.fields:
+            d.setdefault(f, "")
+        for a in sd.attrs:
+            if a.name not in d:
+                d[a.name] = ([] if a.type.value in ("mva", "mva64")
+                             else 0 if a.type.value in
+                             ("uint", "bigint", "bool", "timestamp")
+                             else 0.0 if a.type.value == "float" else "")
+        sd.docs.append(d)
+    for kl in root.iter("sphinx_killlist"):
+        for el in kl.iter("id"):
+            sd.kill_ids.append(int((el.text or "0").strip()))
+    return sd
+
+
+def read_tsvpipe_source(src: dict, styp: str) -> SourceDef:
+    """tsvpipe/csvpipe sources (CSphSource_TSV/CSV): the N *pipe_field /
+    *pipe_attr_* keys declare the column layout in DECLARATION ORDER;
+    column 0 is the docid."""
+    import csv as _csv
+    import io
+
+    from manticoresearch_tpu.schema import AttrDef, AttrType
+
+    pfx = "tsvpipe" if styp == "tsvpipe" else "csvpipe"
+    cmd = (src.get(f"{pfx}_command") or [""])[-1].strip()
+    m = re.match(r"^cat\s+(\S+)$", cmd)
+    if not m or not os.path.isfile(m.group(1)):
+        raise GoldenUnsupported(f"{pfx}_command {cmd!r}")
+    sd = SourceDef()
+    # column layout: keys in section order (section_dict preserves per-key
+    # order but not interleave; the reference keeps declaration order —
+    # approximate with fields first, then attrs, which matches the test
+    # configs' layout)
+    layout: list[tuple[str, str]] = []   # (name, kind)
+    for val in src.get(f"{pfx}_field", []):
+        layout.append((val.strip(), "field"))
+        sd.fields.append(val.strip())
+    for key, (tname, code) in _XML_ATTR_KEYS.items():
+        key2 = key.replace("xmlpipe", pfx)
+        for val in src.get(key2, []):
+            nm = val.strip()
+            layout.append((nm, tname))
+            sd.attr_codes[nm] = code
+            sd.attrs.append(AttrDef(nm, getattr(AttrType, tname)))
+    with open(m.group(1), encoding="utf-8-sig", errors="replace") as f:
+        text = f.read()
+    rows = (_csv.reader(io.StringIO(text)) if pfx == "csvpipe"
+            else (ln.split("\t") for ln in text.splitlines() if ln))
+    for row in rows:
+        if not row:
+            continue
+        d: dict = {"id": int(row[0])}
+        for (nm, kind), val in zip(layout, row[1:]):
+            if kind == "field":
+                d[nm] = val
+            elif kind in ("MVA", "MVA64"):
+                d[nm] = [int(x) for x in re.split(r"[,\s]+", val)
+                         if x.strip()]
+            elif kind == "FLOAT":
+                d[nm] = float(val or 0)
+            elif kind in ("STRING", "JSON"):
+                d[nm] = val
+            else:
+                d[nm] = int(val or 0)
+        sd.docs.append(d)
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # index settings mapping
 
@@ -547,9 +713,14 @@ class GoldenEnv:
             for srcname in srcnames:
                 src = section_dict(self.sections, "source", srcname.strip())
                 styp = (src.get("type") or [""])[-1]
-                if styp not in ("mysql", "pgsql", "sqlite"):
+                if styp == "xmlpipe2":
+                    one = read_xmlpipe_source(src)
+                elif styp in ("tsvpipe", "csvpipe"):
+                    one = read_tsvpipe_source(src, styp)
+                elif styp in ("mysql", "pgsql", "sqlite"):
+                    one = read_source(src, con)
+                else:
                     raise GoldenUnsupported(f"source type {styp}")
-                one = read_source(src, con)
                 if sd is None:
                     sd = one
                 docs.extend(one.docs)

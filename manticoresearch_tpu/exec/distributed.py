@@ -156,6 +156,10 @@ class DistributedTable:
                     (f"{p}_last_error", m.last_error),
                     (f"{p}_latency_ms", f"{m.ema_latency_ms:.3f}"),
                     (f"{p}_dead", "1" if m.is_dead() else "0"),
+                    (f"{p}_pool_idle", str(len(m._pool()))),
+                    (f"{p}_pool_hits", str(getattr(m, "_pool_hits", 0))),
+                    (f"{p}_pool_misses",
+                     str(getattr(m, "_pool_misses", 0))),
                 ]
         return rows
 

@@ -113,6 +113,42 @@ class AgentMirror:
     def is_dead(self) -> bool:
         return time.monotonic() < self.dead_until
 
+    # -- persistent connection pool (searchdha.h:118) -------------------
+    _POOL_CAP = 4
+
+    def _pool(self) -> list:
+        if not hasattr(self, "_conns"):
+            self._conns: list = []
+            self._pool_hits = 0
+            self._pool_misses = 0
+        return self._conns
+
+    def acquire(self, timeout: float):
+        """-> (socket, reused_flag)."""
+        pool = self._pool()
+        if pool:
+            self._pool_hits += 1
+            return pool.pop(), True
+        self._pool_misses += 1
+        return socket.create_connection((self.host, self.port),
+                                        timeout=timeout), False
+
+    def release(self, sock) -> None:
+        pool = self._pool()
+        if len(pool) < self._POOL_CAP:
+            pool.append(sock)
+        else:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def discard(self, sock) -> None:
+        try:
+            sock.close()
+        except OSError:
+            pass
+
 
 def parse_agent_spec(spec: str) -> list[AgentMirror]:
     """'host1:port1:tbl|host2:port2:tbl' -> mirror list (the reference's
@@ -174,25 +210,43 @@ class AgentError(Exception):
 
 def _request(mirror: AgentMirror, command: int, payload: dict,
              timeout: float) -> dict:
+    """One request over the mirror's persistent connection pool
+    (agent_persistent semantics, searchdha.h:118): a pooled socket is
+    reused across requests; a send/recv failure on a REUSED socket retries
+    once on a fresh connection before counting as a mirror error."""
     t0 = time.perf_counter()
-    try:
-        with socket.create_connection((mirror.host, mirror.port),
-                                      timeout=timeout) as sock:
+    last_err: Exception | None = None
+    for attempt in (0, 1):
+        try:
+            sock, reused = mirror.acquire(timeout)
+        except OSError as e:
+            mirror.note_error(str(e))
+            raise AgentError(f"agent {mirror.addr()}: {e}") from e
+        try:
             sock.settimeout(timeout)
             _send_frame(sock, command, payload)
             status, reply = _recv_frame(sock)
-    except socket.timeout as e:
-        mirror.note_error(f"timeout after {timeout}s", timeout=True)
-        raise AgentError(f"agent {mirror.addr()}: timed out") from e
-    except OSError as e:
-        mirror.note_error(str(e))
-        raise AgentError(f"agent {mirror.addr()}: {e}") from e
-    if status == STATUS_ERROR:
-        mirror.note_error(reply.get("error", "remote error"))
-        raise AgentError(
-            f"agent {mirror.addr()}: {reply.get('error', 'remote error')}")
-    mirror.note_success((time.perf_counter() - t0) * 1000.0)
-    return reply
+        except socket.timeout as e:
+            mirror.discard(sock)
+            mirror.note_error(f"timeout after {timeout}s", timeout=True)
+            raise AgentError(f"agent {mirror.addr()}: timed out") from e
+        except OSError as e:
+            mirror.discard(sock)
+            last_err = e
+            if reused:
+                continue       # stale pooled socket: one fresh retry
+            mirror.note_error(str(e))
+            raise AgentError(f"agent {mirror.addr()}: {e}") from e
+        mirror.release(sock)
+        if status == STATUS_ERROR:
+            mirror.note_error(reply.get("error", "remote error"))
+            raise AgentError(
+                f"agent {mirror.addr()}: "
+                f"{reply.get('error', 'remote error')}")
+        mirror.note_success((time.perf_counter() - t0) * 1000.0)
+        return reply
+    mirror.note_error(str(last_err))
+    raise AgentError(f"agent {mirror.addr()}: {last_err}")
 
 
 def agent_search(agent: MultiAgent, query_payload: dict,
@@ -390,5 +444,28 @@ class AgentServer:
                 return STATUS_ERROR, {"error": f"{type(e).__name__}: {e}"}
             return STATUS_OK, result_to_payload(r)
         if cmd == CMD_KEYWORDS:
-            return STATUS_ERROR, {"error": "not implemented"}
+            # agent-side CALL KEYWORDS (SetupLocalDF fetches per-term df
+            # from remote agents this way, searchd.cpp:5869)
+            try:
+                t = self.catalog.get(req["table"])
+            except (ValueError, KeyError) as e:
+                return STATUS_ERROR, {"error": str(e)}
+            from ..text.dictionary import Dictionary
+            from ..text.tokenizer import Tokenizer
+            tok = Tokenizer(t.tok_settings)
+            dic = Dictionary(t.dict_settings)
+            _total, df = t.global_stats()
+            kws = []
+            for token in tok.tokenize(str(req.get("text", ""))):
+                for term in dic.process(token.text) or []:
+                    docs = int(df.get(term, 0))
+                    hits = 0
+                    for seg in t.segments:
+                        tid = seg.packed.term_id(term)
+                        if tid >= 0:
+                            hits += int(seg.packed.term_hits[tid])
+                    kws.append({"tokenized": token.text,
+                                "normalized": term,
+                                "docs": docs, "hits": hits})
+            return STATUS_OK, {"keywords": kws}
         return STATUS_ERROR, {"error": f"unknown command {cmd}"}

@@ -235,3 +235,46 @@ class TestAgentSpecParsing:
     def test_bad_spec(self):
         with pytest.raises(ValueError):
             parse_agent_spec("justhost")
+
+
+class TestPersistentConnections:
+    def test_pool_reuse_and_keywords(self, remote):
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        from manticoresearch_tpu.server.agent import (
+            CMD_KEYWORDS, MultiAgent, _request, agent_search,
+            parse_agent_spec, query_to_payload)
+        agent = MultiAgent(parse_agent_spec(f"127.0.0.1:{remote.port}:t"))
+        m = agent.mirrors[0]
+        for _ in range(3):
+            r = agent_search(agent, query_to_payload(
+                SearchQuery(match="fox")), timeout=2.0)
+            assert "matches" in r
+        # after the first request the connection is pooled and reused
+        assert getattr(m, "_pool_hits", 0) >= 2
+        assert len(m._pool()) >= 1
+        # agent-side CALL KEYWORDS (CMD_KEYWORDS, remote df for
+        # SetupLocalDF)
+        r = _request(m, CMD_KEYWORDS, {"table": "t", "text": "fox zzz"},
+                     timeout=2.0)
+        kws = {k["normalized"]: k for k in r["keywords"]}
+        assert kws["fox"]["docs"] == 2
+        assert kws["zzz"]["docs"] == 0
+
+    def test_stale_pooled_socket_retries_fresh(self, remote):
+        """A dead pooled socket must not fail the request: one fresh
+        reconnect retry."""
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        from manticoresearch_tpu.server.agent import (
+            MultiAgent, agent_search, parse_agent_spec, query_to_payload)
+        agent = MultiAgent(parse_agent_spec(f"127.0.0.1:{remote.port}:t"))
+        m = agent.mirrors[0]
+        r = agent_search(agent, query_to_payload(SearchQuery(match="fox")),
+                         timeout=2.0)
+        assert "matches" in r
+        # poison the pooled socket
+        for s in m._pool():
+            s.close()
+        r = agent_search(agent, query_to_payload(SearchQuery(match="fox")),
+                         timeout=2.0)
+        assert "matches" in r
+        assert m.errors == 0

@@ -201,6 +201,28 @@ class Catalog:
             rt.generation = int(_t.time())
             self.tables[name] = rt
             rotated.append(name)
+            # klist_target (ApplyKillListsTo, searchd.cpp:15926-16005):
+            # the rotated-in index's kill list suppresses rows in its
+            # target tables — the classic main+delta workflow
+            klpath = os.path.join(ddir, "killlist.json")
+            if os.path.isfile(klpath):
+                with open(klpath) as f:
+                    kl = json.load(f)
+                for tgt in str(kl.get("target", "")).split(","):
+                    tgt = tgt.strip()
+                    mode = "both"
+                    if ":" in tgt:
+                        tgt, _, mode = tgt.partition(":")
+                    t2 = self.tables.get(tgt.strip())
+                    if t2 is None:
+                        continue
+                    ids: list[int] = []
+                    if mode in ("kl", "both"):
+                        ids += [int(x) for x in kl.get("ids", [])]
+                    if mode in ("id", "both"):
+                        ids += [int(x) for x in packed.doc_ids.tolist()]
+                    if ids and t2.delete(ids):
+                        t2.commit()
         if rotated:
             self._save_manifest()
         return rotated

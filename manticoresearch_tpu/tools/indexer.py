@@ -87,7 +87,9 @@ def read_sql_source(path: str, sql_query: str | None):
 
 
 def build_one(name: str, schema, tok, dic, source: str, out: str,
-              quiet: bool = False, sql_query: str | None = None) -> int:
+              quiet: bool = False, sql_query: str | None = None,
+              killlist: list[int] | None = None,
+              killlist_target: str = "") -> int:
     from ..index.builder import IndexBuilder
     from ..index.storage import save_packed
 
@@ -99,6 +101,14 @@ def build_one(name: str, schema, tok, dic, source: str, out: str,
         n += 1
     packed = b.build()
     save_packed(packed, out)
+    if killlist or killlist_target:
+        # sidecar kill list (.spk analog, killlist.h:22): docids this
+        # index suppresses in its killlist_target tables at rotation
+        import json as _json
+        import os as _os
+        with open(_os.path.join(out, "killlist.json"), "w") as f:
+            _json.dump({"ids": [int(x) for x in (killlist or [])],
+                        "target": killlist_target}, f)
     if not quiet:
         dt = time.time() - t0
         print(f"index '{name}': {n} docs, {packed.total_hits} hits, "
@@ -121,6 +131,13 @@ def main(argv=None) -> int:
                          "daemon to swap it in (reference --rotate)")
     ap.add_argument("--sql-query", default=None,
                     help="row query for sqlite sources (sql_query)")
+    ap.add_argument("--killlist", default=None,
+                    help="comma-separated docids to kill in the "
+                         "killlist-target tables at rotation "
+                         "(sql_query_killlist analog)")
+    ap.add_argument("--killlist-target", default="",
+                    help="comma list of target tables, each optionally "
+                         ":kl/:id qualified (killlist_target)")
     args = ap.parse_args(argv)
 
     if args.config:
@@ -159,8 +176,10 @@ def main(argv=None) -> int:
         attrs.append(AttrDef(aname, AttrType(atype)))
     schema = Schema(fields=fields, attrs=attrs)
     out = args.out + ".new" if args.rotate else args.out
+    kl = [int(x) for x in (args.killlist or "").split(",") if x.strip()]
     build_one(args.out, schema, None, None, args.source, out, args.quiet,
-              sql_query=args.sql_query)
+              sql_query=args.sql_query, killlist=kl,
+              killlist_target=args.killlist_target)
     if args.rotate:
         _signal_rotate(args.out, args.quiet)
     return 0

@@ -575,3 +575,53 @@ class TestGlobalVars:
         s.close()
         cat2 = Catalog(dd)
         assert cat2.globals.get("query_log_min_msec") == 250
+
+
+class TestKlistTarget:
+    def test_rotated_killlist_suppresses_target_rows(self, tmp_path):
+        """klist_target (ApplyKillListsTo, searchd.cpp:15926): rotating in
+        a delta index kills the superseded rows of the main table."""
+        import json
+        import os
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        from manticoresearch_tpu.exec.session import Catalog
+        from manticoresearch_tpu.index.builder import IndexBuilder
+        from manticoresearch_tpu.index.storage import save_packed
+        from manticoresearch_tpu.schema import Schema
+
+        dd = str(tmp_path / "data")
+        cat = Catalog(dd)
+
+        def save(path, docs, killlist=None, target=""):
+            b = IndexBuilder(Schema(fields=["content"], attrs=[]))
+            b.add_documents(docs)
+            save_packed(b.build(), path)
+            if killlist is not None:
+                with open(os.path.join(path, "killlist.json"), "w") as f:
+                    json.dump({"ids": killlist, "target": target}, f)
+
+        save(os.path.join(dd, "main.new"),
+             [dict(id=i, content=f"old row {i}") for i in (1, 2, 3, 4)])
+        assert cat.rotate() == ["main"]
+        assert cat.get("main").search(
+            SearchQuery(match="old")).total_found == 4
+
+        # delta carries rows 2,3 (updated) + a kill list naming them
+        save(os.path.join(dd, "delta.new"),
+             [dict(id=i, content=f"new row {i}") for i in (2, 3)],
+             killlist=[2, 3], target="main:kl")
+        assert cat.rotate() == ["delta"]
+        assert cat.get("main").search(
+            SearchQuery(match="old")).total_found == 2
+        assert {m.docid for m in cat.get("main").search(
+            SearchQuery(match="old")).matches} == {1, 4}
+        assert cat.get("delta").search(
+            SearchQuery(match="new")).total_found == 2
+
+        # :id mode kills by the delta's own docids
+        save(os.path.join(dd, "delta.new"),
+             [dict(id=4, content="new row 4")], killlist=[],
+             target="main:id")
+        assert cat.rotate() == ["delta"]
+        assert {m.docid for m in cat.get("main").search(
+            SearchQuery(match="old")).matches} == {1}

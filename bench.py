@@ -31,6 +31,44 @@ import numpy as np
 VS_BASELINE_QPS = 2000.0
 
 
+def build_corpus_shards(n_docs: int, vocab: int, avg_len: int,
+                        n_shards: int, seed: int = 42):
+    """The same synthetic corpus split into per-shard PackedIndexes
+    (BASELINE config 5: distributed over local shards)."""
+    from manticoresearch_tpu.index.builder import build_from_pretokenized
+    from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
+
+    rng = np.random.RandomState(seed)
+    lens = rng.randint(avg_len // 2, avg_len * 2, n_docs)
+    offsets = np.zeros(n_docs + 1, np.int64)
+    offsets[1:] = np.cumsum(lens)
+    z = rng.zipf(1.25, int(offsets[-1]))
+    terms = np.minimum(z - 1, vocab - 1).astype(np.int64)
+    schema = Schema(fields=["content"],
+                    attrs=[AttrDef("year", AttrType.UINT),
+                           AttrDef("group_id", AttrType.UINT)])
+    width = max(4, len(str(vocab - 1)))
+    vocab_list = [f"t{i:0{width}d}" for i in range(vocab)]
+    year = 2000 + (np.arange(n_docs) % 25)
+    gid = np.arange(n_docs) % 100
+    shards = []
+    per = (n_docs + n_shards - 1) // n_shards
+    for si in range(n_shards):
+        lo, hi = si * per, min((si + 1) * per, n_docs)
+        if lo >= hi:
+            break
+        o = offsets[lo:hi + 1] - offsets[lo]
+        shards.append(build_from_pretokenized(
+            schema,
+            doc_ids=np.arange(lo + 1, hi + 1, dtype=np.int64),
+            doc_terms=terms[offsets[lo]:offsets[hi]],
+            doc_offsets=o,
+            attrs={"year": year[lo:hi], "group_id": gid[lo:hi]},
+            vocab=vocab_list,
+        ))
+    return shards
+
+
 def build_corpus(n_docs: int, vocab: int, avg_len: int, seed: int = 42):
     from manticoresearch_tpu.index.builder import build_from_pretokenized
     from manticoresearch_tpu.schema import AttrDef, AttrType, Schema
@@ -231,7 +269,7 @@ def main():
                     help="global wall deadline, seconds: finish what's "
                     "measured and emit the JSON line even on a degraded "
                     "tunnel (0 = unbounded)")
-    ap.add_argument("--configs", default="1,2,3,4",
+    ap.add_argument("--configs", default="1,2,3,4,5",
                     help="comma list of BASELINE configs to run")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -278,6 +316,28 @@ def main():
             print(f"# {cid}: {qps:.1f} qps over {len(times)} fresh batches "
                   f"(batch p50 {np.percentile(times, 50)*1e3:.0f}ms)",
                   file=sys.stderr)
+
+    if "5" in wanted and (deadline is None
+                          or time.perf_counter() < deadline):
+        # config 5: distributed over mesh shards (one shard per device;
+        # on a single-chip link this still measures the shard_mapped
+        # program + packed posting path end-to-end)
+        import jax as _jax
+        from manticoresearch_tpu.parallel.sharded import ShardedIndex
+        D = min(8, len(_jax.devices()))
+        shards = build_corpus_shards(args.docs, args.vocab, args.avg_len,
+                                     D)
+        sidx = ShardedIndex(shards[:D])
+        qps, times = _run_batches(sidx, gen.config1, args.batches,
+                                  max(args.batch // 2, 8), args.budget,
+                                  batched=False, deadline=deadline)
+        if qps is not None:
+            configs[f"5_distributed_{len(shards[:D])}shard"] = round(qps, 1)
+            all_times += times
+            if args.verbose:
+                import sys
+                print(f"# 5_distributed ({D} shards): {qps:.1f} qps",
+                      file=sys.stderr)
 
     # headline: configs 1+2 blended (the round-1 comparable number)
     head = [v for k, v in configs.items() if k[0] in "12"]

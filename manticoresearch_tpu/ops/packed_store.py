@@ -85,11 +85,18 @@ class PackedStore:
 
 def build_store(term_docs: np.ndarray, term_offsets: np.ndarray,
                 post_rowid: np.ndarray, post_tf: np.ndarray,
-                post_tfq: np.ndarray, post_fieldmask: np.ndarray
-                ) -> PackedStore:
+                post_tfq: np.ndarray, post_fieldmask: np.ndarray,
+                force_packed: np.ndarray | None = None,
+                force_class: np.ndarray | None = None,
+                classes_only: bool = False):
+    """force_packed (bool[T]) / force_class (i8[T,3], CLASS INDEX values)
+    override the local pack decision and width classes — the sharded path
+    forces GLOBAL assignments so one plan's static slot_packed shapes hold
+    on every shard (a shard's local widths never exceed the global max)."""
     T = len(term_docs)
     df = term_docs.astype(np.int64)
-    packed_sel = df >= PACK_MIN
+    packed_sel = (df >= PACK_MIN) if force_packed is None \
+        else (np.asarray(force_packed, bool) & (df > 0))
     p_tids = np.flatnonzero(packed_sel)
 
     term_class = np.zeros((T, 3), np.int8)
@@ -116,6 +123,8 @@ def build_store(term_docs: np.ndarray, term_offsets: np.ndarray,
                         res_rowid=res_rowid, res_tfq=res_tfq,
                         res_fieldmask=res_fm)
     if not len(p_tids):
+        if classes_only:
+            return packed_sel, np.zeros((T, 3), np.int8)
         for c in CLASSES:
             store.rw_words[c] = np.zeros((0, PLANE_WORDS * c), np.uint32)
             store.rw_base[c] = np.zeros(0, np.int32)
@@ -163,9 +172,21 @@ def build_store(term_docs: np.ndarray, term_offsets: np.ndarray,
         width = np.ceil(np.log2(np.maximum(tmax, 1) + 1)).astype(np.int64)
         return _class_of(np.maximum(width, 1))
 
-    cls_rw = classes_for(deltas)
-    cls_tf = classes_for(Vtf.reshape(NB, BLOCK))
-    cls_fm = classes_for(Vfm.reshape(NB, BLOCK))
+    if force_class is not None:
+        fc = np.asarray(force_class)
+        cls_rw = fc[p_tids, 0]
+        cls_tf = fc[p_tids, 1]
+        cls_fm = fc[p_tids, 2]
+    else:
+        cls_rw = classes_for(deltas)
+        cls_tf = classes_for(Vtf.reshape(NB, BLOCK))
+        cls_fm = classes_for(Vfm.reshape(NB, BLOCK))
+    if classes_only:
+        cls = np.zeros((T, 3), np.int8)
+        cls[p_tids, 0] = cls_rw
+        cls[p_tids, 1] = cls_tf
+        cls[p_tids, 2] = cls_fm
+        return packed_sel, cls
 
     def emit(kind_idx, cls, mat, words_out, base_out=None):
         for ci, c in enumerate(CLASSES):

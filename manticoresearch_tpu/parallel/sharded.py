@@ -199,8 +199,6 @@ class ShardedIndex:
             pbk[i, : len(s.para_pkey)] = s.para_pkey
 
         data = {
-            "post_rowid": post_rowid, "post_tfq": post_tfq,
-            "post_tf": post_tf, "post_fieldmask": post_fm,
             "post_hit_offset": pho, "hit_packed": hitp,
             "hit_rowid": hitr, "alive": alive, "field_lens": flens,
             "sent_rowid": sbr, "sent_pkey": sbk,
@@ -208,6 +206,85 @@ class ShardedIndex:
             "docid_hi": dhi, "docid_lo": dlo,
             "attrs": attrs, "mva_offsets": {}, "mva_values": {},
         }
+
+        # ---- packed posting store with GLOBAL width classes ------------
+        # Each shard packs with the UNION's pack decision and the
+        # elementwise-max width classes across shards, so one plan's
+        # static slot_packed shapes hold on every shard — the 2.2x HBM
+        # multiplier now reaches the multi-chip path (round-2 gap).
+        from ..ops.packed_store import (CLASSES, PACK_MIN, PLANE_WORDS,
+                                        build_store)
+        u = self.union
+        u_arr = np.array(u.term_strs) if u.term_strs else np.zeros(0, str)
+        union_sel = (u.term_docs.astype(np.int64) >= PACK_MIN
+                     if len(u.term_strs) else np.zeros(0, bool))
+        shard_pos = []
+        for s in shards:
+            pos = (np.searchsorted(u_arr, np.array(s.term_strs))
+                   if s.n_terms else np.zeros(0, np.int64))
+            shard_pos.append(pos)
+        u_cls = np.zeros((len(u.term_strs), 3), np.int8)
+        for s, pos in zip(shards, shard_pos):
+            if not s.n_terms:
+                continue
+            _, cls = build_store(
+                s.term_docs, s.term_offsets, s.post_rowid, s.post_tf,
+                s.post_tfq, s.post_fieldmask,
+                force_packed=union_sel[pos], classes_only=True)
+            np.maximum.at(u_cls, pos, cls)
+        self._stores = []
+        for s, pos in zip(shards, shard_pos):
+            self._stores.append(build_store(
+                s.term_docs, s.term_offsets, s.post_rowid, s.post_tf,
+                s.post_tfq, s.post_fieldmask,
+                force_packed=(union_sel[pos] if s.n_terms
+                              else np.zeros(0, bool)),
+                force_class=(u_cls[pos] if s.n_terms
+                             else np.zeros((0, 3), np.int8))))
+        # union-term class values (1-based like PackedStore.term_class)
+        self._u_cls = np.where(union_sel[:, None], u_cls + 1,
+                               0).astype(np.int8) \
+            if len(u.term_strs) else np.zeros((0, 3), np.int8)
+
+        # slices never clamp: every class/residual array is over-padded
+        # by the largest possible slot bucket (the single-chip upload does
+        # the same; see ops/device_index.py)
+        from ..ops.packed_store import BLOCK
+        pad_blocks = pad_p // BLOCK + 1
+        for c in CLASSES:
+            nbm = max(max((st.rw_words[c].shape[0]
+                           for st in self._stores), default=0), 1) \
+                + pad_blocks
+            for kind, attr_name in (("pkrw_w", "rw_words"),
+                                    ("pktf_w", "tf_words"),
+                                    ("pkfm_w", "fm_words")):
+                nk = max(max((getattr(st, attr_name)[c].shape[0]
+                              for st in self._stores), default=0), 1) \
+                    + pad_blocks
+                arr = np.zeros((D, nk, PLANE_WORDS * c), np.uint32)
+                for i, st in enumerate(self._stores):
+                    w = getattr(st, attr_name)[c]
+                    arr[i, : w.shape[0]] = w
+                data[f"{kind}_{c}"] = arr
+            bs = np.zeros((D, nbm), np.int32)
+            for i, st in enumerate(self._stores):
+                b = st.rw_base[c]
+                bs[i, : len(b)] = b
+            data[f"pkrw_b_{c}"] = bs
+        Rmax = max(max((len(st.res_rowid) for st in self._stores),
+                       default=0), 1) + pad_p
+        res_r = np.full((D, Rmax), N, np.int32)
+        res_q = np.zeros((D, Rmax), np.float32)
+        res_f = np.zeros((D, Rmax), np.int32)
+        for i, st in enumerate(self._stores):
+            r = len(st.res_rowid)
+            res_r[i, :r] = st.res_rowid
+            res_q[i, :r] = st.res_tfq
+            res_f[i, :r] = st.res_fieldmask
+        data["res_rowid"] = res_r
+        data["res_tfq"] = res_q
+        data["res_fieldmask"] = res_f
+
         sharding = NamedSharding(self.mesh, P(self.axis))
         self.data = jax.tree.map(
             lambda x: jax.device_put(x, sharding), data)
@@ -351,7 +428,22 @@ class ShardedIndex:
             filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
             order=order, field_weights=q.field_weights,
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
+            packed_store=self._union_store(),
         )
+
+    def _union_store(self):
+        """Union-term pseudo PackedStore: carries the GLOBAL width classes
+        so the plan's slot_packed matches every shard's layout; the
+        per-shard starts are filled into the runtime at dispatch."""
+        if not hasattr(self, "_ustore"):
+            T = len(self.union.term_strs)
+
+            class _U:
+                term_class = self._u_cls
+                term_start = np.zeros((T, 3), np.int32)
+                res_offsets = np.zeros(T + 1, np.int32)
+            self._ustore = _U()
+        return self._ustore
 
     def search(self, q):
         from ..exec.searcher import Match, SearchResult, WordStat
@@ -410,7 +502,10 @@ class ShardedIndex:
         lengths = np.zeros((D, S), np.int32)
         hstarts = np.zeros((D, S), np.int32)
         hlengths = np.zeros((D, S), np.int32)
+        pk_starts = np.zeros((D, S, 3), np.int32)
+        slot_packed = tuple(getattr(cq.sig, "slot_packed", ()) or ())
         for d, sh in enumerate(self.shards):
+            store_d = self._stores[d]
             for s, term in enumerate(cq.slot_terms):
                 tid = sh.term_id(term)
                 if tid < 0:
@@ -420,8 +515,13 @@ class ShardedIndex:
                 he = int(sh.post_hit_offset[t1_]) if t1_ > t0_ else 0
                 hstarts[d, s] = hs
                 hlengths[d, s] = he - hs
-                starts[d, s] = t0_
                 lengths[d, s] = t1_ - t0_
+                if slot_packed and slot_packed[s][0]:
+                    pk_starts[d, s] = store_d.term_start[tid]
+                    starts[d, s] = 0
+                else:
+                    starts[d, s] = (int(store_d.res_offsets[tid])
+                                    if slot_packed else t0_)
 
         # per-slot buckets must be COMMON across shards (one program):
         # pow2 of the max per-shard size
@@ -437,6 +537,8 @@ class ShardedIndex:
             "starts": starts, "lengths": lengths,
             "hit_starts": hstarts, "hit_lengths": hlengths,
         }
+        if slot_packed:
+            rt_shard["pk_starts"] = pk_starts
         rt_repl = {
             "idf": cq.runtime["idf"], "mult": cq.runtime["mult"],
             "qpos": cq.runtime["qpos"],

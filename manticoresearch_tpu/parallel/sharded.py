@@ -28,7 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..index.builder import PackedIndex
 from ..ops.search import INT32_MIN, build_kernel
 from ..query.plan import PlanSig
-from ..query.planner import CompiledQuery, plan_query, _next_pow2
+from ..query.planner import (CompiledQuery, plan_query, _next_pow2,
+                             _next_pow4)
 from ..schema import Schema
 from ..text.dictionary import Dictionary
 from ..text.tokenizer import Tokenizer
@@ -526,9 +527,9 @@ class ShardedIndex:
         # per-slot buckets must be COMMON across shards (one program):
         # pow2 of the max per-shard size
         Sreal = cq.sig.n_slots
-        slot_pb = tuple(_next_pow2(int(lengths[:, s].max()), 1024)
+        slot_pb = tuple(_next_pow4(int(lengths[:, s].max()), 1024)
                         for s in range(Sreal))
-        slot_hb = tuple(_next_pow2(int(hlengths[:, s].max()), 1024)
+        slot_hb = tuple(_next_pow4(int(hlengths[:, s].max()), 1024)
                         for s in range(Sreal))
         Hmax = int(self.data["hit_packed"].shape[1])
         n_hit_iters = max(1, math.ceil(math.log2(max(Hmax, 2)))) + 1

@@ -55,6 +55,18 @@ def _next_pow2(x: int, lo: int = 128) -> int:
     return n
 
 
+def _next_pow4(x: int, lo: int = 1024) -> int:
+    """Bucket quantized in 4x steps: coarser than pow2 on purpose — every
+    distinct (slot_pb, slot_hb) tuple is a separate XLA program, and
+    compiles on this link cost 25-150s each; halving the bucket count per
+    dimension collapses the compile matrix at a bounded (<4x, amortized
+    ~2x) padding-compute cost that is micro vs. minutes."""
+    n = lo
+    while n < x:
+        n <<= 2
+    return n
+
+
 def compute_idf(df: int, total_docs: int, *, plain: bool = False,
                 normalized_tfidf: bool = True, n_qwords: int = 1,
                 boost: float = 1.0) -> float:
@@ -950,8 +962,8 @@ def plan_query(
     # per-slot bucket sizes (pow2): each slot's CSR range is pulled with one
     # contiguous dynamic_slice of this static size (ops/search.py); min 1024
     # bounds plan-shape diversity
-    slot_pb = tuple(_next_pow2(int(lengths[s]), 1024) for s in range(S))
-    slot_hb = tuple(_next_pow2(int(hit_lengths[s]), 1024) for s in range(S))
+    slot_pb = tuple(_next_pow4(int(lengths[s]), 1024) for s in range(S))
+    slot_hb = tuple(_next_pow4(int(hit_lengths[s]), 1024) for s in range(S))
     # zone span arrays, shipped through the runtime in slot_limited order
     # (one (rows, start_keys, end_keys) triple per zone name per entry)
     zone_spans = []

@@ -17,3 +17,18 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: opt-in scale tests (deselect by default)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    if config.getoption("-m"):
+        return
+    skip = _pytest.mark.skip(reason="slow scale test: run with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

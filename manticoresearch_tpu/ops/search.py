@@ -147,6 +147,40 @@ def _pred_scan(a_row, a_key, b_row, b_key, b_valid):
     return pr, pk, ph
 
 
+def _member_scan(cand_row, b_row, b_valid, payloads):
+    """Membership of each candidate row in ONE sorted posting slice, with
+    per-posting payload retrieval (tfq, fieldmask, ...). Same sort+cummax
+    machinery as _pred_scan; used by the filter-first pipeline where the
+    candidate set comes from a secondary-index window instead of the
+    posting union (CreateFilteredIterator composition, secondaryindex.h:36).
+    Returns (present bool[B], tuple of payload arrays aligned to
+    candidates)."""
+    na = cand_row.shape[0]
+    nb = b_row.shape[0]
+    big = jnp.int32(2**31 - 1)
+    rows = jnp.concatenate([jnp.where(b_valid, b_row, big), cand_row])
+    tag = jnp.concatenate([jnp.zeros(nb, jnp.int32),
+                           jnp.arange(1, na + 1, dtype=jnp.int32)])
+    pays = [jnp.concatenate([p, jnp.zeros(na, p.dtype)]) for p in payloads]
+    sorted_all = jax.lax.sort((rows, tag, *pays), num_keys=2)
+    rows_s, tag_s = sorted_all[0], sorted_all[1]
+    pays_s = sorted_all[2:]
+    bflag = tag_s == 0
+    iota = jnp.arange(rows_s.shape[0], dtype=jnp.int32)
+    j = jax.lax.cummax(jnp.where(bflag, iota, -1))
+    jc = jnp.clip(j, 0, rows_s.shape[0] - 1)
+    pred_row = rows_s[jc]
+    hit = (j >= 0) & (pred_row == rows_s)
+    idx = jnp.where(tag_s > 0, tag_s - 1, na)
+    present = jnp.zeros(na + 1, jnp.bool_).at[idx].set(hit)[:na]
+    outs = []
+    for p in pays_s:
+        pv = p[jc]
+        outs.append(jnp.zeros(na + 1, pv.dtype).at[idx].set(
+            jnp.where(hit, pv, 0))[:na])
+    return present, tuple(outs)
+
+
 def _eval_mva_filter(spec: FilterSpec, offsets, values, vals, rows, n_iters):
     """Multi-value attribute filters (Filter_MVA ANY/ALL semantics,
     sphinxfilter.cpp): per-doc sorted value segments in CSR; membership and
@@ -384,10 +418,13 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
         lim_present_store: dict = {}
 
         if sparse and scan_index:
-            # ---- filtered fullscan over a secondary-index slice ----
+            # ---- filter-first pipeline over a secondary-index slice ----
             # candidates = rows whose indexed attr falls in the filter's
             # value window (pre-sliced host-side); one device sort brings
-            # them into ascending-row candidate order
+            # them into ascending-row candidate order. With a MATCH, term
+            # presence/tf come from per-slot membership scans against the
+            # window (CreateFilteredIterator ∩ term postings,
+            # secondaryindex.h:36, sphinx.cpp:15815).
             perm = data["attr_perm"][scan_index]
             rowsl = jax.lax.dynamic_slice(
                 perm, (rt["scan_start"][0],), (B,))
@@ -397,6 +434,30 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             termmask = jnp.zeros((B, W), jnp.int32)
             fieldhit = (jnp.zeros((B, F), jnp.int32) if need_fieldmask
                         else None)
+            for s in range(S):
+                if s in limited_set:
+                    continue   # evaluated on the hit pass below
+                row, msk, st, sz = slot_postings(s)
+                pays = [slot_tfq(s, st, sz)]
+                if need_fieldmask and s in pos_slots:
+                    pays.append(slot_fieldmask(s, st, sz))
+                present, outs = _member_scan(
+                    cand_row, jnp.where(msk, row, N + 1), msk,
+                    tuple(pays))
+                if s in pos_slots and s not in gated_all:
+                    contrib = jnp.where(
+                        present, outs[0] * rt["idf"][s] * rt["mult"][s],
+                        0.0)
+                    tfidf = tfidf + jax.lax.optimization_barrier(contrib)
+                termmask = termmask.at[:, s >> 5].set(
+                    termmask[:, s >> 5]
+                    | jnp.where(present, jnp.int32(1) << (s & 31), 0))
+                if need_fieldmask and s in pos_slots:
+                    fbits = ((outs[-1][:, None]
+                              >> jnp.arange(F, dtype=jnp.int32)[None, :])
+                             & 1).astype(jnp.int32)
+                    fieldhit = fieldhit | jnp.where(present[:, None],
+                                                    fbits, 0)
             rows_vec = cand_row
             alive = data["alive"][cand_row]
 

@@ -1042,9 +1042,27 @@ def plan_query(
     scan_index = ""
     scan_bucket = 0
     scan_start = scan_len = 0
-    if (not sparse and expr == ("all",) and eff_ranker == "none"
-            and not emit_factors and _mode != "never"
-            and packed_store is not None):
+    # filter-first pre-selection (CreateFilteredIterator economics,
+    # secondaryindex.h:36 + histogram selection, sphinx.cpp:15815):
+    # MATCH-less fullscans always qualify; FT queries qualify when the
+    # filter's candidate window is much smaller than the rarest term's
+    # postings — then intersecting term postings against the window beats
+    # walking the postings
+    from .plan import RANKERS_WITH_HITS as _RWH
+    _pos_slots_lens = [int(lengths[s]) for s in range(S)
+                       if st.terms[s] != "\x00"]
+    _min_df = min(_pos_slots_lens) if _pos_slots_lens else 0
+    # hit-stream consumers (LCS rankers, positional nodes, field-limited
+    # slots) need every hit row in the candidate set — true for the
+    # posting-union pipeline, NOT for a filter window — so they stay on
+    # the term-first path
+    _ft_ok = (expr != ("all",) and _min_df > 0
+              and eff_ranker not in _RWH
+              and not _has_positional(expr)
+              and not slot_limited and not st.groups)
+    if (not sparse and not emit_factors and _mode != "never"
+            and packed_store is not None
+            and (expr == ("all",) and eff_ranker == "none" or _ft_ok)):
         for f in filters or []:
             if f.exclude or f.attr in ("id",):
                 continue
@@ -1065,7 +1083,9 @@ def plan_query(
             else:
                 continue
             size = max(hi_i - li, 0)
-            if size <= index.n_docs // 2:
+            ok = (size <= index.n_docs // 2 if expr == ("all",)
+                  else size * 4 <= _min_df)
+            if ok:
                 scan_index = f.attr
                 scan_bucket = _next_pow2(size, 1024)
                 # shift the window start left if the bucket would run past

@@ -367,3 +367,53 @@ class TestMaybe:
         # apple@1 cream@4 not adjacent -> lcs rank 1
         want1 = bm25part(1 / 2.2 * (idf_apple + idf_cream)) + 1000
         assert w[1] == want1
+
+
+class TestFilterFirstPreselection:
+    """FT queries with a selective numeric filter run over the filter's
+    secondary-index window (CreateFilteredIterator ∩ term postings,
+    secondaryindex.h:36) — results must equal the term-first path."""
+
+    @pytest.fixture(scope="class")
+    def ffindex(self):
+        schema = Schema(fields=["content"],
+                        attrs=[AttrDef("year", AttrType.UINT)])
+        b = IndexBuilder(schema)
+        rng = np.random.RandomState(4)
+        docs = []
+        for i in range(1, 3001):
+            words = ["common"] * 3 + [f"w{rng.randint(40):02d}"]
+            docs.append(dict(id=i, content=" ".join(words),
+                             year=2000 + (i % 100)))
+        b.add_documents(docs)
+        return SearchIndex(b.build())
+
+    def test_ft_filter_first_parity(self, ffindex, monkeypatch):
+        # year window of ~60 rows vs 'common' df=3000: filter-first wins
+        filt = [AttrFilterDef("year", "range_i", lo=2003, hi=2004)]
+        for match, ranker in (("common", "bm25"),
+                              ("common w07", "bm25"),
+                              ("common | w03", "none"),
+                              ("common -w05", "bm25"),
+                              ("common", "proximity_bm25")):
+            q = SearchQuery(match=match, filters=filt, ranker=ranker,
+                            limit=50)
+            monkeypatch.setenv("MT_SPARSE", "never")
+            ffindex._plan_cache.clear()
+            base = ffindex.search(q)
+            monkeypatch.setenv("MT_SPARSE", "auto")
+            ffindex._plan_cache.clear()
+            fast = ffindex.search(q)
+            assert base.error is None and fast.error is None
+            assert [(m.docid, m.weight) for m in base.matches] == \
+                [(m.docid, m.weight) for m in fast.matches], (match, ranker)
+            assert base.total_found == fast.total_found
+
+    def test_ft_filter_first_plan_selected(self, ffindex, monkeypatch):
+        monkeypatch.setenv("MT_SPARSE", "auto")
+        ffindex._plan_cache.clear()
+        q = SearchQuery(match="common", filters=[
+            AttrFilterDef("year", "range_i", lo=2003, hi=2004)],
+            ranker="bm25", limit=10)
+        cq = ffindex.plan(q)
+        assert cq.sig.scan_index == "year"    # filter-first engaged

@@ -894,6 +894,14 @@ class GoldenEnv:
         if attrs.get("filter"):
             name = attrs["filter"]
             exclude = attrs.get("filter_exclude") == "1"
+            vals_probe = [attrs.get("filter_value"),
+                          attrs.get("filter_range")]
+            for vp in vals_probe:
+                if vp and any(abs(int(x)) > 2**31 - 1 for x in
+                              re.findall(r"-?\d+", str(vp))):
+                    raise GoldenUnsupported(
+                        "attr filter beyond i32 (device filters are i32; "
+                        "64-bit attr filters land with the hi/lo split)")
             if attrs.get("filter_value") is not None:
                 filters.append(AttrFilterDef(
                     attr=name, kind="values",
@@ -947,8 +955,37 @@ class GoldenEnv:
                 raise GoldenUnsupported(f"groupsort {gs!r}")
             group_sort = [(gmap[gname], gasc)]
 
+        select_items = None
         if attrs.get("select"):
-            raise GoldenUnsupported("API select list")
+            # SetSelect: "expr [AS alias], ..." — '*' expands to the
+            # index's attrs; computed items append as BIGINT/FLOAT
+            select_items = []
+            depth = 0
+            cur = ""
+            parts = []
+            for ch in attrs["select"]:
+                if ch == "," and depth == 0:
+                    parts.append(cur)
+                    cur = ""
+                    continue
+                depth += ch == "("
+                depth -= ch == ")"
+                cur += ch
+            if cur.strip():
+                parts.append(cur)
+            for p in parts:
+                p = p.strip()
+                m2 = re.match(r"^(.*?)\s+as\s+(\w+)$", p, re.I)
+                if m2:
+                    select_items.append((m2.group(2), m2.group(1).strip()))
+                else:
+                    select_items.append((p, p))
+        if group_by and select_items is not None:
+            # GROUP BY a computed alias: substitute the expression
+            for alias, expr_s in select_items:
+                if alias == group_by and expr_s != alias:
+                    group_by = expr_s
+                    break
         if attrs.get("index_weights"):
             raise GoldenUnsupported("index_weights")
 
@@ -1013,16 +1050,53 @@ class GoldenEnv:
         return self.shape_api_result(res, names, q,
                                      group_by=group_by,
                                      group_distinct=group_distinct,
-                                     has_expr=sort_expr is not None)
+                                     has_expr=sort_expr is not None,
+                                     select_items=select_items)
 
     def shape_api_result(self, res, names, q, group_by=None,
-                         group_distinct=None, has_expr=False) -> dict:
+                         group_distinct=None, has_expr=False,
+                         select_items=None) -> dict:
         # multi-index result schema = the attr INTERSECTION in first-index
         # order (MinimizeAggrResult schema unification, searchd.cpp:4816)
         maps = [self.agents[aid].attr_codes.get(n, {})
                 for aid, n in names] or [{}]
         attrs_map = {k: v for k, v in maps[0].items()
                      if all(k in m for m in maps[1:])}
+        sel_exprs = {}          # alias -> parsed expr tree (computed items)
+        if select_items is not None:
+            from manticoresearch_tpu.query.expr import parse_expr
+            base_map = attrs_map
+            attrs_map = {}
+            uint_names = {k for k, v in base_map.items()
+                          if v in (SPH_ATTR_INTEGER, SPH_ATTR_TIMESTAMP,
+                                   SPH_ATTR_BOOL)}
+            for alias, expr_s in select_items:
+                if expr_s == "*":
+                    attrs_map.update(base_map)
+                elif expr_s in base_map and alias == expr_s:
+                    attrs_map[expr_s] = base_map[expr_s]
+                elif expr_s in ("id", "@id", "weight()", "@weight"):
+                    continue    # implicit columns, not attrs
+                else:
+                    # computed item: type decided per-row (int -> BIGINT,
+                    # float -> FLOAT like the reference expr parser)
+                    sel_exprs[alias] = (parse_expr(expr_s), uint_names)
+                    attrs_map[alias] = SPH_ATTR_BIGINT
+            # probe one row to set FLOAT codes
+            if res.matches and sel_exprs:
+                from manticoresearch_tpu.query.expr import (ExprError,
+                                                            eval_expr_host)
+                m0 = res.matches[0]
+                for alias, (tree, un) in sel_exprs.items():
+                    row = {k: (v & 0xFFFFFFFF if k in un
+                               and isinstance(v, int) else v)
+                           for k, v in m0.attrs.items()}
+                    try:
+                        v = eval_expr_host(tree, row, m0.weight, m0.docid)
+                    except ExprError:
+                        v = 0
+                    if isinstance(v, float):
+                        attrs_map[alias] = SPH_ATTR_FLOAT
         if has_expr:
             attrs_map["@expr"] = SPH_ATTR_FLOAT
         if group_by:
@@ -1041,6 +1115,18 @@ class GoldenEnv:
         matches: dict | list = [] if resarray else {}
         for m in res.matches:
             vals = {}
+            if sel_exprs:
+                from manticoresearch_tpu.query.expr import (ExprError,
+                                                            eval_expr_host)
+                for alias, (tree, un) in sel_exprs.items():
+                    row = {k: (v & 0xFFFFFFFF if k in un
+                               and isinstance(v, int) else v)
+                           for k, v in m.attrs.items()}
+                    try:
+                        m.attrs[alias] = eval_expr_host(tree, row,
+                                                        m.weight, m.docid)
+                    except ExprError:
+                        m.attrs[alias] = 0
             for aname, code in attrs_map.items():
                 if aname == "@groupby":
                     vals[aname] = m.attrs.get(group_by, 0)
@@ -1146,7 +1232,7 @@ def _render_cell(v) -> str:
 
 
 def _parse_range(s: str) -> tuple[int, int]:
-    m = re.match(r"\s*(-?\d+)\s*[,:\-]\s*(-?\d+)\s*$", s)
+    m = re.match(r"\s*(-?\d+)\s*(?:[,:]|\s+|\s*-\s*)\s*(-?\d+)\s*$", s)
     if not m:
         raise GoldenUnsupported(f"filter_range {s!r}")
     return int(m.group(1)), int(m.group(2))

@@ -63,6 +63,10 @@ class Catalog:
         self.clusters: dict[str, Any] = {}   # name -> server.cluster.Cluster
         self.cluster_service = None          # set by the daemon / tests
         self.qcache = QueryCache()
+        # fresh daemon => fresh uid-short counter (SetUidShort at startup,
+        # searchd.cpp:19321)
+        from ..utils.uid import setup as _uid_setup
+        _uid_setup(0, 100000)
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
             self._load_manifest()
@@ -359,6 +363,59 @@ class Session:
                 row.append(eval_expr_host(tree, {}))
             return [QLResult(columns=cols, rows=[tuple(row)])]
 
+        # percolate tables list stored queries — their WHERE surface (id,
+        # tags ANY/ALL) differs from document queries, so route BEFORE the
+        # generic filter build
+        from ..index.percolate import PercolateIndex as _PQ
+        _tabs0 = [self.catalog.get(n) for n in st.indexes]
+        if len(_tabs0) == 1 and isinstance(_tabs0[0], _PQ):
+            pq = _tabs0[0]
+            try:
+                stored = _filter_stored_queries(
+                    sorted(pq.queries.values(), key=lambda x: x.qid),
+                    st.conds)
+            except ValueError as e:
+                return [QLResult.err(str(e))]
+            lim = st.limit if st.limit is not None else 20
+            qrows = [{"id": q2.qid, "query": q2.query,
+                      "tags": " ".join(q2.tags), "filters": q2.filters}
+                     for q2 in stored]
+            if st.group_by:
+                # SELECT ... GROUP BY over stored queries: group head is
+                # the first-inserted query, count(*) the group size
+                key = st.group_by
+                groups: dict = {}
+                for r0 in qrows:
+                    groups.setdefault(r0.get(key), []).append(r0)
+                grows = []
+                for gkey, members in groups.items():
+                    head = dict(members[0])
+                    head["count(*)"] = len(members)
+                    grows.append(head)
+                qrows = grows
+            # projection: plain columns, count(*) aliases, or *
+            items = [(it.expr.strip(), it.alias) for it in st.items]
+            if items and not (len(items) == 1 and items[0][0] == "*"):
+                cols_out, rows_out = [], []
+                for expr, alias in items:
+                    cols_out.append(alias or expr)
+                for r0 in qrows:
+                    row0 = []
+                    for expr, alias in items:
+                        e = expr.lower().replace(" ", "")
+                        if e == "count(*)":
+                            row0.append(r0.get("count(*)", 1))
+                        else:
+                            row0.append(r0.get(expr, ""))
+                    rows_out.append(tuple(row0))
+                rows = rows_out[st.offset:st.offset + lim]
+                return [QLResult(columns=cols_out, rows=rows)]
+            rows = [(r0["id"], r0["query"], r0["tags"], r0["filters"])
+                    for r0 in qrows]
+            rows = rows[st.offset:st.offset + lim]
+            return [QLResult(columns=["id", "query", "tags", "filters"],
+                             rows=rows)]
+
         q, err = self._build_query(st)
         if err:
             return [QLResult.err(err)]
@@ -367,15 +424,6 @@ class Session:
         expr_sort = None
         if q.sort and not q.group_by and tables:
             expr_sort = self._resolve_expr_sort(st, q, tables[0].schema)
-        from ..index.percolate import PercolateIndex
-        if len(tables) == 1 and isinstance(tables[0], PercolateIndex):
-            pq = tables[0]
-            rows = [(q.qid, q.query, ",".join(q.tags), q.filters)
-                    for q in sorted(pq.queries.values(),
-                                    key=lambda x: x.qid)]
-            rows = rows[st.offset:st.offset + st.limit]
-            return [QLResult(columns=["id", "query", "tags", "filters"],
-                             rows=rows)]
         if len(tables) == 1:
             res = tables[0].search(q)
         else:
@@ -712,10 +760,16 @@ class Session:
                 d = dict(zip(cols, row))
                 tags = d.get("tags")
                 if isinstance(tags, str):
-                    tags = [x.strip() for x in tags.split(",") if x.strip()]
+                    # tags split on commas AND whitespace (the reference
+                    # accepts both; sphinxpq tag lists)
+                    import re as _re
+                    tags = [x for x in _re.split(r"[,\s]+", tags) if x]
+                qid = int(d["id"]) if "id" in d else None
+                if qid is not None and qid in t.queries \
+                        and not st.replace:
+                    return QLResult.err(f"duplicate id '{qid}'")
                 t.add_query(str(d.get("query", "")),
-                            str(d.get("filters", "")), tags,
-                            qid=int(d["id"]) if "id" in d else None)
+                            str(d.get("filters", "")), tags, qid=qid)
                 n += 1
             return QLResult.ok(n)
         cols = st.columns
@@ -727,6 +781,10 @@ class Session:
                 return QLResult.err(
                     f"column count mismatch: {len(cols)} vs {len(row)}")
             doc = dict(zip(cols, row))
+            if "id" not in doc:
+                # auto ids are UUID-short (UidShort, sphinxutils.cpp:3357)
+                from ..utils.uid import uid_short
+                doc["id"] = uid_short()
             t.insert(doc, replace=st.replace)
             n += 1
         if self.autocommit and not self.in_txn:
@@ -782,7 +840,13 @@ class Session:
         if isinstance(t, PercolateIndex):
             ids = _extract_id_list(st.conds)
             if ids is None:
-                return QLResult.err("percolate DELETE needs id conditions")
+                try:
+                    stored = _filter_stored_queries(
+                        sorted(t.queries.values(), key=lambda x: x.qid),
+                        st.conds)
+                except ValueError as e:
+                    return QLResult.err(str(e))
+                ids = [q.qid for q in stored]
             return QLResult.ok(t.delete_query(ids))
         ids = _extract_id_list(st.conds)
         if ids is None:
@@ -966,26 +1030,52 @@ class Session:
         if not isinstance(raw_docs, list):
             raw_docs = [raw_docs]
         as_json = bool(int(st.named.get("docs_json", 0)))
+        id_alias = st.named.get("docs_id")   # 'attr' as docs_id
+        shift = int(st.named.get("shift", 0))
+        skip_bad = bool(int(st.named.get("skip_bad_json", 0)))
         docs = []
+        docids: list[int] = []   # per kept doc, its external id (docs_id)
         for rd in raw_docs:
             if as_json:
-                d = json.loads(rd) if isinstance(rd, str) else dict(rd)
+                try:
+                    d = _lenient_json(rd) if isinstance(rd, str) \
+                        else dict(rd)
+                except (ValueError, TypeError):
+                    if skip_bad:
+                        continue
+                    return QLResult.err(f"bad JSON document: {rd!r}")
             else:
                 field_name = t.schema.fields[0] if t.schema.fields else "text"
                 d = {field_name: str(rd)}
+            if id_alias is not None:
+                # docs without the id attribute are skipped with a warning
+                # (searchd.cpp:9691 "skipped N document(s) without id field")
+                if str(id_alias) not in d:
+                    continue
+                docids.append(int(d[str(id_alias)]))
             docs.append(d)
         matches = t.match_documents(docs)
         want_docs = bool(int(st.named.get("docs", 0)))
+        # reference column set: id [, documents] [, query+tags+filters with
+        # `1 as query`] (HandleMysqlCallPQ result schema)
+        want_query = bool(int(st.named.get("query", 0)))
         rows = []
         for qid, doc_ords in matches:
             q = t.queries[qid]
+            row: list = [qid]
             if want_docs:
-                rows.append((qid, ",".join(map(str, doc_ords)), q.query,
-                             ",".join(q.tags), q.filters))
-            else:
-                rows.append((qid, q.query, ",".join(q.tags), q.filters))
-        cols = (["id", "documents", "query", "tags", "filters"] if want_docs
-                else ["id", "query", "tags", "filters"])
+                if id_alias is not None:
+                    # map 1-based ordinals to the id attr values, then
+                    # sort+dedupe (dTmpDocs.Uniq(), searchd.cpp:9446-9456)
+                    vals = sorted({docids[o - 1] for o in doc_ords})
+                else:
+                    vals = [o + shift for o in doc_ords]
+                row.append(",".join(map(str, vals)))
+            if want_query:
+                row += [q.query, " ".join(q.tags), q.filters]
+            rows.append(tuple(row))
+        cols = ["id"] + (["documents"] if want_docs else []) \
+            + (["query", "tags", "filters"] if want_query else [])
         return QLResult(columns=cols, rows=rows)
 
     def _suggest(self, st: CallStmt) -> QLResult:
@@ -1144,11 +1234,28 @@ class Session:
                              for k2, v in t.agent_status_rows()]
             return QLResult(columns=["Key", "Value"], rows=rows)
         if k == "desc":
+            # DESCRIBE idx [TABLE]: percolate tables describe the stored-
+            # query meta schema by default; DESC idx TABLE shows the
+            # document ("internal") schema (HandleMysqlDescribe,
+            # searchd.cpp:11194-11216; type names sphinxint.h:842)
+            from ..index.percolate import PercolateIndex as _PQI
             t = self.catalog.get(st.args[0])
-            rows = [("id", "bigint")]
-            rows += [(f, "text") for f in t.schema.fields]
-            rows += [(a.name, a.type.value) for a in t.schema.attrs]
-            return QLResult(columns=["Field", "Type"], rows=rows)
+            want_internal = len(st.args) > 1 and st.args[1] == "table"
+            if isinstance(t, _PQI) and not want_internal:
+                rows = [("id", "bigint", ""), ("query", "string", ""),
+                        ("tags", "string", ""), ("filters", "string", "")]
+                return QLResult(columns=["Field", "Type", "Properties"],
+                                rows=rows)
+            tname = {"multi": "mva", "multi64": "mva64"}
+            stored = set(getattr(t, "stored_fields", ()) or ())
+            rows = [("id", "bigint", "")]
+            rows += [(f, "text",
+                      "indexed stored" if f in stored else "indexed")
+                     for f in t.schema.fields]
+            rows += [(a.name, tname.get(a.type.value, a.type.value), "")
+                     for a in t.schema.attrs]
+            return QLResult(columns=["Field", "Type", "Properties"],
+                            rows=rows)
         if k == "show_create_table":
             t = self.catalog.get(st.args[0])
             cols = [f"{f} text" for f in t.schema.fields]
@@ -1295,6 +1402,57 @@ class Session:
         for n in self.txn_tables:
             self.catalog.get(n).commit()
         self.txn_tables = set()
+
+
+def _lenient_json(s: str):
+    """JSON with the reference parser's leniencies: bare TRUE/FALSE/NULL
+    in any case (sphinxjson.cpp accepts them case-insensitively)."""
+    try:
+        return json.loads(s)
+    except ValueError:
+        import re as _re
+        fixed = _re.sub(
+            r'("(?:[^"\\]|\\.)*")|\b(?i:TRUE|FALSE|NULL)\b',
+            lambda m: m.group(1) if m.group(1) else m.group(0).lower(), s)
+        return json.loads(fixed)
+
+
+def _filter_stored_queries(stored, conds):
+    """WHERE over a percolate table's stored queries: id conditions and
+    `tags ANY/ALL ('t1','t2')` (sphinxpq.cpp stored-query filtering)."""
+    import operator as _op
+    ops = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
+           "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+    out = stored
+    for c in conds or []:
+        if c.kind == "cmp" and c.attr == "id":
+            out = [q for q in out if ops[c.op](q.qid, int(c.value))]
+        elif c.kind == "between" and c.attr == "id":
+            out = [q for q in out
+                   if (int(c.lo) <= q.qid <= int(c.hi)) != c.negate]
+        elif c.kind == "in" and c.attr == "id":
+            want = {int(v) for v in c.values}
+            keep = [q for q in out if (q.qid in want) != c.negate]
+            out = keep
+        elif c.kind == "cmp" and c.attr == "tags":
+            # tags = '...' / tags != '...' string compares (the common
+            # golden form is tags!='' — a has-tags check)
+            val = str(c.value)
+            eq = c.op == "="
+            out = [q for q in out
+                   if (" ".join(q.tags) == val) == eq]
+        elif c.kind in ("any", "all") and c.attr == "tags":
+            vals = {str(v) for v in c.values}
+            if c.kind == "any":
+                out = [q for q in out
+                       if bool(set(q.tags) & vals) != c.negate]
+            else:
+                out = [q for q in out
+                       if (vals <= set(q.tags)) != c.negate]
+        else:
+            raise ValueError(
+                f"unsupported percolate WHERE condition on '{c.attr}'")
+    return out
 
 
 def _cond_to_filter(c: Cond):

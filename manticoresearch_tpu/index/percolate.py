@@ -27,9 +27,11 @@ from ..text.tokenizer import TokenizerSettings
 class StoredQuery:
     qid: int
     query: str
-    filters: str = ""
+    filters: str = ""                      # re-rendered display form
     tags: list[str] = field(default_factory=list)
     required_terms: tuple[str, ...] = ()   # any-of reject prefilter
+    ftree: object = None                   # parsed pqfilter tree
+    raw_filters: str = ""                  # original text (persistence)
 
 
 class PercolateIndex:
@@ -65,10 +67,20 @@ class PercolateIndex:
         ast = parser.parse(query)  # raises on bad syntax
         req = tuple(sorted(_collect_any_terms(ast)))
 
+        from .pqfilter import parse_filters, render_filters
+        raw = filters or ""
+        attr_names = {a.name for a in self.schema.attrs}
+        ftree = parse_filters(raw, attr_names)   # raises PqFilterError
+        display = render_filters(ftree)
         if qid is None:
-            qid = self._next_id
+            # UUID-short auto ids (UidShort, sphinxutils.cpp:3357): the
+            # deterministic test-mode base 100000<<24 + a daemon-global
+            # counter — the reference harness records these literal ids
+            from ..utils.uid import uid_short
+            qid = uid_short()
         self._next_id = max(self._next_id, qid + 1)
-        self.queries[qid] = StoredQuery(qid, query, filters, tags or [], req)
+        self.queries[qid] = StoredQuery(qid, query, display, tags or [],
+                                        req, ftree, raw)
         self._save()
         return qid
 
@@ -118,26 +130,20 @@ class PercolateIndex:
             if sq.required_terms and not any(
                     t in batch_terms for t in sq.required_terms):
                 continue
-            filters = []
-            if sq.filters:
-                p = SqlParser(f"x {sq.filters}")  # parse conds via WHERE-body
-                p.i = 1  # skip the dummy token
-                conds = p.parse_conds()
-                errs = []
-                for c in conds:
-                    f, err = _cond_to_filter(c)
-                    if err:
-                        errs.append(err)
-                    else:
-                        filters.append(f)
-                if errs:
-                    continue
             res = batch.search(SearchQuery(
-                match=sq.query, filters=filters, limit=len(docs),
+                match=sq.query, limit=len(docs),
                 max_matches=max(len(docs), 1)))
             if res.error or not res.matches:
                 continue
-            out.append((sq.qid, [id_map[m.docid] for m in res.matches]))
+            matches = res.matches
+            if sq.ftree is not None:
+                from .pqfilter import eval_filters
+                matches = [m for m in matches
+                           if eval_filters(sq.ftree, m.attrs, m.weight,
+                                           m.docid)]
+            if not matches:
+                continue
+            out.append((sq.qid, [id_map[m.docid] for m in matches]))
         return sorted(out)
 
     # -- persistence ----------------------------------------------------
@@ -151,8 +157,8 @@ class PercolateIndex:
             json.dump({
                 "schema": self.schema.to_json(),
                 "queries": [
-                    {"id": q.qid, "query": q.query, "filters": q.filters,
-                     "tags": q.tags}
+                    {"id": q.qid, "query": q.query,
+                     "filters": q.raw_filters, "tags": q.tags}
                     for q in self.queries.values()
                 ],
             }, f)

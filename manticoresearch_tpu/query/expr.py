@@ -546,9 +546,9 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
               "cmp_eq", "cmp_ne", "cmp_lt", "cmp_le", "cmp_gt", "cmp_ge"):
         a = eval_expr_host(tree[1], row, weight, docid)
         b = eval_expr_host(tree[2], row, weight, docid)
-        if a is None:
-            a = 0   # JSON null coerces to 0 in numeric context
-        if b is None:
+        if a is None or isinstance(a, (list, dict)):
+            a = 0   # JSON null/array/object coerce to 0 in numeric context
+        if b is None or isinstance(b, (list, dict)):
             b = 0
         if isinstance(a, str) != isinstance(b, str):
             # mixed string/number comparison: numeric if both parse

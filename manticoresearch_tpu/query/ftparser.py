@@ -533,6 +533,9 @@ class FtQueryParser:
                     if len(words) > 1 else QTerm(words[0], self.cur_fields)
             return QQuorum(tuple(words), m, self.cur_fields)
         if len(words) == 1:
-            return QTerm(words[0], self.cur_fields)
+            # a one-word phrase degenerates to the bare term — keep its
+            # wildcard flag so `"*abc*"` still expands in the planner
+            return QTerm(words[0], self.cur_fields,
+                         wildcard=any(c in "*?" for c in words[0]))
         return QPhrase(tuple(words), self.cur_fields, proximity=prox,
                        positions=deltas)

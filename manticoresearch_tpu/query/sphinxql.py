@@ -475,6 +475,18 @@ class SqlParser:
             self.expect_kw("AND")
             hi = self.value()
             return Cond("between", attr=attr, lo=lo, hi=hi, negate=neg)
+        if self.at_kw("ANY", "ALL"):
+            # `attr ANY ('v1','v2')` / `attr ALL (...)` — MVA/string-list
+            # membership (Filter_MVA ANY/ALL, sphinxfilter.cpp; PQ `tags
+            # any`, sphinxpq.cpp)
+            _, kw = self.next()
+            self.expect_op("(")
+            vals = [self.value()]
+            while self.peek() == ("op", ","):
+                self.next()
+                vals.append(self.value())
+            self.expect_op(")")
+            return Cond(kw.lower(), attr=attr, values=vals, negate=neg)
         if neg:
             raise SqlParseError("expected IN or BETWEEN after NOT")
         k, op = self.next()
@@ -649,7 +661,12 @@ class SqlParser:
 
     def parse_desc(self):
         self.next()
-        return SimpleStmt("desc", [self.name()])
+        name = self.name()
+        # DESC pq_idx TABLE: show a percolate table's document schema
+        # instead of the stored-query schema (searchd.cpp:11205-11212)
+        if self.eat_kw("TABLE"):
+            return SimpleStmt("desc", [name, "table"])
+        return SimpleStmt("desc", [name])
 
     def parse_show(self):
         self.expect_kw("SHOW")

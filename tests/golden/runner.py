@@ -196,6 +196,28 @@ _ATTR_KEYS = {
 }
 
 
+def rt_attrs(idx: dict):
+    """Parse rt_attr_* declarations of an RT/percolate index section into
+    (AttrDef list, name -> SPH_ATTR code)."""
+    from manticoresearch_tpu.schema import AttrDef, AttrType
+    attrs, codes = [], {}
+    for key, (tname, code) in [
+            ("rt_attr_uint", ("UINT", SPH_ATTR_INTEGER)),
+            ("rt_attr_bigint", ("BIGINT", SPH_ATTR_BIGINT)),
+            ("rt_attr_float", ("FLOAT", SPH_ATTR_FLOAT)),
+            ("rt_attr_timestamp", ("TIMESTAMP", SPH_ATTR_TIMESTAMP)),
+            ("rt_attr_bool", ("BOOL", SPH_ATTR_BOOL)),
+            ("rt_attr_string", ("STRING", SPH_ATTR_STRING)),
+            ("rt_attr_json", ("JSON", 0)),
+            ("rt_attr_multi", ("MVA", SPH_ATTR_MULTI)),
+            ("rt_attr_multi_64", ("MVA64", SPH_ATTR_MULTI64))]:
+        for val in idx.get(key, []):
+            name = val.strip()
+            codes[name] = code
+            attrs.append(AttrDef(name, getattr(AttrType, tname)))
+    return attrs, codes
+
+
 @dataclass
 class SourceDef:
     fields: list[str] = field(default_factory=list)
@@ -674,29 +696,37 @@ class GoldenEnv:
                 o, qdef = index_options(idx)
                 tok, dic = settings_from_sql_options(o)
                 flds = [v.strip() for v in idx.get("rt_field", [])]
-                attrs = []
-                codes = {}
-                for key, (tname, code) in [
-                        ("rt_attr_uint", ("UINT", SPH_ATTR_INTEGER)),
-                        ("rt_attr_bigint", ("BIGINT", SPH_ATTR_BIGINT)),
-                        ("rt_attr_float", ("FLOAT", SPH_ATTR_FLOAT)),
-                        ("rt_attr_timestamp",
-                         ("TIMESTAMP", SPH_ATTR_TIMESTAMP)),
-                        ("rt_attr_bool", ("BOOL", SPH_ATTR_BOOL)),
-                        ("rt_attr_string", ("STRING", SPH_ATTR_STRING)),
-                        ("rt_attr_json", ("JSON", 0)),
-                        ("rt_attr_multi", ("MVA", SPH_ATTR_MULTI)),
-                        ("rt_attr_multi_64", ("MVA64", SPH_ATTR_MULTI64))]:
-                    for val in idx.get(key, []):
-                        name = val.strip()
-                        codes[name] = code
-                        attrs.append(AttrDef(name, getattr(AttrType, tname)))
+                attrs, codes = rt_attrs(idx)
                 schema = Schema(fields=flds, attrs=attrs)
                 from manticoresearch_tpu.index.rt import RtIndex
                 self.env.catalog.tables[sec.name] = RtIndex(
                     sec.name, schema, tok, dic)
                 self.env.catalog.tables[sec.name].options = dict(o)
                 self.env.attr_codes[sec.name] = codes
+                self.env.query_defaults[sec.name] = qdef
+                self.env.index_order.append(sec.name)
+                continue
+            if typ in ("percolate", "pq"):
+                o, qdef = index_options(idx)
+                from manticoresearch_tpu.schema import Schema as _S
+                flds = [v.strip() for v in idx.get("rt_field", [])] \
+                    or ["query"]
+                attrs2, codes2 = rt_attrs(idx)
+                self.env.catalog.create(sec.name, _S(fields=flds,
+                                                     attrs=attrs2),
+                                        table_type="percolate", options=o)
+                self.env.attr_codes[sec.name] = codes2
+                self.env.query_defaults[sec.name] = qdef
+                self.env.index_order.append(sec.name)
+                continue
+            if typ == "template":
+                # settings-only index (CALL KEYWORDS etc. on bare
+                # settings): an empty RT table carries the text pipeline
+                o, qdef = index_options(idx)
+                from manticoresearch_tpu.schema import Schema as _S
+                self.env.catalog.create(sec.name, _S(fields=["text"]),
+                                        options=o)
+                self.env.attr_codes[sec.name] = {}
                 self.env.query_defaults[sec.name] = qdef
                 self.env.index_order.append(sec.name)
                 continue
@@ -1369,6 +1399,25 @@ def compare_result(ours: dict, model: dict,
         return f"engine error: {a['error']!r}"
     if loose_eq(a, b):
         return None
+    # ORDER-BY-less QL row sets may legitimately differ in order (the
+    # reference returns percolate stored queries in hash order): retry as
+    # a multiset keyed by the row's id
+    if isinstance(a, dict) and isinstance(b, dict) \
+            and "rows" in a and "rows" in b \
+            and "order by" not in str(a.get("sphinxql", "")).lower():
+        def rows_list(x):
+            r = x["rows"]
+            return list(r.values()) if isinstance(r, dict) else list(r)
+
+        def keyed(rows):
+            return sorted(rows, key=lambda d: str(sorted(
+                (str(k), str(v)) for k, v in dict(d).items())))
+        a2 = dict(a)
+        b2 = dict(b)
+        a2["rows"] = keyed(rows_list(a))
+        b2["rows"] = keyed(rows_list(b))
+        if loose_eq(a2, b2):
+            return None
     import json
 
     def _norm(x):

@@ -89,7 +89,8 @@ class TestPercolate:
         assert r.error is None
         # only query 1 matches doc 1 ('red' query has filter gid>5, and the
         # bare-text doc has gid=0)
-        assert [(row[0], row[1]) for row in r.rows] == [(1, "1")]
+        UID1 = (100000 << 24) + 1   # UidShort test-mode base (sphinxutils.cpp)
+        assert [(row[0], row[1]) for row in r.rows] == [(UID1, "1")]
 
     def test_pq_json_docs_with_attrs(self, sess):
         one(sess, "CREATE TABLE pq2 (content text, gid uint) type='pq'")
@@ -99,12 +100,14 @@ class TestPercolate:
                       '"gid": 7}\', \'{"content": "alert", "gid": 1}\'), '
                       "1 AS docs, 1 AS docs_json)")
         assert r.error is None
-        assert [(row[0], row[1]) for row in r.rows] == [(1, "1")]
+        UID1 = (100000 << 24) + 1   # UidShort test-mode base (sphinxutils.cpp)
+        assert [(row[0], row[1]) for row in r.rows] == [(UID1, "1")]
 
     def test_pq_delete(self, sess):
         one(sess, "CREATE TABLE pq3 (content text) type='pq'")
         one(sess, "INSERT INTO pq3 (query) VALUES ('a'), ('b')")
-        r = one(sess, "DELETE FROM pq3 WHERE id = 1")
+        uid1 = (100000 << 24) + 1      # auto ids are UidShort
+        r = one(sess, f"DELETE FROM pq3 WHERE id = {uid1}")
         assert r.affected == 1
         assert len(one(sess, "SELECT * FROM pq3").rows) == 1
 

@@ -39,9 +39,9 @@ class TestDDL:
         r = one(sess, "SHOW TABLES")
         assert ("t1", "rt") in r.rows
         r = one(sess, "DESC t1")
-        assert ("id", "bigint") in r.rows
-        assert ("body", "text") in r.rows
-        assert ("gid", "uint") in r.rows
+        assert ("id", "bigint", "") in r.rows
+        assert ("body", "text", "indexed") in r.rows
+        assert ("gid", "uint", "") in r.rows
         assert one(sess, "DROP TABLE t1").error is None
         assert one(sess, "SHOW TABLES").rows == []
         assert one(sess, "DROP TABLE t1").error is not None

@@ -271,6 +271,9 @@ def main():
                     "tunnel (0 = unbounded)")
     ap.add_argument("--configs", default="1,2,3,4,5",
                     help="comma list of BASELINE configs to run")
+    ap.add_argument("--scale-docs", default="1000000",
+                    help="comma list of extra corpus sizes for the scale "
+                    "section (config 1+3 re-runs); empty disables")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -339,6 +342,37 @@ def main():
                 print(f"# 5_distributed ({D} shards): {qps:.1f} qps",
                       file=sys.stderr)
 
+    # scale section: re-run key configs on a large corpus (VERDICT r2 #4:
+    # prove the sparse pipeline at its own target scale — the >=400k-doc
+    # gate activates here, and the packed store is what makes it fit)
+    scale = {}
+    for nd in [int(x) for x in str(args.scale_docs).split(",") if x]:
+        if nd <= 0 or (deadline is not None
+                       and time.perf_counter() > deadline - 120):
+            continue
+        t0 = time.perf_counter()
+        p2 = build_corpus(nd, args.vocab, args.avg_len, seed=43)
+        idx2 = SearchIndex(p2)
+        gen2 = WorkloadGen(np.random.RandomState(11), args.vocab, p2)
+        sc = {"build_s": round(time.perf_counter() - t0, 1)}
+        for cid, fn in (("1_single_term_bm25", gen2.config1),
+                        ("3_phrase_proximity", gen2.config3)):
+            if cid[0] not in wanted:
+                continue
+            if deadline is not None and time.perf_counter() > deadline:
+                break
+            qps2, t2 = _run_batches(idx2, fn, args.batches, args.batch,
+                                    args.budget, True, deadline)
+            if qps2 is not None:
+                sc[cid] = round(qps2, 1)
+                if args.verbose:
+                    import sys
+                    print(f"# scale {nd//1000}k {cid}: {qps2:.1f} qps",
+                          file=sys.stderr)
+        if len(sc) > 1:
+            scale[f"{nd // 1000}k_docs"] = sc
+        del idx2, p2, gen2
+
     # headline: configs 1+2 blended (the round-1 comparable number)
     head = [v for k, v in configs.items() if k[0] in "12"]
     headline = round(float(np.mean(head)) if head
@@ -359,6 +393,7 @@ def main():
         "unit": "qps",
         "vs_baseline": round(headline / VS_BASELINE_QPS, 3),
         "configs": configs,
+        "scale": scale,
         "latency_ms": lat,
     }))
 

@@ -545,6 +545,10 @@ class Session:
         if st.group_by:
             # aggregates are recognized from raw expr text
             q.select = [it.expr for it in st.items]
+            # ORDER BY may name a SELECT alias (ORDER BY c DESC with
+            # count(*) AS c): resolve to the aggregate's expr text
+            amap = {it.alias: it.expr for it in st.items if it.alias}
+            q.sort = [(amap.get(col, col), asc) for col, asc in q.sort]
             if q.having is not None:
                 # HAVING may reference a SELECT alias (HAVING c > 1 with
                 # count(*) AS c): resolve back to the aggregate's expr text

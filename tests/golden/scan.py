@@ -94,8 +94,8 @@ def main():
         results[d] = r
         counts[r["status"]] = counts.get(r["status"], 0) + 1
         print(f"{d}: {r['status']} — {r['detail']}", flush=True)
-    with open("/tmp/golden_scan.json", "w") as f:
-        json.dump({"counts": counts, "results": results}, f, indent=1)
+        with open("/tmp/golden_scan.json", "w") as f:
+            json.dump({"counts": counts, "results": results}, f, indent=1)
     print(json.dumps(counts))
 
 

@@ -53,28 +53,9 @@ def _apply_sort(matches, q):
                          reverse=not asc)
 
 
-def merge_part_results(results, q, schema):
-    """Merge per-part SearchResults into one (weight/order-correct)."""
-    from .searcher import SearchResult
-
-    err = next((r.error for r in results if r.error), None)
-    if err:
-        return SearchResult([], 0, 0, 0.0, [], error=err)
-    # docid dupes across parts: the copy from the LAST part wins and the
-    # kills shrink the totals (KillPlainDupes tag ordering inside
-    # KillDupesAndFlatten, searchd.cpp:3990)
-    seen: dict[int, object] = {}
-    n_copies = 0
-    for r in results:
-        for m in r.matches:
-            seen[m.docid] = m
-            n_copies += 1
-    all_matches = list(seen.values())
-    killed = n_copies - len(all_matches)
-    _apply_sort(all_matches, q)
-    total_found = sum(r.total_found for r in results) - killed
-    window = all_matches[q.offset:q.offset + q.limit]
-    # word stats: sum by term across parts
+def merge_word_stats(results):
+    """Sum per-term docs/hits across part results, first-seen term order."""
+    from .searcher import WordStat
     stats_map: dict[str, list[int]] = {}
     order = []
     for r in results:
@@ -84,8 +65,37 @@ def merge_part_results(results, q, schema):
                 order.append(ws.word)
             stats_map[ws.word][0] += ws.docs
             stats_map[ws.word][1] += ws.hits
-    from .searcher import WordStat
-    stats = [WordStat(w, *stats_map[w]) for w in order]
+    return [WordStat(w, *stats_map[w]) for w in order]
+
+
+def merge_part_results(results, q, schema):
+    """Merge per-part SearchResults into one (weight/order-correct)."""
+    from .searcher import SearchResult
+
+    err = next((r.error for r in results if r.error), None)
+    if err:
+        return SearchResult([], 0, 0, 0.0, [], error=err)
+    # docid dupes across parts: the copy from the LAST part wins and the
+    # kills shrink the totals (KillPlainDupes tag ordering inside
+    # KillDupesAndFlatten, searchd.cpp:3990). Duplicate docids WITHIN one
+    # part are legitimate rows (a plain index keeps duplicate-id source
+    # rows, test_047) and all survive.
+    seen: dict[int, tuple[int, list]] = {}
+    n_copies = 0
+    for pi, r in enumerate(results):
+        for m in r.matches:
+            prev = seen.get(m.docid)
+            if prev is not None and prev[0] == pi:
+                prev[1].append(m)
+            else:
+                seen[m.docid] = (pi, [m])
+            n_copies += 1
+    all_matches = [m for _, ms in seen.values() for m in ms]
+    killed = n_copies - len(all_matches)
+    _apply_sort(all_matches, q)
+    total_found = sum(r.total_found for r in results) - killed
+    window = all_matches[q.offset:q.offset + q.limit]
+    stats = merge_word_stats(results)
     t = sum(r.time_ms for r in results)
     out = SearchResult(window, min(total_found, q.max_matches), total_found,
                        t, stats)
@@ -199,10 +209,26 @@ def search_grouped_parts(parts, q, schema, single_part_hint=""):
     if len(parts) > 1:
         sel = [s.lower() for s in (q.select or [])]
         if any("distinct" in s for s in sel):
-            return SearchResult(
-                [], 0, 0, 0.0, [],
-                error="COUNT(DISTINCT) over multiple parts is inexact; "
-                      + single_part_hint)
+            # exact COUNT(DISTINCT) across parts: per-part counts don't
+            # merge, so fetch the raw match window from every part and
+            # group host-side (the reference re-sorts the merged window
+            # the same way, sphinxsort.cpp distinct fixup)
+            t0 = time.perf_counter()
+            base_q = dc_replace(q, group_by=None, select=None, having=None,
+                                sort=[("weight", False), ("id", True)],
+                                offset=0, limit=q.max_matches)
+            results = [p.search(base_q) for p in parts]
+            err = next((r.error for r in results if r.error), None)
+            if err:
+                return SearchResult([], 0, 0, 0.0, [], error=err)
+            matches = [m for r in results for m in r.matches]
+            matches.sort(key=lambda m: (-m.weight, m.docid))
+            matches = matches[:q.max_matches]
+            from .searcher import host_group_matches
+            rows, total = host_group_matches(matches, q)
+            dt = (time.perf_counter() - t0) * 1000.0
+            return SearchResult(rows, total, total, dt,
+                                merge_word_stats(results))
 
     part_q = dc_replace(q, offset=0, limit=q.max_matches)
     results = []

@@ -341,7 +341,7 @@ class SearchIndex:
 
         t0 = time.perf_counter()
         try:
-            key_tree = parse_expr(q.group_by)
+            parse_expr(q.group_by)
         except ExprError as e:
             return SearchResult([], 0, 0, 0.0, [], error=str(e))
         base_q = _rep(q, group_by=None, select=None, having=None,
@@ -350,95 +350,13 @@ class SearchIndex:
         res = self.search(base_q)
         if res.error:
             return res
-
-        agg_re = _re.compile(
-            r"^\s*(count|sum|min|max|avg)\s*\(\s*(distinct\s+)?(.*?)"
-            r"\s*\)\s*$", _re.IGNORECASE)
-        selects = list(q.select or ["count(*)"])
-        if not any(agg_re.match(s2) for s2 in selects):
-            selects.append("count(*)")
-
-        def keyof(m):
-            try:
-                v = eval_expr_host(key_tree, m.attrs, m.weight, m.docid)
-            except ExprError:
-                v = None
-            return v if not isinstance(v, (list, dict)) else str(v)
-
-        groups: dict = {}
-        for m in res.matches:
-            groups.setdefault(keyof(m), []).append(m)
-
-        rows = []
-        for key, ms in groups.items():
-            rep = ms[0]
-            attrs = {q.group_by: key}
-            for sel in selects:
-                am = agg_re.match(sel)
-                if not am:
-                    continue
-                kind = am.group(1).lower()
-                arg = am.group(3)
-                if kind == "count" and am.group(2):
-                    vals = set()
-                    tree = parse_expr(arg)
-                    for m2 in ms:
-                        try:
-                            vals.add(eval_expr_host(tree, m2.attrs,
-                                                    m2.weight, m2.docid))
-                        except ExprError:
-                            pass
-                    attrs[sel] = len(vals)
-                    continue
-                if kind == "count":
-                    attrs[sel] = len(ms)
-                    continue
-                tree = parse_expr(arg)
-                nums = []
-                for m2 in ms:
-                    try:
-                        v = eval_expr_host(tree, m2.attrs, m2.weight,
-                                           m2.docid)
-                    except ExprError:
-                        v = None
-                    if v is not None and not isinstance(v, str):
-                        nums.append(v)
-                if not nums:
-                    attrs[sel] = 0
-                elif kind == "sum":
-                    attrs[sel] = sum(nums)
-                elif kind == "min":
-                    attrs[sel] = min(nums)
-                elif kind == "max":
-                    attrs[sel] = max(nums)
-                else:
-                    attrs[sel] = sum(nums) / len(nums)
-            attrs.update(rep.attrs)
-            attrs[q.group_by] = key
-            rows.append(Match(rep.docid, rep.weight, attrs))
-
-        primary, asc = (q.sort or [("weight", False)])[0]
-        if primary in ("@count", "count(*)"):
-            rows.sort(key=lambda m: (m.attrs.get("count(*)", 0), -m.docid),
-                      reverse=not asc)
-        elif primary == q.group_by:
-            rows.sort(key=lambda m: (m.attrs.get(q.group_by) is None,
-                                     str(m.attrs.get(q.group_by))),
-                      reverse=not asc)
-        else:
-            rows.sort(key=lambda m: m.weight, reverse=not asc)
-
-        if q.having is not None:
-            col, op_s, val = q.having
-            import operator as _op
-            ops = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
-                   "<=": _op.le, ">": _op.gt, ">=": _op.ge}
-            rows = [m for m in rows if ops[op_s](m.attrs.get(col, 0), val)]
-
-        total = len(rows)
-        rows = rows[q.offset:q.offset + q.limit]
+        rows, total = self._host_group_body(res.matches, q)
         dt = (time.perf_counter() - t0) * 1000.0
         return SearchResult(rows, total, total, dt, res.word_stats)
+
+
+    def _host_group_body(self, matches, q):
+        return host_group_matches(matches, q)
 
     def _search_grouped(self, q: SearchQuery, _defer: bool = False):
         """GROUP BY execution (CSphKBufferGroupSorter semantics via the
@@ -463,10 +381,20 @@ class SearchIndex:
             return err
         (cq, gspec, aggs, agg_names, plain_cols, gconcats, k) = plan
 
-        fn = get_groupby_fn(
-            cq.sig, gspec, self.packed.n_docs, max(self.schema.n_fields, 1),
-            cq.slot_pb, cq.slot_hb, cq.n_hit_iters)
-        out = fn(self.device.data_pytree(), cq.runtime)
+        from ..query.expr import ExprError
+        try:
+            fn = get_groupby_fn(
+                cq.sig, gspec, self.packed.n_docs,
+                max(self.schema.n_fields, 1),
+                cq.slot_pb, cq.slot_hb, cq.n_hit_iters)
+            out = fn(self.device.data_pytree(), cq.runtime)
+        except ExprError:
+            # aggregate references a host-only value (e.g.
+            # COUNT(DISTINCT id): 64-bit ids live host-side) — host-group
+            res = self._host_grouped(q)
+            if _defer:
+                return True, (lambda: res)
+            return res
 
         def _finish_grouped():
             return self._render_grouped(
@@ -758,3 +686,103 @@ def _resolve_order(q: SearchQuery, schema) -> tuple:
         raise ValueError(f"unknown sort attr {primary!r}")
     is_float = ad.type.value == "float"
     return ("attr", primary, asc, is_float)
+
+
+def host_group_matches(matches, q):
+    """Host-side GROUP BY over an already-fetched match list (bounded
+    by max_matches upstream). Serves the JSON-path fallback and exact
+    COUNT(DISTINCT) merging over multiple RT segments/parts
+    (search_grouped_parts). Returns (rows, n_groups)."""
+    import re as _re
+
+    from ..query.expr import ExprError, eval_expr_host, parse_expr
+
+    key_tree = parse_expr(q.group_by)
+
+    agg_re = _re.compile(
+        r"^\s*(count|sum|min|max|avg)\s*\(\s*(distinct\s+)?(.*?)"
+        r"\s*\)\s*$", _re.IGNORECASE)
+    selects = list(q.select or ["count(*)"])
+    if not any(agg_re.match(s2) for s2 in selects):
+        selects.append("count(*)")
+
+    def keyof(m):
+        try:
+            v = eval_expr_host(key_tree, m.attrs, m.weight, m.docid)
+        except ExprError:
+            v = None
+        return v if not isinstance(v, (list, dict)) else str(v)
+
+    groups: dict = {}
+    for m in matches:
+        groups.setdefault(keyof(m), []).append(m)
+
+    rows = []
+    for key, ms in groups.items():
+        rep = ms[0]
+        attrs = {q.group_by: key}
+        for sel in selects:
+            am = agg_re.match(sel)
+            if not am:
+                continue
+            kind = am.group(1).lower()
+            arg = am.group(3)
+            if kind == "count" and am.group(2):
+                vals = set()
+                tree = parse_expr(arg)
+                for m2 in ms:
+                    try:
+                        vals.add(eval_expr_host(tree, m2.attrs,
+                                                m2.weight, m2.docid))
+                    except ExprError:
+                        pass
+                attrs[sel] = len(vals)
+                continue
+            if kind == "count":
+                attrs[sel] = len(ms)
+                continue
+            tree = parse_expr(arg)
+            nums = []
+            for m2 in ms:
+                try:
+                    v = eval_expr_host(tree, m2.attrs, m2.weight,
+                                       m2.docid)
+                except ExprError:
+                    v = None
+                if v is not None and not isinstance(v, str):
+                    nums.append(v)
+            if not nums:
+                attrs[sel] = 0
+            elif kind == "sum":
+                attrs[sel] = sum(nums)
+            elif kind == "min":
+                attrs[sel] = min(nums)
+            elif kind == "max":
+                attrs[sel] = max(nums)
+            else:
+                attrs[sel] = sum(nums) / len(nums)
+        attrs.update(rep.attrs)
+        attrs[q.group_by] = key
+        rows.append(Match(rep.docid, rep.weight, attrs))
+
+    primary, asc = (q.sort or [("weight", False)])[0]
+    if primary in ("@count", "count(*)"):
+        rows.sort(key=lambda m: (m.attrs.get("count(*)", 0), -m.docid),
+                  reverse=not asc)
+    elif primary == q.group_by:
+        rows.sort(key=lambda m: (m.attrs.get(q.group_by) is None,
+                                 str(m.attrs.get(q.group_by))),
+                  reverse=not asc)
+    else:
+        rows.sort(key=lambda m: m.weight, reverse=not asc)
+
+    if q.having is not None:
+        col, op_s, val = q.having
+        import operator as _op
+        ops = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, "<": _op.lt,
+               "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+        rows = [m for m in rows if ops[op_s](m.attrs.get(col, 0), val)]
+
+    total = len(rows)
+    rows = rows[q.offset:q.offset + q.limit]
+    return rows, total

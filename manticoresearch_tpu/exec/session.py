@@ -142,6 +142,11 @@ class Catalog:
             self.tables[name] = RtIndex(name, schema, tok, dic,
                                         data_dir=ddir)
         self.tables[name].options = dict(opts)
+        sf = str(opts.get("stored_fields", "") or "")
+        if sf:
+            self.tables[name].stored_fields = [
+                s.strip() for s in sf.replace(",", " ").split()
+                if s.strip()]
         self._save_manifest()
         return self.tables[name]
 
@@ -639,15 +644,23 @@ class Session:
             name = it.alias or it.expr
             raw = it.expr
             if raw == "*":
-                # SELECT * = id + attributes; plain full-text fields are
-                # not returned (the reference's result schema — fields are
-                # retrievable via explicit selection or a same-named
-                # string attr, sphinx.h:1486 CSphSchema)
+                # SELECT * = id + attributes + STORED fields (docstore
+                # columns appear in the result schema like the reference's
+                # stored_fields, sphinx.h:1486 CSphSchema + DocstoreDoc_t);
+                # plain non-stored full-text fields are not returned
                 cols.append("id")
                 getters.append(lambda m: m.docid)
                 for a in schema.attrs:
                     cols.append(a.name)
                     getters.append(lambda m, n=a.name: m.attrs.get(n))
+                stored = [f for f in getattr(table, "stored_fields", ())
+                          or () if schema.attr(f) is None] \
+                    if table is not None else []
+                for f in stored:
+                    cols.append(f)
+                    getters.append(
+                        lambda m, n=f, t=table:
+                        (t.get_document(m.docid) or {}).get(n, ""))
                 continue
             cols.append(name)
             lraw = raw.lower().replace(" ", "")

@@ -190,15 +190,21 @@ class IndexBuilder:
         self.dict_settings = dict_settings or DictSettings()
         self.tokenizer = Tokenizer(self.tok_settings)
         self.dictionary = Dictionary(self.dict_settings)
-        self._docs: dict[int, dict] = {}  # docid -> doc (REPLACE semantics)
+        # (docid, doc) in insertion order; duplicate docids are KEPT —
+        # the reference's plain indexer writes source rows as-is
+        # (duplicate-id rows both survive, test_047 model q7); RT-level
+        # REPLACE dedup happens in the RT layer, not here
+        self._docs: list[tuple[int, dict]] = []
 
     def add_document(self, doc: Mapping[str, Any]) -> None:
         if "id" not in doc:
             raise ValueError("document must have an 'id'")
-        docid = int(doc["id"])
+        # ids parse as uint64 but saturate at int64 max (the reference
+        # clamps 2^63 to 2^63-1: test_047 'max +1' groups with 'max')
+        docid = min(int(doc["id"]), 2**63 - 1)
         if docid <= 0:
             raise ValueError("document id must be a positive integer")
-        self._docs[docid] = dict(doc)
+        self._docs.append((docid, dict(doc)))
 
     def add_documents(self, docs: Iterable[Mapping[str, Any]]) -> None:
         for d in docs:
@@ -207,7 +213,10 @@ class IndexBuilder:
     def build(self) -> PackedIndex:
         schema = self.schema
         F = schema.n_fields
-        doc_ids = np.array(sorted(self._docs), dtype=np.int64)
+        order = sorted(range(len(self._docs)),
+                       key=lambda i: self._docs[i][0])
+        docs_sorted = [self._docs[i] for i in order]
+        doc_ids = np.array([d[0] for d in docs_sorted], dtype=np.int64)
         n = len(doc_ids)
 
         vocab: dict[str, int] = {}
@@ -277,8 +286,7 @@ class IndexBuilder:
         zone_acc: dict[str, list[tuple[int, int, int]]] = {
             z: [] for z in index_zones}
 
-        for rowid, docid in enumerate(doc_ids.tolist()):
-            doc = self._docs[docid]
+        for rowid, (docid, doc) in enumerate(docs_sorted):
             for fid, fname in enumerate(schema.fields):
                 text = doc.get(fname, "") or ""
                 stored_fields[fname].append(str(text))

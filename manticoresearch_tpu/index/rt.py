@@ -397,7 +397,9 @@ class RtIndex:
     def global_stats(self):
         """Aggregate per-term df and total docs across segments (the
         reference sums segment qword stats at setup, sphinxrt.cpp)."""
-        total_docs = len(self.docid_seg)
+        # count ROWS, not unique docids: a plain-built segment may carry
+        # duplicate-id rows (test_047) and each contributes to N for IDF
+        total_docs = sum(s.packed.n_docs for s in self.segments)
         df: dict[str, int] = {}
         for seg in self.segments:
             p = seg.packed

@@ -42,8 +42,8 @@ class DeviceIndex:
     para_pkey: jax.Array             # i32[?]
     alive: jax.Array                 # bool[N+1], [N] always False (dead-row map, killlist.h:22)
     field_lens: jax.Array            # i32[N+1, F] tokens per field (index_field_lengths)
-    docid_hi: jax.Array              # i32[N+1]: docid >> 31 (for cross-shard tie-break)
-    docid_lo: jax.Array              # i32[N+1]: docid & 0x7fffffff
+    docid_hi: jax.Array              # i32[N+1]: docid >> 32 (for cross-shard tie-break)
+    docid_lo: jax.Array              # i32[N+1]: (docid & 0xffffffff) - 2^31 (order-preserving bias)
     attrs: dict[str, jax.Array]      # numeric SoA columns, each [N]
     attr_perm: dict[str, jax.Array]  # secondary index: rowids sorted by
                                      # attr value (+pad row N), each [N+1]
@@ -175,9 +175,13 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
         attr_perm[name] = put(padp(perm.astype(np.int32), n,
                                    perm_len - n))
 
-    did = np.append(packed.doc_ids, 2**62)  # pad row sorts last on ties
-    docid_hi = (did >> 31).astype(np.int32)
-    docid_lo = (did & 0x7FFFFFFF).astype(np.int32)
+    # pad row sorts last on ties; split covers the full 63-bit id space:
+    # hi = id>>32 (< 2^31 for id < 2^63), lo biased so signed lexicographic
+    # compare on (hi, lo) matches unsigned 64-bit id order
+    did = np.append(packed.doc_ids, 2**63 - 1).astype(np.uint64)
+    docid_hi = (did >> np.uint64(32)).astype(np.int64).astype(np.int32)
+    docid_lo = ((did & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                - 2**31).astype(np.int32)
 
     return DeviceIndex(
         n_rows=n,

@@ -772,7 +772,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 continue
             if spec.kind in ("id_values", "id_range"):
                 # 64-bit docid filter over the (hi, lo) i32 split; lo is
-                # always in [0, 2^31) so signed lexicographic compare is
+                # biased by -2^31 so signed lexicographic compare is
                 # exact for the full 63-bit positive id space
                 dhi, dlo = data["docid_hi"], data["docid_lo"]
                 if sparse:

@@ -166,9 +166,13 @@ class ShardedIndex:
             alive[i, : s.n_docs] = True
             if s.field_lens.size:
                 flens[i, : s.n_docs, : s.field_lens.shape[1]] = s.field_lens
-            did = np.append(s.doc_ids, np.full(N - s.n_docs + 1, 2**62))
-            dhi[i] = (did >> 31).astype(np.int32)
-            dlo[i] = (did & 0x7FFFFFFF).astype(np.int32)
+            did = np.append(s.doc_ids,
+                            np.full(N - s.n_docs + 1,
+                                    2**63 - 1)).astype(np.uint64)
+            dhi[i] = (did >> np.uint64(32)).astype(np.int64) \
+                .astype(np.int32)
+            dlo[i] = ((did & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                      - 2**31).astype(np.int32)
 
         attrs = {}
         for a in self.schema.attrs:
@@ -567,7 +571,7 @@ class ShardedIndex:
         n_avail = min(found, cq.sig.k)
         keep = w[:n_avail] != INT32_MIN
         w, hi, lo, rid, shard = (x[:n_avail][keep] for x in (w, hi, lo, rid, shard))
-        docids = (hi << 31) | lo
+        docids = (hi << 32) | (lo + 2**31)
 
         lo_i = min(q.offset, len(w))
         hi_i = min(q.offset + q.limit, len(w))

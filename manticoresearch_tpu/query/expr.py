@@ -41,7 +41,7 @@ _TOK = re.compile(r"""
 _FUNCS_1 = {"ABS", "CEIL", "FLOOR", "SIN", "COS", "LN", "LOG2", "LOG10",
             "EXP", "SQRT", "BIGINT", "SINT", "INTEGER", "DOUBLE", "UINT",
             "CRC32", "FIBONACCI", "DAY", "MONTH", "YEAR", "YEARMONTH",
-            "YEARMONTHDAY", "HOUR", "MINUTE", "SECOND", "LENGTH",
+            "YEARMONTHDAY", "WEEK", "HOUR", "MINUTE", "SECOND", "LENGTH",
             "TO_STRING"}
 _FUNCS_N = {"MIN", "MAX", "POW", "IDIV", "IF", "IN", "INTERVAL", "GEODIST",
             "BITDOT", "MADD", "MUL3", "SUM", "TOP", "BM25A", "BM25F",
@@ -169,6 +169,14 @@ class ExprParser:
                 self.next()
                 op = {"*": "mul", "/": "div", "%": "mod"}[v]
                 left = (op, left, self.parse_unary())
+            elif k == "name" and v.lower() == "div":
+                # a DIV b: integer division truncating toward zero
+                # (Expr_Idiv_c, sphinxexpr.cpp)
+                self.next()
+                left = ("idiv", left, self.parse_unary())
+            elif k == "name" and v.lower() == "mod":
+                self.next()
+                left = ("mod", left, self.parse_unary())
             else:
                 return left
 
@@ -306,7 +314,13 @@ def eval_expr(tree: tuple, attrs: dict, weight=None, doc_ids=None):
         return jnp.float32(v)
     if op == "attr":
         if tree[1] not in attrs:
-            raise ExprError(f"unknown attribute {tree[1]!r} in expression")
+            # schema names are case-insensitive (reference sphToLower)
+            low = tree[1].lower()
+            hit = next((k for k in attrs if k.lower() == low), None)
+            if hit is None:
+                raise ExprError(
+                    f"unknown attribute {tree[1]!r} in expression")
+            return attrs[hit]
         return attrs[tree[1]]
     if op == "weight":
         if weight is None:
@@ -320,7 +334,7 @@ def eval_expr(tree: tuple, attrs: dict, weight=None, doc_ids=None):
         return -eval_expr(tree[1], attrs, weight, doc_ids)
     if op == "not":
         return (eval_expr(tree[1], attrs, weight, doc_ids) == 0).astype(jnp.int32)
-    if op in ("add", "sub", "mul", "div", "mod", "and", "or",
+    if op in ("add", "sub", "mul", "div", "idiv", "mod", "and", "or",
               "cmp_eq", "cmp_ne", "cmp_lt", "cmp_le", "cmp_gt", "cmp_ge"):
         a = eval_expr(tree[1], attrs, weight, doc_ids)
         b = eval_expr(tree[2], attrs, weight, doc_ids)
@@ -333,6 +347,14 @@ def eval_expr(tree: tuple, attrs: dict, weight=None, doc_ids=None):
         if op == "div":
             # reference '/' is plain float division (Expr_Div_c)
             return a.astype(jnp.float32) / b.astype(jnp.float32)
+        if op == "idiv":
+            # a DIV b: C-style truncating division (Expr_Idiv_c)
+            if jnp.issubdtype(jnp.result_type(a, b), jnp.integer):
+                import jax as _jax
+                return _jax.lax.div(a, jnp.where(b == 0, 1, b)) \
+                    * (b != 0).astype(a.dtype)
+            return jnp.trunc(a.astype(jnp.float32)
+                             / b.astype(jnp.float32))
         if op == "mod":
             return a % b
         if op == "and":
@@ -440,7 +462,7 @@ def _call(name: str, vals, raw_args):
             b = jnp.where(bit == 1, c + d, d)
         return a.astype(jnp.int32)
     if name in ("DAY", "MONTH", "YEAR", "YEARMONTH", "YEARMONTHDAY",
-                "HOUR", "MINUTE", "SECOND"):
+                "WEEK", "HOUR", "MINUTE", "SECOND"):
         # civil-from-days (Hinnant algorithm) with the process-local UTC
         # offset folded in at trace time (reference uses localtime_r,
         # sphinxexpr.cpp:3410; DST transitions inside the corpus epoch
@@ -472,6 +494,25 @@ def _call(name: str, vals, raw_args):
             return y
         if name == "YEARMONTH":
             return y * 100 + m
+        if name == "WEEK":
+            # CSphGrouperWeek key (sphinxsort.cpp:1301): year*1000 +
+            # day-of-year of the week's Sunday (base 1), year-adjusted
+            wday = (days + 4) % 7          # 1970-01-01 was a Thursday
+            yy = y - 1                     # days_from_civil(y, 1, 1)
+            era2 = yy // 400
+            yoe2 = (yy - era2 * 400).astype(jnp.int32)
+            jan1 = (era2 * 146097 + yoe2 * 365 + yoe2 // 4
+                    - yoe2 // 100 + 306 - 719468)
+            yday = (days - jan1).astype(jnp.int32)      # 0-based
+            prev_sun = (1 + yday) - wday
+            py = y - 1
+            leap_prev = ((py % 4 == 0)
+                         & ((py % 100 != 0) | (py % 400 == 0)))
+            crossed = prev_sun <= 0
+            prev_sun = jnp.where(crossed,
+                                 prev_sun + 365 + leap_prev, prev_sun)
+            yr = jnp.where(crossed, py, y)
+            return yr * 1000 + prev_sun
         return y * 10000 + m * 100 + d
     if name in ("LEAST", "GREATEST"):
         f = jnp.minimum if name == "LEAST" else jnp.maximum
@@ -519,6 +560,10 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
     if op == "attr":
         if tree[1] not in row:
             name = tree[1]
+            low = name.lower()
+            hit = next((k for k in row if k.lower() == low), None)
+            if hit is not None:
+                return row[hit]
             if "." in name:
                 # JSON path access (sphinxjson.cpp sphJsonFindByKey analog)
                 base, _, path = name.partition(".")
@@ -542,7 +587,7 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
         return -eval_expr_host(tree[1], row, weight, docid)
     if op == "not":
         return int(eval_expr_host(tree[1], row, weight, docid) == 0)
-    if op in ("add", "sub", "mul", "div", "mod", "and", "or",
+    if op in ("add", "sub", "mul", "div", "idiv", "mod", "and", "or",
               "cmp_eq", "cmp_ne", "cmp_lt", "cmp_le", "cmp_gt", "cmp_ge"):
         a = eval_expr_host(tree[1], row, weight, docid)
         b = eval_expr_host(tree[2], row, weight, docid)
@@ -567,6 +612,14 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
                 return (float("inf") if a > 0 else
                         float("-inf") if a < 0 else float("nan"))
             return float(a) / float(b)
+        if op == "idiv":
+            if b == 0:
+                return 0
+            import math
+            q = a / b
+            return (int(math.trunc(q))
+                    if isinstance(a, int) and isinstance(b, int) else
+                    float(math.trunc(q)))
         if op == "mod":
             return a % b
         if op == "and":
@@ -648,9 +701,20 @@ def _call_host(name: str, vals):
             a, b = b, (a + b) & 0xFFFFFFFF   # reference wraps at uint32
         return a
     if name in ("DAY", "MONTH", "YEAR", "YEARMONTH", "YEARMONTHDAY",
-                "HOUR", "MINUTE", "SECOND"):
+                "WEEK", "HOUR", "MINUTE", "SECOND"):
         # localtime split like DECLARE_TIMESTAMP (sphinxexpr.cpp:3410-3430)
         s = time.localtime(int(vals[0]))
+        if name == "WEEK":
+            # CSphGrouperWeek (sphinxsort.cpp:1301); Python tm_yday is
+            # 1-based and tm_wday is Monday=0 (C: 0-based / Sunday=0)
+            prev_sun = s.tm_yday - ((s.tm_wday + 1) % 7)
+            year = s.tm_year
+            if prev_sun <= 0:
+                prev_sun += 365
+                year -= 1
+                if year % 4 == 0 and (year % 100 != 0 or year % 400 == 0):
+                    prev_sun += 1
+            return year * 1000 + prev_sun
         return {"DAY": s.tm_mday, "MONTH": s.tm_mon, "YEAR": s.tm_year,
                 "YEARMONTH": s.tm_year * 100 + s.tm_mon,
                 "YEARMONTHDAY": (s.tm_year * 10000 + s.tm_mon * 100

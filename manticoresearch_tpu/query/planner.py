@@ -910,23 +910,26 @@ def plan_query(
             continue
         if f.attr == "id" and f.kind in ("values", "range_i"):
             # document ids are 64-bit; the device carries them as an i32
-            # (hi = id>>31, lo = id&0x7fffffff) pair — filter values ship
-            # as the same split so the kernel compares lexicographically
-            M31 = (1 << 31) - 1
+            # (hi = id>>32, lo = (id&0xffffffff)-2^31) pair — the bias
+            # makes signed lexicographic compare exact over [0, 2^63)
+            def _split(v: int) -> tuple[int, int]:
+                v = max(0, min(int(v), (1 << 63) - 1))
+                return v >> 32, (v & 0xFFFFFFFF) - (1 << 31)
             if f.kind == "values":
                 vals = sorted(int(v) for v in f.values)
                 nv = _next_pow2(len(vals), 1)
                 vals = vals + [vals[-1]] * (nv - len(vals))
-                arr = np.asarray([[v >> 31 for v in vals],
-                                  [v & M31 for v in vals]], np.int32)
+                sp = [_split(v) for v in vals]
+                arr = np.asarray([[h for h, _ in sp],
+                                  [l for _, l in sp]], np.int32)
                 fspecs.append(FilterSpec("id", "id_values", f.exclude,
                                          n_values=nv))
             else:
                 lo = 0 if f.lo is None else int(f.lo) + (1 if f.lo_excl else 0)
-                hi = (1 << 62) - 1 if f.hi is None else \
-                    min(int(f.hi) - (1 if f.hi_excl else 0), (1 << 62) - 1)
-                arr = np.asarray([[lo >> 31, hi >> 31],
-                                  [lo & M31, hi & M31]], np.int32)
+                hi = (1 << 63) - 1 if f.hi is None else \
+                    min(int(f.hi) - (1 if f.hi_excl else 0), (1 << 63) - 1)
+                (lh, ll), (hh, hl) = _split(lo), _split(hi)
+                arr = np.asarray([[lh, hh], [ll, hl]], np.int32)
                 fspecs.append(FilterSpec("id", "id_range", f.exclude))
             fvals.append(arr)
             continue

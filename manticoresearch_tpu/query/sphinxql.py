@@ -205,12 +205,15 @@ class SqlParser:
         if k == "str":
             return _unquote(v)
         if k == "num":
-            return float(v) if "." in v else int(v)
+            # integer literals saturate at int64 max like strtoll
+            # (test_047: id<2^63 parses as id<2^63-1)
+            return float(v) if "." in v else min(int(v), 2**63 - 1)
         if k == "op" and v == "-":
             k2, v2 = self.next()
             if k2 != "num":
                 raise SqlParseError("expected number after '-'")
-            return -(float(v2) if "." in v2 else int(v2))
+            return -(float(v2) if "." in v2
+                     else min(int(v2), 2**63))
         if k == "op" and v == "(":
             vals = [self.value()]
             while self.peek() == ("op", ","):
@@ -616,6 +619,7 @@ class SqlParser:
             ine = True
         name = self.name()
         cols: list[tuple[str, str]] = []
+        stored_cols: list[str] = []
         if self.peek() == ("op", "("):
             self.next()
             while True:
@@ -624,8 +628,11 @@ class SqlParser:
                 ct = "text"
                 if k == "name":
                     ct = self.name().lower()
-                    # swallow extra col options like 'indexed stored'
+                    # col options: 'indexed stored attribute' — STORED
+                    # puts the field into the docstore result schema
                     while self.at_kw("INDEXED", "STORED", "ATTRIBUTE"):
+                        if self.at_kw("STORED"):
+                            stored_cols.append(cn)
                         self.next()
                 cols.append((cn, ct))
                 if self.peek() == ("op", ","):
@@ -644,6 +651,8 @@ class SqlParser:
                 options.setdefault(n, []).append(v)
             else:
                 options[n] = v
+        if stored_cols and "stored_fields" not in options:
+            options["stored_fields"] = ",".join(stored_cols)
         return CreateTableStmt(name, cols, options, ine)
 
     def parse_drop(self):

@@ -79,6 +79,12 @@ class Schema:
         for a in self.attrs:
             if a.name == name:
                 return a
+        # schema names are case-insensitive (the reference folds them
+        # with sphToLower at parse time, sphinxstd ToLower)
+        low = name.lower()
+        for a in self.attrs:
+            if a.name.lower() == low:
+                return a
         return None
 
     def field_mask(self, names: list[str] | None) -> int:

@@ -76,10 +76,21 @@ class ClusterService:
             pass
 
     def stop(self) -> None:
-        if self._loop and self._server:
-            self._loop.call_soon_threadsafe(self._server.close)
         for cl in list(self.catalog.clusters.values()):
             cl.stop()
+        if self._loop:
+            # cancel every task (serve_forever + open subscriber
+            # handlers) — `async with server` waits for handlers on
+            # exit, so closing the listener alone leaves the thread
+            # (and the bound socket) alive
+            def _shutdown():
+                if self._server:
+                    self._server.close()
+                for t in asyncio.all_tasks(self._loop):
+                    t.cancel()
+            self._loop.call_soon_threadsafe(_shutdown)
+        if self._thread:
+            self._thread.join(5)
 
     # -- protocol ---------------------------------------------------------
     async def _handle(self, reader, writer) -> None:

@@ -19,6 +19,25 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_executables():
+    """Free compiled executables after each module.
+
+    Every XLA:CPU JIT executable pins ~3 small mmaps while jax's caches
+    keep it alive; a full-suite run accumulates tens of thousands,
+    crosses vm.max_map_count (65530), LLVM's section mmap fails
+    ("Cannot allocate memory"), and the failed-compile path leaves a
+    stale eh_frame registration that segfaults the next C++ unwind
+    (observed: deterministic libgcc crash ~250 tests in). Clearing per
+    module keeps the map count bounded; the persistent compile cache
+    makes recompiles cheap."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: opt-in scale tests (deselect by default)")

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import re
 import sqlite3
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dc_replace
 
 from .testcase import (GoldenTest, parse_sphinx_conf, section_dict)
 
@@ -137,6 +137,10 @@ def open_db(gt: GoldenTest) -> sqlite3.Connection:
     con.create_function("RAND", 0, lambda: 0.5)
     con.create_function("REPEAT", 2, lambda s, k: str(s or "") * int(k))
     for stmt in gt.db_create:
+        if re.search(r"\bcreate\s+procedure\b", stmt, re.I):
+            # the SQL fixture needs MySQL stored procedures (test_128);
+            # the sqlite stand-in can't host them
+            raise GoldenUnsupported("mysql stored-procedure source")
         for one in _split_sql(mysql_to_sqlite(stmt)):
             con.execute(one)
     for stmt in gt.db_insert:
@@ -301,7 +305,15 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
 
     for row in cur:
         d = dict(row)
-        doc = {"id": int(d[id_col])}
+        did = int(d[id_col])
+        if did < 1:
+            # the reference indexer rejects zero/negative docids
+            # (sphinx.cpp "document id is out of range")
+            continue
+        # ids beyond int64 max saturate (test_047: 2^63 clamps to 2^63-1
+        # and the row survives, grouping with the existing 2^63-1 doc)
+        did = min(did, 2**63 - 1)
+        doc = {"id": did}
         for f in sd.fields:
             doc[f] = "" if d.get(f) is None else str(d[f])
         for a in sd.attrs:
@@ -311,9 +323,11 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
                 if name in mva_from_query:
                     doc[name] = mva_from_query[name].get(doc["id"], [])
                 else:
+                    # field MVAs digit-scan the raw text: any digit run is
+                    # a value, other bytes are separators (ParseFieldMVA,
+                    # sphinx.cpp — 'mva511' yields [511])
                     raw = str(d.get(mva_field_col.get(name, name)) or "")
-                    doc[name] = [int(x) for x in
-                                 re.split(r"[,\s]+", raw) if x.strip()]
+                    doc[name] = [int(x) for x in re.findall(r"\d+", raw)]
             elif code == SPH_ATTR_FLOAT:
                 doc[name] = float(d.get(name) or 0.0)
             elif code == SPH_ATTR_STRING:
@@ -525,7 +539,7 @@ def index_options(idx: dict) -> tuple[dict, dict]:
         "blend_mode", "phrase_boundary", "phrase_boundary_step",
         "bigram_index", "bigram_freq_words", "index_exact_words",
         "min_stemming_len", "morphology", "min_prefix_len",
-        "min_infix_len", "regexp_filter",
+        "min_infix_len", "regexp_filter", "stored_fields",
     ]
     for k in passthrough:
         v = one(k)
@@ -566,6 +580,14 @@ def index_options(idx: dict) -> tuple[dict, dict]:
     if hitless:
         raise GoldenUnsupported("hitless_words")
     return o, qdef
+
+
+def _apply_stored_fields(table, opts: dict):
+    sf = str(opts.get("stored_fields", "") or "")
+    if sf:
+        table.stored_fields = [s.strip()
+                               for s in sf.replace(",", " ").split()
+                               if s.strip()]
 
 
 def _read_listfile_lines(path_spec: str) -> list[str]:
@@ -702,6 +724,7 @@ class GoldenEnv:
                 self.env.catalog.tables[sec.name] = RtIndex(
                     sec.name, schema, tok, dic)
                 self.env.catalog.tables[sec.name].options = dict(o)
+                _apply_stored_fields(self.env.catalog.tables[sec.name], o)
                 self.env.attr_codes[sec.name] = codes
                 self.env.query_defaults[sec.name] = qdef
                 self.env.index_order.append(sec.name)
@@ -764,6 +787,7 @@ class GoldenEnv:
             packed = b.build()
             rt = rt_from_packed(sec.name, packed)
             rt.options = dict(o)
+            _apply_stored_fields(rt, o)
             self.env.catalog.tables[sec.name] = rt
             self.env.attr_codes[sec.name] = dict(sd.attr_codes)
             self.env.query_defaults[sec.name] = qdef
@@ -927,8 +951,9 @@ class GoldenEnv:
             vals_probe = [attrs.get("filter_value"),
                           attrs.get("filter_range")]
             for vp in vals_probe:
-                if vp and any(abs(int(x)) > 2**31 - 1 for x in
-                              re.findall(r"-?\d+", str(vp))):
+                if name != "id" and vp and \
+                        any(abs(int(x)) > 2**31 - 1 for x in
+                            re.findall(r"-?\d+", str(vp))):
                     raise GoldenUnsupported(
                         "attr filter beyond i32 (device filters are i32; "
                         "64-bit attr filters land with the hi/lo split)")
@@ -971,9 +996,12 @@ class GoldenEnv:
         group_sort = None
         if attrs.get("groupattr"):
             gfunc = attrs.get("groupfunc", "")
-            if gfunc not in ("", "attr"):
+            gfmap = {"": "{}", "attr": "{}", "day": "YEARMONTHDAY({})",
+                     "week": "WEEK({})", "month": "YEARMONTH({})",
+                     "year": "YEAR({})"}
+            if gfunc not in gfmap:
                 raise GoldenUnsupported(f"groupfunc {gfunc}")
-            group_by = attrs["groupattr"]
+            group_by = gfmap[gfunc].format(attrs["groupattr"])
             gs = attrs.get("groupsort", "@group desc")
             toks2 = gs.split()
             gname = toks2[0].lower()
@@ -981,9 +1009,9 @@ class GoldenEnv:
             gmap = {"@group": "@groupby", "@groupby": "@groupby",
                     "@count": "@count", "@weight": "weight",
                     "@id": "id"}
-            if gname not in gmap:
-                raise GoldenUnsupported(f"groupsort {gs!r}")
-            group_sort = [(gmap[gname], gasc)]
+            # plain attribute group sorts pass through (canonicalized
+            # against the schema below)
+            group_sort = [(gmap.get(gname, gname), gasc)]
 
         select_items = None
         if attrs.get("select"):
@@ -1023,12 +1051,45 @@ class GoldenEnv:
         qdef = {}
         for aid, n in names:
             qdef.update(self.agents[aid].query_defaults.get(n, {}))
+
+        # schema names are case-insensitive: fold query-side references
+        # onto the canonical schema spelling (reference sphToLower)
+        codes0 = self.agents[names[0][0]].attr_codes.get(names[0][1], {}) \
+            if names else {}
+
+        def canon(nm):
+            if nm in codes0 or not nm:
+                return nm
+            low = str(nm).lower()
+            return next((k for k in codes0 if k.lower() == low), nm)
+        if group_by:
+            group_by = canon(group_by)
+        if group_distinct:
+            group_distinct = canon(group_distinct)
+        filters = [dc_replace(f, attr=canon(f.attr)) for f in filters]
+        sort = [(canon(k2) if k2 not in ("weight", "id") else k2, a2)
+                for k2, a2 in sort]
+        if group_sort:
+            group_sort = [(canon(k2) if k2 not in
+                           ("weight", "id", "@groupby", "@count") else k2,
+                           a2) for k2, a2 in group_sort]
         wide = 1000 if sort_expr is not None else limit
         sel = None
+        agg_items: dict[str, str] = {}   # alias -> engine aggregate key
         if group_by:
             sel = ["count(*)"]
             if group_distinct:
                 sel.append(f"count(distinct {group_distinct})")
+            # aggregate select items (SetSelect "avg(price) avgprice"):
+            # computed by the engine's grouped path, typed per arg
+            agg_re2 = re.compile(r"^(sum|min|max|avg|count)\s*\(", re.I)
+            for alias, expr_s in (select_items or []):
+                es = expr_s.strip()
+                if agg_re2.match(es) and es.lower().replace(" ", "") \
+                        != "count(*)":
+                    key = es.lower()
+                    agg_items[alias] = key
+                    sel.append(key)
         sq = SearchQuery(match=text, limit=wide, offset=0,
                          max_matches=1000, ranker=ranker,
                          sort=(group_sort or sort), filters=filters,
@@ -1038,9 +1099,13 @@ class GoldenEnv:
         if len(names) == 1:
             aid, n = names[0]
             res = self.agents[aid].catalog.get(n).search(sq)
+        elif group_by:
+            # distributed/multi-index GROUP BY: the per-part grouped
+            # results merge by key (search orchestrator semantics)
+            from manticoresearch_tpu.exec.multi import search_grouped_parts
+            parts = [self.agents[aid].catalog.get(n) for aid, n in names]
+            res = search_grouped_parts(parts, sq, parts[0].schema)
         else:
-            if group_by:
-                raise GoldenUnsupported("multi-index API group-by")
             parts = [self.agents[aid].catalog.get(n) for aid, n in names]
             results = [p.search(sq) for p in parts]
             for r in results:
@@ -1081,11 +1146,12 @@ class GoldenEnv:
                                      group_by=group_by,
                                      group_distinct=group_distinct,
                                      has_expr=sort_expr is not None,
-                                     select_items=select_items)
+                                     select_items=select_items,
+                                     agg_items=agg_items)
 
     def shape_api_result(self, res, names, q, group_by=None,
                          group_distinct=None, has_expr=False,
-                         select_items=None) -> dict:
+                         select_items=None, agg_items=None) -> dict:
         # multi-index result schema = the attr INTERSECTION in first-index
         # order (MinimizeAggrResult schema unification, searchd.cpp:4816)
         maps = [self.agents[aid].attr_codes.get(n, {})
@@ -1105,8 +1171,24 @@ class GoldenEnv:
                     attrs_map.update(base_map)
                 elif expr_s in base_map and alias == expr_s:
                     attrs_map[expr_s] = base_map[expr_s]
-                elif expr_s in ("id", "@id", "weight()", "@weight"):
+                elif expr_s in ("id", "@id", "weight()", "@weight") \
+                        and alias == expr_s:
                     continue    # implicit columns, not attrs
+                elif expr_s in ("id", "@id"):
+                    # 'id AS alias' materializes the docid as a bigint
+                    # attr (test_047 'id as sel' group-by)
+                    sel_exprs[alias] = (("id",), uint_names)
+                    attrs_map[alias] = SPH_ATTR_BIGINT
+                elif agg_items and alias in agg_items:
+                    # engine-computed group aggregate: AVG is FLOAT,
+                    # others follow the argument attr's type
+                    inner = re.sub(r"^\w+\s*\(\s*(distinct\s+)?|\s*\)\s*$",
+                                   "", agg_items[alias]).strip()
+                    if agg_items[alias].startswith("avg"):
+                        attrs_map[alias] = SPH_ATTR_FLOAT
+                    else:
+                        attrs_map[alias] = base_map.get(inner,
+                                                        SPH_ATTR_BIGINT)
                 else:
                     # computed item: type decided per-row (int -> BIGINT,
                     # float -> FLOAT like the reference expr parser)
@@ -1168,6 +1250,19 @@ class GoldenEnv:
                     vals[aname] = int(m.attrs.get(
                         f"count(distinct {group_distinct})", 0))
                     continue
+                if agg_items and aname in agg_items:
+                    key = agg_items[aname]
+                    v = m.attrs.get(key)
+                    if v is None:
+                        v = m.attrs.get(key.replace(" ", ""))
+                    if v is None:
+                        v = next((mv for mk, mv in m.attrs.items()
+                                  if mk.lower().replace(" ", "")
+                                  == key.replace(" ", "")), 0)
+                    vals[aname] = (float(v or 0)
+                                   if code == SPH_ATTR_FLOAT
+                                   else int(v or 0))
+                    continue
                 v = m.attrs.get(aname)
                 if code == SPH_ATTR_MULTI:
                     vals[aname] = [int(x) & 0xFFFFFFFF for x in (v or [])]
@@ -1204,49 +1299,71 @@ class GoldenEnv:
         return out
 
     # -- SphinxQL query execution ----------------------------------------
-    def run_ql_query(self, q) -> dict:
-        out: dict = {"sphinxql": q.query.strip()}
+    def run_ql_query(self, q) -> list[dict]:
+        """One shaped result per executed statement — the harness drives
+        multi-statement <sphinxql> elements through mysqli_multi_query and
+        records each result set separately (helpers.inc:2316-2385); the
+        recorded models label every result with its own statement text,
+        trimmed, without the trailing ';'."""
         aid = int(q.attrs.get("d", 0) or 0)    # target daemon (agent id)
         if aid >= len(self.agents):
             raise GoldenUnsupported(f"query targets agent {aid}")
-        if q.attrs.get("vip"):
-            out["vip"] = 1
-        if aid > 0:
-            out["agent"] = aid
-        results = self.agents[aid].session.execute(q.query)
-        r = results[0] if results else None
-        if r is None:
-            out["total_affected"] = 0
-            return out
-        if r.error:
-            out["error"] = r.error
-            out["errno"] = 1064
-            return out
-        if r.columns:
-            no_time = ("show" in q.query.lower()
-                       and "meta" in q.query.lower())
-            rows = []
-            for row in r.rows:
-                d = {}
-                for c, v in zip(r.columns, row):
-                    d[c] = _render_cell(v)
-                if no_time and d.get("Variable_name") == "time":
-                    continue
-                rows.append(d)
-            out["total_rows"] = len(r.rows)
-            if rows:
-                out["rows"] = rows
-            return out
-        out["total_affected"] = r.affected
-        return out
 
-    def run_query(self, q) -> dict:
+        def extra(out: dict) -> dict:
+            if q.attrs.get("vip"):
+                out["vip"] = 1
+            if aid > 0:
+                out["agent"] = aid
+            return out
+
+        if q.query.strip().upper() == "RECONNECT":
+            return [extra({"sphinxql": "RECONNECT",
+                           "error": "reconnected ok!", "errno": 0})]
+
+        stmts = ([q.query] if ";" not in q.query
+                 else _split_sql(q.query))
+        no_time = ("show" in q.query.lower()
+                   and "meta" in q.query.lower())
+        shaped: list[dict] = []
+        for k, stmt in enumerate(stmts):
+            results = self.agents[aid].session.execute(stmt)
+            r = results[0] if results else None
+            out: dict = {"sphinxql": stmt.strip().rstrip(";").strip()}
+            if r is None:
+                out["total_affected"] = 0
+                shaped.append(extra(out))
+                continue
+            if r.error:
+                out["error"] = r.error
+                out["errno"] = 1064
+                shaped.append(extra(out))
+                # mysqli_multi_query stops at the first failing statement
+                break
+            if r.columns:
+                rows = []
+                for row in r.rows:
+                    d = {}
+                    for c, v in zip(r.columns, row):
+                        d[c] = _render_cell(v)
+                    if no_time and d.get("Variable_name") == "time":
+                        continue
+                    rows.append(d)
+                out["total_rows"] = len(r.rows)
+                if rows:
+                    out["rows"] = rows
+                shaped.append(extra(out))
+                continue
+            out["total_affected"] = r.affected
+            shaped.append(extra(out))
+        return shaped
+
+    def run_query(self, q) -> list[dict]:
         if q.type == "sphinxql":
             return self.run_ql_query(q)
         if q.type == "api":
-            return self.run_api_query(q)
+            return [self.run_api_query(q)]
         if q.type == "comment":
-            return {"comment": q.query}
+            return [{"comment": q.query}]
         raise GoldenUnsupported(f"query type {q.type}")
 
 
@@ -1299,6 +1416,19 @@ def fixup(result: dict, roundoff: int = 0,
     if not isinstance(result, dict):
         return result
     out = {k: v for k, v in result.items() if k not in _DROP_KEYS}
+    if isinstance(out.get("attrs"), dict):
+        # @-magic columns (@count/@groupby/@distinct/@expr) were typed
+        # INTEGER or BIGINT depending on the reference version that
+        # recorded each model — canonicalize the int family for them
+        na0 = {}
+        for k, v in out["attrs"].items():
+            if str(k).startswith("@") and v in (
+                    SPH_ATTR_INTEGER, SPH_ATTR_TIMESTAMP,
+                    SPH_ATTR_BOOL, SPH_ATTR_BIGINT):
+                v = SPH_ATTR_INTEGER
+            na0[k] = v
+        out = dict(out)
+        out["attrs"] = na0
     if variants_match and isinstance(out.get("attrs"), dict):
         # variant checks compare data across attr-type variants: mva64
         # folds to mva, @-magic bigints to int (CompareResultSetFixup,
@@ -1440,19 +1570,23 @@ def run_subtest(gt: GoldenTest, subtest: int, model_subtest: list,
         return []    # the reference itself failed this variant; skip
     env = GoldenEnv(gt, subtest, tmpdir)
     failures: list[str] = []
-    n = min(len(gt.queries), len(model_subtest))
-    if len(gt.queries) != len(model_subtest):
-        failures.append(
-            f"query count mismatch: test.xml has {len(gt.queries)}, "
-            f"model has {len(model_subtest)}")
-    for i in range(n):
-        q = gt.queries[i]
-        model = model_subtest[i]
+    mi = 0
+    for q in gt.queries:
         if q.type == "comment":
             continue
-        ours = env.run_query(q)
-        diff = compare_result(ours, model,
-                              "variant_match" in gt.requires)
-        if diff:
-            failures.append(f"query {i} ({q.query[:60]!r}): {diff}")
+        for ours in env.run_query(q):
+            if mi >= len(model_subtest):
+                failures.append(
+                    f"extra result past model end ({q.query[:60]!r})")
+                break
+            model = model_subtest[mi]
+            mi += 1
+            diff = compare_result(ours, model,
+                                  "variant_match" in gt.requires)
+            if diff:
+                failures.append(f"query {mi - 1} ({q.query[:60]!r}): {diff}")
+    if mi != len(model_subtest):
+        failures.append(
+            f"result count mismatch: engine produced {mi}, "
+            f"model has {len(model_subtest)}")
     return failures

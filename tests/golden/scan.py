@@ -91,6 +91,10 @@ def main():
     counts: dict[str, int] = {}
     for d in dirs:
         r = scan_one(d)
+        # bound the mmap count: each live XLA:CPU executable pins ~3
+        # maps; an unbounded scan crosses vm.max_map_count and LLVM
+        # compiles start failing with "Cannot allocate memory"
+        jax.clear_caches()
         results[d] = r
         counts[r["status"]] = counts.get(r["status"], 0) + 1
         print(f"{d}: {r['status']} — {r['detail']}", flush=True)

@@ -289,7 +289,21 @@ def parse_sphinx_conf(text: str) -> list[ConfSection]:
             continue
         if "=" in s:
             k, _, v = s.partition("=")
-            cur.pairs.append((k.strip().lower(), v.strip()))
+            # '#' starts a comment unless escaped '\#'
+            # (sphinxutils.cpp config lexer)
+            out = []
+            j = 0
+            while j < len(v):
+                c = v[j]
+                if c == "\\" and j + 1 < len(v) and v[j + 1] == "#":
+                    out.append("#")
+                    j += 2
+                    continue
+                if c == "#":
+                    break
+                out.append(c)
+                j += 1
+            cur.pairs.append((k.strip().lower(), "".join(out).strip()))
     if cur is not None:
         sections.append(cur)
     return sections

@@ -111,12 +111,14 @@ def api_port():
             f"{i * 10}, {i * 0.5})")
     sess.close()
 
-    started = asyncio.Event()
-    stop = asyncio.Event()
     import threading
+    started = threading.Event()
+    stop = asyncio.Event()
+    loop_box: list = []
 
     def run():
         async def main():
+            loop_box.append(asyncio.get_running_loop())
             srv = ApiServer(cat, port=PORT)
             await srv.start()
             started.set()
@@ -126,14 +128,12 @@ def api_port():
 
     th = threading.Thread(target=run, daemon=True)
     th.start()
-    import time
-    for _ in range(100):
-        if started.is_set():
-            break
-        time.sleep(0.05)
+    started.wait(5)
     yield PORT
-    stop_loop = stop.set
-    stop_loop()
+    # asyncio.Event is not thread-safe: set it on the server's own loop
+    if loop_box:
+        loop_box[0].call_soon_threadsafe(stop.set)
+    th.join(5)
 
 
 def test_ping(api_port):

@@ -16,7 +16,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import replace as dc_replace
 
 from ..server.agent import (AgentError, MultiAgent, agent_blackhole,
-                            agent_search, parse_agent_spec,
+                            agent_search, agent_update, parse_agent_spec,
                             payload_to_result, query_to_payload)
 
 
@@ -132,13 +132,32 @@ class DistributedTable:
                 results = list(ex.map(lambda p: p.search(part_q), parts))
         return merge_part_results(results, q, self.schema)
 
-    # -- writes rejected -------------------------------------------------
+    # -- writes ----------------------------------------------------------
+    def update_attrs(self, docids: list, values: dict) -> int:
+        """UPDATE fans out to every part — local tables directly, agents
+        over CMD_UPDATE (distributed UpdateAttrs, searchd.cpp
+        HandleMysqlUpdate agent loop); returns total rows updated."""
+        n = 0
+        for nm in self.locals_:
+            try:
+                n += self.catalog.get(nm).update_attrs(docids, values)
+            except (ValueError, KeyError):
+                continue
+        for a in self.agents:
+            try:
+                n += agent_update(a, docids, values, timeout=self.timeout,
+                                  retry_count=self.retry_count,
+                                  retry_delay=self.retry_delay)
+            except AgentError:
+                continue
+        return n
+
     def _no_writes(self, *_a, **_k):
         raise ValueError(
-            f"table '{self.name}' is distributed: INSERT/REPLACE/DELETE/"
-            f"UPDATE are not supported on distributed tables")
+            f"table '{self.name}' is distributed: INSERT/REPLACE/DELETE "
+            f"are not supported on distributed tables")
 
-    insert = replace = delete_documents = update_attrs = _no_writes
+    insert = replace = delete_documents = _no_writes
     truncate = optimize = _no_writes
 
     # -- observability ---------------------------------------------------

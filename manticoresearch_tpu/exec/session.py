@@ -792,11 +792,32 @@ class Session:
         cols = st.columns
         if not cols:
             cols = ["id"] + t.schema.fields + [a.name for a in t.schema.attrs]
+        if st.columns:
+            seen_cols: set[str] = set()
+            for c in st.columns:
+                if c in seen_cols:
+                    return QLResult.err(f"column '{c}' specified twice")
+                seen_cols.add(c)
+            known = {"id"} | set(t.schema.fields) | {
+                a.name for a in t.schema.attrs}
+            for c in st.columns:
+                if c not in known:
+                    return QLResult.err(f"unknown column: '{c}'")
+        str_cols = set(t.schema.fields) | {
+            a.name for a in t.schema.attrs
+            if getattr(a.type, "value", "") in ("string", "json")}
         n = 0
-        for row in st.rows:
+        for rn, row in enumerate(st.rows, 1):
             if len(row) != len(cols):
                 return QLResult.err(
                     f"column count mismatch: {len(cols)} vs {len(row)}")
+            for ci, (c, v) in enumerate(zip(cols, row), 1):
+                # typed VALUES: text fields / string attrs require a
+                # quoted literal (sphinxql insert row check,
+                # "row %d, column %d: string expected")
+                if c in str_cols and not isinstance(v, str):
+                    return QLResult.err(
+                        f"row {rn}, column {ci}: string expected")
             doc = dict(zip(cols, row))
             if "id" not in doc:
                 # auto ids are UUID-short (UidShort, sphinxutils.cpp:3357)
@@ -1391,9 +1412,25 @@ class Session:
             self.catalog._save_manifest()
             return QLResult.ok(packed.n_docs)
         if k == "attach":
-            src, dst = st.args
+            src, dst = st.args[0], st.args[1]
+            truncate = len(st.args) > 2 and st.args[2] == "truncate"
             from ..index.rt import rt_from_packed
             from ..index.storage import load_packed
+            if src in self.catalog.tables:
+                # served-table form (AttachDiskIndex, sphinxrt.cpp): the
+                # plain index's data moves into the RT index (emptied
+                # first WITH TRUNCATE) and the source stops being served
+                srct = self.catalog.tables[src]
+                dstt = self.catalog.tables.get(dst)
+                if dstt is None:
+                    return QLResult.err(f"no such table '{dst}'")
+                if truncate:
+                    dstt.truncate()
+                for p in srct.searchable_parts():
+                    dstt.attach_packed(p.packed)
+                del self.catalog.tables[src]
+                self.catalog._save_manifest()
+                return QLResult.ok(0)
             if dst in self.catalog.tables:
                 return QLResult.err(f"table '{dst}' already exists")
             packed = load_packed(src)

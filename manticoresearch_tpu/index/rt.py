@@ -225,6 +225,24 @@ class RtIndex:
             for d in seg.docs:
                 self.docid_seg[d] = si
 
+    def attach_packed(self, packed) -> None:
+        """Append an offline-built index as one sealed segment — the
+        served-table ATTACH path (sphinxrt.cpp AttachDiskIndex): postings
+        move in as-is, docs reconstruct from stored fields + attrs so
+        later merges keep working. Docids already present in this RT
+        index are killed first (REPLACE semantics on collision)."""
+        from ..exec.searcher import SearchIndex
+
+        docs = _docs_from_packed(packed)
+        dupes = [d for d in docs if d in self.docid_seg]
+        if dupes:
+            self.delete(dupes)
+        self.generation += 1
+        self.segments.append(_Segment(packed, SearchIndex(packed), docs))
+        si = len(self.segments) - 1
+        for d in docs:
+            self.docid_seg[d] = si
+
     def truncate(self) -> None:
         self.generation += 1
         self.segments = []
@@ -426,16 +444,9 @@ class RtIndex:
         return res
 
 
-def rt_from_packed(name: str, packed, data_dir: str | None = None
-                   ) -> "RtIndex":
-    """Wrap a plain (offline-built) index as a served RT table with one
-    sealed segment — the ATTACH INDEX path (sphinxrt AttachDiskIndex
-    semantics). Source docs reconstruct from stored fields + attrs so later
-    merges keep working."""
-    from ..exec.searcher import SearchIndex
-
-    rt = RtIndex(name, packed.schema, packed.tokenizer_settings,
-                 packed.dict_settings, data_dir=data_dir)
+def _docs_from_packed(packed) -> dict[int, dict]:
+    """Reconstruct source docs from a packed index's stored fields +
+    attrs (so RT-level merges can re-tokenize if they must)."""
     docs: dict[int, dict] = {}
     for r, did in enumerate(packed.doc_ids.tolist()):
         d: dict = {"id": int(did)}
@@ -452,6 +463,20 @@ def rt_from_packed(name: str, packed, data_dir: str | None = None
         for aname, (off, vals) in packed.attrs_mva.items():
             d[aname] = [int(x) for x in vals[off[r]:off[r + 1]]]
         docs[int(did)] = d
+    return docs
+
+
+def rt_from_packed(name: str, packed, data_dir: str | None = None
+                   ) -> "RtIndex":
+    """Wrap a plain (offline-built) index as a served RT table with one
+    sealed segment — the ATTACH INDEX path (sphinxrt AttachDiskIndex
+    semantics). Source docs reconstruct from stored fields + attrs so later
+    merges keep working."""
+    from ..exec.searcher import SearchIndex
+
+    rt = RtIndex(name, packed.schema, packed.tokenizer_settings,
+                 packed.dict_settings, data_dir=data_dir)
+    docs = _docs_from_packed(packed)
     rt.segments = [_Segment(packed, SearchIndex(packed), docs)]
     rt.docid_seg = {d: 0 for d in docs}
     return rt

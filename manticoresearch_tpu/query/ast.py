@@ -23,6 +23,10 @@ class QTerm:
     #                                          expanded from ("" = not an
     #                                          expansion; XQKeyword_t
     #                                          m_bExpanded analog)
+    atom_span: int = 1                       # query atom positions consumed
+    #                                          (blended chunks cover their
+    #                                          parts' positions: m_iAtomPos
+    #                                          advances per tokenizer pos)
 
 
 @dataclass(frozen=True)

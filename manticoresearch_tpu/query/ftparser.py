@@ -44,9 +44,16 @@ _TOKEN_RE = re.compile(
   | (?P<esc>\\.)
   | (?P<word>[^\s()|!\-"@\\]+)
   | (?P<space>\s+)
+  | (?P<stray>.)
     """,
     re.VERBOSE,
 )
+
+# marks an escaped char inside a word chunk: the chunk becomes a LITERAL
+# keyword (the reference tokenizer honors query escapes — the escaped
+# char joins the token even when it's a separator, so 'aaa\*ccc' looks
+# up the single keyword "aaa*ccc")
+ESC_CH = "\x03"
 
 _POST_WORD_RE = re.compile(r"^(?P<exact>=?)(?P<body>.*?)(?P<boost>\^\d+(\.\d+)?)?$")
 
@@ -55,9 +62,11 @@ _POST_WORD_RE = re.compile(r"^(?P<exact>=?)(?P<body>.*?)(?P<boost>\^\d+(\.\d+)?)
 class _Tok:
     kind: str
     text: str
+    start: int = -1      # source offsets: adjacency decides phrase
+    end: int = -1        # chunk grouping (blend chars join chunks)
 
 
-def _lex(q: str) -> list[_Tok]:
+def _lex(q: str, word_chars: frozenset = frozenset()) -> list[_Tok]:
     out = []
     pos = 0
     last_word_end = -1   # end offset of the last emitted word-ish token
@@ -68,6 +77,27 @@ def _lex(q: str) -> list[_Tok]:
             continue
         pos = m.end()
         kind = m.lastgroup
+        if word_chars:
+            # operator chars the index charset declares as word chars
+            # lose their operator meaning (the reference query lexer
+            # asks the tokenizer about specials, sphinxquery.cpp):
+            # charset_table with '|' makes "aaa|bbb" one keyword
+            t0 = m.group()[0]
+            if kind in ("or", "not", "lparen", "rparen", "quote") \
+                    and t0 in word_chars:
+                kind = "op_as_word"
+            elif kind in ("field", "zone") and t0 in word_chars:
+                kind = "op_as_word"
+        if kind == "op_as_word":
+            text = m.group()
+            if out and out[-1].kind == "word" \
+                    and m.start() == last_word_end:
+                out[-1] = _Tok("word", out[-1].text + text,
+                               out[-1].start, m.end())
+            else:
+                out.append(_Tok("word", text, m.start(), m.end()))
+            last_word_end = m.end()
+            continue
         if kind == "space":
             continue
         if kind == "esc":
@@ -78,6 +108,13 @@ def _lex(q: str) -> list[_Tok]:
             kind, text = "word", m.group()[1]
         else:
             text = m.group()
+        if kind == "field" and out and out[-1].kind == "word" \
+                and m.start() == last_word_end:
+            # '@' directly after a word char is part of the word
+            # ("bbb@ccc"): not a field operator — the tokenizer later
+            # folds '@' to a separator, yielding adjacent keywords
+            # (reference field-op lexing requires term start)
+            kind = "word"
         if kind == "not" and out and out[-1].kind == "word" \
                 and m.start() == last_word_end:
             # '-'/'!' directly after a word char is part of the word
@@ -87,9 +124,10 @@ def _lex(q: str) -> list[_Tok]:
             kind = "word"
         if kind == "word" and out and out[-1].kind == "word" \
                 and m.start() == last_word_end:
-            out[-1] = _Tok("word", out[-1].text + text)
+            out[-1] = _Tok("word", out[-1].text + text,
+                           out[-1].start, m.end())
         else:
-            out.append(_Tok(kind, text))
+            out.append(_Tok(kind, text, m.start(), m.end()))
         if kind == "word":
             last_word_end = m.end()
     return out
@@ -101,12 +139,33 @@ class FtQueryParser:
         self.tokenizer = tokenizer
         self.dictionary = dictionary
         self.field_names = field_names
+        self._op_word_chars: frozenset | None = None
+
+    def _operator_word_chars(self) -> frozenset:
+        """Operator chars that the index charset maps to word chars
+        (they lose operator meaning in queries, sphinxquery.cpp lexer
+        consulting the tokenizer's specials)."""
+        if self._op_word_chars is None:
+            # only true charset word chars lose operator meaning; blend
+            # chars keep it bare (test_063: 'bbb|ccc' with blended '|'
+            # is still an OR) and only join inside phrases/escapes
+            chars = set()
+            lc = getattr(self.tokenizer, "_lc", None)
+            for c in '|-!()"@':
+                if lc is not None:
+                    try:
+                        if int(lc.fold_str(c)[0]) > 0:
+                            chars.add(c)
+                    except Exception:
+                        pass
+            self._op_word_chars = frozenset(chars)
+        return self._op_word_chars
 
     def parse(self, query: str):
         if not query.strip():
             return QAll()
         self._exc_dsts: list[str] = []
-        self.toks = _lex(query)
+        self.toks = _lex(query, self._operator_word_chars())
         if getattr(self.tokenizer, "_exc_map", None):
             # exceptions (synonyms file) substitute over the keyword
             # stream: runs of word chunks matching a source (split on
@@ -212,12 +271,18 @@ class FtQueryParser:
         return t
 
     def _terms_of(self, word: str, exact: bool) -> list[str]:
-        """Tokenize a raw query word chunk into index terms."""
+        """Tokenize a raw query word chunk into index terms. Sets
+        self._last_span to the number of atom positions the chunk
+        consumed (blended chunks cover their parts' positions)."""
         toks = self.tokenizer.tokenize(word)
+        self._last_span = (max(t.position for t in toks)
+                           - min(t.position for t in toks) + 1) \
+            if toks else 1
         # blended chunk ("m&m"): the whole token covers the chunk and
         # shares the first sub-token's position — query side searches the
         # most specific (whole) form, like the reference's query-time
-        # blended handling
+        # blended handling (qpos still advances over the parts,
+        # m_iAtomPos per tokenizer position)
         if (len(toks) > 1 and toks[0].position == toks[1].position
                 and toks[0].start <= toks[1].start
                 and toks[0].end >= toks[-1].end):
@@ -445,14 +510,21 @@ class FtQueryParser:
         if len(terms) == 1:
             return QTerm(terms[0], self.cur_fields, exact, boost,
                          field_start=fstart, field_end=fend,
-                         zones=self.cur_zones)
+                         zones=self.cur_zones,
+                         atom_span=getattr(self, "_last_span", 1))
         # a single syntax word expanding to multiple tokens ("t-shirt")
         # indexes as consecutive positions -> behaves as a phrase
         return QPhrase(tuple(terms), self.cur_fields)
 
     def _parse_quoted(self):
         self._next()  # opening quote
+        # specials lose their meaning inside quotes: regroup tokens into
+        # whitespace-separated RAW chunks by source adjacency and let the
+        # tokenizer decide what separates (blend chars join — test_063
+        # '"aaa|eee|ccc"' is ONE blended keyword; plain specials fold to
+        # separators: '@steroids' -> steroids)
         words: list[str] = []
+        last_end = None
         while True:
             t = self._peek()
             if t is None:
@@ -461,13 +533,17 @@ class FtQueryParser:
                 self._next()
                 break
             self._next()
-            if t.kind == "word":
+            joinable = t.kind in ("word", "field", "zone", "maybe", "or",
+                                  "not", "lparen", "rparen")
+            if not joinable:
+                last_end = None
+                continue
+            if words and last_end is not None and t.start == last_end \
+                    and not words[-1].startswith("\x01"):
+                words[-1] += t.text
+            else:
                 words.append(t.text)
-            elif t.kind in ("field", "zone", "maybe"):
-                # specials lose their meaning inside quotes; the chunk's
-                # word chars survive tokenization ('@steroids' -> steroids)
-                words.append(t.text)
-            # remaining specials inside quotes are separators
+            last_end = t.end if t.start >= 0 else None
         # suffix: ~N proximity or /N quorum
         prox = 0
         quorum = None
@@ -512,15 +588,25 @@ class FtQueryParser:
                     entries.append((chunk.lower(), base))
                     continue
             toks = self.tokenizer.tokenize(chunk)
-            maxpos = 0
+            maxpos = max((t.position for t in toks), default=0)
+            if (len(toks) > 1 and toks[0].position == toks[1].position
+                    and toks[0].start <= toks[1].start
+                    and toks[0].end >= toks[-1].end):
+                # blended chunk inside a phrase: search the whole form
+                # only; it still covers its parts' positions
+                toks = [toks[0]]
             for tk in toks:
                 term = self.dictionary.process_query_term(tk.text,
                                                           exact=False)
                 if term is not None:
                     entries.append((term, base + tk.position))
-                maxpos = max(maxpos, tk.position)
-            base += maxpos if toks \
-                else self.tokenizer.settings.overshort_step
+            if toks:
+                base += maxpos
+            elif any(c.isalnum() for c in chunk):
+                # a word-ish chunk whose tokens all dropped (overshort/
+                # stopword) keeps its position gap
+                base += self.tokenizer.settings.overshort_step
+            # pure-special chunks ('(', '!') consume no position
         words = [e[0] for e in entries]
         if not words:
             return None

@@ -481,14 +481,21 @@ class _SlotTable:
 
     def get(self, term: str, fields, positive: bool, weight: float = 1.0,
             field_start: bool = False, field_end: bool = False,
-            zones: tuple = (), advance: bool = True) -> int:
+            zones: tuple = (), advance: bool = True,
+            span: int = 1) -> int:
         if advance:
             self._cursor += 1
+        pos = self._cursor
+        if advance:
+            # a blended chunk's qpos is its first position, but the
+            # cursor advances over the parts' positions too
+            # (m_iAtomPos advances per tokenizer position)
+            self._cursor += max(1, span) - 1
         mask = self.mask_of(fields)
         key = (term, mask, field_start, field_end, zones)
         if key in self.slots:
             s = self.slots[key]
-            self.occ[s].append(self._cursor)
+            self.occ[s].append(pos)
         else:
             s = len(self.terms)
             self.slots[key] = s
@@ -497,8 +504,8 @@ class _SlotTable:
             self.flags.append((field_start, field_end))
             self.zones.append(tuple(zones))
             self.mult.append(0.0)
-            self.qpos.append(self._cursor)
-            self.occ.append([self._cursor])
+            self.qpos.append(pos)
+            self.occ.append([pos])
         if positive:
             self.mult[s] += weight
         return s
@@ -510,7 +517,8 @@ def _lower(node, st: _SlotTable, positive: bool):
         return ("all",)
     if isinstance(node, QTerm):
         s = st.get(node.word, node.fields, positive, node.boost,
-                   node.field_start, node.field_end, node.zones)
+                   node.field_start, node.field_end, node.zones,
+                   span=getattr(node, "atom_span", 1))
         return ("term", s)
     if isinstance(node, QAnd):
         return ("and", tuple(_lower(c, st, positive) for c in node.children))

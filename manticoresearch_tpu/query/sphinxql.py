@@ -29,6 +29,7 @@ class SqlParseError(ValueError):
 _SQL_TOK = re.compile(r"""
     (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d*|\.\d+|\d+)
+  | (?P<bname>`[^`]+`)
   | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
   | (?P<op><=|>=|<>|!=|:=|=|<|>|\(|\)|,|\*|\+|-|/|%|;|:)
   | (?P<ws>\s+|--[^\n]*|\#[^\n]*|/\*.*?\*/)
@@ -45,8 +46,13 @@ def sql_tokenize(s: str) -> list[tuple[str, str, int, int]]:
         if not m:
             raise SqlParseError(f"bad character {s[i]!r} at offset {i}")
         i = m.end()
-        if m.lastgroup != "ws":
-            out.append((m.lastgroup, m.group(), m.start(), m.end()))
+        if m.lastgroup == "ws":
+            continue
+        if m.lastgroup == "bname":
+            # `backtick` identifiers (MySQL compat): any chars allowed
+            out.append(("name", m.group()[1:-1], m.start(), m.end()))
+            continue
+        out.append((m.lastgroup, m.group(), m.start(), m.end()))
     return out
 
 
@@ -626,14 +632,22 @@ class SqlParser:
                 cn = self.name()
                 k, v = self.peek()
                 ct = "text"
+                if k != "name":
+                    stored_cols.append(cn)   # bare col = stored text
                 if k == "name":
                     ct = self.name().lower()
                     # col options: 'indexed stored attribute' — STORED
-                    # puts the field into the docstore result schema
+                    # puts the field into the docstore result schema;
+                    # a bare `text` column with NO options defaults to
+                    # indexed+stored (CREATE TABLE DDL, searchdddl.cpp)
+                    had_opts = False
                     while self.at_kw("INDEXED", "STORED", "ATTRIBUTE"):
+                        had_opts = True
                         if self.at_kw("STORED"):
                             stored_cols.append(cn)
                         self.next()
+                    if ct == "text" and not had_opts:
+                        stored_cols.append(cn)
                 cols.append((cn, ct))
                 if self.peek() == ("op", ","):
                     self.next()
@@ -830,7 +844,15 @@ class SqlParser:
         src = self.value() if self.peek()[0] == "str" else self.name()
         self.expect_kw("TO")
         self.eat_kw("RTINDEX", "TABLE")
-        return SimpleStmt("attach", [str(src), self.name()])
+        dst = self.name()
+        truncate = False
+        if self.eat_kw("WITH"):
+            # ATTACH ... WITH TRUNCATE empties the destination RT index
+            # first (searchdsql grammar, sphinxrt.cpp AttachDiskIndex)
+            self.expect_kw("TRUNCATE")
+            truncate = True
+        return SimpleStmt("attach", [str(src), dst,
+                                     "truncate" if truncate else ""])
 
     def parse_alter(self):
         # ALTER TABLE t ADD COLUMN c <type> | ALTER TABLE t DROP COLUMN c

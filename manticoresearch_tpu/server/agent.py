@@ -37,6 +37,7 @@ PROTO_VERSION = 1
 CMD_SEARCH = 1
 CMD_PING = 2
 CMD_KEYWORDS = 3
+CMD_UPDATE = 4
 _HDR = struct.Struct(">IHHI")   # magic, version, command/status, payload len
 
 STATUS_OK = 0
@@ -273,6 +274,31 @@ def agent_search(agent: MultiAgent, query_payload: dict,
     raise last if last is not None else AgentError("no mirrors")
 
 
+def agent_update(agent: MultiAgent, ids: list, values: dict,
+                 timeout: float = 3.0, retry_count: int = 2,
+                 retry_delay: float = 0.0) -> int:
+    """Fan an attribute UPDATE out to one mirror of an agent (distributed
+    UPDATE, searchd.cpp HandleCommandUpdate); returns rows updated."""
+    attempts = max(1, retry_count + 1)
+    last: Exception | None = None
+    tried = 0
+    while tried < attempts:
+        for mirror in agent.choose_order():
+            if tried >= attempts:
+                break
+            tried += 1
+            payload = {"table": mirror.table, "ids": list(ids),
+                       "values": dict(values)}
+            try:
+                return int(_request(mirror, CMD_UPDATE, payload,
+                                    timeout).get("updated", 0))
+            except AgentError as e:
+                last = e
+                if retry_delay and tried < attempts:
+                    time.sleep(retry_delay)
+    raise last if last is not None else AgentError("no mirrors")
+
+
 def agent_blackhole(agent: MultiAgent, query_payload: dict,
                     timeout: float = 1.0) -> None:
     """Fire-and-forget copy to a blackhole agent (searchd.cpp:6651):
@@ -443,6 +469,14 @@ class AgentServer:
             except Exception as e:  # noqa: BLE001 — report, don't kill conn
                 return STATUS_ERROR, {"error": f"{type(e).__name__}: {e}"}
             return STATUS_OK, result_to_payload(r)
+        if cmd == CMD_UPDATE:
+            try:
+                table = self.catalog.get(req["table"])
+                n = table.update_attrs([int(x) for x in req["ids"]],
+                                       dict(req["values"]))
+            except Exception as e:  # noqa: BLE001
+                return STATUS_ERROR, {"error": f"{type(e).__name__}: {e}"}
+            return STATUS_OK, {"updated": n}
         if cmd == CMD_KEYWORDS:
             # agent-side CALL KEYWORDS (SetupLocalDF fetches per-term df
             # from remote agents this way, searchd.cpp:5869)

@@ -605,6 +605,51 @@ def _read_listfile_lines(path_spec: str) -> list[str]:
 # ---------------------------------------------------------------------------
 # the environment for one subtest
 
+class _CrossEnvDistributed:
+    """A distributed table whose remote parts live in other in-process
+    agent envs (the harness stand-in for a multi-searchd distributed
+    table, searchd.cpp RunSubset over agents)."""
+
+    data_dir = None
+
+    def __init__(self, name: str, genv, parts):
+        self.name = name
+        self.genv = genv
+        self.parts = parts      # [(agent_id, index_name)]
+        self.options: dict = {}
+
+    def _tables(self):
+        return [self.genv.agents[aid].catalog.get(nm)
+                for aid, nm in self.parts]
+
+    @property
+    def schema(self):
+        return self._tables()[0].schema
+
+    def flush(self):
+        pass
+
+    def search(self, q):
+        from dataclasses import replace as _dc
+        from manticoresearch_tpu.exec.multi import (merge_part_results,
+                                                    search_grouped_parts)
+        parts = self._tables()
+        if q.group_by:
+            return search_grouped_parts(parts, q, self.schema)
+        part_q = _dc(q, offset=0, limit=q.offset + q.limit)
+        results = [p.search(part_q) for p in parts]
+        return merge_part_results(results, q, self.schema)
+
+    def update_attrs(self, docids, values) -> int:
+        return sum(t.update_attrs(docids, values) for t in self._tables())
+
+    def _no_writes(self, *_a, **_k):
+        raise ValueError(f"table '{self.name}' is distributed")
+
+    insert = replace = delete_documents = _no_writes
+    truncate = optimize = _no_writes
+
+
 class _AgentEnv:
     """One emulated daemon: its own catalog/session/index registry,
     built from the config rendered for its agent id (the reference
@@ -713,6 +758,12 @@ class GoldenEnv:
                     self.env.catalog.create(
                         sec.name, None, "distributed",
                         {"local": [nm for _, nm in parts]})
+                else:
+                    # cross-daemon parts: the harness runs every agent
+                    # in-process, so register a shim whose remote parts
+                    # search the other agent envs' catalogs directly
+                    self.env.catalog.tables[sec.name] = \
+                        _CrossEnvDistributed(sec.name, self, parts)
                 continue
             if typ == "rt":
                 o, qdef = index_options(idx)

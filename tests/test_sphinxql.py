@@ -40,7 +40,7 @@ class TestDDL:
         assert ("t1", "rt") in r.rows
         r = one(sess, "DESC t1")
         assert ("id", "bigint", "") in r.rows
-        assert ("body", "text", "indexed") in r.rows
+        assert ("body", "text", "indexed stored") in r.rows
         assert ("gid", "uint", "") in r.rows
         assert one(sess, "DROP TABLE t1").error is None
         assert one(sess, "SHOW TABLES").rows == []

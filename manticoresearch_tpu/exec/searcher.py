@@ -45,6 +45,9 @@ class SearchQuery:
     cutoff: int = 0
     group_by: str | None = None          # attr name or expression
     having: tuple | None = None          # (colname, op, value) host filter
+    # WITHIN GROUP ORDER BY: which member represents the group
+    # (sphinxsort m_sSortBy vs m_sGroupSortBy); None = weight desc, id asc
+    within_sort: list[tuple[str, bool]] | None = None
 
 
 @dataclass
@@ -147,6 +150,9 @@ class SearchIndex:
         return cq
 
     def search(self, q: SearchQuery) -> SearchResult:
+        late = self._late_filters(q)
+        if late:
+            return self._search_late_filtered(q, late)
         if q.group_by:
             gb = q.group_by
             if "." in gb and self.schema.attr(gb) is None:
@@ -329,6 +335,73 @@ class SearchIndex:
             results[i] = fin()
         return results  # type: ignore[return-value]
 
+    def _late_filters(self, q: SearchQuery) -> list:
+        """Filters naming a computed expression instead of an attr (the
+        reference's late-stage filters, sphinxfilter.cpp expr filters):
+        evaluated host-side over the match window."""
+        from ..query.expr import ExprError, parse_expr
+        out = []
+        for f in q.filters:
+            nm = f.attr
+            if self.schema.attr(nm) is not None or nm in (
+                    "id", "@id", "weight()", "@weight"):
+                continue
+            if "." in nm:
+                base = nm.split(".", 1)[0]
+                ad = self.schema.attr(base)
+                if ad is not None and ad.type.value == "json":
+                    continue   # JSON-path filters run on their own path
+            try:
+                parse_expr(nm)
+            except ExprError:
+                continue   # let the planner report the unknown attr
+            out.append(f)
+        return out
+
+    def _search_late_filtered(self, q: SearchQuery,
+                              late: list) -> SearchResult:
+        from dataclasses import replace as _rep
+
+        from ..query.expr import ExprError, eval_expr_host, parse_expr
+        lset = {id(f) for f in late}
+        wide = _rep(q, filters=[f for f in q.filters
+                                if id(f) not in lset],
+                    offset=0, limit=q.max_matches)
+        res = self.search(wide)
+        if res.error:
+            return res
+        trees = [(parse_expr(f.attr), f) for f in late]
+
+        def passes(m) -> bool:
+            for tree, f in trees:
+                try:
+                    v = eval_expr_host(tree, m.attrs, m.weight, m.docid)
+                except ExprError:
+                    return False
+                vs = v if isinstance(v, (list, tuple)) else [v]
+                if f.kind == "values":
+                    ok = any(x in f.values for x in vs)
+                else:
+                    def in_range(x):
+                        if f.lo is not None and (
+                                x < f.lo or (f.lo_excl and x == f.lo)):
+                            return False
+                        if f.hi is not None and (
+                                x > f.hi or (f.hi_excl and x == f.hi)):
+                            return False
+                        return True
+                    ok = any(in_range(x) for x in vs)
+                if ok == bool(f.exclude):
+                    return False
+            return True
+
+        kept = [m for m in res.matches if passes(m)]
+        total = len(kept)
+        res.matches = kept[q.offset:q.offset + q.limit]
+        res.total = min(total, q.max_matches)
+        res.total_found = total
+        return res
+
     def _host_grouped(self, q: SearchQuery) -> SearchResult:
         """GROUP BY over a JSON path: the key is host-evaluated per match
         (the reference also computes JSON grouping via host expressions);
@@ -345,7 +418,8 @@ class SearchIndex:
         except ExprError as e:
             return SearchResult([], 0, 0, 0.0, [], error=str(e))
         base_q = _rep(q, group_by=None, select=None, having=None,
-                      sort=[("weight", False), ("id", True)],
+                      sort=(q.within_sort
+                            or [("weight", False), ("id", True)]),
                       offset=0, limit=q.max_matches)
         res = self.search(base_q)
         if res.error:
@@ -372,6 +446,21 @@ class SearchIndex:
         from ..query.expr import infer_is_float, parse_expr
 
         t0 = time.perf_counter()
+        gb_ad = self.schema.attr(q.group_by)
+        host_only = (gb_ad is not None
+                     and gb_ad.type.value in ("mva", "mva64"))
+        if q.within_sort:
+            wad = self.schema.attr(q.within_sort[0][0])
+            if wad is not None and wad.type.value not in (
+                    "int", "bigint", "bool", "timestamp", "float"):
+                host_only = True   # string/JSON rep order: host compare
+        if host_only:
+            # GROUP BY an MVA attr duplicates the match into one group
+            # per value (sphinxsort MVA group iterator) — host-grouped
+            res = self._host_grouped(q)
+            if _defer:
+                return True, (lambda: res)
+            return res
         try:
             plan = self._plan_grouped(q)
         except (ValueError, NotImplementedError) as e:
@@ -446,7 +535,14 @@ class SearchIndex:
                 continue
             m = agg_re.match(sel)
             if not m:
-                if sel not in ("id", "weight()", "*") and sel != q.group_by:
+                if sel == "*":
+                    # SELECT * in a grouped query returns every attr of
+                    # the group's representative row
+                    plain_cols.extend(
+                        a.name for a in self.schema.attrs
+                        if a.name != q.group_by
+                        and a.name not in plain_cols)
+                elif sel not in ("id", "weight()") and sel != q.group_by:
                     plain_cols.append(sel)
                 continue
             kind = m.group(1).lower()
@@ -466,11 +562,24 @@ class SearchIndex:
             agg_names.append("count(*)")
 
         order = _resolve_group_order(q, self.schema)
+        within: tuple = ("rel",)
+        if q.within_sort:
+            wname, wasc = q.within_sort[0]
+            if wname in ("weight", "@weight", "weight()"):
+                within = ("rel",)
+            elif wname in ("id", "@id"):
+                within = ("rowid", wasc)
+            else:
+                wad = self.schema.attr(wname)
+                if wad is None:
+                    raise ValueError(
+                        f"unknown WITHIN GROUP ORDER BY attr {wname!r}")
+                within = ("attr", wname, wasc, wad.type.value == "float")
         k = max(1, min(q.max_matches, q.offset + q.limit,
                        max(self.packed.n_docs, 1)))
         gspec = GroupSpec(key_expr=key_expr, aggs=tuple(aggs),
                           order=order, k=k,
-                          emit_eligible=bool(gconcats))
+                          emit_eligible=bool(gconcats), within=within)
         return (cq, gspec, tuple(aggs), tuple(agg_names),
                 tuple(plain_cols), tuple(gconcats), k)
 
@@ -492,10 +601,10 @@ class SearchIndex:
             r = int(rep_rowid[i])
             if str_uniq is not None:
                 gv = int(gkey[i])
-                attrs = {q.group_by:
-                         str_uniq[gv] if 0 <= gv < len(str_uniq) else ""}
+                keyval = str_uniq[gv] if 0 <= gv < len(str_uniq) else ""
             else:
-                attrs = {q.group_by: int(gkey[i])}
+                keyval = int(gkey[i])
+            attrs = {q.group_by: keyval}
             for j, name in enumerate(agg_names):
                 a = aggs[j]
                 if a.kind == "count":
@@ -507,6 +616,7 @@ class SearchIndex:
             base = self._hydrate(np.asarray([r]), np.asarray([rep_weight[i]]),
                                  plain_cols or [])
             attrs.update(base[0].attrs)
+            attrs["@groupby"] = keyval
             rows.append(Match(base[0].docid, int(rep_weight[i]), attrs))
 
         if gconcats:
@@ -663,6 +773,8 @@ def _resolve_group_order(q: SearchQuery, schema) -> tuple:
         return ("count", asc)
     if p in ("@groupby", "groupby()") or primary == q.group_by:
         return ("gkey", asc)
+    if p in ("id", "@id"):
+        return ("rowid", asc)
     ad = schema.attr(primary)
     if ad is not None:
         return ("attr", primary, asc, ad.type.value == "float")
@@ -711,11 +823,17 @@ def host_group_matches(matches, q):
             v = eval_expr_host(key_tree, m.attrs, m.weight, m.docid)
         except ExprError:
             v = None
-        return v if not isinstance(v, (list, dict)) else str(v)
+        if isinstance(v, list):
+            # MVA group key: the match lands in one group PER value
+            # (sphinxsort MVA group iterator)
+            return v
+        return v if not isinstance(v, dict) else str(v)
 
     groups: dict = {}
     for m in matches:
-        groups.setdefault(keyof(m), []).append(m)
+        k0 = keyof(m)
+        for k1 in (k0 if isinstance(k0, list) else [k0]):
+            groups.setdefault(k1, []).append(m)
 
     rows = []
     for key, ms in groups.items():
@@ -762,17 +880,24 @@ def host_group_matches(matches, q):
             else:
                 attrs[sel] = sum(nums) / len(nums)
         attrs.update(rep.attrs)
-        attrs[q.group_by] = key
+        if not isinstance(rep.attrs.get(q.group_by), list):
+            attrs[q.group_by] = key
+        attrs["@groupby"] = key
         rows.append(Match(rep.docid, rep.weight, attrs))
 
     primary, asc = (q.sort or [("weight", False)])[0]
     if primary in ("@count", "count(*)"):
         rows.sort(key=lambda m: (m.attrs.get("count(*)", 0), -m.docid),
                   reverse=not asc)
-    elif primary == q.group_by:
-        rows.sort(key=lambda m: (m.attrs.get(q.group_by) is None,
-                                 str(m.attrs.get(q.group_by))),
+    elif primary == q.group_by or primary in ("@groupby", "@group"):
+        rows.sort(key=lambda m: (m.attrs.get("@groupby") is None,
+                                 m.attrs.get("@groupby")
+                                 if isinstance(m.attrs.get("@groupby"),
+                                               (int, float))
+                                 else str(m.attrs.get("@groupby"))),
                   reverse=not asc)
+    elif primary in ("id", "@id"):
+        rows.sort(key=lambda m: m.docid, reverse=not asc)
     else:
         rows.sort(key=lambda m: m.weight, reverse=not asc)
 

@@ -535,6 +535,7 @@ class Session:
             select=[it.alias or it.expr for it in st.items],
             group_by=st.group_by,
             having=st.having,
+            within_sort=(st.within_order or None),
         )
         if not st.group_by:
             # implicit single-group aggregation: SELECT COUNT(*)/SUM(x)...

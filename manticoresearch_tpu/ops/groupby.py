@@ -45,6 +45,10 @@ class GroupSpec:
     k: int                           # max groups returned
     emit_eligible: bool = False      # also output the raw match mask
                                      # (host-side GROUP_CONCAT needs members)
+    within: tuple = ("rel",)         # WITHIN GROUP ORDER BY: which row
+                                     # represents the group — ("rel",) |
+                                     # ("attr", name, asc, is_float) |
+                                     # ("rowid", asc)
 
 
 @lru_cache(maxsize=512)
@@ -68,11 +72,25 @@ def _build_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
 
         idx = jnp.arange(Z, dtype=jnp.int32)
         sk = jnp.where(eligible, key, INT32_MAX)
-        # within-group order: weight desc, rowid asc (sphinxsort.cpp:4534);
-        # s_idx carries the pre-sort position for attr-aligned gathers
-        s_key, s_w_inv, s_row, s_idx = jax.lax.sort(
-            (sk, ~weight, rows, idx), num_keys=3)
-        s_w = ~s_w_inv
+        # within-group order decides the representative (boundary) row:
+        # default weight desc, rowid asc (sphinxsort.cpp:4534); WITHIN
+        # GROUP ORDER BY substitutes the primary key. s_idx carries the
+        # pre-sort position for attr-aligned gathers.
+        if gspec.within[0] == "rel":
+            wkey = ~weight
+        elif gspec.within[0] == "attr":
+            _, wname, wasc, wfloat = gspec.within
+            wv = attrs[wname]
+            wvi = _f32_sortable_i32(wv) if wfloat else wv.astype(jnp.int32)
+            wvi = jnp.broadcast_to(wvi, (Z,))
+            wkey = wvi if wasc else ~wvi
+        elif gspec.within[0] == "rowid":
+            wkey = rows if gspec.within[1] else ~rows
+        else:
+            raise NotImplementedError(f"within order {gspec.within}")
+        s_key, s_wkey, s_row, s_idx = jax.lax.sort(
+            (sk, wkey, rows, idx), num_keys=3)
+        s_w = weight[s_idx]
         s_elig = s_key != INT32_MAX
 
         prev_key = jnp.concatenate([jnp.full(1, INT32_MIN, jnp.int32),
@@ -152,6 +170,13 @@ def _build_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
             asc = gspec.order[1]
             cnt_b = counts[gid]
             okey = jnp.where(new_group, cnt_b if not asc else ~cnt_b,
+                             INT32_MIN)
+            top_key, top_pos = jax.lax.top_k(okey, k)
+        elif gspec.order[0] == "rowid":
+            # groups ordered by their representative row's id (the
+            # boundary row: best weight, lowest rowid within the group)
+            asc = gspec.order[1]
+            okey = jnp.where(new_group, ~s_row if asc else s_row,
                              INT32_MIN)
             top_key, top_pos = jax.lax.top_k(okey, k)
         elif gspec.order[0] == "attr":

@@ -125,6 +125,10 @@ class _Conn:
                 else:
                     if isinstance(v, float) and v.is_integer():
                         s = repr(v)
+                    elif isinstance(v, list):
+                        # MVA column: bare comma-joined values
+                        # (SendMysqlRow MVA render, searchd.cpp)
+                        s = ",".join(str(x) for x in v)
                     else:
                         s = str(v)
                     out += _lenenc_str(s.encode("utf-8"))

@@ -239,7 +239,9 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
     mva_defs = []   # (name, is64, from_what, query)
     for key, (tname, code) in _ATTR_KEYS.items():
         for val in src.get(key, []):
-            name = val.strip()
+            # schema names are lowercased at build time (reference
+            # CSphSchema: attr/field names fold via sphToLower)
+            name = val.strip().lower()
             bits = 0
             if ":" in name and key == "sql_attr_uint":
                 name, _, b = name.partition(":")
@@ -256,12 +258,14 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
         if not m:
             raise GoldenUnsupported(f"sql_attr_multi syntax: {val!r}")
         typ, name, fromwhat, src_col, query = m.groups()
+        name = name.lower()
         is64 = typ.lower() == "bigint"
         mva_defs.append((name, is64, fromwhat.lower(), query, src_col))
         sd.attr_codes[name] = SPH_ATTR_MULTI64 if is64 else SPH_ATTR_MULTI
         sd.attrs.append(AttrDef(name, AttrType.MVA64 if is64
                                 else AttrType.MVA))
-    field_string = [v.strip() for v in src.get("sql_field_string", [])]
+    field_string = [v.strip().lower()
+                    for v in src.get("sql_field_string", [])]
     for name in field_string:
         sd.attr_codes[name] = SPH_ATTR_STRING
         sd.attrs.append(AttrDef(name, AttrType.STRING))
@@ -282,7 +286,7 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
     if "$start" in q or "$end" in q:
         raise GoldenUnsupported("ranged sql_query")
     cur = con.execute(q)
-    cols = [d[0] for d in cur.description]
+    cols = [d[0].lower() for d in cur.description]
     id_col = cols[0]
     attr_names = set(sd.attr_codes)
     mva_src_cols = {src_col for _, _, fw, _, src_col in mva_defs
@@ -304,7 +308,7 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
             mva_from_query[name] = mp
 
     for row in cur:
-        d = dict(row)
+        d = {k.lower(): v for k, v in dict(row).items()}
         did = int(d[id_col])
         if did < 1:
             # the reference indexer rejects zero/negative docids
@@ -1114,10 +1118,22 @@ class GoldenEnv:
             low = str(nm).lower()
             return next((k for k in codes0 if k.lower() == low), nm)
         if group_by:
-            group_by = canon(group_by)
+            fm = re.match(r"^(\w+)\((\w+)\)$", group_by)
+            if fm:   # groupfunc wrapper: canonize the inner attr name
+                group_by = f"{fm.group(1)}({canon(fm.group(2))})"
+            else:
+                group_by = canon(group_by)
         if group_distinct:
             group_distinct = canon(group_distinct)
         filters = [dc_replace(f, attr=canon(f.attr)) for f in filters]
+        if select_items:
+            # filters may name a SetSelect computed alias; the engine's
+            # late filters take the expression text
+            amap = {a.lower(): e for a, e in select_items if a}
+            filters = [dc_replace(f, attr=amap[f.attr.lower()])
+                       if f.attr.lower() in amap
+                       and canon(f.attr) not in codes0 else f
+                       for f in filters]
         sort = [(canon(k2) if k2 not in ("weight", "id") else k2, a2)
                 for k2, a2 in sort]
         if group_sort:
@@ -1128,7 +1144,9 @@ class GoldenEnv:
         sel = None
         agg_items: dict[str, str] = {}   # alias -> engine aggregate key
         if group_by:
-            sel = ["count(*)"]
+            # API grouped results carry every attr of the representative
+            # row (the reference fills the full schema per group)
+            sel = ["*", "count(*)"]
             if group_distinct:
                 sel.append(f"count(distinct {group_distinct})")
             # aggregate select items (SetSelect "avg(price) avgprice"):
@@ -1141,10 +1159,15 @@ class GoldenEnv:
                     key = es.lower()
                     agg_items[alias] = key
                     sel.append(key)
+        # grouped queries: groupsort orders the GROUPS; the query's own
+        # sortmode/sortby picks each group's representative row
+        # (SetSortMode vs SetGroupBy group-sort, sphinxsort.cpp)
+        within = sort if (group_by and sort) else None
         sq = SearchQuery(match=text, limit=wide, offset=0,
                          max_matches=1000, ranker=ranker,
                          sort=(group_sort or sort), filters=filters,
                          cutoff=cutoff, group_by=group_by, select=sel,
+                         within_sort=within,
                          expand_keywords=bool(qdef.get("expand_keywords")))
 
         if len(names) == 1:
@@ -1292,7 +1315,8 @@ class GoldenEnv:
                         m.attrs[alias] = 0
             for aname, code in attrs_map.items():
                 if aname == "@groupby":
-                    vals[aname] = m.attrs.get(group_by, 0)
+                    vals[aname] = m.attrs.get(
+                        "@groupby", m.attrs.get(group_by, 0))
                     continue
                 if aname == "@count":
                     vals[aname] = int(m.attrs.get("count(*)", 0))
@@ -1315,6 +1339,11 @@ class GoldenEnv:
                                    else int(v or 0))
                     continue
                 v = m.attrs.get(aname)
+                if isinstance(v, str) and code in (SPH_ATTR_MULTI,
+                                                   SPH_ATTR_MULTI64):
+                    # grouped paths render MVAs as display strings
+                    # ("[1, 2, 3]"); recover the value list
+                    v = [int(x) for x in re.findall(r"-?\d+", v)]
                 if code == SPH_ATTR_MULTI:
                     vals[aname] = [int(x) & 0xFFFFFFFF for x in (v or [])]
                 elif code == SPH_ATTR_MULTI64:
@@ -1421,6 +1450,9 @@ class GoldenEnv:
 def _render_cell(v) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, list):
+        # MVA render over the SQL wire: bare comma-joined values
+        return ",".join(str(int(x)) for x in v)
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):

@@ -97,6 +97,43 @@ class DistributedTable:
         from ..schema import Schema
         return Schema(fields=[], attrs=[])
 
+    @property
+    def tok_settings(self):
+        """Text-pipeline settings delegate to the first reachable local
+        part (CALL KEYWORDS/SNIPPETS against a distributed table use the
+        first local agent's pipeline, searchd.cpp)."""
+        for n in self.locals_:
+            try:
+                return self.catalog.get(n).tok_settings
+            except (ValueError, KeyError, AttributeError):
+                continue
+        from ..text.tokenizer import TokenizerSettings
+        return TokenizerSettings()
+
+    @property
+    def dict_settings(self):
+        for n in self.locals_:
+            try:
+                return self.catalog.get(n).dict_settings
+            except (ValueError, KeyError, AttributeError):
+                continue
+        from ..text.dictionary import DictSettings
+        return DictSettings()
+
+    def delete(self, docids: list) -> int:
+        """DELETE fans out to local parts (the reference forwards
+        deletes to distributed parts, HandleMysqlDelete agent loop)."""
+        n = 0
+        for nm in self.locals_:
+            try:
+                t = self.catalog.get(nm)
+                n += t.delete(docids)
+                if hasattr(t, "commit"):
+                    t.commit()
+            except (ValueError, KeyError):
+                continue
+        return n
+
     def flush(self) -> None:
         pass
 

@@ -448,7 +448,7 @@ class SearchIndex:
         t0 = time.perf_counter()
         gb_ad = self.schema.attr(q.group_by)
         host_only = (gb_ad is not None
-                     and gb_ad.type.value in ("mva", "mva64"))
+                     and gb_ad.type.value in ("multi", "multi64"))
         if q.within_sort:
             wad = self.schema.attr(q.within_sort[0][0])
             if wad is not None and wad.type.value not in (
@@ -547,6 +547,13 @@ class SearchIndex:
                 continue
             kind = m.group(1).lower()
             arg = m.group(3)
+            arg_ad = self.schema.attr(arg.strip())
+            if kind != "count" and arg_ad is not None and \
+                    arg_ad.type.value in ("multi", "multi64", "string",
+                                          "json"):
+                raise ValueError(
+                    f"can not aggregate non-scalar attribute "
+                    f"'{arg.strip()}'")
             if kind == "count" and m.group(2):
                 aggs.append(AggSpec("count_distinct", parse_expr(arg)))
             elif kind == "count":

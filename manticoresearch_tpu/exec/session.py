@@ -269,6 +269,11 @@ class Session:
         self.query_log: "object | None" = None  # file-like; set by daemon
         self.last_warning: str | None = None
         self.variables: dict[str, Any] = {}
+        # user variables (SET GLOBAL @name = (...)) are daemon-global:
+        # share one dict per catalog (g_hUservars, searchd.cpp)
+        if not hasattr(catalog, "uservars"):
+            catalog.uservars = {}
+        self.uservars: dict[str, Any] = catalog.uservars
         self.start_time = time.time()
         self.queries_done = 0
         # thread registry entry (SHOW THREADS; ThreadSystem_t analog,
@@ -319,6 +324,11 @@ class Session:
         if isinstance(st, AlterStmt):
             return [self._alter(st)]
         if isinstance(st, SetStmt):
+            if st.name.startswith("@"):
+                # user variables are daemon-global value lists
+                # (g_hUservars, searchd.cpp)
+                self.uservars[st.name] = st.value
+                return [QLResult.ok()]
             if st.name == "autocommit":
                 self.autocommit = bool(int(st.value))
             elif st.name in ("qcache_max_bytes", "qcache_thresh_msec",
@@ -358,8 +368,12 @@ class Session:
                 if fn in ("database()", "schema()"):
                     row.append("Manticore")
                     continue
-                if fn in ("user()", "current_user()"):
+                if fn == "user()":
                     row.append("root")
+                    continue
+                if fn == "current_user()":
+                    # connection class, not a login (searchd "Usual"/"VIP")
+                    row.append("Usual")
                     continue
                 if fn == "connection_id()":
                     row.append(1)
@@ -426,6 +440,22 @@ class Session:
             return [QLResult.err(err)]
 
         tables = [self.catalog.get(n) for n in st.indexes]
+        if q.group_by:
+            # aggregates over non-scalar attrs are a parse error in the
+            # reference ("can not aggregate non-scalar attribute")
+            import re as _re
+            agg_chk = _re.compile(
+                r"^\s*(sum|min|max|avg)\s*\(\s*(\w+)\s*\)\s*$", _re.I)
+            for sel in (q.select or []):
+                m2 = agg_chk.match(sel)
+                if not m2:
+                    continue
+                ad = tables[0].schema.attr(m2.group(2))
+                if ad is not None and ad.type.value in (
+                        "multi", "multi64", "string", "json"):
+                    return [QLResult.err(
+                        f"index {st.indexes[0]}: can not aggregate "
+                        f"non-scalar attribute '{m2.group(2)}'")]
         expr_sort = None
         if q.sort and not q.group_by and tables:
             expr_sort = self._resolve_expr_sort(st, q, tables[0].schema)
@@ -501,10 +531,17 @@ class Session:
     def _build_query(self, st: SelectStmt):
         match = ""
         filters: list[AttrFilterDef] = []
+        # WHERE may reference select aliases: resolve alias -> its
+        # expression text (plain attr aliases land on the device filter
+        # path; computed ones become late filters)
+        amap = {it.alias: it.expr for it in st.items
+                if it.alias and it.expr != it.alias}
         for c in st.conds:
             if c.kind == "match":
                 match = c.value
                 continue
+            if c.attr in amap:
+                c = dc_replace(c, attr=amap[c.attr])
             f, err = _cond_to_filter(c)
             if err:
                 return None, err
@@ -530,7 +567,7 @@ class Session:
             expand_keywords=str(opts.get("expand_keywords", "0")) == "1",
             global_idf=str(opts.get("global_idf", "0")) == "1",
             collation=str(self.variables.get("collation_connection",
-                                             "binary")).lower(),
+                                             "libc_ci")).lower(),
             tfidf_normalized="tfidf_unnormalized" not in str(opts.get("idf", "")),
             select=[it.alias or it.expr for it in st.items],
             group_by=st.group_by,
@@ -583,6 +620,7 @@ class Session:
             "sql_auto_is_null": 0,
             "sql_mode": "",
             "session_read_only": 0,
+            "auto_increment_increment": 1,
         }
         if name in fixed:
             return fixed[name]
@@ -641,9 +679,13 @@ class Session:
                     if m.attrs.get(f))
                 return build_snippet(text, match_text, tok, dic, opts)
             return hl
+        galias: list = []   # per-getter alias (parallel to getters)
         for it in st.items:
-            name = it.alias or it.expr
+            # unaliased items display lowercased (the reference parser
+            # folds the expression span: SELECT CRC32('x') -> crc32('x'))
+            name = it.alias or it.expr.lower()
             raw = it.expr
+            _pre = len(getters)
             if raw == "*":
                 # SELECT * = id + attributes + STORED fields (docstore
                 # columns appear in the result schema like the reference's
@@ -686,12 +728,43 @@ class Session:
                 getters.append(lambda m, n=raw: m.attrs.get(n))
             else:
                 tree = parse_expr(raw)
-                getters.append(
-                    lambda m, t=tree: eval_expr_host(
-                        t, m.attrs, m.weight, m.docid))
+                # int-typed functions render unsigned (%u int display,
+                # SendMysqlRow): CRC32's signed i32 shows as u32
+                u32 = (isinstance(tree, tuple) and tree
+                       and tree[0] == "call" and tree[1] == "CRC32")
+                uv = self.uservars
+
+                def _g(m, extra, t=tree, u=u32):
+                    # earlier select aliases are visible to later items
+                    # (SELECT 0 zero, 1/zero — expr parser alias refs)
+                    v = eval_expr_host(t, {**uv, **m.attrs, **extra},
+                                       m.weight, m.docid)
+                    return (v & 0xFFFFFFFF) if u and isinstance(v, int) \
+                        else v
+                _g._wants_extra = True
+                getters.append(_g)
+            added = len(getters) - _pre
+            galias.extend([it.alias] if added == 1 else [None] * added)
         rows = []
-        for m in res.matches:
-            rows.append(tuple(g(m) for g in getters))
+        try:
+            for m in res.matches:
+                extra: dict = {}
+                vals = []
+                gi = 0
+                for g in getters:
+                    if getattr(g, "_wants_extra", False):
+                        v = g(m, extra)
+                    else:
+                        v = g(m)
+                    al = galias[gi] if gi < len(galias) else None
+                    if al:
+                        extra[al] = v
+                    vals.append(v)
+                    gi += 1
+                rows.append(tuple(vals))
+        except ExprError as e:
+            return QLResult.err(
+                f"index {st.indexes[0]}: parse error: {e}")
         return QLResult(columns=cols, rows=rows, warning=res.warning)
 
     def _facet(self, base: SelectStmt, fc: FacetStmt, tables) -> QLResult:
@@ -1188,6 +1261,12 @@ class Session:
         if k == "show_variables":
             rows = [("autocommit", str(int(self.autocommit)))]
             rows += [(k2, str(v)) for k2, v in sorted(self.variables.items())]
+            like = st.args[0] if st.args else None
+            if like:
+                import fnmatch
+                pat = like.replace("%", "*").replace("_", "?")
+                rows = [r for r in rows if fnmatch.fnmatch(r[0], pat)]
+            rows.sort()
             return QLResult(columns=["Variable_name", "Value"], rows=rows)
         if k == "show_version":
             from .. import __version__
@@ -1197,8 +1276,16 @@ class Session:
         if k == "show_databases":
             return QLResult(columns=["Databases"], rows=[("Manticore",)])
         if k == "show_collation":
-            return QLResult(columns=["Collation", "Charset"],
-                            rows=[("utf8_general_ci", "utf8")])
+            # mimics the MySQL answer clients expect (HandleMysqlShow*)
+            return QLResult(
+                columns=["Collation", "Charset", "Id", "Default",
+                         "Compiled", "Sortlen"],
+                rows=[("utf8_general_ci", "utf8", 33, "Yes", "Yes", 1)])
+        if k == "show_charset":
+            return QLResult(
+                columns=["Charset", "Description", "Default collation",
+                         "Maxlen"],
+                rows=[("utf8", "UTF-8 Unicode", "utf8_general_ci", 3)])
         if k == "show_threads":
             # live session registry (searchd.cpp SHOW THREADS columns)
             now = time.time()

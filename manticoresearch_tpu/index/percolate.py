@@ -84,6 +84,12 @@ class PercolateIndex:
         self._save()
         return qid
 
+    def truncate(self) -> None:
+        """TRUNCATE on a percolate table drops every stored query
+        (RtIndex_c::Truncate applies to PQ tables too)."""
+        self.queries = {}
+        self._save()
+
     def delete_query(self, qids: list[int]) -> int:
         n = 0
         for q in qids:

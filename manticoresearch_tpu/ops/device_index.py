@@ -116,17 +116,20 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
             n <<= 1
         return n
 
-    # over-pad posting/hit arrays so per-slot dynamic_slice windows (pow2 of
-    # df / hit count, ops/search.py) never clamp at the array end
+    # over-pad posting/hit arrays so per-slot dynamic_slice windows never
+    # clamp at the array end — MUST use the same bucket quantization as
+    # the planner's slot buckets (pow4, planner._next_pow4), which can
+    # round ABOVE the next pow2
+    from ..query.planner import _next_pow4
     max_df = int(packed.term_docs.max()) if packed.n_terms else 0
-    pad_p = _pow2(max_df)
+    pad_p = _next_pow4(max_df, 1024)
     max_th = 0
     if packed.n_terms:
         # max hits of any single term
         per_term_hits = (packed.post_hit_offset[packed.term_offsets[1:]]
                          - packed.post_hit_offset[packed.term_offsets[:-1]])
         max_th = int(per_term_hits.max()) if len(per_term_hits) else 0
-    pad_h = _pow2(max_th)
+    pad_h = _next_pow4(max_th, 1024)
 
     def padp(arr, val, pad):
         return np.concatenate([arr, np.full(pad, val, arr.dtype)])

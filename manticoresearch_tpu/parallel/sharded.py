@@ -127,7 +127,9 @@ class ShardedIndex:
 
         max_df = max((int(s2.term_docs.max()) for s2 in shards
                       if s2.n_terms), default=0)
-        pad_p = _pow2(max_df)
+        # padding must match the planner's pow4 slot buckets (they can
+        # round above the next pow2)
+        pad_p = _next_pow4(max_df, 1024)
         max_th = 0
         for s2 in shards:
             if s2.n_terms:
@@ -135,7 +137,7 @@ class ShardedIndex:
                        - s2.post_hit_offset[s2.term_offsets[:-1]])
                 if len(pth):
                     max_th = max(max_th, int(pth.max()))
-        pad_h = _pow2(max_th)
+        pad_h = _next_pow4(max_th, 1024)
         Pmax += pad_p
         Hmax += pad_h
 

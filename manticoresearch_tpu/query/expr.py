@@ -34,7 +34,7 @@ _TOK = re.compile(r"""
     (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
   | (?P<str>'(?:[^'\\]|\\.)*')
-  | (?P<op><=|>=|<>|!=|==|=|<|>|\+|-|\*|/|%|\(|\)|,|\{|\})
+  | (?P<op><=|>=|<>|!=|==|=|<|>|\+|-|\*|/|%|&|\||\^|\(|\)|,|\{|\})
   | (?P<ws>\s+)
 """, re.VERBOSE)
 
@@ -117,7 +117,23 @@ class ExprParser:
         if self.peek()[0] == "name" and self.peek()[1].upper() == "NOT":
             self.next()
             return ("not", self.parse_not())
-        return self.parse_cmp()
+        return self.parse_bitor()
+
+    def parse_bitor(self):
+        # bitwise ops sit between AND and the comparisons
+        # (sphinxexpr.y precedence: OR < AND < '|' < '&' < '=')
+        left = self.parse_bitand()
+        while self.peek() == ("op", "|"):
+            self.next()
+            left = ("bitor", left, self.parse_bitand())
+        return left
+
+    def parse_bitand(self):
+        left = self.parse_cmp()
+        while self.peek() == ("op", "&"):
+            self.next()
+            left = ("bitand", left, self.parse_cmp())
+        return left
 
     _CMP = {"=": "cmp_eq", "==": "cmp_eq", "<>": "cmp_ne", "!=": "cmp_ne",
             "<": "cmp_lt",
@@ -195,7 +211,14 @@ class ExprParser:
         if k == "num":
             return ("num", float(v))
         if k == "str":
-            return ("str", re.sub(r"\\(.)", r"\1", v[1:-1]))
+            # C-style escapes in string literals (\t \n \r \0 \' \\ —
+            # sphinxql string unescape); other \x keep the char
+            body = v[1:-1]
+            _esc = {"t": "\t", "n": "\n", "r": "\r", "0": "\0"}
+            return ("str", re.sub(r"\\(.)",
+                                  lambda m2: _esc.get(m2.group(1),
+                                                      m2.group(1)),
+                                  body))
         if k == "op" and v == "{":
             # {field=weight, ...} map argument (bm25f)
             pairs = []
@@ -205,9 +228,12 @@ class ExprParser:
                     raise ExprError("expected field name in {...} map")
                 self.expect("=")
                 vk, vv = self.next()
-                if vk != "num":
-                    raise ExprError("expected number in {...} map")
-                pairs.append((nv, float(vv)))
+                if vk == "num":
+                    pairs.append((nv, float(vv)))
+                elif vk == "name":   # named option: {in=radians}
+                    pairs.append((nv, vv.lower()))
+                else:
+                    raise ExprError("expected value in {...} map")
                 if self.peek() == ("op", ","):
                     self.next()
                     continue
@@ -335,6 +361,7 @@ def eval_expr(tree: tuple, attrs: dict, weight=None, doc_ids=None):
     if op == "not":
         return (eval_expr(tree[1], attrs, weight, doc_ids) == 0).astype(jnp.int32)
     if op in ("add", "sub", "mul", "div", "idiv", "mod", "and", "or",
+              "bitand", "bitor",
               "cmp_eq", "cmp_ne", "cmp_lt", "cmp_le", "cmp_gt", "cmp_ge"):
         a = eval_expr(tree[1], attrs, weight, doc_ids)
         b = eval_expr(tree[2], attrs, weight, doc_ids)
@@ -357,6 +384,10 @@ def eval_expr(tree: tuple, attrs: dict, weight=None, doc_ids=None):
                              / b.astype(jnp.float32))
         if op == "mod":
             return a % b
+        if op == "bitand":
+            return a.astype(jnp.int32) & b.astype(jnp.int32)
+        if op == "bitor":
+            return a.astype(jnp.int32) | b.astype(jnp.int32)
         if op == "and":
             return ((a != 0) & (b != 0)).astype(jnp.int32)
         if op == "or":
@@ -530,6 +561,8 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
     op = tree[0]
     if op == "str":
         return tree[1]
+    if op == "fieldmap":
+        return dict(tree[1])     # named-option map ({in=radians,...})
     if op == "tuple":
         return tuple(eval_expr_host(t, row, weight, docid)
                      for t in tree[1])
@@ -588,9 +621,17 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
     if op == "not":
         return int(eval_expr_host(tree[1], row, weight, docid) == 0)
     if op in ("add", "sub", "mul", "div", "idiv", "mod", "and", "or",
+              "bitand", "bitor",
               "cmp_eq", "cmp_ne", "cmp_lt", "cmp_le", "cmp_gt", "cmp_ge"):
         a = eval_expr_host(tree[1], row, weight, docid)
         b = eval_expr_host(tree[2], row, weight, docid)
+        if op in ("add", "sub", "mul") and isinstance(a, int) \
+                and isinstance(b, int) and not _has_wide_int(tree):
+            # int32 arithmetic wraps unless an operand is 64-bit typed
+            # (ExprParser widest-type rule: 1000000*1000000 overflows)
+            r0 = {"add": a + b, "sub": a - b, "mul": a * b}[op]
+            r0 &= 0xFFFFFFFF
+            return r0 - (1 << 32) if r0 >= (1 << 31) else r0
         if a is None or isinstance(a, (list, dict)):
             a = 0   # JSON null/array/object coerce to 0 in numeric context
         if b is None or isinstance(b, (list, dict)):
@@ -609,8 +650,7 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
             return a * b
         if op == "div":
             if b == 0:
-                return (float("inf") if a > 0 else
-                        float("-inf") if a < 0 else float("nan"))
+                return 0.0   # Expr_Div_c: x/0 evaluates to 0
             return float(a) / float(b)
         if op == "idiv":
             if b == 0:
@@ -622,11 +662,19 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
                     float(math.trunc(q)))
         if op == "mod":
             return a % b
+        if op == "bitand":
+            return int(a) & int(b)
+        if op == "bitor":
+            return int(a) | int(b)
         if op == "and":
             return int(bool(a) and bool(b))
         if op == "or":
             return int(bool(a) or bool(b))
         import operator as _o
+        if isinstance(a, str) and isinstance(b, str):
+            # string comparisons follow the default collation (libc_ci:
+            # case-insensitive, CollateLibcCI)
+            a, b = a.lower(), b.lower()
         t = {"cmp_eq": _o.eq, "cmp_ne": _o.ne, "cmp_lt": _o.lt,
              "cmp_le": _o.le, "cmp_gt": _o.gt, "cmp_ge": _o.ge}
         return int(t[op](a, b))
@@ -640,11 +688,65 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
                 return row[key]
             return eval_expr_host(args[1], row, weight, docid)
         vals = [eval_expr_host(a, row, weight, docid) for a in args]
+        if name == "ABS" and vals and isinstance(vals[0], int) \
+            and not _has_wide_int(args[0]):
+            # int32 context: the argument wraps before ABS
+            # (ABS(CRC32('test')) = |(int)uCrc|)
+            v = vals[0] & 0xFFFFFFFF
+            vals = [v - (1 << 32) if v >= (1 << 31) else v]
         return _call_host(name, vals)
     raise ExprError(f"bad expr node {op!r}")
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=4096)
+def _has_wide_int(tree) -> bool:
+    """True when an expression subtree mentions a 64-bit integer source
+    (id / BIGINT()/SINT() casts) — those widen int arithmetic past the
+    int32 wrap (ExprParser_t::GetWidestRet)."""
+    if not isinstance(tree, tuple):
+        return False
+    if tree[0] == "id":
+        return True
+    if tree[0] == "attr" and str(tree[1]).lower() in ("id", "@id"):
+        return True
+    if tree[0] == "call" and tree[1] in ("BIGINT", "SINT"):
+        return True
+    for x in tree[1:]:
+        if isinstance(x, tuple):
+            # either a subtree (str head) or an args tuple of subtrees
+            if x and isinstance(x[0], str):
+                if _has_wide_int(x):
+                    return True
+            elif any(_has_wide_int(y) for y in x
+                     if isinstance(y, tuple)):
+                return True
+        elif isinstance(x, list):
+            if any(_has_wide_int(y) for y in x if isinstance(y, tuple)):
+                return True
+    return False
+
+
+class _TimeStr(str):
+    """Clock-function result: renders as a time string but carries the
+    epoch for integer contexts (Expr_Time_c StringEval vs IntEval)."""
+
+    def __new__(cls, s, ival):
+        o = str.__new__(cls, s)
+        o.ival = ival
+        return o
+
+
 def _call_host(name: str, vals):
+    if name in ("ABS", "CEIL", "FLOOR", "SIN", "COS", "EXP", "SQRT",
+                "LN", "LOG2", "LOG10", "BIGINT", "SINT", "INTEGER",
+                "UINT", "DOUBLE", "MIN", "MAX", "POW", "IDIV") \
+            and any(isinstance(v, list) for v in vals):
+        # ExprParser_t::CheckForConstSet rejects MVA args to scalar
+        # functions ("log10() arguments can not be MVA")
+        raise ExprError(f"{name.lower()}() arguments can not be MVA")
     if name == "ABS":
         return abs(vals[0])
     if name == "CEIL":
@@ -652,15 +754,23 @@ def _call_host(name: str, vals):
     if name == "FLOOR":
         return int(math.floor(vals[0]))
     if name in ("SIN", "COS", "EXP", "SQRT"):
+        if name == "SQRT" and vals[0] < 0:
+            return 0.0   # Expr_Sqrt_c clamps the domain
         return {"SIN": math.sin, "COS": math.cos, "EXP": math.exp,
                 "SQRT": math.sqrt}[name](vals[0])
+    # log functions clamp non-positive args to 0.0 (Expr_Ln_c etc.
+    # return 0 on domain errors rather than NaN/-inf)
     if name == "LN":
-        return math.log(vals[0])
+        return math.log(vals[0]) if vals[0] > 0 else 0.0
     if name == "LOG2":
-        return math.log2(vals[0])
+        return math.log2(vals[0]) if vals[0] > 0 else 0.0
     if name == "LOG10":
-        return math.log10(vals[0])
+        return math.log10(vals[0]) if vals[0] > 0 else 0.0
     if name in ("BIGINT", "SINT", "INTEGER", "UINT"):
+        if isinstance(vals[0], str):
+            # strtoll semantics: parse the leading integer, 0 if none
+            m2 = re.match(r"\s*[-+]?\d+", vals[0])
+            return int(m2.group()) if m2 else 0
         return int(vals[0])
     if name == "DOUBLE":
         return float(vals[0])
@@ -675,16 +785,44 @@ def _call_host(name: str, vals):
     if name == "IF":
         return vals[1] if vals[0] else vals[2]
     if name == "IN":
-        return int(vals[0] in vals[1:])
+        # list args (uservars / constant sets) flatten into the value set
+        vset: list = []
+        for v in vals[1:]:
+            vset.extend(v if isinstance(v, list) else [v])
+        if isinstance(vals[0], list):
+            # IN(mva, v1..vn): true when ANY of the MVA's values is
+            # listed (Expr_MVAIn_c semantics)
+            return int(any(v in vset for v in vals[0]))
+        if isinstance(vals[0], str):
+            # string IN compares under the default collation (libc_ci)
+            return int(vals[0].lower() in
+                       {str(v).lower() for v in vset})
+        return int(vals[0] in vset)
     if name == "INTERVAL":
         return sum(1 for v in vals[1:] if vals[0] >= v)
     if name == "GEODIST":
-        lat1, lon1, lat2, lon2 = map(float, vals)
-        r = 6371000.0
-        dlat = (lat2 - lat1) * 0.5
-        dlon = (lon2 - lon1) * 0.5
-        a = math.sin(dlat) ** 2 + math.cos(lat1) * math.cos(lat2) * math.sin(dlon) ** 2
-        return 2 * r * math.asin(math.sqrt(a))
+        from ..utils.geodist import (geodist_adaptive_deg,
+                                     geodist_adaptive_rad)
+        lat1, lon1, lat2, lon2 = map(float, vals[:4])
+        opts = vals[4] if len(vals) > 4 and isinstance(vals[4], dict) \
+            else {}
+        if str(opts.get("in", "radians")).startswith("deg"):
+            d = geodist_adaptive_deg(lat1, lon1, lat2, lon2)
+        else:
+            d = geodist_adaptive_rad(lat1, lon1, lat2, lon2)
+        out = str(opts.get("out", "meters"))
+        scale = {"km": 0.001, "kilometers": 0.001, "mi": 1 / 1609.344,
+                 "miles": 1 / 1609.344, "ft": 3.28084,
+                 "feet": 3.28084, "yd": 1.0936133, "yards": 1.0936133,
+                 "in": 39.37, "inch": 39.37, "cm": 100.0,
+                 "centimeters": 100.0, "mm": 1000.0,
+                 "millimeters": 1000.0}.get(out, 1.0)
+        import numpy as _np
+        return float(_np.float32(d * _np.float32(scale)))
+    if name == "BITDOT":
+        # BITDOT(mask, v0, v1, ...) = sum of vi for each set bit i
+        mask = int(vals[0])
+        return sum(v for i, v in enumerate(vals[1:]) if (mask >> i) & 1)
     if name == "MADD":
         return vals[0] * vals[1] + vals[2]
     if name == "MUL3":
@@ -693,6 +831,8 @@ def _call_host(name: str, vals):
         return math.atan2(float(vals[0]), float(vals[1]))
     if name == "CRC32":
         import zlib
+        # u32 value; int32 contexts (ABS, narrow arithmetic) view it
+        # signed via the i32 wrap at the call/op sites
         return zlib.crc32(str(vals[0]).encode("utf-8"))
     if name == "FIBONACCI":
         n = max(0, int(vals[0]))
@@ -724,22 +864,46 @@ def _call_host(name: str, vals):
     if name == "NOW":
         return int(time.time())
     if name == "CURTIME":
-        return time.strftime("%H:%M:%S", time.localtime())
+        t = time.time()
+        return _TimeStr(time.strftime("%H:%M:%S", time.localtime(t)),
+                        int(t))
     if name == "UTC_TIME":
-        return time.strftime("%H:%M:%S", time.gmtime())
+        t = time.time()
+        return _TimeStr(time.strftime("%H:%M:%S", time.gmtime(t)),
+                        int(time.mktime(time.gmtime(t))))
     if name == "UTC_TIMESTAMP":
-        return time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+        t = time.time()
+        return _TimeStr(time.strftime("%Y-%m-%d %H:%M:%S",
+                                      time.gmtime(t)),
+                        int(time.mktime(time.gmtime(t))))
     if name == "TIMEDIFF":
-        # TIMEDIFF(ts1, ts2) -> "+-H:MM:SS" like Expr_TimeDiff_c
-        d = int(vals[0]) - int(vals[1])
+        # TIMEDIFF(ts1, ts2) -> "+-H:MM:SS" like Expr_TimeDiff_c;
+        # string args coerce via strtoll (leading digits)
+        def _ival(v):
+            if isinstance(v, _TimeStr):
+                return v.ival    # Expr_Time_c IntEval = epoch seconds
+            if isinstance(v, str):
+                m2 = re.match(r"\s*[-+]?\d+", v)
+                return int(m2.group()) if m2 else 0
+            return int(v)
+        d = _ival(vals[0]) - _ival(vals[1])
         sign = "-" if d < 0 else ""
         d = abs(d)
         return f"{sign}{d // 3600}:{d % 3600 // 60:02d}:{d % 60:02d}"
     if name == "RAND":
-        import random
+        # Expr_Rand_c: xorshift64* seeded by the argument; non-const
+        # args reseed per evaluation so rand(id) is deterministic
+        import numpy as _np
         if vals:
-            random.seed(int(vals[0]))
-        return random.random()
+            st = int(vals[0]) & ((1 << 64) - 1)
+        else:
+            import random
+            st = random.getrandbits(64)
+        st ^= st >> 12
+        st = (st ^ (st << 25)) & ((1 << 64) - 1)
+        st ^= st >> 27
+        st = (st * 2685821657736338717) & ((1 << 64) - 1)
+        return float(_np.float32(st / float((1 << 64) - 1)))
     if name == "REMAP":
         # REMAP(cond, target, (c1,..), (t1,..)): target remapped where
         # cond matches a listed value (Expr_Remap_c)
@@ -753,6 +917,8 @@ def _call_host(name: str, vals):
     if name == "CONCAT":
         return "".join("" if v is None else str(v) for v in vals)
     if name == "TO_STRING":
+        if isinstance(vals[0], list):   # MVA: comma-joined values
+            return ",".join(str(v) for v in vals[0])
         return "" if vals[0] is None else str(vals[0])
     if name == "LENGTH":
         v = vals[0]
@@ -789,11 +955,18 @@ def _call_host(name: str, vals):
     if name == "LEVENSHTEIN":
         return _levenshtein(str(vals[0]), str(vals[1]),
                             *(vals[2:] or ()))
-    if name == "POLY2D" or name == "GEOPOLY2D":
-        # returns the polygon vertex list; GEOPOLY2D tessellates on a
-        # sphere in the reference — for CONTAINS point tests the planar
-        # winding test below matches for small polygons
-        return ("__poly__", name == "GEOPOLY2D", tuple(map(float, vals)))
+    if name == "GEOPOLY2D":
+        from ..utils.geodist import geo_tesselate
+        return ("__poly__", True,
+                tuple(geo_tesselate([float(v) for v in vals])))
+    if name == "POLY2D":
+        # returns the polygon vertex list; a single string arg (attr
+        # holding "x1,y1,x2,y2,...") splits on separators
+        # (Expr_ContainsStrattr_c)
+        if len(vals) == 1 and isinstance(vals[0], str):
+            vals = [float(x) for x in
+                    re.findall(r"-?\d+(?:\.\d+)?", vals[0])]
+        return ("__poly__", False, tuple(map(float, vals)))
     if name == "CONTAINS":
         poly, x, y = vals[0], float(vals[1]), float(vals[2])
         if not (isinstance(poly, tuple) and poly and poly[0] == "__poly__"):
@@ -802,7 +975,9 @@ def _call_host(name: str, vals):
     if name == "QUERY":
         return ""       # filled by session when a MATCH() is present
     if name == "CURRENT_USER":
-        return "root@localhost"
+        # searchd reports the connection CLASS, not a login ("Usual"
+        # vs "VIP", HandleMysqlSelectSysvar)
+        return "Usual"
     if name == "CONNECTION_ID":
         return 0        # session overrides via row context when known
     if name == "LAST_INSERT_ID":
@@ -838,18 +1013,29 @@ def _levenshtein(a: str, b: str, *opts):
 
 
 def _point_in_poly(flat: tuple, x: float, y: float) -> bool:
-    """Even-odd rule over (x1,y1,x2,y2,...) vertices (GeoDistance
-    Contains(), sphinxexpr.cpp Expr_Contains_c)."""
-    n = len(flat) // 2
+    """Even-odd crossing rule with on-edge inclusion over (x1,y1,x2,y2,
+    ...) vertices (Expr_Contains_c::Contains, sphinxexpr.cpp:5509): a
+    point ON any edge segment counts as contained, so degenerate
+    (collinear) polygons still contain points on their line."""
+    import numpy as np
+    f32 = np.float32
+    n = len(flat)
     inside = False
-    j = n - 1
-    for i in range(n):
-        xi, yi = flat[2 * i], flat[2 * i + 1]
-        xj, yj = flat[2 * j], flat[2 * j + 1]
-        if (yi > y) != (yj > y) and \
-                x < (xj - xi) * (y - yi) / (yj - yi) + xi:
-            inside = not inside
-        j = i
+    for ii in range(0, n, 2):
+        ax, ay = f32(flat[ii]), f32(flat[ii + 1])
+        bx = f32(flat[0]) if ii == n - 2 else f32(flat[ii + 2])
+        by = f32(flat[1]) if ii == n - 2 else f32(flat[ii + 3])
+        t1 = f32((f32(x) - ax) * (by - ay))
+        t2 = f32((f32(y) - ay) * (bx - ax))
+        if t1 == t2 and not (ax == bx and ay == by):
+            # collinear: on-segment test via projections
+            t3 = (f32(x) - ax) * (bx - ax) + (f32(y) - ay) * (by - ay)
+            t4 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+            if 0 <= t3 <= t4:
+                return True
+        if (ay > y) != (by > y):
+            if (t1 < t2) != (by < ay):
+                inside = not inside
     return inside
 
 

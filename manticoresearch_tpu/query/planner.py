@@ -778,6 +778,9 @@ def plan_query(
             #            reports no words for a fully-dropped query)
         p = term2pat.get(t)
         if p is None:
+            if t in _emitted:
+                continue   # one stat per unique word (AddStat hash
+                #            unifies repeats: '^bbb | bbb$' reports once)
             _emitted.add(t)
             stat_list.append((t, slot_df[s], slot_hits[s]))
         elif p not in _emitted:

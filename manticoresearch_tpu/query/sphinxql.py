@@ -31,7 +31,7 @@ _SQL_TOK = re.compile(r"""
   | (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<bname>`[^`]+`)
   | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
-  | (?P<op><=|>=|<>|!=|:=|=|<|>|\(|\)|,|\*|\+|-|/|%|;|:)
+  | (?P<op><=|>=|<>|!=|:=|=|<|>|\(|\)|,|\*|\+|-|/|%|&|\||\^|;|:|\{|\})
   | (?P<ws>\s+|--[^\n]*|\#[^\n]*|/\*.*?\*/)
 """, re.VERBOSE | re.DOTALL)
 
@@ -733,6 +733,16 @@ class SqlParser:
             return SimpleStmt("show_databases")
         if self.eat_kw("COLLATION"):
             return SimpleStmt("show_collation")
+        if self.eat_kw("SESSION", "GLOBAL"):
+            self.expect_kw("VARIABLES")
+            like = None
+            if self.eat_kw("LIKE"):
+                k2, v2 = self.next()
+                like = _unquote(v2) if k2 == "str" else v2
+            return SimpleStmt("show_variables", [like])
+        if self.eat_kw("CHARACTER"):
+            self.expect_kw("SET")
+            return SimpleStmt("show_charset")
         raise SqlParseError(f"unsupported SHOW {self.peek()[1]!r}")
 
     def parse_set(self):
@@ -741,12 +751,26 @@ class SqlParser:
         if self.eat_kw("NAMES"):
             self.value() if self.peek()[0] in ("str", "num") else self.name()
             return SimpleStmt("set_names")
+        if self.eat_kw("CHARACTER"):
+            self.expect_kw("SET")
+            self.value() if self.peek()[0] in ("str", "num") else self.name()
+            return SimpleStmt("set_names")
         if self.eat_kw("AUTOCOMMIT"):
             self.expect_op("=")
             return SetStmt("autocommit", self.value(), is_global)
         name = self.name()
         self.expect_op("=")
         k, v = self.peek()
+        if k == "op" and v == "(":
+            # SET GLOBAL @uservar = (v1, v2, ...) — value-list user
+            # variables (UservarIntSet_c, searchd.cpp HandleMysqlSet)
+            self.next()
+            vals = [self.value()]
+            while self.peek() == ("op", ","):
+                self.next()
+                vals.append(self.value())
+            self.expect_op(")")
+            return SetStmt(name.lower(), vals, is_global)
         if k == "name":
             val = self.name()
         else:

@@ -331,7 +331,7 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
                     # a value, other bytes are separators (ParseFieldMVA,
                     # sphinx.cpp — 'mva511' yields [511])
                     raw = str(d.get(mva_field_col.get(name, name)) or "")
-                    doc[name] = [int(x) for x in re.findall(r"\d+", raw)]
+                    doc[name] = [int(x) for x in re.findall(r"-?\d+", raw)]
             elif code == SPH_ATTR_FLOAT:
                 doc[name] = float(d.get(name) or 0.0)
             elif code == SPH_ATTR_STRING:
@@ -392,6 +392,7 @@ def read_xmlpipe_source(src: dict) -> SourceDef:
 
     sd = SourceDef()
     order: list[str] = []          # field order
+    defaults: dict[str, str] = {}  # <sphinx:attr default="..">
     for key, (tname, code) in _XML_ATTR_KEYS.items():
         for val in src.get(key, []):
             name = val.strip()
@@ -406,7 +407,15 @@ def read_xmlpipe_source(src: dict) -> SourceDef:
         sd.attrs.append(AttrDef(name, AttrType.STRING))
 
     root = ET.fromstring(text)
-    for schema in root.iter("sphinx_schema"):
+    schemas = list(root.iter("sphinx_schema"))
+    if schemas and any(len(s2) for s2 in schemas):
+        # an embedded <sphinx:schema> REPLACES config-declared
+        # fields/attrs ("both embedded and config schema: falling back
+        # to embedded", CSphSource_XMLPipe2)
+        order = []
+        sd.attrs = []
+        sd.attr_codes = {}
+    for schema in schemas:
         for el in schema:
             if el.tag == "sphinx_field":
                 nm = el.get("name", "").strip()
@@ -427,6 +436,9 @@ def read_xmlpipe_source(src: dict) -> SourceDef:
                 if nm and nm not in sd.attr_codes:
                     sd.attr_codes[nm] = code
                     sd.attrs.append(AttrDef(nm, getattr(AttrType, tname)))
+                dflt = el.get("default")
+                if dflt is not None:
+                    defaults[nm] = dflt.strip()
     sd.fields = order
 
     for doc in root.iter("sphinx_document"):
@@ -435,6 +447,13 @@ def read_xmlpipe_source(src: dict) -> SourceDef:
             nm = child.tag
             val = (child.text or "").strip()
             code = sd.attr_codes.get(nm)
+            if nm in d and code is None and nm in sd.fields:
+                # repeated field elements concatenate (the reference
+                # appends each chunk to the field buffer)
+                d[nm] = f"{d[nm]} {val}".strip()
+                continue
+            if nm in d:
+                continue   # repeated attr element: first value sticks
             if code in (SPH_ATTR_MULTI, SPH_ATTR_MULTI64):
                 d[nm] = [int(x) for x in re.split(r"[,\s]+", val)
                          if x.strip()]
@@ -449,15 +468,98 @@ def read_xmlpipe_source(src: dict) -> SourceDef:
             d.setdefault(f, "")
         for a in sd.attrs:
             if a.name not in d:
-                d[a.name] = ([] if a.type.value in ("mva", "mva64")
-                             else 0 if a.type.value in
-                             ("uint", "bigint", "bool", "timestamp")
-                             else 0.0 if a.type.value == "float" else "")
+                dflt = defaults.get(a.name)
+                if a.type.value in ("multi", "multi64"):
+                    d[a.name] = ([int(x) for x in
+                                  re.findall(r"-?\d+", dflt)]
+                                 if dflt else [])
+                elif a.type.value in ("uint", "bigint", "bool",
+                                      "timestamp"):
+                    d[a.name] = int(dflt or 0)
+                elif a.type.value == "float":
+                    d[a.name] = float(dflt or 0.0)
+                else:
+                    d[a.name] = dflt or ""
         sd.docs.append(d)
     for kl in root.iter("sphinx_killlist"):
         for el in kl.iter("id"):
             sd.kill_ids.append(int((el.text or "0").strip()))
     return sd
+
+
+def _csv_rows_ref(text: str, delim: str = ",") -> list[list[str]]:
+    """CSV splitting with the reference parser's quoting rules
+    (CSphSource_CSV::SplitColumns, sphinx.cpp:26788): a quote only opens
+    a quoted run when everything before it in the field is whitespace
+    (the whitespace is KEPT); '""' directly after a closing quote
+    re-opens and emits a literal '"'; backslash escapes outside quotes;
+    newlines inside quotes are literal."""
+    rows: list[list[str]] = []
+    row: list[str] = []
+    field: list[str] = []
+    quoted = False
+    has_quot = False
+    quot_prev = -2
+    esc = False
+    only_space = True
+
+    def end_field():
+        nonlocal field, only_space, quoted, has_quot, quot_prev
+        row.append("".join(field))
+        field = []
+        only_space = True
+        quoted = False
+        has_quot = False
+        quot_prev = -2
+
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if not quoted and esc:
+            field.append(c)
+            esc = False
+            i += 1
+            continue
+        if c == "\\" and not quoted and c != delim:
+            esc = True
+            i += 1
+            continue
+        if c == '"':
+            if only_space and quot_prev == -2:
+                quoted = True
+                has_quot = True
+            elif quoted:
+                quoted = False
+            elif has_quot and quot_prev == i - 1:
+                quoted = True
+                field.append('"')
+            else:
+                field.append(c)
+            quot_prev = i
+            i += 1
+            continue
+        if quoted:
+            field.append(c)
+            i += 1
+            continue
+        if c == delim:
+            end_field()
+            i += 1
+            continue
+        if c in "\r\n":
+            end_field()
+            rows.append(row)
+            row = []
+            while i < n and text[i] in "\r\n":
+                i += 1
+            continue
+        only_space = only_space and c.isspace()
+        field.append(c)
+        i += 1
+    if field or row:
+        end_field()
+        rows.append(row)
+    return rows
 
 
 def read_tsvpipe_source(src: dict, styp: str) -> SourceDef:
@@ -475,41 +577,52 @@ def read_tsvpipe_source(src: dict, styp: str) -> SourceDef:
     if not m or not os.path.isfile(m.group(1)):
         raise GoldenUnsupported(f"{pfx}_command {cmd!r}")
     sd = SourceDef()
-    # column layout: keys in section order (section_dict preserves per-key
-    # order but not interleave; the reference keeps declaration order —
-    # approximate with fields first, then attrs, which matches the test
-    # configs' layout)
+    # column layout: declaration order across ALL *pipe_field /
+    # *pipe_attr_* keys (CSphSource_TSV); schema names lowercase
+    attr_by_key = {k.replace("xmlpipe", pfx): v
+                   for k, v in _XML_ATTR_KEYS.items()}
     layout: list[tuple[str, str]] = []   # (name, kind)
-    for val in src.get(f"{pfx}_field", []):
-        layout.append((val.strip(), "field"))
-        sd.fields.append(val.strip())
-    for key, (tname, code) in _XML_ATTR_KEYS.items():
-        key2 = key.replace("xmlpipe", pfx)
-        for val in src.get(key2, []):
-            nm = val.strip()
+    for key, val in src.get("__pairs__", []):
+        if key == f"{pfx}_field":
+            nm = val.strip().lower()
+            layout.append((nm, "field"))
+            sd.fields.append(nm)
+        elif key in attr_by_key:
+            tname, code = attr_by_key[key]
+            nm = val.strip().lower()
+            if ":" in nm:   # uint bitcount suffix "gid:3"
+                nm, _, b = nm.partition(":")
+                nm = nm.strip()
+                sd.attr_bits[nm] = int(b.strip())
             layout.append((nm, tname))
             sd.attr_codes[nm] = code
             sd.attrs.append(AttrDef(nm, getattr(AttrType, tname)))
     with open(m.group(1), encoding="utf-8-sig", errors="replace") as f:
         text = f.read()
-    rows = (_csv.reader(io.StringIO(text)) if pfx == "csvpipe"
+    delim = (src.get(f"{pfx}_delimiter") or [","])[-1] or ","
+    rows = (_csv_rows_ref(text, delim[0]) if pfx == "csvpipe"
             else (ln.split("\t") for ln in text.splitlines() if ln))
     for row in rows:
-        if not row:
+        if not row or not row[0].strip():
             continue
         d: dict = {"id": int(row[0])}
         for (nm, kind), val in zip(layout, row[1:]):
             if kind == "field":
                 d[nm] = val
             elif kind in ("MVA", "MVA64"):
-                d[nm] = [int(x) for x in re.split(r"[,\s]+", val)
-                         if x.strip()]
+                # digit-scan like ParseFieldMVA: digit runs are values,
+                # any other byte separates
+                d[nm] = [int(x) for x in re.findall(r"-?\d+", val)]
             elif kind == "FLOAT":
-                d[nm] = float(val or 0)
+                d[nm] = float(val.strip() or 0)
             elif kind in ("STRING", "JSON"):
                 d[nm] = val
             else:
-                d[nm] = int(val or 0)
+                v = int(val.strip() or 0)
+                bits = sd.attr_bits.get(nm)
+                if bits:
+                    v &= (1 << bits) - 1
+                d[nm] = v
         sd.docs.append(d)
     return sd
 
@@ -824,6 +937,9 @@ class GoldenEnv:
                 if styp == "xmlpipe2":
                     one = read_xmlpipe_source(src)
                 elif styp in ("tsvpipe", "csvpipe"):
+                    from .testcase import section_pairs
+                    src["__pairs__"] = section_pairs(
+                        self.sections, "source", srcname.strip())
                     one = read_tsvpipe_source(src, styp)
                 elif styp in ("mysql", "pgsql", "sqlite"):
                     one = read_source(src, con)
@@ -921,6 +1037,7 @@ class GoldenEnv:
                 t = self.env.catalog.tables.get(tgt.strip())
                 if t is not None and ids:
                     t.delete(ids)
+                    t.commit()   # RT deletes stage until commit
 
     # -- API query execution ---------------------------------------------
     def resolve_indexes(self, spec: str, aid: int = 0) -> list[tuple]:
@@ -1099,8 +1216,11 @@ class GoldenEnv:
                 if alias == group_by and expr_s != alias:
                     group_by = expr_s
                     break
-        if attrs.get("index_weights"):
-            raise GoldenUnsupported("index_weights")
+        index_weights: dict[str, int] = {}
+        for part in str(attrs.get("index_weights", "")).split():
+            nm, _, w = part.partition(":")
+            if w.strip():
+                index_weights[nm.strip()] = int(w.strip())
 
         names = self.resolve_indexes(attrs.get("index", "*"))
         qdef = {}
@@ -1182,6 +1302,15 @@ class GoldenEnv:
         else:
             parts = [self.agents[aid].catalog.get(n) for aid, n in names]
             results = [p.search(sq) for p in parts]
+            if index_weights:
+                # SetIndexWeights: each index's match weights scale by
+                # its weight before the merge (searchd.cpp index-weight
+                # multiply on aggregation)
+                for (aid, n), r in zip(names, results):
+                    w = index_weights.get(n, 1)
+                    if w != 1 and not r.error:
+                        for m in r.matches:
+                            m.weight *= w
             for r in results:
                 if r.error:
                     res = r
@@ -1231,7 +1360,7 @@ class GoldenEnv:
         maps = [self.agents[aid].attr_codes.get(n, {})
                 for aid, n in names] or [{}]
         attrs_map = {k: v for k, v in maps[0].items()
-                     if all(k in m for m in maps[1:])}
+                     if all(m.get(k) == v for m in maps[1:])}
         sel_exprs = {}          # alias -> parsed expr tree (computed items)
         if select_items is not None:
             from manticoresearch_tpu.query.expr import parse_expr
@@ -1264,10 +1393,31 @@ class GoldenEnv:
                         attrs_map[alias] = base_map.get(inner,
                                                         SPH_ATTR_BIGINT)
                 else:
-                    # computed item: type decided per-row (int -> BIGINT,
-                    # float -> FLOAT like the reference expr parser)
-                    sel_exprs[alias] = (parse_expr(expr_s), uint_names)
-                    attrs_map[alias] = SPH_ATTR_BIGINT
+                    # computed item: int exprs type INTEGER unless a
+                    # 64-bit operand widens them (id / bigint attr /
+                    # BIGINT()), matching the expr parser's widest-type
+                    # promotion; FLOAT probed per-row below
+                    tree = parse_expr(expr_s)
+
+                    def _wide(t):
+                        if not isinstance(t, tuple):
+                            return False
+                        if t[0] == "id":
+                            return True
+                        if t[0] == "attr" and base_map.get(
+                                t[1]) == SPH_ATTR_BIGINT:
+                            return True
+                        if t[0] == "call" and t[1] in ("BIGINT", "SINT"):
+                            return True
+                        return any(_wide(x) if isinstance(x, tuple)
+                                   else any(_wide(y) for y in x
+                                            if isinstance(y, tuple))
+                                   if isinstance(x, (tuple, list))
+                                   else False
+                                   for x in t[1:])
+                    sel_exprs[alias] = (tree, uint_names)
+                    attrs_map[alias] = (SPH_ATTR_BIGINT if _wide(tree)
+                                        else SPH_ATTR_INTEGER)
             # probe one row to set FLOAT codes
             if res.matches and sel_exprs:
                 from manticoresearch_tpu.query.expr import (ExprError,
@@ -1536,7 +1686,7 @@ def fixup(result: dict, roundoff: int = 0,
                     m["attrs"][fn] = f"%.{roundoff}f" % float(
                         m["attrs"][fn])
     if "sphinxql" in out and isinstance(out["sphinxql"], str):
-        out["sphinxql"] = out["sphinxql"].strip()
+        out["sphinxql"] = out["sphinxql"].strip().rstrip(";").strip()
     return out
 
 

@@ -309,6 +309,32 @@ def parse_sphinx_conf(text: str) -> list[ConfSection]:
     return sections
 
 
+def section_pairs(sections: list["ConfSection"], kind: str,
+                  name: str) -> list[tuple[str, str]]:
+    """Resolved (key, value) pairs in declaration order with `: parent`
+    inheritance. Column-layout sources (tsvpipe/csvpipe) need the
+    cross-key interleave: *pipe_field / *pipe_attr_* declaration order
+    IS the column order (CSphSource_TSV)."""
+    by_name = {(s.kind, s.name): s for s in sections}
+    chain = []
+    key = (kind, name)
+    while key in by_name:
+        s = by_name[key]
+        chain.append(s)
+        if not s.parent:
+            break
+        key = (kind, s.parent)
+    out: list[tuple[str, str]] = []
+    for s in reversed(chain):
+        seen_here = set()
+        for k, v in s.pairs:
+            if k not in seen_here:
+                out = [(k2, v2) for k2, v2 in out if k2 != k]
+                seen_here.add(k)
+            out.append((k, v))
+    return out
+
+
 def section_dict(sections: list[ConfSection], kind: str, name: str) -> dict:
     """Resolved key->list-of-values with `: parent` inheritance."""
     by_name = {(s.kind, s.name): s for s in sections}

@@ -705,7 +705,11 @@ class TestCollation:
         s.execute("INSERT INTO cl (id, c, name) VALUES (1, 'x', 'Alice')")
         s.execute("INSERT INTO cl (id, c, name) VALUES (2, 'x', 'alice')")
         s.execute("INSERT INTO cl (id, c, name) VALUES (3, 'x', 'Bob')")
-        # binary (default): case-sensitive
+        # default collation is libc_ci (case-insensitive, like the
+        # reference daemon); binary must be requested explicitly
+        r0 = s.execute("SELECT id FROM cl WHERE name='alice'")[0]
+        assert sorted(row[0] for row in r0.rows) == [1, 2]
+        s.execute("SET collation_connection='binary'")
         r = s.execute("SELECT id FROM cl WHERE name='alice'")[0]
         assert [row[0] for row in r.rows] == [2]
         # utf8_general_ci: case-folded comparison

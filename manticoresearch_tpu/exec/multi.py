@@ -14,11 +14,13 @@ from dataclasses import replace as dc_replace
 import numpy as np
 
 
-def _apply_sort(matches, q):
+def _apply_sort(matches, q, presort_docid: bool = True):
     """Multi-pass stable sort: supports desc on non-numeric (string) attrs,
-    where a negate-the-key trick can't work."""
+    where a negate-the-key trick can't work. presort_docid=False keeps
+    the incoming order as the tie-break (part-merge order)."""
     sort = list(q.sort or [("weight", False), ("id", True)])
-    matches.sort(key=lambda m: m.docid)      # final tie-break: docid asc
+    if presort_docid:
+        matches.sort(key=lambda m: m.docid)  # final tie-break: docid asc
     for col, asc in reversed(sort):
         if col in ("weight", "@weight", "weight()"):
             matches.sort(key=lambda m: m.weight, reverse=not asc)
@@ -90,9 +92,16 @@ def merge_part_results(results, q, schema):
             else:
                 seen[m.docid] = (pi, [m])
             n_copies += 1
-    all_matches = [m for _, ms in seen.values() for m in ms]
+    # full-key ties across parts surface the LATER part's rows first
+    # (master merge order); within one part the arrival order (the
+    # part's own sorter, docid-asc tie-broken) is kept by stability
+    by_part: dict[int, list] = {}
+    for pi2, ms in seen.values():
+        by_part.setdefault(pi2, []).extend(ms)
+    all_matches = [m for pi2 in sorted(by_part, reverse=True)
+                   for m in by_part[pi2]]
     killed = n_copies - len(all_matches)
-    _apply_sort(all_matches, q)
+    _apply_sort(all_matches, q, presort_docid=False)
     total_found = sum(r.total_found for r in results) - killed
     window = all_matches[q.offset:q.offset + q.limit]
     stats = merge_word_stats(results)
@@ -208,7 +217,10 @@ def search_grouped_parts(parts, q, schema, single_part_hint=""):
 
     if len(parts) > 1:
         sel = [s.lower() for s in (q.select or [])]
-        if any("distinct" in s for s in sel):
+        gb_ad = schema.attr(q.group_by) if q.group_by else None
+        if any("distinct" in s for s in sel) or q.within_sort \
+                or (gb_ad is not None
+                    and gb_ad.type.value in ("multi", "multi64")):
             # exact COUNT(DISTINCT) across parts: per-part counts don't
             # merge, so fetch the raw match window from every part and
             # group host-side (the reference re-sorts the merged window
@@ -246,7 +258,9 @@ def search_grouped_parts(parts, q, schema, single_part_hint=""):
     merged: dict = {}
     for r in results:
         for m in r.matches:
-            key = m.attrs.get(q.group_by)
+            key = m.attrs.get("@groupby", m.attrs.get(q.group_by))
+            if isinstance(key, list):   # MVA group key: hashable form
+                key = tuple(key)
             if key not in merged:
                 merged[key] = m
                 continue

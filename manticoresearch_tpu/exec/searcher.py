@@ -842,8 +842,31 @@ def host_group_matches(matches, q):
         for k1 in (k0 if isinstance(k0, list) else [k0]):
             groups.setdefault(k1, []).append(m)
 
+    def _within_sorted(ms):
+        # multi-pass stable sort (handles string desc) picking the
+        # WITHIN GROUP ORDER BY representative
+        ms = sorted(ms, key=lambda m: m.docid)
+        for col, asc in reversed(q.within_sort):
+            if col in ("weight", "@weight", "weight()"):
+                ms.sort(key=lambda m: m.weight, reverse=not asc)
+            elif col in ("id", "@id"):
+                ms.sort(key=lambda m: m.docid, reverse=not asc)
+            else:
+                default: object = 0
+                for m in ms:
+                    v = m.attrs.get(col)
+                    if v is not None:
+                        default = type(v)()
+                        break
+                ms.sort(key=lambda m, _c=col, _d=default:
+                        m.attrs.get(_c) if m.attrs.get(_c) is not None
+                        else _d, reverse=not asc)
+        return ms
+
     rows = []
     for key, ms in groups.items():
+        if q.within_sort:
+            ms = _within_sorted(ms)
         rep = ms[0]
         attrs = {q.group_by: key}
         for sel in selects:
@@ -857,10 +880,15 @@ def host_group_matches(matches, q):
                 tree = parse_expr(arg)
                 for m2 in ms:
                     try:
-                        vals.add(eval_expr_host(tree, m2.attrs,
-                                                m2.weight, m2.docid))
+                        v2 = eval_expr_host(tree, m2.attrs,
+                                            m2.weight, m2.docid)
                     except ExprError:
-                        pass
+                        continue
+                    if isinstance(v2, list):
+                        # COUNT(DISTINCT mva): each value counts
+                        vals.update(v2)
+                    else:
+                        vals.add(v2)
                 attrs[sel] = len(vals)
                 continue
             if kind == "count":

@@ -549,6 +549,14 @@ class Session:
 
         sort = [(col, asc) for col, asc in st.order] or \
             [("weight", False), ("id", True)]
+        # ORDER BY names are case-insensitive against the schema
+        try:
+            schema0 = self.catalog.get(st.indexes[0]).schema
+            cmap = {n.lower(): n for n in
+                    [a.name for a in schema0.attrs] + schema0.fields}
+            sort = [(cmap.get(c.lower(), c), a) for c, a in sort]
+        except (ValueError, KeyError, IndexError):
+            pass
         opts = st.options
         q = SearchQuery(
             match=match,
@@ -715,6 +723,9 @@ class Session:
                 getters.append(make_highlighter())
             elif lraw in ("weight()", "@weight"):
                 getters.append(lambda m: m.weight)
+            elif lraw in ("groupby()", "@groupby"):
+                getters.append(lambda m: m.attrs.get(
+                    "@groupby", m.attrs.get(st.group_by)))
             elif lraw == "packedfactors()":
                 getters.append(lambda m: m.attrs.get("packedfactors()", ""))
             elif lraw in ("count(*)", "@count") or lraw.startswith(
@@ -867,14 +878,20 @@ class Session:
         if not cols:
             cols = ["id"] + t.schema.fields + [a.name for a in t.schema.attrs]
         if st.columns:
+            # schema names are case-insensitive: fold the column list
+            # onto the canonical spellings (reference sphToLower)
+            canon_map = {n.lower(): n for n in
+                         ["id"] + t.schema.fields
+                         + [a.name for a in t.schema.attrs]}
+            cols = [canon_map.get(c.lower(), c) for c in st.columns]
             seen_cols: set[str] = set()
-            for c in st.columns:
+            for c in cols:
                 if c in seen_cols:
                     return QLResult.err(f"column '{c}' specified twice")
                 seen_cols.add(c)
             known = {"id"} | set(t.schema.fields) | {
                 a.name for a in t.schema.attrs}
-            for c in st.columns:
+            for c in cols:
                 if c not in known:
                     return QLResult.err(f"unknown column: '{c}'")
         str_cols = set(t.schema.fields) | {
@@ -1004,7 +1021,15 @@ class Session:
             if res.error:
                 return QLResult.err(res.error)
             ids = [m.docid for m in res.matches]
-        return QLResult.ok(t.update_attrs(ids, st.values))
+        values = st.values
+        if str(st.options.get("ignore_nonexistent_columns", "0")) == "1":
+            # drop unknown columns instead of erroring (reference UPDATE
+            # OPTION ignore_nonexistent_columns)
+            known = {a.name for a in t.schema.attrs}
+            values = {k: v for k, v in values.items() if k in known}
+            if not values:
+                return QLResult.ok(0)
+        return QLResult.ok(t.update_attrs(ids, values))
 
     def _create_table(self, st: CreateTableStmt) -> QLResult:
         if st.name in self.catalog.tables:

@@ -297,6 +297,25 @@ class RtIndex:
                     seg.packed.attrs_big[name][r] = int(val)
                 elif name in seg.packed.attrs_float:
                     seg.packed.attrs_float[name][r] = float(val)
+                elif name in seg.packed.attrs_mva:
+                    # MVA update rebuilds the attr's CSR (value lists
+                    # change length; UpdateAttributes_fn MVA pool write)
+                    import numpy as np
+                    off, vals_a = seg.packed.attrs_mva[name]
+                    lists = [vals_a[off[i]:off[i + 1]].tolist()
+                             for i in range(len(off) - 1)]
+                    newv = sorted(int(x) for x in
+                                  (val if isinstance(val, (list, tuple))
+                                   else [val]))
+                    lists[r] = newv
+                    no = np.zeros(len(lists) + 1, np.int64)
+                    for i, l2 in enumerate(lists):
+                        no[i + 1] = no[i] + len(l2)
+                    nv = np.array([x for l2 in lists for x in l2],
+                                  vals_a.dtype if len(vals_a) else
+                                  np.int64)
+                    seg.packed.attrs_mva[name] = (
+                        no.astype(off.dtype), nv)
                 else:
                     raise ValueError(f"unknown or non-updatable attr {name!r}")
                 seg.docs[d][name] = val
@@ -328,6 +347,13 @@ class RtIndex:
                 dev.attrs[name] = jnp.asarray(
                     np.clip(p.attrs_big[name], -(2**31), 2**31 - 1
                             ).astype(np.int32))
+        for name in list(dev.mva_offsets):
+            if name in p.attrs_mva:
+                off, vals_a = p.attrs_mva[name]
+                dev.mva_offsets[name] = jnp.asarray(
+                    off.astype(np.int32))
+                dev.mva_values[name] = jnp.asarray(
+                    np.clip(vals_a, -(2**31), 2**31 - 1).astype(np.int32))
         for name in list(dev.attr_perm):
             _, perm = p.attr_index(name)
             old = dev.attr_perm[name]

@@ -77,7 +77,8 @@ def _build_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
         # GROUP ORDER BY substitutes the primary key. s_idx carries the
         # pre-sort position for attr-aligned gathers.
         if gspec.within[0] == "rel":
-            wkey = ~weight
+            # weight may be a scalar constant (ranker=none fullscans)
+            wkey = jnp.broadcast_to(~weight, (Z,))
         elif gspec.within[0] == "attr":
             _, wname, wasc, wfloat = gspec.within
             wv = attrs[wname]
@@ -90,7 +91,7 @@ def _build_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
             raise NotImplementedError(f"within order {gspec.within}")
         s_key, s_wkey, s_row, s_idx = jax.lax.sort(
             (sk, wkey, rows, idx), num_keys=3)
-        s_w = weight[s_idx]
+        s_w = jnp.broadcast_to(weight, (Z,))[s_idx]
         s_elig = s_key != INT32_MAX
 
         prev_key = jnp.concatenate([jnp.full(1, INT32_MIN, jnp.int32),

@@ -191,6 +191,11 @@ def _eval_mva_filter(spec: FilterSpec, offsets, values, vals, rows, n_iters):
     rows: the row ids to evaluate (dense: arange(N+1); sparse: candidates).
     """
     n_rows_csr = offsets.shape[0] - 1
+    if values.shape[0] == 0:
+        # no MVA values at all (every list empty): nothing matches an
+        # include filter; excludes match everything
+        mask = jnp.zeros(rows.shape, bool)
+        return ~mask if spec.exclude else mask
     rows_c = jnp.clip(rows, 0, max(n_rows_csr - 1, 0))
     lo_idx = offsets[rows_c]
     hi_idx = offsets[jnp.clip(rows_c + 1, 0, n_rows_csr)]

@@ -126,6 +126,7 @@ class UpdateStmt:
     index: str
     values: dict[str, Any]
     conds: list[Cond]
+    options: dict[str, Any] = field(default_factory=dict)
 
 
 @dataclass
@@ -589,7 +590,19 @@ class SqlParser:
                 continue
             break
         self.expect_kw("WHERE")
-        return UpdateStmt(index, values, self.parse_conds())
+        conds = self.parse_conds()
+        options: dict[str, Any] = {}
+        if self.eat_kw("OPTION"):
+            # UPDATE ... OPTION ignore_nonexistent_columns=1, strict=0
+            while True:
+                n2 = self.name()
+                self.expect_op("=")
+                options[n2.lower()] = self.value()
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+        return UpdateStmt(index, values, conds, options)
 
     # --- DDL / admin ---
     def parse_create(self):

@@ -216,7 +216,7 @@ def rt_attrs(idx: dict):
             ("rt_attr_multi", ("MVA", SPH_ATTR_MULTI)),
             ("rt_attr_multi_64", ("MVA64", SPH_ATTR_MULTI64))]:
         for val in idx.get(key, []):
-            name = val.strip()
+            name = val.strip().lower()   # schema names fold lowercase
             codes[name] = code
             attrs.append(AttrDef(name, getattr(AttrType, tname)))
     return attrs, codes
@@ -885,7 +885,7 @@ class GoldenEnv:
             if typ == "rt":
                 o, qdef = index_options(idx)
                 tok, dic = settings_from_sql_options(o)
-                flds = [v.strip() for v in idx.get("rt_field", [])]
+                flds = [v.strip().lower() for v in idx.get("rt_field", [])]
                 attrs, codes = rt_attrs(idx)
                 schema = Schema(fields=flds, attrs=attrs)
                 from manticoresearch_tpu.index.rt import RtIndex
@@ -900,7 +900,7 @@ class GoldenEnv:
             if typ in ("percolate", "pq"):
                 o, qdef = index_options(idx)
                 from manticoresearch_tpu.schema import Schema as _S
-                flds = [v.strip() for v in idx.get("rt_field", [])] \
+                flds = [v.strip().lower() for v in idx.get("rt_field", [])] \
                     or ["query"]
                 attrs2, codes2 = rt_attrs(idx)
                 self.env.catalog.create(sec.name, _S(fields=flds,
@@ -1206,6 +1206,13 @@ class GoldenEnv:
             for p in parts:
                 p = p.strip()
                 m2 = re.match(r"^(.*?)\s+as\s+(\w+)$", p, re.I)
+                if not m2:
+                    # implicit alias without AS ("to_string(x) i1"):
+                    # a trailing bare identifier after ')' or a word
+                    m2 = re.match(r"^(.*[)\w'\"])\s+([A-Za-z_]\w*)$", p)
+                    if m2 and m2.group(2).upper() in ("AS", "DESC",
+                                                      "ASC"):
+                        m2 = None
                 if m2:
                     select_items.append((m2.group(2), m2.group(1).strip()))
                 else:
@@ -1274,8 +1281,13 @@ class GoldenEnv:
             agg_re2 = re.compile(r"^(sum|min|max|avg|count)\s*\(", re.I)
             for alias, expr_s in (select_items or []):
                 es = expr_s.strip()
-                if agg_re2.match(es) and es.lower().replace(" ", "") \
-                        != "count(*)":
+                if es.lower().replace(" ", "") == "count(*)":
+                    if alias != es:
+                        # aliased count ("count(*) as cnt") reads the
+                        # built-in group count
+                        agg_items[alias] = "count(*)"
+                    continue
+                if agg_re2.match(es):
                     key = es.lower()
                     agg_items[alias] = key
                     sel.append(key)
@@ -1389,6 +1401,8 @@ class GoldenEnv:
                                    "", agg_items[alias]).strip()
                     if agg_items[alias].startswith("avg"):
                         attrs_map[alias] = SPH_ATTR_FLOAT
+                    elif agg_items[alias] == "count(*)":
+                        attrs_map[alias] = SPH_ATTR_BIGINT
                     else:
                         attrs_map[alias] = base_map.get(inner,
                                                         SPH_ATTR_BIGINT)
@@ -1433,6 +1447,8 @@ class GoldenEnv:
                         v = 0
                     if isinstance(v, float):
                         attrs_map[alias] = SPH_ATTR_FLOAT
+                    elif isinstance(v, str):
+                        attrs_map[alias] = SPH_ATTR_STRING
         if has_expr:
             attrs_map["@expr"] = SPH_ATTR_FLOAT
         if group_by:
@@ -1505,10 +1521,16 @@ class GoldenEnv:
                 elif code == 0:
                     vals[aname] = v
                 elif code == SPH_ATTR_BIGINT:
-                    vals[aname] = int(v or 0)
+                    try:
+                        vals[aname] = int(v or 0)
+                    except (TypeError, ValueError):
+                        vals[aname] = v   # JSON group keys keep strings
                 else:
                     # uint/bool/timestamp render unsigned (PHP sprintf %u)
-                    vals[aname] = int(v or 0) & 0xFFFFFFFF
+                    try:
+                        vals[aname] = int(v or 0) & 0xFFFFFFFF
+                    except (TypeError, ValueError):
+                        vals[aname] = v
             if resarray:
                 matches.append({"id": m.docid, "weight": str(m.weight),
                                 "attrs": vals})
@@ -1765,9 +1787,12 @@ def compare_result(ours: dict, model: dict,
     # ORDER-BY-less QL row sets may legitimately differ in order (the
     # reference returns percolate stored queries in hash order): retry as
     # a multiset keyed by the row's id
+    _ql_norm = re.sub(r"within\s+group\s+order\s+by", "",
+                      str(a.get("sphinxql", "")).lower()
+                      if isinstance(a, dict) else "")
     if isinstance(a, dict) and isinstance(b, dict) \
             and "rows" in a and "rows" in b \
-            and "order by" not in str(a.get("sphinxql", "")).lower():
+            and "order by" not in _ql_norm:
         def rows_list(x):
             r = x["rows"]
             return list(r.values()) if isinstance(r, dict) else list(r)

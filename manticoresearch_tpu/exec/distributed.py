@@ -153,6 +153,10 @@ class DistributedTable:
             return SearchResult([], 0, 0, 0.0, [],
                                 error=f"distributed table '{self.name}' "
                                       f"has no parts")
+        from .searcher import late_filters_for, run_late_filtered
+        late = late_filters_for(q, self.schema)
+        if late:
+            return run_late_filtered(self.search, q, late)
         for bh in self.blackholes:
             agent_blackhole(bh, query_to_payload(q), timeout=self.timeout)
 

@@ -121,6 +121,10 @@ def search_rt(rt, q):
     parts = rt.searchable_parts()
     if not parts:
         return SearchResult([], 0, 0, 0.0, [])
+    from .searcher import late_filters_for, run_late_filtered
+    late = late_filters_for(q, rt.schema)
+    if late:
+        return run_late_filtered(lambda wq: search_rt(rt, wq), q, late)
     if q.group_by:
         return _search_rt_grouped(rt, q, parts)
 

@@ -336,71 +336,11 @@ class SearchIndex:
         return results  # type: ignore[return-value]
 
     def _late_filters(self, q: SearchQuery) -> list:
-        """Filters naming a computed expression instead of an attr (the
-        reference's late-stage filters, sphinxfilter.cpp expr filters):
-        evaluated host-side over the match window."""
-        from ..query.expr import ExprError, parse_expr
-        out = []
-        for f in q.filters:
-            nm = f.attr
-            if self.schema.attr(nm) is not None or nm in (
-                    "id", "@id", "weight()", "@weight"):
-                continue
-            if "." in nm:
-                base = nm.split(".", 1)[0]
-                ad = self.schema.attr(base)
-                if ad is not None and ad.type.value == "json":
-                    continue   # JSON-path filters run on their own path
-            try:
-                parse_expr(nm)
-            except ExprError:
-                continue   # let the planner report the unknown attr
-            out.append(f)
-        return out
+        return late_filters_for(q, self.schema)
 
     def _search_late_filtered(self, q: SearchQuery,
                               late: list) -> SearchResult:
-        from dataclasses import replace as _rep
-
-        from ..query.expr import ExprError, eval_expr_host, parse_expr
-        lset = {id(f) for f in late}
-        wide = _rep(q, filters=[f for f in q.filters
-                                if id(f) not in lset],
-                    offset=0, limit=q.max_matches)
-        res = self.search(wide)
-        if res.error:
-            return res
-        trees = [(parse_expr(f.attr), f) for f in late]
-
-        def passes(m) -> bool:
-            for tree, f in trees:
-                try:
-                    v = eval_expr_host(tree, m.attrs, m.weight, m.docid)
-                except ExprError:
-                    return False
-                vs = v if isinstance(v, (list, tuple)) else [v]
-                if f.kind == "values":
-                    ok = any(x in f.values for x in vs)
-                else:
-                    def in_range(x):
-                        if f.lo is not None and (
-                                x < f.lo or (f.lo_excl and x == f.lo)):
-                            return False
-                        if f.hi is not None and (
-                                x > f.hi or (f.hi_excl and x == f.hi)):
-                            return False
-                        return True
-                    ok = any(in_range(x) for x in vs)
-                if ok == bool(f.exclude):
-                    return False
-            return True
-
-        kept = [m for m in res.matches if passes(m)]
-        total = len(kept)
-        res.matches = kept[q.offset:q.offset + q.limit]
-        res.total = min(total, q.max_matches)
-        res.total_found = total
-        return res
+        return run_late_filtered(self.search, q, late)
 
     def _host_grouped(self, q: SearchQuery) -> SearchResult:
         """GROUP BY over a JSON path: the key is host-evaluated per match
@@ -446,6 +386,11 @@ class SearchIndex:
         from ..query.expr import infer_is_float, parse_expr
 
         t0 = time.perf_counter()
+        if self.packed.n_docs == 0:
+            res = SearchResult([], 0, 0, 0.0, [])
+            if _defer:
+                return True, (lambda: res)
+            return res
         gb_ad = self.schema.attr(q.group_by)
         host_only = (gb_ad is not None
                      and gb_ad.type.value in ("multi", "multi64"))
@@ -805,6 +750,77 @@ def _resolve_order(q: SearchQuery, schema) -> tuple:
         raise ValueError(f"unknown sort attr {primary!r}")
     is_float = ad.type.value == "float"
     return ("attr", primary, asc, is_float)
+
+
+def late_filters_for(q, schema) -> list:
+    """Filters naming a computed expression instead of an attr (the
+    reference's late-stage filters, sphinxfilter.cpp expr filters):
+    evaluated host-side over the match window."""
+    from ..query.expr import ExprError, parse_expr
+    out = []
+    for f in q.filters:
+        nm = f.attr
+        if schema.attr(nm) is not None or nm in (
+                "id", "@id", "weight()", "@weight"):
+            continue
+        import re as _re
+        if _re.fullmatch(r"\w+(\.\w+)+", nm):
+            base = nm.split(".", 1)[0]
+            ad = schema.attr(base)
+            if ad is not None and ad.type.value == "json":
+                continue   # JSON-path filters run on their own path
+        try:
+            parse_expr(nm)
+        except ExprError:
+            continue   # let the planner report the unknown attr
+        out.append(f)
+    return out
+
+
+def run_late_filtered(search_fn, q, late):
+    """Strip late filters, run wide via search_fn, post-filter host-side."""
+    from dataclasses import replace as _rep
+
+    from ..query.expr import ExprError, eval_expr_host, parse_expr
+    lset = {id(f) for f in late}
+    wide = _rep(q, filters=[f for f in q.filters if id(f) not in lset],
+                offset=0, limit=q.max_matches)
+    res = search_fn(wide)
+    if res.error:
+        return res
+    trees = [(parse_expr(f.attr), f) for f in late]
+
+    def passes(m) -> bool:
+        for tree, f in trees:
+            try:
+                v = eval_expr_host(tree, m.attrs, m.weight, m.docid)
+            except ExprError:
+                return False
+            vs = v if isinstance(v, (list, tuple)) else [v]
+            if f.kind == "values":
+                ok = any(x in f.values for x in vs)
+            else:
+                def in_range(x):
+                    if x is None:
+                        return False
+                    if f.lo is not None and (
+                            x < f.lo or (f.lo_excl and x == f.lo)):
+                        return False
+                    if f.hi is not None and (
+                            x > f.hi or (f.hi_excl and x == f.hi)):
+                        return False
+                    return True
+                ok = any(in_range(x) for x in vs)
+            if ok == bool(f.exclude):
+                return False
+        return True
+
+    kept = [m for m in res.matches if passes(m)]
+    total = len(kept)
+    res.matches = kept[q.offset:q.offset + q.limit]
+    res.total = min(total, q.max_matches)
+    res.total_found = total
+    return res
 
 
 def host_group_matches(matches, q):

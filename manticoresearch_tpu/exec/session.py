@@ -342,6 +342,7 @@ class Session:
                 # SET GLOBAL persists across restarts via the catalog
                 # manifest (sphinxql_state file semantics)
                 self.catalog.set_global(st.name, st.value)
+                self.variables[st.name] = st.value
             else:
                 self.variables[st.name] = st.value
             return [QLResult.ok()]
@@ -600,6 +601,13 @@ class Session:
             # count(*) AS c): resolve to the aggregate's expr text
             amap = {it.alias: it.expr for it in st.items if it.alias}
             q.sort = [(amap.get(col, col), asc) for col, asc in q.sort]
+            if q.group_by in amap and amap[q.group_by] != q.group_by:
+                # GROUP BY a select alias: group on its expression, but
+                # expose the alias column from the group key
+                alias_gb = q.group_by
+                q.group_by = amap[alias_gb]
+                q.within_sort = q.within_sort and [
+                    (amap.get(c, c), a) for c, a in q.within_sort]
             if q.having is not None:
                 # HAVING may reference a SELECT alias (HAVING c > 1 with
                 # count(*) AS c): resolve back to the aggregate's expr text
@@ -1516,7 +1524,12 @@ class Session:
             from ..index.storage import load_packed
             if k == "import_table" and name in self.catalog.tables:
                 return QLResult.err(f"table '{name}' already exists")
-            packed = load_packed(src)
+            try:
+                packed = load_packed(src)
+            except (OSError, ValueError, KeyError) as e:
+                return QLResult.err(
+                    f"IMPORT TABLE failed: can not read table files "
+                    f"from '{src}': {e}")
             ddir = (os.path.join(self.catalog.data_dir, name)
                     if self.catalog.data_dir else None)
             rt = rt_from_packed(name, packed, ddir)
@@ -1546,7 +1559,12 @@ class Session:
                 return QLResult.ok(0)
             if dst in self.catalog.tables:
                 return QLResult.err(f"table '{dst}' already exists")
-            packed = load_packed(src)
+            try:
+                packed = load_packed(src)
+            except (OSError, ValueError, KeyError) as e:
+                return QLResult.err(
+                    f"ATTACH failed: can not read index files from "
+                    f"'{src}': {e}")
             ddir = (os.path.join(self.catalog.data_dir, dst)
                     if self.catalog.data_dir else None)
             self.catalog.tables[dst] = rt_from_packed(dst, packed, ddir)

@@ -405,11 +405,23 @@ class IndexBuilder:
                 elif a.type is AttrType.BIGINT:
                     attrs_big[a.name].append(int(v or 0))
                 elif a.type is AttrType.FLOAT:
-                    attrs_float[a.name].append(float(v or 0.0))
+                    fv = float(v or 0.0)
+                    # out-of-range values clamp to ±FLT_MAX (strtof
+                    # saturation), not inf
+                    fmax = 3.4028234663852886e38
+                    if fv > fmax:
+                        fv = fmax
+                    elif fv < -fmax:
+                        fv = -fmax
+                    attrs_float[a.name].append(fv)
                 elif a.type is AttrType.STRING:
                     attrs_str[a.name].append("" if v is None else str(v))
                 elif a.type is AttrType.JSON:
-                    attrs_json[a.name].append(v)
+                    # store the canonical output form (the reference
+                    # keeps BSON and re-serializes: floats %f, compact)
+                    from ..utils.jsonrender import render_json
+                    attrs_json[a.name].append(
+                        render_json(v) if isinstance(v, str) else v)
                 elif a.type in (AttrType.MVA, AttrType.MVA64):
                     attrs_mva[a.name].append(sorted(int(x) for x in (v or [])))
 

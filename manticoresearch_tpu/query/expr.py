@@ -145,6 +145,20 @@ class ExprParser:
         if k == "op" and v in self._CMP:
             self.next()
             return (self._CMP[v], left, self.parse_add())
+        if k == "name" and v.upper() == "IN" \
+                and self.toks[self.i + 1:self.i + 2] == [("op", "(")]:
+            # postfix set test: expr IN (v1, v2, ...) == IN(expr, v1...)
+            self.next()
+            self.next()
+            args = [left]
+            while True:
+                args.append(self.parse_add())
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+            self.expect(")")
+            return ("call", "IN", tuple(args))
         if k == "name" and v.upper() == "BETWEEN":
             self.next()
             lo = self.parse_add()
@@ -748,7 +762,7 @@ def _call_host(name: str, vals):
         # functions ("log10() arguments can not be MVA")
         raise ExprError(f"{name.lower()}() arguments can not be MVA")
     if name == "ABS":
-        return abs(vals[0])
+        return abs(vals[0] if vals[0] is not None else 0)
     if name == "CEIL":
         return int(math.ceil(vals[0]))
     if name == "FLOOR":
@@ -803,7 +817,8 @@ def _call_host(name: str, vals):
     if name == "GEODIST":
         from ..utils.geodist import (geodist_adaptive_deg,
                                      geodist_adaptive_rad)
-        lat1, lon1, lat2, lon2 = map(float, vals[:4])
+        lat1, lon1, lat2, lon2 = (float(v) if v is not None else 0.0
+                                  for v in vals[:4])
         opts = vals[4] if len(vals) > 4 and isinstance(vals[4], dict) \
             else {}
         if str(opts.get("in", "radians")).startswith("deg"):
@@ -931,10 +946,16 @@ def _call_host(name: str, vals):
         # over an MVA/JSON array arg, or a plain arg list
         pool = (list(vals[0]) if len(vals) == 1
                 and isinstance(vals[0], (list, tuple)) else list(vals))
-        pool = [v for v in pool if v is not None]
-        if not pool:
+        # JSON arrays aggregate NUMERIC members only (strings are
+        # skipped, Expr_JsonFieldAggr); results render as float
+        nums = [v for v in pool
+                if isinstance(v, (int, float))
+                and not isinstance(v, bool)]
+        if not nums:
+            if all(isinstance(v, str) for v in pool) and pool:
+                return min(pool) if name == "LEAST" else max(pool)
             return None
-        return min(pool) if name == "LEAST" else max(pool)
+        return float(min(nums) if name == "LEAST" else max(nums))
     if name == "SUBSTRING_INDEX":
         # SUBSTRING_INDEX(str, delim, count) — MySQL semantics
         s, delim, count = str(vals[0]), str(vals[1]), int(vals[2])
@@ -966,7 +987,10 @@ def _call_host(name: str, vals):
         if len(vals) == 1 and isinstance(vals[0], str):
             vals = [float(x) for x in
                     re.findall(r"-?\d+(?:\.\d+)?", vals[0])]
-        return ("__poly__", False, tuple(map(float, vals)))
+        elif len(vals) == 1 and isinstance(vals[0], list):
+            vals = vals[0]   # JSON array arg
+        return ("__poly__", False,
+                tuple(float(v) if v is not None else 0.0 for v in vals))
     if name == "CONTAINS":
         poly, x, y = vals[0], float(vals[1]), float(vals[2])
         if not (isinstance(poly, tuple) and poly and poly[0] == "__poly__"):
@@ -1020,6 +1044,8 @@ def _point_in_poly(flat: tuple, x: float, y: float) -> bool:
     import numpy as np
     f32 = np.float32
     n = len(flat)
+    if n < 6 or n % 2:
+        return False   # degenerate vertex list: nothing contained
     inside = False
     for ii in range(0, n, 2):
         ax, ay = f32(flat[ii]), f32(flat[ii + 1])

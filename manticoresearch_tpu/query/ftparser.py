@@ -348,6 +348,11 @@ class FtQueryParser:
             if t.kind == "field":
                 self._next()
                 self.cur_fields = self._parse_field_spec(t.text)
+                if self._peek() is None:
+                    # a trailing field operator with no operand is a
+                    # syntax error ("unexpected $end", sphinxquery.y)
+                    raise QueryParseError(
+                        "syntax error, unexpected $end")
                 continue
             if t.kind == "zone":
                 self._next()
@@ -448,6 +453,10 @@ class FtQueryParser:
         if t.kind == "field":
             self._next()
             self.cur_fields = self._parse_field_spec(t.text)
+            if self._peek() is None:
+                # a field operator must be followed by something
+                # ("syntax error, unexpected $end", sphinxquery.y)
+                raise QueryParseError("syntax error, unexpected $end")
             return self._parse_atom()
         if t.kind == "zone":
             self._next()

@@ -721,7 +721,11 @@ class SqlParser:
                 like = _unquote(v)
             return SimpleStmt("show_status", [like] if like else [])
         if self.eat_kw("VARIABLES"):
-            return SimpleStmt("show_variables")
+            like = None
+            if self.eat_kw("LIKE"):
+                k2, v2 = self.next()
+                like = _unquote(v2) if k2 == "str" else v2
+            return SimpleStmt("show_variables", [like] if like else [])
         if self.eat_kw("VERSION"):
             return SimpleStmt("show_version")
         if self.eat_kw("PROFILE"):

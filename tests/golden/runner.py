@@ -46,7 +46,7 @@ class GoldenUnsupported(Exception):
 _MYSQL_STRIP = [
     (re.compile(r"\bENGINE\s*=\s*\w+", re.I), ""),
     (re.compile(r"\bDEFAULT\s+CHARSET\s*=\s*\w+", re.I), ""),
-    (re.compile(r"\bCHARACTER\s+SET\s+\w+", re.I), ""),
+    (re.compile(r"\bCHARACTER\s+SET\s+'?\w+'?", re.I), ""),
     (re.compile(r"\bCOLLATE\s*=?\s*[\w_]+", re.I), ""),
     (re.compile(r"\bAUTO_INCREMENT\b", re.I), ""),
     (re.compile(r"\bUNSIGNED\b", re.I), ""),
@@ -143,6 +143,23 @@ def open_db(gt: GoldenTest) -> sqlite3.Connection:
             raise GoldenUnsupported("mysql stored-procedure source")
         for one in _split_sql(mysql_to_sqlite(stmt)):
             con.execute(one)
+    # MySQL AUTO_INCREMENT accepts explicit 0 as "assign next id";
+    # sqlite needs NULL — rewrite leading-0 row tuples for those tables
+    autoinc = {m.group(1).strip("`").lower()
+               for stmt in gt.db_create
+               for m in [re.search(r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+"
+                                   r"EXISTS\s+)?(`?\w+`?)", stmt, re.I)]
+               if m and re.search(r"\bAUTO_INCREMENT\b", stmt, re.I)}
+
+    def exec_insert(one: str) -> None:
+        m = re.match(r"\s*(?:INSERT|REPLACE)\s+INTO\s+(`?\w+`?)", one,
+                     re.I)
+        if m and m.group(1).strip("`").lower() in autoinc \
+                and "(" in one and ")" in one \
+                and not re.search(r"INTO\s+`?\w+`?\s*\(", one, re.I):
+            one = re.sub(r"\(\s*0\s*,", "(NULL,", one)
+        con.execute(_unescape_mysql_strings(one))
+
     for stmt in gt.db_insert:
         for one in _split_sql(stmt):
             if not re.match(r"\s*(INSERT|REPLACE)\b", one, re.I):
@@ -151,7 +168,15 @@ def open_db(gt: GoldenTest) -> sqlite3.Connection:
                 except sqlite3.Error:
                     pass
                 continue
-            con.execute(_unescape_mysql_strings(one))
+            exec_insert(one)
+    for snippet in gt.custom_insert:
+        # the reference harness runs these as PHP (ubertest.php); the
+        # mini-interpreter covers the generator subset they use
+        from .phpmini import PhpError, run_custom_insert
+        try:
+            run_custom_insert(snippet, exec_insert)
+        except PhpError as e:
+            raise GoldenUnsupported(f"custom_insert: {e}")
     con.commit()
     return con
 
@@ -264,6 +289,21 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
         sd.attr_codes[name] = SPH_ATTR_MULTI64 if is64 else SPH_ATTR_MULTI
         sd.attrs.append(AttrDef(name, AttrType.MVA64 if is64
                                 else AttrType.MVA))
+    joined_defs = []   # (field_name, query, ranged, range_query)
+    for val in src.get("sql_joined_field", []):
+        # "name from query; SELECT ..." | "name from ranged-query; q; rq"
+        m = re.match(r"\s*(\w+)\s+from\s+(query|ranged-query|payload)\s*"
+                     r";(.*)$", val.strip(), re.I | re.S)
+        if not m:
+            raise GoldenUnsupported(f"sql_joined_field syntax: {val!r}")
+        jname, jkind, rest = m.group(1).lower(), m.group(2).lower(), \
+            m.group(3)
+        if jkind == "payload":
+            raise GoldenUnsupported("sql_joined_field payload")
+        qparts = _split_sql(rest)
+        joined_defs.append((jname, qparts[0], jkind == "ranged-query",
+                            qparts[1] if len(qparts) > 1 else None))
+
     field_string = [v.strip().lower()
                     for v in src.get("sql_field_string", [])]
     for name in field_string:
@@ -284,7 +324,14 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
     if q is None:
         raise GoldenUnsupported("source has no sql_query")
     if "$start" in q or "$end" in q:
-        raise GoldenUnsupported("ranged sql_query")
+        # ranged fetch: sql_query_range yields (min, max); one shot
+        # covers the whole range (step iteration is an io detail)
+        rq = (src.get("sql_query_range") or [None])[0]
+        if not rq:
+            raise GoldenUnsupported("ranged sql_query without range")
+        lo_hi = list(con.execute(rq))[0]
+        q = q.replace("$start", str(int(lo_hi[0])))
+        q = q.replace("$end", str(int(lo_hi[1])))
     cur = con.execute(q)
     cols = [d[0].lower() for d in cur.description]
     id_col = cols[0]
@@ -294,6 +341,23 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
     sd.fields = [c for c in cols[1:]
                  if (c not in attr_names and c not in mva_src_cols)
                  or c in field_string]
+    for jname, _q, _r, _rq in joined_defs:
+        if jname not in sd.fields:
+            sd.fields.append(jname)
+
+    joined_text: dict[str, dict[int, list[str]]] = {}
+    for jname, jq, jranged, jrq in joined_defs:
+        mp_j: dict[int, list[str]] = {}
+        if jranged:
+            if not jrq:
+                raise GoldenUnsupported("ranged joined field w/o range")
+            lo_hi = list(con.execute(jrq))[0]
+            jq = jq.replace("$start", str(int(lo_hi[0])))
+            jq = jq.replace("$end", str(int(lo_hi[1])))
+        for jrow in con.execute(jq):
+            mp_j.setdefault(int(jrow[0]), []).append(
+                "" if jrow[1] is None else str(jrow[1]))
+        joined_text[jname] = mp_j
 
     mva_field_col = {name: (src_col or name)
                      for name, _, fw, _, src_col in mva_defs
@@ -303,7 +367,17 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
         if fromwhat in ("query", "ranged-query"):
             mp: dict[int, list[int]] = {}
             if query:
-                for row in con.execute(query):
+                # "main-query; range-query" for ranged MVA fetches: the
+                # second statement yields ($start, $end) substituted into
+                # the first (sql_attr_multi ranged-query, sphinx.cpp);
+                # plain from-query MVAs have a single statement
+                stmts_q = _split_sql(query)
+                main_q = stmts_q[0]
+                if "$start" in main_q and len(stmts_q) > 1:
+                    lo_hi = list(con.execute(stmts_q[-1]))[0]
+                    main_q = main_q.replace("$start", str(int(lo_hi[0])))
+                    main_q = main_q.replace("$end", str(int(lo_hi[1])))
+                for row in con.execute(main_q):
                     mp.setdefault(int(row[0]), []).append(int(row[1]))
             mva_from_query[name] = mp
 
@@ -344,6 +418,8 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
                 if bits:
                     v &= (1 << bits) - 1
                 doc[name] = v
+        for jname, mp_j in joined_text.items():
+            doc[jname] = " ".join(mp_j.get(doc["id"], []))
         sd.docs.append(doc)
     return sd
 
@@ -605,7 +681,10 @@ def read_tsvpipe_source(src: dict, styp: str) -> SourceDef:
     for row in rows:
         if not row or not row[0].strip():
             continue
-        d: dict = {"id": int(row[0])}
+        m0 = re.match(r"\s*[-+]?\d+", row[0])
+        if not m0 or int(m0.group()) < 1:
+            continue   # bad/zero docid rows are skipped with a warning
+        d: dict = {"id": int(m0.group())}
         for (nm, kind), val in zip(layout, row[1:]):
             if kind == "field":
                 d[nm] = val
@@ -618,7 +697,9 @@ def read_tsvpipe_source(src: dict, styp: str) -> SourceDef:
             elif kind in ("STRING", "JSON"):
                 d[nm] = val
             else:
-                v = int(val.strip() or 0)
+                # strtoll semantics: leading integer digits, 0 if none
+                m3 = re.match(r"\s*[-+]?\d+", val)
+                v = int(m3.group()) if m3 else 0
                 bits = sd.attr_bits.get(nm)
                 if bits:
                     v &= (1 << bits) - 1
@@ -644,6 +725,11 @@ def index_options(idx: dict) -> tuple[dict, dict]:
     query-time defaults dict)."""
     o: dict[str, str] = {}
     qdef: dict = {}
+    morph = " ".join(idx.get("morphology", []))
+    if "lemmatize" in morph or "icu" in morph:
+        # AOT lemmatizers need .pak dictionaries and ICU needs its
+        # segmentation data — neither ships in this environment
+        raise GoldenUnsupported(f"morphology {morph!r} (no dictionaries)")
 
     def one(key, default=None):
         v = idx.get(key)
@@ -844,6 +930,12 @@ class GoldenEnv:
         from manticoresearch_tpu.schema import Schema, AttrDef, AttrType
 
         con = open_db(self.gt)
+        # searchd-section runtime vars surface in SHOW VARIABLES
+        # (grouping_in_utc etc., sphinxql HandleMysqlShowVariables)
+        sd_sec = section_dict(self.sections, "searchd", "")
+        for var in ("grouping_in_utc", "query_log_format", "collation_server"):
+            if sd_sec.get(var):
+                self.env.session.variables[var] = sd_sec[var][-1]
         for sec in self.sections:
             if sec.kind != "index":
                 continue
@@ -952,10 +1044,40 @@ class GoldenEnv:
             self._kills[(self._aid, sec.name)] = kill_ids
             self._klist_target[(self._aid, sec.name)] = (idx.get("killlist_target")
                                             or [""])[-1]
-            schema = Schema(fields=sd.fields, attrs=sd.attrs)
+            if len(sd.fields) > 32:
+                raise GoldenUnsupported(
+                    f"{len(sd.fields)} full-text fields (>32-field "
+                    f"masks not implemented)")
+            try:
+                schema = Schema(fields=sd.fields, attrs=sd.attrs)
+            except ValueError:
+                # invalid schema (duplicate names): the reference's
+                # indexer FAILS this index and searchd serves it as
+                # missing ("unknown local index")
+                continue
             b = IndexBuilder(schema, tok, dic)
             b.add_documents(docs)
             packed = b.build()
+            if str((idx.get("index_field_lengths") or ["0"])[-1]
+                   ).strip() == "1":
+                # index_field_lengths=1 exposes <field>_len token-count
+                # attrs (CSphColumnInfo TOKENCOUNT, sphinx.cpp)
+                from manticoresearch_tpu.schema import AttrDef, AttrType
+                row_of = {int(did): r for r, did in
+                          enumerate(packed.doc_ids.tolist())}
+                for doc in docs:
+                    r = row_of.get(int(doc["id"]))
+                    for fid, f in enumerate(schema.fields):
+                        doc[f + "_len"] = (
+                            int(packed.field_lens[r, fid])
+                            if r is not None else 0)
+                for f in schema.fields:
+                    sd.attrs.append(AttrDef(f + "_len", AttrType.UINT))
+                    sd.attr_codes[f + "_len"] = SPH_ATTR_INTEGER
+                schema = Schema(fields=sd.fields, attrs=sd.attrs)
+                b = IndexBuilder(schema, tok, dic)
+                b.add_documents(docs)
+                packed = b.build()
             rt = rt_from_packed(sec.name, packed)
             rt.options = dict(o)
             _apply_stored_fields(rt, o)
@@ -1579,34 +1701,41 @@ class GoldenEnv:
         shaped: list[dict] = []
         for k, stmt in enumerate(stmts):
             results = self.agents[aid].session.execute(stmt)
-            r = results[0] if results else None
-            out: dict = {"sphinxql": stmt.strip().rstrip(";").strip()}
-            if r is None:
-                out["total_affected"] = 0
-                shaped.append(extra(out))
+            if not results:
+                shaped.append(extra({
+                    "sphinxql": stmt.strip().rstrip(";").strip(),
+                    "total_affected": 0}))
                 continue
-            if r.error:
-                out["error"] = r.error
-                out["errno"] = 1064
+            stop = False
+            # a FACET statement yields one result set per facet — the
+            # php harness records each (mysqli_multi_query next_result)
+            for r in results:
+                out: dict = {"sphinxql": stmt.strip().rstrip(";").strip()}
+                if r.error:
+                    out["error"] = r.error
+                    out["errno"] = 1064
+                    shaped.append(extra(out))
+                    # mysqli_multi_query stops at the first failure
+                    stop = True
+                    break
+                if r.columns:
+                    rows = []
+                    for row in r.rows:
+                        d = {}
+                        for c, v in zip(r.columns, row):
+                            d[c] = _render_cell(v)
+                        if no_time and d.get("Variable_name") == "time":
+                            continue
+                        rows.append(d)
+                    out["total_rows"] = len(r.rows)
+                    if rows:
+                        out["rows"] = rows
+                    shaped.append(extra(out))
+                    continue
+                out["total_affected"] = r.affected
                 shaped.append(extra(out))
-                # mysqli_multi_query stops at the first failing statement
+            if stop:
                 break
-            if r.columns:
-                rows = []
-                for row in r.rows:
-                    d = {}
-                    for c, v in zip(r.columns, row):
-                        d[c] = _render_cell(v)
-                    if no_time and d.get("Variable_name") == "time":
-                        continue
-                    rows.append(d)
-                out["total_rows"] = len(r.rows)
-                if rows:
-                    out["rows"] = rows
-                shaped.append(extra(out))
-                continue
-            out["total_affected"] = r.affected
-            shaped.append(extra(out))
         return shaped
 
     def run_query(self, q) -> list[dict]:
@@ -1799,7 +1928,8 @@ def compare_result(ours: dict, model: dict,
 
         def keyed(rows):
             return sorted(rows, key=lambda d: str(sorted(
-                (str(k), str(v)) for k, v in dict(d).items())))
+                (str(k), str(v)) for k, v in dict(d).items()))
+                if isinstance(d, dict) else str(d))
         a2 = dict(a)
         b2 = dict(b)
         a2["rows"] = keyed(rows_list(a))

@@ -1197,7 +1197,8 @@ class GoldenEnv:
                  "filter_exclude", "index", "limits", "cutoff", "resarray",
                  "roundoff", "expect_error", "groupattr", "groupfunc",
                  "groupsort", "groupdistinct", "select", "index_weights",
-                 "tag", "comment"}
+                 "tag", "comment", "geoanchor", "filters_list",
+                 "limits_full"}
         unknown = set(attrs) - known
         if unknown:
             raise GoldenUnsupported(f"API query attrs {sorted(unknown)}")
@@ -1234,11 +1235,39 @@ class GoldenEnv:
             raise GoldenUnsupported(f"match mode {mode}")
 
         limit = 20
+        offset0 = 0
+        max_matches0 = 1000
         if attrs.get("limits"):
             limit = int(attrs["limits"])
         cutoff = int(attrs.get("cutoff", 0) or 0)
+        if attrs.get("limits_full"):
+            offset0, limit, mm, co = attrs["limits_full"]
+            if mm:
+                max_matches0 = mm
+            if co:
+                cutoff = co
+        geo = attrs.get("geoanchor")
+        geo_filters: list[dict] = []
 
         filters = []
+        for fd in (attrs.get("filters_list") or []):
+            if fd["name"] == "@geodist" or geo is not None \
+                    and fd["name"] in ():
+                geo_filters.append(fd)
+                continue
+            if fd["kind"] == "values":
+                filters.append(AttrFilterDef(
+                    attr=fd["name"], kind="values",
+                    values=list(fd["values"]),
+                    exclude=fd.get("exclude", False)))
+            elif fd["kind"] == "range":
+                filters.append(AttrFilterDef(
+                    attr=fd["name"], kind="range_i", lo=fd["lo"],
+                    hi=fd["hi"], exclude=fd.get("exclude", False)))
+            else:
+                filters.append(AttrFilterDef(
+                    attr=fd["name"], kind="range_f", lo=fd["lo"],
+                    hi=fd["hi"], exclude=fd.get("exclude", False)))
         if attrs.get("filter"):
             name = attrs["filter"]
             exclude = attrs.get("filter_exclude") == "1"
@@ -1389,7 +1418,14 @@ class GoldenEnv:
             group_sort = [(canon(k2) if k2 not in
                            ("weight", "id", "@groupby", "@count") else k2,
                            a2) for k2, a2 in group_sort]
-        wide = 1000 if sort_expr is not None else limit
+        wide = 1000 if (sort_expr is not None or geo is not None) \
+            else limit
+        geo_sort = None
+        if geo is not None:
+            # geoanchor: @geodist computed host-side over the wide
+            # window; requested sort/filters apply after
+            geo_sort = sort
+            sort = [("weight", False), ("id", True)]
         sel = None
         agg_items: dict[str, str] = {}   # alias -> engine aggregate key
         if group_by:
@@ -1417,8 +1453,10 @@ class GoldenEnv:
         # sortmode/sortby picks each group's representative row
         # (SetSortMode vs SetGroupBy group-sort, sphinxsort.cpp)
         within = sort if (group_by and sort) else None
-        sq = SearchQuery(match=text, limit=wide, offset=0,
-                         max_matches=1000, ranker=ranker,
+        sq = SearchQuery(match=text, limit=wide,
+                         offset=(offset0 if geo is None
+                                 and sort_expr is None else 0),
+                         max_matches=max_matches0, ranker=ranker,
                          sort=(group_sort or sort), filters=filters,
                          cutoff=cutoff, group_by=group_by, select=sel,
                          within_sort=within,
@@ -1452,6 +1490,35 @@ class GoldenEnv:
             else:
                 res = merge_part_results(results, sq,
                                          parts[0].schema)
+        if geo is not None and not res.error:
+            from manticoresearch_tpu.utils.geodist import _sphere_rad
+            alat_attr, along_attr, alat, along = geo
+            import numpy as _np
+            for m in res.matches:
+                m.attrs["@geodist"] = float(_sphere_rad(
+                    float(_np.float32(alat)), float(_np.float32(along)),
+                    float(_np.float32(m.attrs.get(alat_attr, 0.0) or 0)),
+                    float(_np.float32(m.attrs.get(along_attr, 0.0)
+                                      or 0))))
+            for fd in geo_filters:
+                lo, hi = fd.get("lo"), fd.get("hi")
+                excl = fd.get("exclude", False)
+                kept = []
+                for m in res.matches:
+                    v = m.attrs["@geodist"]
+                    ok = (lo is None or v >= lo) and (hi is None or
+                                                      v <= hi)
+                    if ok != excl:
+                        kept.append(m)
+                res.matches = kept
+                res.total = res.total_found = len(kept)
+            if geo_sort:
+                from manticoresearch_tpu.exec.multi import _apply_sort
+
+                class _Q:
+                    sort = geo_sort
+                _apply_sort(res.matches, _Q)
+            res.matches = res.matches[offset0:offset0 + limit]
         if sort_expr is not None and not res.error:
             from manticoresearch_tpu.query.expr import (ExprError,
                                                         eval_expr_host)
@@ -1573,6 +1640,8 @@ class GoldenEnv:
                         attrs_map[alias] = SPH_ATTR_STRING
         if has_expr:
             attrs_map["@expr"] = SPH_ATTR_FLOAT
+        if res.matches and "@geodist" in res.matches[0].attrs:
+            attrs_map["@geodist"] = SPH_ATTR_FLOAT
         if group_by:
             # the server appends the group-by magic attrs
             attrs_map["@groupby"] = SPH_ATTR_BIGINT
@@ -1742,6 +1811,12 @@ class GoldenEnv:
         if q.type == "sphinxql":
             return self.run_ql_query(q)
         if q.type == "api":
+            if self.gt.query_settings:
+                # driven by the <query_settings> PHP block (the harness
+                # eval's it per <query> element, helpers.inc:2516)
+                from .phpapi import run_query_settings
+                return run_query_settings(self, self.gt.query_settings,
+                                          q.query)
             return [self.run_api_query(q)]
         if q.type == "comment":
             return [{"comment": q.query}]
@@ -1781,6 +1856,8 @@ def _parse_extended_sort(sortby: str) -> list:
             name = "weight"
         elif name in ("@id",):
             name = "id"
+        elif name in ("@geodist", "@count", "@groupby"):
+            pass   # computed keys resolve host-side
         elif name.startswith("@"):
             raise GoldenUnsupported(f"sort key {name}")
         out.append((name, asc))

@@ -53,6 +53,7 @@ class GoldenTest:
     has_custom: bool = False
     query_attributes: list[str] = field(default_factory=list)
     indexer_runs: list[str] = field(default_factory=list)
+    query_settings: str = ""          # <query_settings> PHP block
 
     @property
     def n_subtests(self) -> int:
@@ -218,6 +219,9 @@ def load_test(dirname: str, root: str = TESTROOT) -> GoldenTest:
     qa = _get_first(tree, "query_attributes")
     if qa is not None:
         gt.query_attributes = [(c.text or "") for c in qa]
+    qset = _get_first(tree, "query_settings")
+    if qset is not None:
+        gt.query_settings = (qset.text or "").strip()
 
     for c in tree:
         t = _tag(c)

@@ -191,7 +191,8 @@ def settings_from_sql_options(options: dict[str, str]
         wordforms = []
     dic = DictSettings(
         stopwords=frozenset(_list("stopwords")),
-        morphology=_list("morphology"),
+        morphology=tuple(m for m in _list("morphology")
+                         if m != "none"),
         wordforms=tuple(wordforms),
         index_exact_words=_b("index_exact_words"),
         min_stemming_len=_i("min_stemming_len", 1),

@@ -1089,24 +1089,32 @@ class Session:
             tok = Tokenizer(t.tok_settings)
             dic = Dictionary(t.dict_settings)
             total_docs, df = t.global_stats()
+            want_stats = False
+            if len(st.args) > 2:
+                want_stats = str(st.args[2]).strip() in ("1", "true")
             rows = []
             qpos = 0
             for token in tok.tokenize(str(text)):
-                for term in dic.process(token.text) or [None]:
-                    if term is None:
-                        continue
-                    qpos += 1
-                    docs = df.get(term, 0)
-                    hits = 0
-                    for seg in t.segments:
-                        tid = seg.packed.term_id(term)
-                        if tid >= 0:
-                            hits += int(seg.packed.term_hits[tid])
-                    rows.append((str(qpos), token.text, term,
-                                 str(docs), str(hits)))
-            return QLResult(
-                columns=["qpos", "tokenized", "normalized", "docs", "hits"],
-                rows=rows)
+                terms = dic.process(token.text)
+                term = terms[0] if terms else None
+                if term is None:
+                    continue
+                qpos += 1
+                if not want_stats:
+                    rows.append((str(qpos), token.text, term))
+                    continue
+                docs = df.get(term, 0)
+                hits = 0
+                for seg in t.segments:
+                    tid = seg.packed.term_id(term)
+                    if tid >= 0:
+                        hits += int(seg.packed.term_hits[tid])
+                rows.append((str(qpos), token.text, term,
+                             str(docs), str(hits)))
+            cols = ["qpos", "tokenized", "normalized"]
+            if want_stats:
+                cols += ["docs", "hits"]
+            return QLResult(columns=cols, rows=rows)
         if st.func == "SUGGEST" or st.func == "QSUGGEST":
             return self._suggest(st)
         if st.func == "SNIPPETS":

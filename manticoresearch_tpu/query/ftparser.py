@@ -448,6 +448,12 @@ class FtQueryParser:
         if t.kind == "quote":
             return self._parse_quoted()
         if t.kind == "word":
+            if t.text == "=" and self.i + 1 < len(self.toks) \
+                    and self.toks[self.i + 1].kind == "quote":
+                # ='phrase': exact-form distributes to every phrase term
+                # (sphinxquery.cpp exact-form before quote)
+                self._next()
+                return self._parse_quoted(exact=True)
             self._next()
             return self._make_term_atom(t.text)
         if t.kind == "field":
@@ -525,7 +531,7 @@ class FtQueryParser:
         # indexes as consecutive positions -> behaves as a phrase
         return QPhrase(tuple(terms), self.cur_fields)
 
-    def _parse_quoted(self):
+    def _parse_quoted(self, exact: bool = False):
         self._next()  # opening quote
         # specials lose their meaning inside quotes: regroup tokens into
         # whitespace-separated RAW chunks by source adjacency and let the
@@ -586,12 +592,16 @@ class FtQueryParser:
                     entries.append((term, base))
                 continue
             if any(c in "*?" for c in chunk):
+                if all(c in "*?" for c in chunk):
+                    # a lone '*' placeholder consumes ONE position and
+                    # matches anything ("that * box": that@1 box@3,
+                    # sphinxquery.cpp star-in-phrase)
+                    base += 1
+                    continue
                 if not wc_enabled:
                     chunk = chunk.replace("*", " ").replace("?", " ").strip()
                     if not chunk:
                         continue
-                elif all(c in "*?" for c in chunk):
-                    continue
                 else:
                     base += 1
                     entries.append((chunk.lower(), base))
@@ -606,7 +616,7 @@ class FtQueryParser:
                 toks = [toks[0]]
             for tk in toks:
                 term = self.dictionary.process_query_term(tk.text,
-                                                          exact=False)
+                                                          exact=exact)
                 if term is not None:
                     entries.append((term, base + tk.position))
             if toks:

@@ -94,15 +94,22 @@ class Dictionary:
         # coexists with wildcard indexing — the reference expands wildcards
         # over nonstemmed forms only (sphExpandGetWords "prefix expansion
         # should work on nonstemmed words only", sphinx.cpp:14965)
-        if s.index_exact_words or (
+        exact_on = s.index_exact_words and (self._morphs
+                                            or self._wordforms)
+        if exact_on or (
                 self._morphs and (s.min_prefix_len > 0
                                   or s.min_infix_len > 0)):
             return [term, "=" + token]
         return [term]
 
     def process_query_term(self, token: str, exact: bool = False) -> str | None:
-        """Query-side term mapping; exact=True means the =term operator."""
-        if exact:
+        """Query-side term mapping; exact=True means the =term operator.
+        With index_exact_words disabled the '=' loses its meaning and the
+        keyword processes normally (sphinxquery.cpp exact-form check)."""
+        if exact and self.settings.index_exact_words \
+                and (self._morphs or self._wordforms):
+            # without morphology/wordforms the exact form IS the plain
+            # form: the reference drops the '=' with a warning
             return "=" + token
         out = self.process(token)
         if not out:

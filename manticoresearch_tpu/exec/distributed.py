@@ -134,6 +134,43 @@ class DistributedTable:
                 continue
         return n
 
+    def commit(self) -> None:
+        """Transactional surface: local parts commit their own staged
+        writes (update/delete fan-outs already commit per part)."""
+        for nm in self.locals_:
+            try:
+                t = self.catalog.get(nm)
+            except (ValueError, KeyError):
+                continue
+            if hasattr(t, "commit"):
+                t.commit()
+
+    def global_stats(self):
+        """Aggregated (total_docs, df) over local parts (CALL KEYWORDS
+        against a distributed table sums local stats)."""
+        total = 0
+        df: dict = {}
+        for nm in self.locals_:
+            try:
+                t = self.catalog.get(nm)
+            except (ValueError, KeyError):
+                continue
+            td, d = t.global_stats()
+            total += td
+            for k, v in d.items():
+                df[k] = df.get(k, 0) + v
+        return total, df
+
+    @property
+    def segments(self):
+        segs = []
+        for nm in self.locals_:
+            try:
+                segs.extend(self.catalog.get(nm).segments)
+            except (ValueError, KeyError, AttributeError):
+                continue
+        return segs
+
     def flush(self) -> None:
         pass
 

@@ -37,10 +37,11 @@ def _apply_sort(matches, q, presort_docid: bool = True):
                     v = eval_expr_host(_t, m.attrs, m.weight, m.docid)
                 except Exception:   # noqa: BLE001 — missing path -> None
                     v = None
-                # None sorts last regardless of direction; mixed types
-                # compare as (type_rank, value)
+                # missing JSON keys compare as the smallest value
+                # (null==0; golden test_234 j.uid asc puts them first);
+                # mixed types compare as (type_rank, value)
                 if v is None:
-                    return (2, 0)
+                    return (-1, 0)
                 if isinstance(v, (int, float)) and not isinstance(v, bool):
                     return (0, v)
                 return (1, str(v))
@@ -141,7 +142,10 @@ def search_rt(rt, q):
         df, total_docs = gstats
     # each part plans/executes with global stats; fetch enough rows to merge
     from .searcher import _wants_packedfactors
-    part_q = dc_replace(q, offset=0, limit=q.offset + q.limit, select=None)
+    pf_sel = [s for s in (q.select or [])
+              if s.lower().replace(" ", "").startswith("packedfactors(")]
+    part_q = dc_replace(q, offset=0, limit=q.offset + q.limit,
+                        select=pf_sel or None)
     results = []
     for part in parts:
         cq_kwargs = dict(total_docs_override=total_docs, local_df=df,

@@ -624,9 +624,15 @@ class SearchIndex:
         if pf_out is not None:
             pf = {k: np.asarray(v) for k, v in pf_out.items()
                   if k.startswith("pf_")}
+            pf_keys = [s2 for s2 in (q.select or [])
+                       if s2.lower().replace(" ", "").startswith(
+                           "packedfactors(")]
             for m, j in zip(matches, sel.tolist()):
-                m.attrs["packedfactors()"] = _render_packed_factors(
-                    pf, j, self.schema.fields, cq.slot_terms, cq.runtime)
+                for pk in (pf_keys or ["packedfactors()"]):
+                    as_json = "json=1" in pk.lower().replace(" ", "")
+                    m.attrs[pk] = _render_packed_factors(
+                        pf, j, self.schema.fields, cq.slot_terms,
+                        cq.runtime, as_json=as_json)
         dt = (time.perf_counter() - t0) * 1000.0
         stats = [WordStat(t, d, h) for t, d, h in cq.stat_list]
         total = min(found, q.max_matches)
@@ -682,36 +688,90 @@ class SearchIndex:
 
 
 def _wants_packedfactors(select) -> bool:
-    return any(s.lower().replace(" ", "") == "packedfactors()"
+    return any(s.lower().replace(" ", "").startswith("packedfactors(")
                for s in (select or []))
 
 
 def _render_packed_factors(pf: dict, j: int, fields, slot_terms,
-                           runtime) -> str:
+                           runtime, as_json: bool = False) -> str:
     """Text form of the factor blob (PACKEDFACTORS() / the SPH_UDF_FACTORS
     layout rendered like the reference's ToString path): doc-level factors,
     then per-field blocks for matched fields, then per-word tf/idf."""
+    def _f(v):
+        # the reference StringBuilder's %f: %.8f with trailing zeros
+        # trimmed down to at least 6 decimals (0 -> "0.000000")
+        s2 = f"{float(np.float32(v)):.8f}"
+        while s2.endswith("0") and len(s2.split(".")[1]) > 6:
+            s2 = s2[:-1]
+        return s2
+
+    if as_json:
+        fields_out = []
+        for f, fname in enumerate(fields):
+            if not int(pf["pf_hit_count"][j, f]):
+                continue
+            fields_out.append(
+                f'{{"field":{f}, "lcs":{int(pf["pf_lcs"][j, f])}, '
+                f'"hit_count":{int(pf["pf_hit_count"][j, f])}, '
+                f'"word_count":{int(pf["pf_word_count"][j, f])}, '
+                f'"tf_idf":{_f(pf["pf_tf_idf"][j, f])}, '
+                f'"min_idf":{_f(pf["pf_min_idf"][j, f])}, '
+                f'"max_idf":{_f(pf["pf_max_idf"][j, f])}, '
+                f'"sum_idf":{_f(pf["pf_sum_idf"][j, f])}, '
+                f'"min_hit_pos":{int(pf["pf_min_hit_pos"][j, f])}, '
+                f'"min_best_span_pos":'
+                f'{int(pf["pf_min_best_span_pos"][j, f])}, '
+                f'"exact_hit":{int(pf["pf_exact_hit"][j, f])}, '
+                f'"max_window_hits":'
+                f'{int(pf["pf_max_window_hits"][j, f])}, '
+                f'"min_gaps":{int(pf["pf_min_gaps"][j, f])}, '
+                f'"exact_order":{int(pf["pf_exact_order"][j, f])}, '
+                f'"lccs":{int(pf["pf_lccs"][j, f])}, '
+                f'"wlccs":{_f(pf["pf_wlccs"][j, f])}, '
+                f'"atc":{_f(pf["pf_atc"][j, f])}}}')
+        idf = np.asarray(runtime["idf"])
+        words_out = []
+        for s, term in enumerate(slot_terms):
+            tf = int(pf["pf_word_tf"][j, s])
+            if tf:
+                words_out.append(f'{{"tf":{tf}, "idf":{_f(idf[s])}}}')
+        return (f'{{"bm25":{int(pf["pf_bm25"][j])}, '
+                f'"bm25a":{_f(pf["pf_bm25a"][j])}, '
+                f'"field_mask":{int(pf["pf_field_mask"][j])}, '
+                f'"doc_word_count":{int(pf["pf_doc_word_count"][j])}, '
+                f'"fields":[{", ".join(fields_out)}], '
+                f'"words":[{", ".join(words_out)}]}}')
     parts = [
-        f"bm25={int(pf['pf_bm25'][j])}",
-        f"field_mask={int(pf['pf_field_mask'][j])}",
+        f"bm25={int(pf['pf_bm25'][j])}, "
+        f"bm25a={_f(pf['pf_bm25a'][j])}, "
+        f"field_mask={int(pf['pf_field_mask'][j])}, "
         f"doc_word_count={int(pf['pf_doc_word_count'][j])}",
     ]
-    fmask = int(pf["pf_field_mask"][j])
     for f, fname in enumerate(fields):
-        if not (fmask >> f) & 1:
+        if not int(pf["pf_hit_count"][j, f]):
             continue
         parts.append(
             f"field{f}=(lcs={int(pf['pf_lcs'][j, f])}, "
             f"hit_count={int(pf['pf_hit_count'][j, f])}, "
             f"word_count={int(pf['pf_word_count'][j, f])}, "
-            f"tf_idf={float(pf['pf_tf_idf'][j, f]):.6f}, "
+            f"tf_idf={_f(pf['pf_tf_idf'][j, f])}, "
+            f"min_idf={_f(pf['pf_min_idf'][j, f])}, "
+            f"max_idf={_f(pf['pf_max_idf'][j, f])}, "
+            f"sum_idf={_f(pf['pf_sum_idf'][j, f])}, "
             f"min_hit_pos={int(pf['pf_min_hit_pos'][j, f])}, "
-            f"exact_hit={int(pf['pf_exact_hit'][j, f])})")
+            f"min_best_span_pos={int(pf['pf_min_best_span_pos'][j, f])}, "
+            f"exact_hit={int(pf['pf_exact_hit'][j, f])}, "
+            f"max_window_hits={int(pf['pf_max_window_hits'][j, f])}, "
+            f"min_gaps={int(pf['pf_min_gaps'][j, f])}, "
+            f"exact_order={int(pf['pf_exact_order'][j, f])}, "
+            f"lccs={int(pf['pf_lccs'][j, f])}, "
+            f"wlccs={_f(pf['pf_wlccs'][j, f])}, "
+            f"atc={_f(pf['pf_atc'][j, f])})")
     idf = np.asarray(runtime["idf"])
     for s, term in enumerate(slot_terms):
         tf = int(pf["pf_word_tf"][j, s])
         if tf:
-            parts.append(f"word{s}=(tf={tf}, idf={float(idf[s]):.6f})")
+            parts.append(f"word{s}=(tf={tf}, idf={_f(idf[s])})")
     return ", ".join(parts)
 
 

@@ -263,6 +263,7 @@ class Session:
         self.in_txn = False
         self.txn_tables: set[str] = set()
         self.last_meta: list[tuple[str, str]] = []
+        self.last_weights: dict[int, int] = {}   # docid -> weight (http)
         self.last_profile: list[tuple[str, float]] = []
         self.last_plan: str | None = None
         self._qcache: dict = {}        # (sql, gens) -> results (opt-in)
@@ -480,19 +481,17 @@ class Session:
                                               m.docid)
                     except ExprError:
                         return None
-                have = [m for m in res.matches if _val(m) is not None]
-                none_rows = [m for m in res.matches if _val(m) is None]
-
                 def _k(m):
                     v = _val(m)
+                    # missing values (absent JSON path) compare as the
+                    # smallest value (null==0 — golden test_234)
+                    if v is None:
+                        return (-1, 0)
                     if isinstance(v, (int, float)) \
                             and not isinstance(v, bool):
                         return (0, v)
                     return (1, str(v))
-                have.sort(key=_k, reverse=not asc)
-                # rows with no value (missing JSON path) sort last in
-                # either direction, like the reference's null ordering
-                res.matches = have + none_rows
+                res.matches.sort(key=_k, reverse=not asc)
             res.matches = res.matches[offset:offset + limit]
         if (q.group_by == "1" and st.group_by is None and res.error is None
                 and not res.matches):
@@ -734,8 +733,10 @@ class Session:
             elif lraw in ("groupby()", "@groupby"):
                 getters.append(lambda m: m.attrs.get(
                     "@groupby", m.attrs.get(st.group_by)))
-            elif lraw == "packedfactors()":
-                getters.append(lambda m: m.attrs.get("packedfactors()", ""))
+            elif lraw.startswith("packedfactors("):
+                getters.append(lambda m, n=raw: m.attrs.get(
+                    n, m.attrs.get(n.replace(" ", ""),
+                                   m.attrs.get("packedfactors()", ""))))
             elif lraw in ("count(*)", "@count") or lraw.startswith(
                     ("count(", "sum(", "min(", "max(", "avg(",
                      "group_concat(")):
@@ -826,6 +827,7 @@ class Session:
         return QLResult(columns=dedup_cols, rows=rows)
 
     def _store_meta(self, res) -> None:
+        self.last_weights = {m.docid: m.weight for m in res.matches}
         meta = [("total", str(res.total)),
                 ("total_found", str(res.total_found)),
                 ("time", f"{res.time_ms / 1000.0:.3f}")]

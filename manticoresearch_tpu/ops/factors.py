@@ -48,7 +48,7 @@ class FactorContext:
     """Computes factor arrays from the sorted ranker hit stream."""
 
     def __init__(self, *, N, F, S, stream, lcs, bm25part, termmask, rt,
-                 field_lens):
+                 field_lens, fl_on: bool = True):
         # stream: (hrow, hpk, hqp, hslot, valid_mask) — sorted not required
         self.N, self.F, self.S = N, F, S
         self.stream = stream
@@ -57,6 +57,9 @@ class FactorContext:
         self.termmask = termmask        # [N+1, W] multi-word bitmask
         self.rt = rt
         self.field_lens = field_lens    # [N+1, F]
+        # without index_field_lengths the reference has no LENGTH attrs:
+        # bm25a/bm25f see dl=0 (sphinxsearch.cpp m_iDocLen fallback)
+        self.fl_bm25 = 1.0 if fl_on else 0.0
         self._cache: dict[str, jax.Array] = {}
 
     def _scatter_field(self, vals, reduce="add", init=0):
@@ -392,7 +395,7 @@ class FactorContext:
         ftf = self._field_tf()                       # [N+1, F, S]
         tf = jnp.sum(ftf, axis=1).astype(jnp.float32)  # [N+1, S]
         dl = jnp.sum(self.field_lens[:, : self.F], axis=1
-                     ).astype(jnp.float32)
+                     ).astype(jnp.float32) * jnp.float32(self.fl_bm25)
         avgdl = self.rt["avg_doc_len"][0]
         idf = self.rt["idf"][: self.S][None, :]
         norm = jnp.float32(k1) * (1.0 - b + b * dl[:, None] /
@@ -409,7 +412,8 @@ class FactorContext:
         else:
             w = weights.astype(jnp.float32)
         tf = jnp.sum(ftf * w[None, :, None], axis=1)  # [N+1, S]
-        dl = jnp.sum(self.field_lens[:, : self.F].astype(jnp.float32)
+        dl = jnp.float32(self.fl_bm25) * jnp.sum(
+            self.field_lens[:, : self.F].astype(jnp.float32)
                      * w[None, :], axis=1)
         # weighted avgdl = sum_f total_field_len_f * w_f / total_docs
         avgdl = jnp.sum(self.rt["total_field_lens"] * w) / \

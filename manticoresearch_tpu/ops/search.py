@@ -960,7 +960,8 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                             N=N, F=F, S=S,
                             stream=(hrow, hpk, hqp, hslot, hrow < N),
                             lcs=lcs, bm25part=bm25part, termmask=termmask,
-                            rt=rt, field_lens=data["field_lens"])
+                            rt=rt, field_lens=data["field_lens"],
+                            fl_on=sig.fl_on)
                         res = eval_ranker_expr(sig.ranker_expr, ctx)
                         weight = jnp.trunc(res.astype(jnp.float32)
                                            ).astype(jnp.int32)
@@ -971,6 +972,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                             # sphinxsearch.cpp factor blob)
                             dbg_factors.update({
                                 "pf_bm25": bm25part,
+                                "pf_bm25a": ctx.bm25a(1.2, 0.75),
                                 "pf_doc_word_count":
                                     ctx.get("doc_word_count"),
                                 "pf_field_mask": ctx.get("field_mask"),
@@ -978,8 +980,20 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                                 "pf_hit_count": ctx.get("hit_count"),
                                 "pf_word_count": ctx.get("word_count"),
                                 "pf_tf_idf": ctx.get("tf_idf"),
+                                "pf_min_idf": ctx.get("min_idf"),
+                                "pf_max_idf": ctx.get("max_idf"),
+                                "pf_sum_idf": ctx.get("sum_idf"),
                                 "pf_min_hit_pos": ctx.get("min_hit_pos"),
+                                "pf_min_best_span_pos":
+                                    ctx.get("min_best_span_pos"),
                                 "pf_exact_hit": ctx.get("exact_hit"),
+                                "pf_max_window_hits":
+                                    ctx.max_window_hits(1),
+                                "pf_min_gaps": ctx.get("min_gaps"),
+                                "pf_exact_order": ctx.get("exact_order"),
+                                "pf_lccs": ctx.get("lccs"),
+                                "pf_wlccs": ctx.get("wlccs"),
+                                "pf_atc": ctx.get("atc"),
                                 "pf_word_tf":
                                     jnp.sum(ctx._field_tf(), axis=1),
                             })

@@ -74,7 +74,15 @@ def _walk_query(q: dict, ft_parts: list[str], filters: list[AttrFilterDef],
                 sub_f: list[AttrFilterDef] = []
                 for sh in should:
                     _walk_query(sh, sub_ft, sub_f, negate_ft)
-                if sub_f:
+                if sub_f and not sub_ft and len(
+                        {f.attr for f in sub_f}) == 1 and all(
+                        f.kind == "values" and not f.exclude
+                        for f in sub_f):
+                    # OR of equals on one attr folds into a values set
+                    filters.append(AttrFilterDef(
+                        sub_f[0].attr, "values",
+                        values=[v for f in sub_f for v in f.values]))
+                elif sub_f:
                     raise JsonQueryError(
                         "attribute conditions under 'should' are not "
                         "supported yet (OR of filters)")
@@ -128,45 +136,114 @@ def parse_json_query(body: dict) -> tuple[str, SearchQuery, dict]:
             f"-{p}" for p in negate_ft if p)
 
     sort: list[tuple[str, bool]] = []
+    geo_sort = None
+    mva_sort = None
     for s in body.get("sort", []) or []:
         if isinstance(s, str):
-            sort.append((s, True))
+            sort.append((s, s != "_score"))
         elif isinstance(s, dict):
             for col, spec in s.items():
+                if col == "_geo_distance":
+                    # sort by distance from an anchor; location_source
+                    # names the lat/lon attrs (degrees in the json API)
+                    anchor = spec.get("location_anchor") or {}
+                    raw_src = spec.get("location_source", "")
+                    if isinstance(raw_src, list):
+                        srcs = [str(x) for x in raw_src]
+                    else:
+                        srcs = [x for x in
+                                re.split(r"[,\s]+", str(raw_src)) if x]
+                    geo_sort = {"lat": float(anchor.get("lat", 0)),
+                                "lon": float(anchor.get("lon", 0)),
+                                "attrs": srcs,
+                                "asc": str(spec.get("order", "asc")
+                                           ).lower() != "desc"}
+                    sort.append(("@geodist", geo_sort["asc"]))
+                    continue
                 order = spec.get("order", "asc") if isinstance(spec, dict) \
                     else spec
+                if isinstance(spec, dict) and spec.get("mode"):
+                    # MVA sort: min/max of the value list, host-side
+                    mva_sort = {"col": col,
+                                "mode": str(spec["mode"]).lower(),
+                                "asc": str(order).lower() != "desc"}
+                    sort.append(("@mva_sort", mva_sort["asc"]))
+                    continue
                 sort.append((col, str(order).lower() != "desc"))
     if not sort:
         sort = [("weight", False), ("id", True)]
-    if sort and sort[0][0] == "_score":
-        sort[0] = ("weight", sort[0][1])
+    sort = [(("weight" if c == "_score" else c), a) for c, a in sort]
 
     limit = int(body.get("limit", body.get("size", 20)))
     offset = int(body.get("offset", body.get("from", 0)))
 
     src = body.get("_source")
     select = None
-    if isinstance(src, list):
+    if isinstance(src, str):
+        select = [src]
+    elif isinstance(src, list):
         select = [str(c) for c in src]
+    elif isinstance(src, dict):
+        # {"includes": [...], "excludes": [...]}: excludes glob; the
+        # recorded wire format treats dict-form includes as EXACT names
+        # ('=' prefix for the renderer; '-' marks excludes)
+        if "includes" in src:
+            select = ["=" + str(c) for c in (src.get("includes") or [])]
+        else:
+            select = ["*"]
+        select += ["-" + str(c) for c in (src.get("excludes") or [])]
     elif src is False:
         select = []
 
+    if mva_sort:
+        sort = [(c, a) for c, a in sort if c != "@mva_sort"] \
+            or [("weight", False), ("id", True)]
+    ranker = "proximity_bm25"
+    if (mva_sort or (sort and sort[0][0] not in ("weight", "_score"))) \
+            and not body.get("track_scores"):
+        # attr-sorted searches skip ranking unless track_scores is set
+        # (_score renders 1)
+        ranker = "none"
     sq = SearchQuery(
         match=match, filters=filters, limit=limit, offset=offset,
         max_matches=int(body.get("max_matches", 1000)),
-        sort=sort, select=select,
+        sort=sort, select=select, ranker=ranker,
     )
-    aggs = body.get("aggs") or {}
+    extras = {}
+    if geo_sort:
+        extras["geo_sort"] = geo_sort
+    if mva_sort:
+        extras["mva_sort"] = mva_sort
+    aggs = dict(body.get("aggs") or {})
+    if extras:
+        aggs["__extras__"] = extras
     return str(index), sq, aggs
 
 
 def render_result(res, aggs_results: dict | None = None,
-                  source: list[str] | None = None) -> dict:
+                  source: list[str] | None = None,
+                  attr_names: set | None = None) -> dict:
     hits = []
     for m in res.matches:
         attrs = m.attrs
+        if attr_names is not None:
+            # _source carries ATTRIBUTES (stored fields are a separate
+            # surface in the recorded wire format)
+            attrs = {k: v for k, v in attrs.items() if k in attr_names}
         if source is not None:
-            attrs = {k: v for k, v in attrs.items() if k in source}
+            import fnmatch
+            inc = [p for p in source
+                   if not p.startswith("-") and not p.startswith("=")]
+            inc_exact = [p[1:] for p in source if p.startswith("=")]
+            exc = [p[1:] for p in source if p.startswith("-")]
+
+            def _keep(k):
+                if (inc or inc_exact) and not (
+                        any(fnmatch.fnmatch(k, p) for p in inc)
+                        or k in inc_exact):
+                    return False
+                return not any(fnmatch.fnmatch(k, p) for p in exc)
+            attrs = {k: v for k, v in attrs.items() if _keep(k)}
         hits.append({
             "_id": m.docid,
             "_score": m.weight,

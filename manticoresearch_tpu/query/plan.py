@@ -49,6 +49,9 @@ class PlanSig:
     ranker_expr: tuple = ()    # formula tree for ranker=expr('...')
     emit_factors: bool = False  # PACKEDFACTORS(): output factor arrays
                                 # gathered at the top-k rows
+    fl_on: bool = False         # index_field_lengths: doc lengths feed
+                                # bm25a/bm25f (dl=0 when the index lacks
+                                # LENGTH attrs, like the reference)
     slot_occs: tuple = ()       # HANDLE_DUPES: per-slot tuple of query
                                 # positions when a keyword occurs more than
                                 # once in the query (else empty)

@@ -820,6 +820,11 @@ def plan_query(
         # field-start/exact-hit boosts); equals the documented formula
         ranker = ("expr", "sum((4*lcs+2*(min_hit_pos==1)+exact_hit)"
                           "*user_weight)*1000+bm25")
+    if emit_factors and ranker == "proximity_bm25":
+        # PACKEDFACTORS() with the default ranker: run the expr ranker
+        # with the equivalent formula so factors are materialized
+        # (the reference collects factors under any ranker)
+        ranker = ("expr", "sum(lcs*user_weight)*1000+bm25")
     eff_ranker = ranker
     ranker_expr: tuple = ()
     if isinstance(ranker, tuple) and ranker[0] == "expr":
@@ -1146,6 +1151,7 @@ def plan_query(
                                n_qwords=n_qwords)
 
     sig = PlanSig(
+        fl_on=bool(getattr(index, "index_field_lengths", False)),
         expr=expr, n_slots=S, ranker=eff_ranker,
         filters=tuple(fspecs), k=k, order=order,
         slot_limited=slot_limited, ranker_expr=ranker_expr,

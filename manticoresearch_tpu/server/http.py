@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import re
 import urllib.parse
 from typing import Any
 
@@ -125,8 +126,10 @@ class HttpServer:
                 json.dumps(obj, default=str).encode())
 
     def _handle_sql(self, route, qs, body: bytes):
+        raw_mode = "raw" in (qs.get("mode") or [])
         if route == "/cli":
             sql = body.decode("utf-8")
+            raw_mode = True
         else:
             raw = body.decode("utf-8")
             if raw.startswith("query=") or "query" in qs:
@@ -134,18 +137,71 @@ class HttpServer:
                     sql = urllib.parse.unquote_plus(raw[6:])
                 else:
                     sql = qs["query"][0]
+            elif raw.startswith("mode=") and "query=" in raw:
+                # form body "mode=raw&query=<sql>": the sql part is sent
+                # verbatim (clients don't fully url-encode; '+' is
+                # literal) — only %XX unquotes
+                head, _, tail = raw.partition("query=")
+                raw_mode = raw_mode or "mode=raw" in head
+                sql = urllib.parse.unquote(tail)
             else:
                 sql = raw
         results = self.session.execute(sql)
+        is_select = bool(re.match(r"\s*select\b", sql, re.I)) \
+            and not raw_mode
         out = []
         for r in results:
             if r.error:
-                out.append({"error": r.error})
-            elif r.columns:
+                return ("400 Bad Request", "application/json",
+                        json.dumps({"error": r.error}).encode())
+            if r.columns and is_select:
+                # SELECT over /sql renders the search-result shape
+                # (HttpHandler_JsonSearch reuse, searchdhttp.cpp):
+                # _source carries every selected column; weight/_score
+                # from the result, JSON attrs as parsed objects
+                meta = dict(self.session.last_meta)
+                hits = []
+                for row in r.rows:
+                    src = dict(zip(r.columns, row))
+                    did = src.pop("id", None)
+                    score = src.pop("weight()", src.pop("@weight", 1))
+                    for k, v in list(src.items()):
+                        if isinstance(v, str) and v[:1] in "[{":
+                            try:
+                                src[k] = json.loads(v)
+                            except ValueError:
+                                pass
+                    if score is None or score == 1:
+                        score = self.session.last_weights.get(
+                            did if isinstance(did, int) else
+                            int(did or 0), score or 1)
+                    hits.append({"_id": str(did),
+                                 "_score": int(score), "_source": src})
                 out.append({
-                    "columns": [{c: {"type": "string"}} for c in r.columns],
+                    "timed_out": False,
+                    "hits": {"total": int(meta.get("total_found",
+                                                   len(hits))),
+                             "hits": hits},
+                })
+            elif r.columns:
+                def _ctype(ci, c):
+                    if c in ("id", "@id"):
+                        return "long long"
+                    v0 = next((row[ci] for row in r.rows
+                               if row[ci] is not None), None)
+                    if isinstance(v0, bool):
+                        return "long"
+                    if isinstance(v0, int):
+                        return "long"
+                    if isinstance(v0, float):
+                        return "float"
+                    return "string"
+                out.append({
+                    "columns": [{c: {"type": _ctype(ci, c)}}
+                                for ci, c in enumerate(r.columns)],
                     "data": [dict(zip(r.columns, row)) for row in r.rows],
-                    "total": len(r.rows),
+                    "total": r.affected,
+                    "error": "", "warning": r.warning or "",
                 })
             else:
                 out.append({"total": r.affected, "error": "", "warning":
@@ -155,10 +211,58 @@ class HttpServer:
     def _handle_search(self, body: bytes) -> dict:
         req = json.loads(body or b"{}")
         index, sq, aggs = parse_json_query(req)
-        table = self.catalog.get(index)
-        res = table.search(sq)
+        extras = aggs.pop("__extras__", {}) if aggs else {}
+        geo_sort = extras.get("geo_sort")
+        mva_sort = extras.get("mva_sort")
+        if geo_sort or mva_sort:
+            from dataclasses import replace as dc_replace
+            limit0, offset0 = sq.limit, sq.offset
+            sq = dc_replace(sq, sort=[("weight", False), ("id", True)],
+                            offset=0, limit=sq.max_matches)
+        names = [n.strip() for n in str(index).split(",") if n.strip()]
+        if len(names) == 1:
+            table = self.catalog.get(names[0])
+            res = table.search(sq)
+        else:
+            # multi-index search: per-part + master merge
+            from dataclasses import replace as dc_replace
+            from ..exec.multi import merge_part_results
+            parts = [self.catalog.get(n) for n in names]
+            table = parts[0]
+            part_q = dc_replace(sq, offset=0, limit=sq.offset + sq.limit)
+            results = [p.search(part_q) for p in parts]
+            res = merge_part_results(results, sq, parts[0].schema)
         if res.error:
             raise JsonQueryError(res.error)
+        if mva_sort:
+            col, mode = mva_sort["col"], mva_sort["mode"]
+
+            def _mkey(m):
+                v = m.attrs.get(col)
+                vs = v if isinstance(v, list) and v else [0]
+                return max(vs) if mode == "max" else min(vs)
+            res.matches.sort(key=lambda m: (_mkey(m), m.docid),
+                             reverse=not mva_sort["asc"])
+            res.matches = res.matches[offset0:offset0 + limit0]
+        if geo_sort:
+            from ..utils.geodist import geodist_adaptive_deg
+            la, lo = geo_sort["lat"], geo_sort["lon"]
+            a_lat, a_lon = (geo_sort["attrs"] + ["lat", "lon"])[:2]
+            # the reference resolves the pair by NAME when one side is
+            # identifiably the latitude (list order does not swap them;
+            # recorded behavior, test_329 q6)
+            if "lat" in a_lon and "lat" not in a_lat:
+                a_lat, a_lon = a_lon, a_lat
+            for m in res.matches:
+                m.attrs["@geodist"] = geodist_adaptive_deg(
+                    la, lo, float(m.attrs.get(a_lat, 0) or 0),
+                    float(m.attrs.get(a_lon, 0) or 0))
+            res.matches.sort(key=lambda m: (m.attrs["@geodist"],
+                                            m.docid),
+                             reverse=not geo_sort["asc"])
+            res.matches = res.matches[offset0:offset0 + limit0]
+            for m in res.matches:
+                m.attrs.pop("@geodist", None)
         highlight = self._build_highlights(table, sq, res,
                                            req.get("highlight"))
         aggs_out = {}
@@ -182,7 +286,9 @@ class HttpServer:
                     for m in gres.matches
                 ]
             }
-        out = render_result(res, aggs_out or None, source=sq.select)
+        out = render_result(res, aggs_out or None, source=sq.select,
+                            attr_names={a.name for a in
+                                        table.schema.attrs})
         if highlight:
             for hit in out["hits"]["hits"]:
                 hl = highlight.get(hit["_id"])

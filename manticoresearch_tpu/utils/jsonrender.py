@@ -35,5 +35,13 @@ def render_json(text) -> str:
     try:
         obj = json.loads(text)
     except (ValueError, TypeError):
-        return text
+        # the reference's JSON parser accepts unquoted keys
+        # (sphinxjson relaxed mode); quote them and retry
+        import re
+        relaxed = re.sub(r"([{,]\s*)([A-Za-z_]\w*)(\s*):", r'\1"\2"\3:',
+                         text)
+        try:
+            obj = json.loads(relaxed)
+        except (ValueError, TypeError):
+            return text
     return _dump(obj)

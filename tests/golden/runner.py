@@ -17,6 +17,7 @@ Mirrors /root/reference/test/ubertest.php + helpers.inc:
 """
 from __future__ import annotations
 
+import json
 import os
 import re
 import sqlite3
@@ -262,8 +263,38 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
 
     sd = SourceDef()
     mva_defs = []   # (name, is64, from_what, query)
-    for key, (tname, code) in _ATTR_KEYS.items():
-        for val in src.get(key, []):
+    # attr declarations keep CONFIG order across keys (DESC shows them
+    # in declaration order); __pairs__ carries the interleave
+    pairs = src.get("__pairs__")
+    decl_order = [(k, v) for k, v in (pairs or [])
+                  if k in _ATTR_KEYS or k in ("sql_attr_multi",
+                                              "sql_field_string")]
+    iter_attrs = (decl_order if pairs else
+                  [(k, v) for k in _ATTR_KEYS for v in src.get(k, [])])
+    for key, val in iter_attrs:
+        if key == "sql_attr_multi":
+            m = re.match(r"\s*(uint|bigint|timestamp)\s+(\w+)\s+from\s+"
+                         r"(field|query|ranged-query)(?:\s+(\w+))?"
+                         r"\s*(?:;(.*))?$", val.strip(), re.I | re.S)
+            if not m:
+                raise GoldenUnsupported(f"sql_attr_multi syntax: {val!r}")
+            typ, name, fromwhat, src_col, query = m.groups()
+            name = name.lower()
+            is64 = typ.lower() == "bigint"
+            mva_defs.append((name, is64, fromwhat.lower(), query,
+                             src_col))
+            sd.attr_codes[name] = SPH_ATTR_MULTI64 if is64 \
+                else SPH_ATTR_MULTI
+            sd.attrs.append(AttrDef(name, AttrType.MVA64 if is64
+                                    else AttrType.MVA))
+            continue
+        if key == "sql_field_string":
+            name = val.strip().lower()
+            sd.attr_codes[name] = SPH_ATTR_STRING
+            sd.attrs.append(AttrDef(name, AttrType.STRING))
+            continue
+        tname, code = _ATTR_KEYS[key]
+        if True:
             # schema names are lowercased at build time (reference
             # CSphSchema: attr/field names fold via sphToLower)
             name = val.strip().lower()
@@ -275,7 +306,7 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
             if bits:
                 sd.attr_bits[name] = bits
             sd.attrs.append(AttrDef(name, getattr(AttrType, tname)))
-    for val in src.get("sql_attr_multi", []):
+    for val in ([] if pairs else src.get("sql_attr_multi", [])):
         # "uint tag from field" | "uint tag from query; SELECT ..."
         m = re.match(r"\s*(uint|bigint|timestamp)\s+(\w+)\s+from\s+"
                      r"(field|query|ranged-query)(?:\s+(\w+))?\s*(?:;(.*))?$",
@@ -306,7 +337,7 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
 
     field_string = [v.strip().lower()
                     for v in src.get("sql_field_string", [])]
-    for name in field_string:
+    for name in ([] if pairs else field_string):
         sd.attr_codes[name] = SPH_ATTR_STRING
         sd.attrs.append(AttrDef(name, AttrType.STRING))
 
@@ -1034,6 +1065,9 @@ class GoldenEnv:
                         self.sections, "source", srcname.strip())
                     one = read_tsvpipe_source(src, styp)
                 elif styp in ("mysql", "pgsql", "sqlite"):
+                    from .testcase import section_pairs
+                    src["__pairs__"] = section_pairs(
+                        self.sections, "source", srcname.strip())
                     one = read_source(src, con)
                 else:
                     raise GoldenUnsupported(f"source type {styp}")
@@ -1807,6 +1841,31 @@ class GoldenEnv:
                 break
         return shaped
 
+    def run_http_query(self, q) -> dict:
+        """Run one endpoint= query through the HTTP handler directly
+        (the reference harness POSTs to searchd's http listener)."""
+        from manticoresearch_tpu.server.http import HttpServer
+        env = self.agents[0]
+        hs = getattr(env, "_http", None)
+        if hs is None:
+            hs = HttpServer(env.catalog)
+            env._http = hs
+        endpoint = q.attrs.get("endpoint", "")
+        method = (q.attrs.get("method") or "POST").upper()
+        body = (q.query or "").encode("utf-8")
+        status, _ctype, payload = hs.handle_request(
+            method, "/" + endpoint.lstrip("/"), {}, body)
+        code = int(status.split()[0])
+        try:
+            reply = json.loads(payload.decode("utf-8"))
+        except ValueError:
+            reply = payload.decode("utf-8", "replace")
+        reply = _strip_http_reply(reply)
+        return {"http": 1, "http_endpoint": endpoint,
+                "http_method": method, "http_request": q.query,
+                "http_code": code,
+                "rows": json.dumps(reply, separators=(",", ":"))}
+
     def run_query(self, q) -> list[dict]:
         if q.type == "sphinxql":
             return self.run_ql_query(q)
@@ -1818,9 +1877,30 @@ class GoldenEnv:
                 return run_query_settings(self, self.gt.query_settings,
                                           q.query)
             return [self.run_api_query(q)]
+        if q.type == "http":
+            return [self.run_http_query(q)]
         if q.type == "comment":
             return [{"comment": q.query}]
         raise GoldenUnsupported(f"query type {q.type}")
+
+
+def _strip_http_reply(obj):
+    """Normalize a JSON reply for model comparison: volatile keys out
+    (took), version-added keys out (total_relation), ids stringified —
+    matching the php harness's own normalization."""
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            if k in ("took", "total_relation", "_type", "_index"):
+                continue
+            if k == "_id":
+                out[k] = str(v)
+                continue
+            out[k] = _strip_http_reply(v)
+        return out
+    if isinstance(obj, list):
+        return [_strip_http_reply(v) for v in obj]
+    return obj
 
 
 def _render_cell(v) -> str:
@@ -1978,6 +2058,26 @@ def compare_result(ours: dict, model: dict,
         roundoff = int(model.get("roundoff") or 0)
     a = fixup(ours, roundoff, variants_match)
     b = fixup(model, roundoff, variants_match)
+    if isinstance(a, dict) and isinstance(b, dict) \
+            and (a.get("http") or b.get("http")):
+        # http entries: the reply JSON compares structurally (the php
+        # harness normalizes text); error codes compare by class
+        ca, cb = int(a.get("http_code", 0)), int(b.get("http_code", 0))
+        if (ca >= 400) != (cb >= 400):
+            return f"http code {ca} vs {cb}"
+        if cb >= 400:
+            return None   # both errors: text differs by engine
+        try:
+            ra = _strip_http_reply(json.loads(str(a.get("rows", ""))))
+            rb = _strip_http_reply(json.loads(str(b.get("rows", ""))))
+        except ValueError:
+            ra, rb = a.get("rows"), b.get("rows")
+        if loose_eq(ra, rb):
+            return None
+        import json as _j
+        return (f"http reply mismatch\n  ours:  "
+                f"{_j.dumps(ra, default=str)[:400]}\n  model: "
+                f"{_j.dumps(rb, default=str)[:400]}")
     if isinstance(b, dict) and "error" in b and b["error"] \
             and isinstance(a, dict):
         # the reference records daemon-specific error TEXT; only the
@@ -2013,7 +2113,6 @@ def compare_result(ours: dict, model: dict,
         b2["rows"] = keyed(rows_list(b))
         if loose_eq(a2, b2):
             return None
-    import json
 
     def _norm(x):
         if isinstance(x, dict):

@@ -47,8 +47,6 @@ def scan_one(dirname: str, time_budget: float = 120.0) -> dict:
         return {"status": "loaderror", "detail": f"{type(e).__name__}: {e}"}
     if gt.has_custom:
         return {"status": "skip", "detail": "custom php test"}
-    if any(q.type == "http" for q in gt.queries):
-        return {"status": "skip", "detail": "http queries"}
     try:
         model = load_model(os.path.join(TESTROOT, dirname, "model.bin"))
     except Exception as e:

@@ -212,6 +212,12 @@ def load_test(dirname: str, root: str = TESTROOT) -> GoldenTest:
             if _tag(q) == "sphinxql":
                 for v in _expand_query_variants(q):
                     gt.queries.append(QlQuery(v.strip(), dict(q.attrib)))
+    httpq = _get_first(tree, "httpqueries")
+    if httpq is not None:
+        for q in httpq:
+            if _tag(q) == "query":
+                gt.queries.append(ApiQuery((q.text or "").strip(),
+                                           dict(q.attrib), type="http"))
 
     gt.config_root = _get_first(tree, "config")
     _gather_dynamics(gt.config_root, gt.dynamics)

@@ -248,7 +248,10 @@ class TestPackedFactors:
         s.execute("INSERT INTO pf2 (id, body) VALUES (1, 'x')")
         r = s.execute("SELECT id, PACKEDFACTORS() FROM pf2 "
                       "WHERE MATCH('x')")[0]
-        assert r.error and "ranker=expr" in r.error
+        # the default ranker now collects factors too (reference parity,
+        # golden test_234): no error, blob rendered
+        assert r.error is None
+        assert "bm25=" in r.rows[0][1]
 
 
 class TestMinGapsAtc:

@@ -145,7 +145,8 @@ class TestHttpJson:
             "POST", "/sql", {},
             b"query=SELECT id FROM films WHERE MATCH('inception')")
         out = json.loads(payload)
-        assert out["data"] == [{"id": 3}]
+        # /sql SELECT renders the search-result shape (golden test_234)
+        assert [h["_id"] for h in out["hits"]["hits"]] == ["3"]
 
     def test_error_unknown_index(self, http):
         status, out = http_json(http, "/json/search", {

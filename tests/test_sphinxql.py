@@ -735,7 +735,9 @@ class TestJsonOrderBy:
         r = s.execute("SELECT id FROM jo WHERE MATCH('word') "
                       "ORDER BY j.rank ASC")[0]
         assert r.error is None, r.error
-        assert [row[0] for row in r.rows] == [2, 3, 1, 4]
+        # missing json keys sort as the smallest value (reference
+        # semantics: null==0 — golden test_234)
+        assert [row[0] for row in r.rows] == [4, 2, 3, 1]
         r2 = s.execute("SELECT id FROM jo WHERE MATCH('word') "
                        "ORDER BY j.rank DESC")[0]
         assert [row[0] for row in r2.rows] == [1, 3, 2, 4]

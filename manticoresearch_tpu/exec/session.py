@@ -11,6 +11,7 @@ from __future__ import annotations
 import itertools
 import json
 import os
+import re
 import time
 from dataclasses import dataclass, field, replace as dc_replace
 from typing import Any
@@ -542,9 +543,93 @@ class Session:
                 continue
             if c.attr in amap:
                 c = dc_replace(c, attr=amap[c.attr])
+            m_any = re.match(r"^(any|all)\((\w+)\)$", c.attr, re.I)
+            if m_any and c.kind == "between":
+                is_any = m_any.group(1).lower() == "any"
+                nm2 = m_any.group(2)
+                kind2 = "mva_any_range" if is_any != c.negate \
+                    else "mva_all_range"
+                # NOT BETWEEN inverts: any not between == NOT(all in
+                # range); all not between == NOT(any in range)
+                filters.append(AttrFilterDef(
+                    nm2, "mva_all_range" if (not is_any) != c.negate
+                    else "mva_any_range",
+                    lo=c.lo, hi=c.hi, exclude=c.negate))
+                continue
+            if m_any and c.kind in ("cmp", "in"):
+                # ANY(mva) op v: exists an element satisfying op;
+                # ALL(mva) op v: every element satisfies op
+                # (Filter_MVA ANY/ALL, sphinxfilter.cpp)
+                is_any = m_any.group(1).lower() == "any"
+                nm2 = m_any.group(2)
+                if c.kind == "in":
+                    # any IN set -> element ∈ set exists;
+                    # any NOT IN set -> NOT(subset);
+                    # all IN set -> subset; all NOT IN -> no element ∈ set
+                    if is_any and not c.negate:
+                        filters.append(AttrFilterDef(
+                            nm2, "mva_any", values=c.values))
+                    elif is_any:
+                        filters.append(AttrFilterDef(
+                            nm2, "mva_subset", values=c.values,
+                            exclude=True))
+                    elif not c.negate:
+                        filters.append(AttrFilterDef(
+                            nm2, "mva_subset", values=c.values))
+                    else:
+                        filters.append(AttrFilterDef(
+                            nm2, "mva_any", values=c.values,
+                            exclude=True))
+                    continue
+                v = c.value
+                if c.op == "=":
+                    filters.append(AttrFilterDef(
+                        nm2, "mva_any" if is_any else "mva_all_range",
+                        values=[v], lo=v, hi=v))
+                elif c.op in ("!=", "<>"):
+                    # any != v == NOT(all == v); all != v == NOT(any == v)
+                    if is_any:
+                        filters.append(AttrFilterDef(
+                            nm2, "mva_all_range", lo=v, hi=v,
+                            exclude=True))
+                    else:
+                        filters.append(AttrFilterDef(
+                            nm2, "mva_any", values=[v], exclude=True))
+                else:
+                    lo = v if c.op in (">", ">=") else None
+                    hi = v if c.op in ("<", "<=") else None
+                    kind2 = "mva_any_range" if is_any \
+                        else "mva_all_range"
+                    filters.append(AttrFilterDef(
+                        nm2, kind2, lo=lo, hi=hi,
+                        lo_excl=c.op == ">", hi_excl=c.op == "<"))
+                continue
+            if c.kind == "isnull":
+                # IS [NOT] NULL on plain string/MVA attrs has no null
+                # concept: the filter passes everything (reference
+                # accepts-and-ignores); JSON paths evaluate host-side
+                try:
+                    sch = self.catalog.get(st.indexes[0]).schema
+                    ad0 = sch.attr(c.attr)
+                except (ValueError, KeyError, IndexError):
+                    ad0 = None
+                if ad0 is not None and ad0.type.value in (
+                        "string", "multi", "multi64"):
+                    continue
             f, err = _cond_to_filter(c)
             if err:
                 return None, err
+            try:
+                ad0 = self.catalog.get(st.indexes[0]).schema.attr(f.attr)
+            except (ValueError, KeyError, IndexError):
+                ad0 = None
+            if ad0 is not None and ad0.type.value in ("multi",
+                                                      "multi64"):
+                # bare filters on MVA columns default to ANY() with a
+                # warning (sphinxfilter.cpp CreateFilter MVA notice)
+                self._pending_warning = (
+                    f"index {st.indexes[0]}: suggest an explicit "
+                    f"ANY()/ALL() around a filter on MVA column")
             filters.append(f)
 
         sort = [(col, asc) for col, asc in st.order] or \
@@ -828,7 +913,12 @@ class Session:
 
     def _store_meta(self, res) -> None:
         self.last_weights = {m.docid: m.weight for m in res.matches}
-        meta = [("total", str(res.total)),
+        meta = []
+        warn = getattr(self, "_pending_warning", None) or res.warning
+        self._pending_warning = None
+        if warn:
+            meta.append(("warning", warn))
+        meta += [("total", str(res.total)),
                 ("total_found", str(res.total_found)),
                 ("time", f"{res.time_ms / 1000.0:.3f}")]
         for i, ws in enumerate(res.word_stats):
@@ -1674,6 +1764,14 @@ def _cond_to_filter(c: Cond):
         is_f = isinstance(c.lo, float) or isinstance(c.hi, float)
         return AttrFilterDef(c.attr, "range_f" if is_f else "range_i",
                              lo=c.lo, hi=c.hi, exclude=c.negate), None
+    if c.kind == "isnull":
+        # host-evaluated late filter on the ISNULL expression
+        expr = f"{c.attr} is{' not' if c.negate else ''} null"
+        return AttrFilterDef(expr, "values", values=[1]), None
+    if c.kind in ("any", "all"):
+        # MVA membership over values (Filter_MVA ANY/ALL)
+        return AttrFilterDef(c.attr, f"mva_{c.kind}", values=c.values,
+                             exclude=c.negate), None
     return None, f"unsupported condition {c.kind}"
 
 

@@ -209,6 +209,31 @@ def _eval_mva_filter(spec: FilterSpec, offsets, values, vals, rows, n_iters):
                                      lo_idx, hi_idx, n_iters)
         return exists & (values[idx] == v)
 
+    if spec.kind == "mva_subset":
+        # every element of the doc's list is one of the filter values
+        # (ALL(mva) IN (set), sphinxfilter Filter_MVA subset form):
+        # sum of per-value occurrence counts == segment length
+        seg_len = hi_idx - lo_idx
+        total = jnp.zeros_like(seg_len)
+        for j2 in range(spec.n_values):
+            v = vals[j2]
+            idx_hi, ex_hi = _lex_search_le(
+                zero, jnp.full_like(rows, 0) + v,
+                jnp.zeros_like(values), values, lo_idx, hi_idx, n_iters)
+            idx_lo, ex_lo = _lex_search_le(
+                zero, jnp.full_like(rows, 0) + v - 1,
+                jnp.zeros_like(values), values, lo_idx, hi_idx, n_iters)
+            cnt = (jnp.where(ex_hi, idx_hi + 1, lo_idx)
+                   - jnp.where(ex_lo, idx_lo + 1, lo_idx))
+            if j2 > 0:
+                # pow2 padding repeats the last value: count each
+                # distinct filter value once
+                cnt = cnt * (vals[j2] != vals[j2 - 1])
+            total = total + cnt
+        mask = has_any & (total == seg_len)
+        if spec.exclude:
+            mask = ~mask
+        return mask
     if spec.kind in ("mva_any", "mva_all"):
         acc = None
         combine = (lambda a, b: a | b) if spec.kind == "mva_any" \

@@ -581,7 +581,10 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
         return tuple(eval_expr_host(t, row, weight, docid)
                      for t in tree[1])
     if op == "isnull":
-        return int(eval_expr_host(tree[1], row, weight, docid) is None)
+        v = eval_expr_host(tree[1], row, weight, docid)
+        # empty strings count as NULL (string attrs store "" for
+        # missing; golden test_357)
+        return int(v is None or v == "")
     if op == "foriter":
         # ALL/ANY/INDEXOF(body FOR var IN container) over a JSON array
         # or MVA list (Expr_JsonFieldAggr semantics)

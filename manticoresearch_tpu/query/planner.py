@@ -910,7 +910,7 @@ def plan_query(
             f_kind = {"values": "mva_any", "range_i": "mva_any_range",
                       "range_f": "mva_any_range"}.get(f_kind, f_kind)
         if f_kind.startswith("mva_"):
-            if f_kind in ("mva_any", "mva_all"):
+            if f_kind in ("mva_any", "mva_all", "mva_subset"):
                 vals = sorted(int(v) for v in f.values)
                 nv = _next_pow2(len(vals), 1)
                 arr = np.asarray(vals + [vals[-1]] * (nv - len(vals)),

@@ -222,6 +222,9 @@ class SqlParser:
             return -(float(v2) if "." in v2
                      else min(int(v2), 2**63))
         if k == "op" and v == "(":
+            if self.peek() == ("op", ")"):
+                self.next()
+                return []      # () = empty value list (MVA clear)
             vals = [self.value()]
             while self.peek() == ("op", ","):
                 self.next()
@@ -471,6 +474,32 @@ class SqlParser:
             self.expect_op(")")
             return Cond("match", value=_unquote(v))
         attr = self.name()
+        if self.peek() == ("op", "("):
+            # function-call condition (REGEX(title,'x'), ANY(tags),
+            # weight()): collect the call text — these become late
+            # expression filters
+            depth = 0
+            start_tok = self.i
+            while True:
+                k3, v3 = self.peek()
+                if k3 is None:
+                    break
+                if v3 == "(":
+                    depth += 1
+                elif v3 == ")":
+                    depth -= 1
+                    if depth == 0:
+                        self.next()
+                        break
+                self.next()
+            s0 = self.toks[start_tok][2]
+            s1 = self.toks[self.i - 1][3]
+            attr = attr + self.sql[s0:s1]
+        if self.eat_kw("IS"):
+            neg2 = bool(self.eat_kw("NOT"))
+            self.expect_kw("NULL")
+            # IS NULL on a json path: equality against null, host-side
+            return Cond("isnull", attr=attr, negate=neg2)
         neg = bool(self.eat_kw("NOT"))
         if self.eat_kw("IN"):
             self.expect_op("(")
@@ -499,9 +528,13 @@ class SqlParser:
             return Cond(kw.lower(), attr=attr, values=vals, negate=neg)
         if neg:
             raise SqlParseError("expected IN or BETWEEN after NOT")
-        k, op = self.next()
+        k, op = self.peek()
         if k != "op" or op not in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            if "(" in attr:
+                # bare boolean call: REGEX(...) [AND ...] — nonzero test
+                return Cond("cmp", attr=attr, op="!=", value=0)
             raise SqlParseError(f"bad condition operator {op!r}")
+        self.next()
         return Cond("cmp", attr=attr, op=op, value=self.value())
 
     def parse_facet(self) -> FacetStmt:

@@ -222,6 +222,33 @@ def load_test(dirname: str, root: str = TESTROOT) -> GoldenTest:
     gt.config_root = _get_first(tree, "config")
     _gather_dynamics(gt.config_root, gt.dynamics)
 
+    # <metaindex name='META:x'><index>a</index>...</metaindex>: template
+    # expansion — a QL/http query mentioning the name emits one copy per
+    # listed index (AddQuery str_replace, helpers.inc:1693)
+    metas: list[tuple[str, list[str]]] = []
+    for mi in tree:
+        if _tag(mi) == "metaindex":
+            nm = mi.attrib.get("name", "")
+            idxs = [(c.text or "").strip() for c in mi
+                    if _tag(c) == "index"]
+            if nm and idxs:
+                metas.append((nm, idxs))
+    if metas:
+        expanded = []
+        for q in gt.queries:
+            if q.type not in ("sphinxql", "http") or not any(
+                    nm in q.query for nm, _ in metas):
+                expanded.append(q)
+                continue
+            for nm, idxs in metas:
+                if nm in q.query:
+                    for idx in idxs:
+                        q2 = type(q)(q.query.replace(nm, idx),
+                                     dict(q.attrs), type=q.type)
+                        expanded.append(q2)
+                    break
+        gt.queries = expanded
+
     qa = _get_first(tree, "query_attributes")
     if qa is not None:
         gt.query_attributes = [(c.text or "") for c in qa]

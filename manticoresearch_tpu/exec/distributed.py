@@ -198,7 +198,8 @@ class DistributedTable:
             agent_blackhole(bh, query_to_payload(q), timeout=self.timeout)
 
         if q.group_by:
-            return search_grouped_parts(parts, q, self.schema)
+            return search_grouped_parts(parts, q, self.schema,
+                                        agent_mode=True)
 
         part_q = dc_replace(q, offset=0, limit=q.offset + q.limit)
         if len(parts) == 1:

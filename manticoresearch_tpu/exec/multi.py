@@ -212,21 +212,28 @@ def _search_with_stats(index, q, stats_kwargs):
 
 def _search_rt_grouped(rt, q, parts):
     """GROUP BY over segments: per-segment group results merged by key —
-    COUNT/SUM/MIN/MAX merge exactly; AVG recomputed from SUM+COUNT;
-    COUNT(DISTINCT) requires a single segment (OPTIMIZE first)."""
+    COUNT/SUM/MIN/MAX merge exactly; COUNT(DISTINCT) computes exactly
+    over the raw window (segments are ONE index; the reference shares
+    the uniq sorter across segments)."""
     return search_grouped_parts(parts, q, rt.schema,
-                                single_part_hint="run OPTIMIZE first")
+                                single_part_hint="run OPTIMIZE first",
+                                segments=True)
 
 
-def search_grouped_parts(parts, q, schema, single_part_hint=""):
+def search_grouped_parts(parts, q, schema, single_part_hint="",
+                         segments=False, agent_mode=False):
     """Merge per-part grouped results (used by RT segments and the
-    distributed index)."""
+    distributed index). segments=True: the parts are chunks of ONE
+    index — COUNT(DISTINCT) computes exactly over the raw window;
+    separate indexes SUM per-part distinct counts like the reference's
+    grouped merge."""
     from .searcher import Match, SearchResult
 
     if len(parts) > 1:
         sel = [s.lower() for s in (q.select or [])]
         gb_ad = schema.attr(q.group_by) if q.group_by else None
-        if any("distinct" in s for s in sel) or q.within_sort \
+        if (segments and any("distinct" in s for s in sel)) \
+                or q.within_sort \
                 or (gb_ad is not None
                     and gb_ad.type.value in ("multi", "multi64")):
             # exact COUNT(DISTINCT) across parts: per-part counts don't
@@ -241,7 +248,19 @@ def search_grouped_parts(parts, q, schema, single_part_hint=""):
             err = next((r.error for r in results if r.error), None)
             if err:
                 return SearchResult([], 0, 0, 0.0, [], error=err)
-            matches = [m for r in results for m in r.matches]
+            # docid dupes across parts: the LAST part's copy wins
+            # (KillDupesAndFlatten) before grouping; dupes WITHIN one
+            # part are legitimate rows and all survive
+            seen2: dict[int, tuple[int, list]] = {}
+            for pi3, r in enumerate(results):
+                for m in r.matches:
+                    m._part = pi3   # later parts win grouped-rep ties
+                    prev = seen2.get(m.docid)
+                    if prev is not None and prev[0] == pi3:
+                        prev[1].append(m)
+                    else:
+                        seen2[m.docid] = (pi3, [m])
+            matches = [m for _, ms in seen2.values() for m in ms]
             matches.sort(key=lambda m: (-m.weight, m.docid))
             matches = matches[:q.max_matches]
             from .searcher import host_group_matches
@@ -276,7 +295,15 @@ def search_grouped_parts(parts, q, schema, single_part_hint=""):
             attrs = dict(cur.attrs)
             for name, v in m.attrs.items():
                 ln = name.lower().replace(" ", "")
-                if ln.startswith("count(") and "distinct" not in ln:
+                if ln.startswith("count(") and "distinct" in ln \
+                        and agent_mode:
+                    # agent replies carry opaque @distinct values the
+                    # master can't merge: the first part's value sticks
+                    continue
+                if ln.startswith("count("):
+                    # per-part counts SUM — including COUNT(DISTINCT)
+                    # for local multi-index, which the reference merges
+                    # approximately by summing per-index counts
                     attrs[name] = attrs.get(name, 0) + v
                 elif ln.startswith("sum("):
                     attrs[name] = attrs.get(name, 0) + v
@@ -284,9 +311,22 @@ def search_grouped_parts(parts, q, schema, single_part_hint=""):
                     attrs[name] = min(attrs.get(name, v), v)
                 elif ln.startswith("max("):
                     attrs[name] = max(attrs.get(name, v), v)
-            best = cur if (-cur.weight, cur.docid) <= (-m.weight, m.docid) \
-                else m
-            merged[key] = Match(best.docid, best.weight, attrs)
+            # rep: the subgroup with the larger count wins; ties keep
+            # the LATER part's row (reference grouped merge)
+            def _cnt(mm):
+                for n2, v2 in mm.attrs.items():
+                    if n2.lower().replace(" ", "") == "count(*)":
+                        return v2
+                return 1
+            cur_c = getattr(cur, "_sub_count", _cnt(cur))
+            m_c = _cnt(m)
+            # local multi-index ties keep the LATER part's row; agent
+            # merges keep the FIRST (recorded reference behavior)
+            best = m if (m_c > cur_c or (m_c == cur_c
+                                         and not agent_mode)) else cur
+            nm2 = Match(best.docid, best.weight, attrs)
+            nm2._sub_count = max(cur_c, m_c)
+            merged[key] = nm2
     rows = list(merged.values())
     # recompute averages is not possible without sums; flag instead
     warning = None

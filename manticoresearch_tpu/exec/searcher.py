@@ -820,8 +820,7 @@ def late_filters_for(q, schema) -> list:
     out = []
     for f in q.filters:
         nm = f.attr
-        if schema.attr(nm) is not None or nm in (
-                "id", "@id", "weight()", "@weight"):
+        if schema.attr(nm) is not None or nm in ("id", "@id"):
             continue
         import re as _re
         if _re.fullmatch(r"\w+(\.\w+)+", nm):
@@ -943,6 +942,20 @@ def host_group_matches(matches, q):
     for key, ms in groups.items():
         if q.within_sort:
             ms = _within_sorted(ms)
+        else:
+            # default rep mirrors the reference's grouped MERGE: each
+            # part groups first, then group rows merge by key keeping
+            # the row of the subgroup with the larger count (ties: the
+            # later part); within a part: weight desc, docid asc
+            part_counts: dict[int, int] = {}
+            for m in ms:
+                p2 = getattr(m, "_part", 0)
+                part_counts[p2] = part_counts.get(p2, 0) + 1
+            best_part = max(part_counts,
+                            key=lambda p2: (part_counts[p2], p2))
+            ms = sorted(ms, key=lambda m: (
+                getattr(m, "_part", 0) != best_part,
+                -m.weight, m.docid))
         rep = ms[0]
         attrs = {q.group_by: key}
         for sel in selects:

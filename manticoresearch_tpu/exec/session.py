@@ -438,6 +438,27 @@ class Session:
             return [QLResult(columns=["id", "query", "tags", "filters"],
                              rows=rows)]
 
+        # the old-fashion @variables are rejected on the QL surface
+        # (sphinxql.y deprecation errors)
+        _at_re = re.compile(r"@(id|count|weight|distinct|groupby|expr)\b",
+                            re.I)
+        _texts = [it.expr for it in st.items] \
+            + ([st.group_by] if st.group_by else []) \
+            + [c for c, _ in st.order] \
+            + [c for c, _ in st.within_order]
+        for _t in _texts:
+            if _t and _at_re.search(str(_t)):
+                if any(it.alias for it in st.items) or any(
+                        _at_re.search(str(it.expr)) is None
+                        and it.expr != "*" for it in st.items):
+                    return [QLResult.err(
+                        "Mixing the old-fashion internal vars (@id, "
+                        "@count, @weight) with new acronyms is not "
+                        "allowed")]
+                return [QLResult.err(
+                    "Using the old-fashion @variables (@count, @weight, "
+                    "etc.) is deprecated")]
+
         q, err = self._build_query(st)
         if err:
             return [QLResult.err(err)]
@@ -464,6 +485,11 @@ class Session:
             expr_sort = self._resolve_expr_sort(st, q, tables[0].schema)
         if len(tables) == 1:
             res = tables[0].search(q)
+        elif q.group_by:
+            # multi-index GROUP BY: per-part results merge by key with
+            # cross-part docid dedup (search orchestrator semantics)
+            from .multi import search_grouped_parts
+            res = search_grouped_parts(tables, q, tables[0].schema)
         else:
             from .multi import merge_part_results
             parts = [t.search(dc_replace(q, offset=0,
@@ -543,6 +569,23 @@ class Session:
                 continue
             if c.attr in amap:
                 c = dc_replace(c, attr=amap[c.attr])
+            if c.kind == "cmp" and c.attr.lower().replace(" ", "") in (
+                    "@count", "count(*)", "@distinct"):
+                return None, ("aggregates in 'where' clause prohibited, "
+                              "use 'HAVING'")
+            if c.attr.startswith("@") and c.attr.lower() not in (
+                    "@id",):
+                return None, ("Using the old-fashion @variables (@count, "
+                              "@weight, etc.) is deprecated")
+            if c.kind == "in" and len(c.values) == 1 \
+                    and isinstance(c.values[0], str) \
+                    and c.values[0].startswith("@"):
+                # id IN @uservar: resolve the stored value list
+                uv = self.uservars.get(c.values[0])
+                if uv is None:
+                    return None, f"undefined variable {c.values[0]}"
+                c = dc_replace(c, values=list(uv)
+                               if isinstance(uv, (list, tuple)) else [uv])
             m_any = re.match(r"^(any|all)\((\w+)\)$", c.attr, re.I)
             if m_any and c.kind == "between":
                 is_any = m_any.group(1).lower() == "any"
@@ -1096,6 +1139,15 @@ class Session:
         return QLResult.ok(n)
 
     def _update(self, st: UpdateStmt) -> QLResult:
+        if "," in st.index:
+            # UPDATE t1, t2 SET ...: per-table fan-out, summed rows
+            n = 0
+            for nm in st.index.split(","):
+                r = self._update(dc_replace(st, index=nm.strip()))
+                if r.error:
+                    return r
+                n += r.affected
+            return QLResult.ok(n)
         tname, cl = self._resolve_write_ref(st.index)
         if cl is not None:
             import time as _time

@@ -32,6 +32,7 @@ class ExprError(ValueError):
 
 _TOK = re.compile(r"""
     (?P<num>\d+\.\d*|\.\d+|\d+)
+  | (?P<bname>`[^`]+`)
   | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
   | (?P<str>'(?:[^'\\]|\\.)*')
   | (?P<op><=|>=|<>|!=|==|=|<|>|\+|-|\*|/|%|&|\||\^|\(|\)|,|\{|\})
@@ -67,7 +68,16 @@ def tokenize(s: str) -> list[tuple[str, str]]:
             raise ExprError(f"bad char {s[i]!r} in expression")
         i = m.end()
         kind = m.lastgroup
-        if kind != "ws":
+        if kind == "bname":
+            inner = m.group()[1:-1]
+            if inner[:1].isdigit():
+                # the reference expr lexer can't reference digit-leading
+                # identifiers ("unexpected BAD_NUMERIC")
+                raise ExprError(
+                    f"syntax error, unexpected BAD_NUMERIC near "
+                    f"{inner!r}")
+            out.append(("name", inner))
+        elif kind != "ws":
             out.append((kind, m.group()))
     return out
 

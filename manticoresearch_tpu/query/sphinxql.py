@@ -474,6 +474,10 @@ class SqlParser:
             self.expect_op(")")
             return Cond("match", value=_unquote(v))
         attr = self.name()
+        if attr.lower() == "weight" and self.peek() == ("op", "(") \
+                and self.peek(1) == ("op", ")"):
+            self.next(); self.next()
+            attr = "weight()"
         if self.peek() == ("op", "("):
             # function-call condition (REGEX(title,'x'), ANY(tags),
             # weight()): collect the call text — these become late
@@ -502,7 +506,15 @@ class SqlParser:
             return Cond("isnull", attr=attr, negate=neg2)
         neg = bool(self.eat_kw("NOT"))
         if self.eat_kw("IN"):
+            k4, v4 = self.peek()
+            if k4 == "name" and v4.startswith("@"):
+                # id IN @uservar (value-list user variables)
+                self.next()
+                return Cond("in", attr=attr, values=[v4], negate=neg)
             self.expect_op("(")
+            if self.peek() == ("op", ")"):
+                self.next()
+                return Cond("in", attr=attr, values=[], negate=neg)
             vals = [self.value()]
             while self.peek() == ("op", ","):
                 self.next()
@@ -612,6 +624,10 @@ class SqlParser:
     def parse_update(self):
         self.expect_kw("UPDATE")
         index = self.table_ref()
+        while self.peek() == ("op", ","):
+            # UPDATE t1, t2 SET ... fans out over a table list
+            self.next()
+            index += "," + self.table_ref()
         self.expect_kw("SET")
         values = {}
         while True:
@@ -797,6 +813,20 @@ class SqlParser:
 
     def parse_set(self):
         self.expect_kw("SET")
+        if self.eat_kw("INDEX"):
+            # SET INDEX <name> GLOBAL @var = (...): per-index uservar
+            # (SetIndexUservar); stored globally like plain uservars
+            self.name()
+            self.expect_kw("GLOBAL")
+            name = self.name()
+            self.expect_op("=")
+            self.expect_op("(")
+            vals = [self.value()]
+            while self.peek() == ("op", ","):
+                self.next()
+                vals.append(self.value())
+            self.expect_op(")")
+            return SetStmt(name.lower(), vals, True)
         is_global = bool(self.eat_kw("GLOBAL"))
         if self.eat_kw("NAMES"):
             self.value() if self.peek()[0] in ("str", "num") else self.name()

@@ -89,13 +89,27 @@ class DistributedTable:
     # -- catalog protocol ------------------------------------------------
     @property
     def schema(self):
+        """Result schema = the INTERSECTION of the part schemas, ordered
+        by the first part (the master minimizes the aggregate schema over
+        all part results — MinimizeAggrResult, searchd.cpp:4816)."""
+        schemas = []
         for n in self.locals_:
             try:
-                return self.catalog.get(n).schema
+                schemas.append(self.catalog.get(n).schema)
             except (ValueError, KeyError):
                 continue
+        if not schemas:
+            from ..schema import Schema
+            return Schema(fields=[], attrs=[])
+        base = schemas[0]
+        common = {a.name for a in base.attrs}
+        for sc in schemas[1:]:
+            common &= {a.name for a in sc.attrs}
+        if common == {a.name for a in base.attrs}:
+            return base
         from ..schema import Schema
-        return Schema(fields=[], attrs=[])
+        return Schema(fields=list(base.fields),
+                      attrs=[a for a in base.attrs if a.name in common])
 
     @property
     def tok_settings(self):

@@ -826,7 +826,7 @@ class Session:
         for it in st.items:
             # unaliased items display lowercased (the reference parser
             # folds the expression span: SELECT CRC32('x') -> crc32('x'))
-            name = it.alias or it.expr.lower()
+            name = it.alias or _fold_expr_case(it.expr)
             raw = it.expr
             _pre = len(getters)
             if raw == "*":
@@ -856,6 +856,16 @@ class Session:
                 if table is None:
                     return QLResult.err("HIGHLIGHT() needs a table")
                 getters.append(make_highlighter())
+            elif lraw.startswith("snippet("):
+                # SNIPPET(data, query [, 'opt=value'...]) select-list
+                # function (Expr_Snippet_c, searchdexpr.cpp)
+                if table is None:
+                    return QLResult.err("SNIPPET() needs a table")
+                try:
+                    getters.append(_make_snippet_getter(raw, table, schema))
+                except ValueError as e:
+                    return QLResult.err(
+                        f"index {st.indexes[0]}: parse error: {e}")
             elif lraw in ("weight()", "@weight"):
                 getters.append(lambda m: m.weight)
             elif lraw in ("groupby()", "@groupby"):
@@ -1739,6 +1749,106 @@ class Session:
         for n in self.txn_tables:
             self.catalog.get(n).commit()
         self.txn_tables = set()
+
+
+def _fold_expr_case(expr: str) -> str:
+    """Display name of an unaliased select item: keywords/identifiers fold
+    to lowercase but string literals keep their case (the reference's
+    lexer folds outside quotes only)."""
+    out = []
+    q = None
+    for ch in expr:
+        if q:
+            out.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            out.append(ch)
+        else:
+            out.append(ch.lower())
+    return "".join(out)
+
+
+def _split_call_args(s: str) -> list[tuple[str, bool]]:
+    """Split a function-call argument list on top-level commas; returns
+    (text, was_quoted) per argument (quotes stripped, escapes applied)."""
+    args: list[tuple[str, bool]] = []
+    cur: list[str] = []
+    quoted = False
+    q = None
+    depth = 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == "\\" and i + 1 < len(s):
+                cur.append(s[i + 1])
+                i += 2
+                continue
+            if c == q:
+                q = None
+            else:
+                cur.append(c)
+        elif c in "'\"":
+            q = c
+            quoted = True
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            args.append(("".join(cur).strip() if not quoted
+                         else "".join(cur), quoted))
+            cur = []
+            quoted = False
+        else:
+            cur.append(c)
+        i += 1
+    if cur or args:
+        args.append(("".join(cur).strip() if not quoted
+                     else "".join(cur), quoted))
+    return args
+
+
+def _make_snippet_getter(raw: str, table, schema):
+    """Build a per-match getter for SNIPPET(data, query, 'opt=val'...)."""
+    from ..text.dictionary import Dictionary
+    from ..text.tokenizer import Tokenizer
+    from .snippets import SnippetOptions, build_snippet
+
+    inner = raw[raw.index("(") + 1: raw.rindex(")")]
+    parts = _split_call_args(inner)
+    if len(parts) < 2:
+        raise ValueError("SNIPPET() expects (data, query, ...)")
+    (data_text, data_quoted), (query, query_quoted) = parts[0], parts[1]
+    if not query_quoted:
+        raise ValueError("1 argument to SNIPPET() must be a string")
+    opts = SnippetOptions()
+    for text, _quoted in parts[2:]:
+        k, _, v = text.partition("=")
+        k = k.strip().lower()
+        if hasattr(opts, k):
+            cur = getattr(opts, k)
+            if isinstance(cur, bool):
+                v = bool(int(v))
+            elif isinstance(cur, int):
+                v = int(v)
+            setattr(opts, k, v)
+    tok = Tokenizer(table.tok_settings)
+    dic = Dictionary(table.dict_settings)
+
+    def getter(m):
+        if data_quoted:
+            text = data_text
+        else:
+            text = m.attrs.get(data_text)
+            if text is None and hasattr(table, "get_document"):
+                text = (table.get_document(m.docid) or {}).get(data_text, "")
+        return build_snippet(str(text or ""), query, tok, dic, opts)
+    return getter
 
 
 def _lenient_json(s: str):

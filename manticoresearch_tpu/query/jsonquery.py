@@ -47,6 +47,10 @@ def _match_to_ft(clause: Any, phrase: bool = False) -> str:
         return ""
     if field_name in ("_all", "*", ""):
         return f"({body})" if len(words) > 1 else body
+    if "," in field_name:
+        flist = ",".join(f.strip() for f in field_name.split(",")
+                         if f.strip())
+        return f"(@({flist}) {body})"
     return f"(@{field_name} {body})"
 
 
@@ -64,11 +68,13 @@ def _walk_query(q: dict, ft_parts: list[str], filters: list[AttrFilterDef],
         elif kind == "query_string":
             ft_parts.append(f"({body})" if isinstance(body, str) else "")
         elif kind == "bool":
-            for must in body.get("must", []) or []:
+            def _aslist(x):
+                return [x] if isinstance(x, dict) else (x or [])
+            for must in _aslist(body.get("must")):
                 _walk_query(must, ft_parts, filters, negate_ft)
-            for flt in body.get("filter", []) or []:
+            for flt in _aslist(body.get("filter")):
                 _walk_query(flt, ft_parts, filters, negate_ft)
-            should = body.get("should", []) or []
+            should = _aslist(body.get("should"))
             if should:
                 sub_ft: list[str] = []
                 sub_f: list[AttrFilterDef] = []
@@ -88,7 +94,7 @@ def _walk_query(q: dict, ft_parts: list[str], filters: list[AttrFilterDef],
                         "supported yet (OR of filters)")
                 if sub_ft:
                     ft_parts.append("(" + " | ".join(sub_ft) + ")")
-            for mn in body.get("must_not", []) or []:
+            for mn in _aslist(body.get("must_not")):
                 sub_ft2: list[str] = []
                 sub_f2: list[AttrFilterDef] = []
                 _walk_query(mn, sub_ft2, sub_f2, negate_ft)
@@ -222,14 +228,20 @@ def parse_json_query(body: dict) -> tuple[str, SearchQuery, dict]:
 
 def render_result(res, aggs_results: dict | None = None,
                   source: list[str] | None = None,
-                  attr_names: set | None = None) -> dict:
+                  attr_names: set | None = None,
+                  stored_docs: dict | None = None) -> dict:
     hits = []
     for m in res.matches:
         attrs = m.attrs
         if attr_names is not None:
-            # _source carries ATTRIBUTES (stored fields are a separate
-            # surface in the recorded wire format)
+            # _source carries attributes, then the docstore's stored
+            # fields (sphinxjsonquery EncodeResultToJson: attrs followed
+            # by stored field text)
             attrs = {k: v for k, v in attrs.items() if k in attr_names}
+        if stored_docs is not None:
+            doc = stored_docs.get(m.docid)
+            if doc:
+                attrs = {**attrs, **doc}
         if source is not None:
             import fnmatch
             inc = [p for p in source

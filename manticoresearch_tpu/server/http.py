@@ -19,6 +19,44 @@ from ..query.jsonquery import (JsonQueryError, parse_json_query,
                                render_result)
 
 
+def _hl_query_text(hq: dict) -> str:
+    """Flatten a "highlight_query" json object into its term text (the
+    reference stringifies the object and re-parses it as the snippet
+    query; bag-of-words terms are what matters for highlighting)."""
+    words: list[str] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("match", "match_phrase") and isinstance(v, dict):
+                    for fv in v.values():
+                        if isinstance(fv, dict):
+                            fv = fv.get("query", "")
+                        words.append(str(fv))
+                elif k == "query_string":
+                    words.append(str(v))
+                else:
+                    walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(hq)
+    return " ".join(words)
+
+
+def _json_body(body) -> Any:
+    """Parse a JSON request body, tolerating trailing garbage after the
+    top-level value (the reference's bson parser stops at the end of the
+    document — several test harness queries carry a stray '}')."""
+    text = (body or b"{}")
+    if isinstance(text, bytes):
+        text = text.decode("utf-8")
+    text = text.strip() or "{}"
+    obj, _end = json.JSONDecoder().raw_decode(text)
+    return obj
+
+
 class HttpServer:
     def __init__(self, catalog: Catalog, host: str = "127.0.0.1",
                  port: int = 9308):
@@ -209,7 +247,7 @@ class HttpServer:
         return self._json(out if len(out) != 1 else out[0])
 
     def _handle_search(self, body: bytes) -> dict:
-        req = json.loads(body or b"{}")
+        req = _json_body(body)
         index, sq, aggs = parse_json_query(req)
         extras = aggs.pop("__extras__", {}) if aggs else {}
         geo_sort = extras.get("geo_sort")
@@ -219,7 +257,11 @@ class HttpServer:
             limit0, offset0 = sq.limit, sq.offset
             sq = dc_replace(sq, sort=[("weight", False), ("id", True)],
                             offset=0, limit=sq.max_matches)
-        names = [n.strip() for n in str(index).split(",") if n.strip()]
+        if str(index) in ("*", "_all"):
+            names = sorted(self.catalog.tables)
+        else:
+            names = [n.strip() for n in str(index).split(",")
+                     if n.strip()]
         if len(names) == 1:
             table = self.catalog.get(names[0])
             res = table.search(sq)
@@ -286,9 +328,42 @@ class HttpServer:
                     for m in gres.matches
                 ]
             }
+        stored = [f for f in getattr(table, "stored_fields", ()) or ()
+                  if table.schema.attr(f) is None]
+        stored_docs = None
+        if stored and hasattr(table, "get_document"):
+            stored_docs = {
+                m.docid: {f: (table.get_document(m.docid) or {}).get(f, "")
+                          for f in stored}
+                for m in res.matches}
+        # script_fields: highlight({opts},'field') inline scripts add
+        # computed _source columns (sphinxjsonquery ParseScriptFields)
+        sf = req.get("script_fields")
+        if sf and hasattr(table, "get_document"):
+            import re as _re
+            stored_docs = stored_docs or \
+                {m.docid: {} for m in res.matches}
+            for name, sspec in sf.items():
+                inline = ((sspec or {}).get("script") or {}).get(
+                    "inline", "")
+                mt = _re.match(r"highlight\((\{.*?\}|)\s*,\s*'(\w+)'\)",
+                               inline)
+                if not mt:
+                    raise JsonQueryError(
+                        f"unsupported script_fields script: {inline!r}")
+                hl_spec = json.loads(mt.group(1)) if mt.group(1) and \
+                    mt.group(1) != "{}" else {}
+                hl_spec.setdefault("fields", [mt.group(2)])
+                hmap = self._build_highlights(table, sq, res, hl_spec)
+                for m in res.matches:
+                    frags = (hmap or {}).get(m.docid, {}).get(
+                        mt.group(2), [])
+                    stored_docs.setdefault(m.docid, {})[name] = \
+                        " ... ".join(frags)
         out = render_result(res, aggs_out or None, source=sq.select,
                             attr_names={a.name for a in
-                                        table.schema.attrs})
+                                        table.schema.attrs},
+                            stored_docs=stored_docs)
         if highlight:
             for hit in out["hits"]["hits"]:
                 hl = highlight.get(hit["_id"])
@@ -297,35 +372,126 @@ class HttpServer:
         return out
 
     def _build_highlights(self, table, sq, res, spec):
-        """ES-style "highlight" on /json/search (sphinxjsonquery highlight
-        → snippet generator over docstore fields)."""
+        """ES-style "highlight" on /json/search (sphinxjsonquery
+        ParseSnippet, sphinxjsonquery.cpp:1930 — elastic + sphinx option
+        names, per-field limits, strict option typing)."""
         if spec is None or not res.matches:
             return None
-        from ..exec.snippets import SnippetOptions, build_snippet
+        from ..exec.snippets import SnippetOptions, highlight_fragments
         from ..text.dictionary import Dictionary
         from ..text.tokenizer import Tokenizer
 
         if not hasattr(table, "get_document"):
             raise JsonQueryError("highlight unsupported for this table type")
-        fields = list((spec.get("fields") or {}).keys()) or \
-            list(table.schema.fields)
+
+        def perr(msg):
+            raise JsonQueryError(f"Error parsing json query: {msg}")
+
+        def want_bool(key):
+            v = spec.get(key)
+            if v is None:
+                return None
+            if not isinstance(v, bool):
+                perr(f'"{key}" property value should be a boolean')
+            return v
+
+        def want_int(obj, key):
+            v = obj.get(key)
+            if v is None:
+                return None
+            if isinstance(v, bool) or not isinstance(v, int):
+                perr(f'"{key}" property value should be an integer')
+            return v
+
+        def want_str(key):
+            v = spec.get(key)
+            if v is None:
+                return None
+            if not isinstance(v, str):
+                perr(f'"{key}" property value should be a string')
+            return v
+
+        def read_limits(obj):
+            """ParseSnippetLimits{Elastic,Sphinx}: per-field or global."""
+            lim = {}
+            for src, dst in (("fragment_size", "limit"),
+                             ("number_of_fragments", "limit_passages"),
+                             ("limit", "limit"),
+                             ("limit_passages", "limit_passages"),
+                             ("limit_snippets", "limit_passages"),
+                             ("limit_words", "limit_words")):
+                v = want_int(obj, src)
+                if v is not None:
+                    lim[dst] = v
+            return lim
+
+        # fields: array of names or object {name: {limits}}
+        fspec = spec.get("fields")
+        per_field: dict = {}
+        if isinstance(fspec, dict):
+            for fname, fopts in fspec.items():
+                if not isinstance(fopts, dict):
+                    perr(f'"{fname}" field should be an object')
+                per_field[fname] = read_limits(fopts)
+        elif isinstance(fspec, list):
+            per_field = {str(f): {} for f in fspec}
+        elif fspec is not None:
+            perr('"fields" property value should be an array or an object')
+
+        stored = list(getattr(table, "stored_fields", ()) or ())
+        fields = [f for f in (per_field or {}) if f in table.schema.fields] \
+            or list(table.schema.fields)
+        fields = [f for f in fields if f in stored]
+
         opts = SnippetOptions()
-        pre = spec.get("pre_tags")
-        post = spec.get("post_tags")
-        if pre:
-            opts.before_match = pre[0] if isinstance(pre, list) else str(pre)
-        if post:
-            opts.after_match = post[0] if isinstance(post, list) else \
-                str(post)
-        if "fragment_size" in spec:
-            opts.limit = int(spec["fragment_size"])
-        if "number_of_fragments" in spec:
-            opts.limit_passages = int(spec["number_of_fragments"])
+        glob = read_limits(spec)
+        opts.limit = glob.get("limit", opts.limit)
+        opts.limit_passages = glob.get("limit_passages", opts.limit_passages)
+        opts.limit_words = glob.get("limit_words", opts.limit_words)
+
+        enc = want_str("encoder")
+        if enc == "html":
+            opts.html_strip_mode = "retain"
+        v = want_str("pre_tags") or want_str("before_match")
+        if v:
+            opts.before_match = v
+        v = want_str("post_tags") or want_str("after_match")
+        if v:
+            opts.after_match = v
         if "no_match_size" in spec:
-            opts.no_match_size = int(spec["no_match_size"])
-            opts.allow_empty = opts.no_match_size == 0
-        if "around" in spec:
-            opts.around = int(spec["around"])
+            nms = want_int(spec, "no_match_size")
+            opts.allow_empty = (nms or 0) < 1
+        order = want_str("order")
+        if order:
+            opts.weight_order = order == "score"
+        v = want_int(spec, "around")
+        if v is not None:
+            opts.around = v
+        for key, attr in (("use_boundaries", "use_boundaries"),
+                          ("weight_order", "weight_order"),
+                          ("force_all_words", "force_all_words"),
+                          ("allow_empty", "allow_empty"),
+                          ("force_passages", "force_passages"),
+                          ("force_snippets", "force_passages")):
+            b = want_bool(key)
+            if b is not None:
+                setattr(opts, attr, b)
+        want_bool("emit_zones")
+        want_bool("pack_fields")
+        want_bool("limits_per_field")
+        v = want_str("html_strip_mode")
+        if v:
+            opts.html_strip_mode = v
+
+        # highlight_query overrides the search query's terms
+        # (ParseSnippetOptsElastic, sphinxjsonquery.cpp:1856)
+        query = sq.match or ""
+        hq = spec.get("highlight_query")
+        if hq is not None:
+            if not isinstance(hq, dict):
+                perr('"highlight_query" property value should be an object')
+            query = _hl_query_text(hq)
+
         tok = Tokenizer(table.tok_settings)
         dic = Dictionary(table.dict_settings)
         out = {}
@@ -333,15 +499,19 @@ class HttpServer:
             doc = table.get_document(m.docid)
             if doc is None:
                 continue
-            out[m.docid] = {
-                f: [build_snippet(str(doc.get(f, "")), sq.match, tok, dic,
-                                  opts)]
-                for f in fields if doc.get(f)
-            }
+            hl = {}
+            for f in fields:
+                lim = per_field.get(f, {})
+                hl[f] = highlight_fragments(
+                    str(doc.get(f, "")), query, tok, dic, opts,
+                    limit=lim.get("limit"),
+                    limit_words=lim.get("limit_words"),
+                    limit_passages=lim.get("limit_passages"))
+            out[m.docid] = hl
         return out
 
     def _handle_insert(self, body: bytes, replace: bool) -> dict:
-        req = json.loads(body)
+        req = _json_body(body)
         index = req.get("index") or req.get("table")
         table = self.catalog.get(index)
         doc = dict(req.get("doc") or {})
@@ -355,14 +525,14 @@ class HttpServer:
                 "result": "updated" if replace else "created", "status": 201}
 
     def _handle_update(self, body: bytes) -> dict:
-        req = json.loads(body)
+        req = _json_body(body)
         index = req.get("index") or req.get("table")
         table = self.catalog.get(index)
         n = table.update_attrs([int(req["id"])], dict(req["doc"]))
         return {"_index": index, "updated": n}
 
     def _handle_delete(self, body: bytes) -> dict:
-        req = json.loads(body)
+        req = _json_body(body)
         index = req.get("index") or req.get("table")
         table = self.catalog.get(index)
         if "id" in req:
@@ -393,7 +563,7 @@ class HttpServer:
         table = self.catalog.get(idx)
         if not isinstance(table, PercolateIndex):
             raise JsonQueryError(f"'{idx}' is not a percolate table")
-        req = json.loads(body or b"{}")
+        req = _json_body(body)
         if op == "search":
             docs = req.get("query", {}).get("percolate", {}).get(
                 "documents") or req.get("documents") or []

@@ -858,7 +858,21 @@ class _CrossEnvDistributed:
 
     @property
     def schema(self):
-        return self._tables()[0].schema
+        # result schema = intersection of part schemas (the reference
+        # master minimizes the aggregate schema over all part results,
+        # MinimizeAggrResult/searchd.cpp)
+        tables = self._tables()
+        base = tables[0].schema
+        if len(tables) > 1:
+            common = {a.name for a in base.attrs}
+            for t in tables[1:]:
+                common &= {a.name for a in t.schema.attrs}
+            if common != {a.name for a in base.attrs}:
+                from manticoresearch_tpu.schema import Schema
+                return Schema(fields=list(base.fields),
+                              attrs=[a for a in base.attrs
+                                     if a.name in common])
+        return base
 
     def flush(self):
         pass

@@ -256,6 +256,53 @@ def _run_batches(idx, gen_pair, n_batches, batch_size, budget_s,
     return qps, times
 
 
+def _emit_error(err: str, stage: str):
+    """Final-failure contract: ALWAYS print one parseable JSON line with an
+    `error` field so the driver's `parsed` is never null (VERDICT r3 weak #1)."""
+    print(json.dumps({
+        "metric": "mixed_boolean_bm25_top10_qps",
+        "value": 0.0,
+        "unit": "qps",
+        "vs_baseline": 0.0,
+        "error": f"{stage}: {err}"[:2000],
+        "configs": {},
+    }))
+
+
+def _init_backend_with_retry(attempts: int = 4, probe_timeout: int = 180):
+    """The axon TPU tunnel is flaky: backend init can raise (r3: rc=1,
+    'Unable to initialize backend axon') or hang. Probe it in a SUBPROCESS
+    with a hard timeout, retrying with backoff; only after a successful
+    probe touch the backend in this process. Raises on final failure."""
+    import os
+    import subprocess
+    import sys
+    import time as _t
+
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d=jax.devices(); "
+                 "print('PROBE_OK', len(d), d[0].platform)"],
+                env=dict(os.environ), capture_output=True, text=True,
+                timeout=probe_timeout)
+        except subprocess.TimeoutExpired:
+            last = f"probe hung >{probe_timeout}s (dead tunnel?)"
+        else:
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                import jax
+                jax.devices()  # init for real (probe showed tunnel alive)
+                return
+            last = (r.stderr or r.stdout).strip().splitlines()[-1] \
+                if (r.stderr or r.stdout).strip() else f"rc={r.returncode}"
+        if i < attempts - 1:
+            _t.sleep(10 * (2 ** i))
+    raise RuntimeError(f"backend init failed after {attempts} attempts: "
+                       f"{last}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200_000)
@@ -276,6 +323,12 @@ def main():
                     "section (config 1+3 re-runs); empty disables")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+
+    try:
+        _init_backend_with_retry()
+    except Exception as e:  # noqa: BLE001 — emit structured error, rc=0
+        _emit_error(str(e), "backend_init")
+        return
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
@@ -399,4 +452,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as _e:  # noqa: BLE001 — never leave parsed:null
+        import traceback
+        import sys
+        traceback.print_exc(file=sys.stderr)
+        _emit_error(str(_e) or type(_e).__name__, "run")

@@ -235,8 +235,9 @@ class _Extractor:
                  limit_words: int, limit_passages: int,
                  force_all: bool, all_mask: int, term_weights: list[int],
                  doclen_cp: int, fld: int, passages: list[_Passage],
-                 ctx: dict):
+                 ctx: dict, boundary: str = ""):
         self.toks = toks
+        self.boundary = boundary   # ""|"sentence"|"paragraph" (SPZ)
         self.around = around
         self.cp_limit = limit if limit else 1 << 30
         self.limit = limit
@@ -264,8 +265,39 @@ class _Extractor:
         return self.limit_words if self.limit_words \
             else 2 * self.around + self.qwords
 
+    def _is_boundary(self, t: _Tok) -> bool:
+        if t.is_word or not self.boundary:
+            return False
+        if self.boundary == "sentence":
+            return any(c in t.text for c in ".?!")
+        if self.boundary == "paragraph":
+            return "\n" in t.text
+        return False
+
+    def _boundary_flush(self, nxt: int):
+        # OnSPZ (snippetfunctor.cpp:581): weight+submit the current span,
+        # then reset it — passages never cross an SPZ boundary
+        self.qwords_changed = True
+        self.submit()
+        self.state = 0
+        self.s_start = self.s_end = nxt
+        self.codes = 0
+        self.words = 0
+        self.qwords = 0
+
     def run(self):
+        # SPZ boundary marker is deferred one token so the terminator and
+        # its following space stay with the preceding sentence
+        # (m_bAppendSentenceEnd, snippetfunctor.cpp:566-588)
+        pending = False
         for i, t in enumerate(self.toks):
+            if pending:
+                pending = False
+                if not t.is_word:
+                    self.add(i, t)
+                    self._boundary_flush(i + 1)
+                    continue
+                self._boundary_flush(i)
             if self.state == 0:
                 ok = self.codes + t.lcp <= self.cp_limit and \
                     self.words <= self.words_limit()
@@ -284,6 +316,8 @@ class _Extractor:
                 if t.is_word:
                     self.shrink()
                     self.submit()
+            if self._is_boundary(t):
+                pending = True
         # tail (OnTail/OnFinish, snippetfunctor.cpp:612)
         self.shrink()
         self.submit()
@@ -651,10 +685,13 @@ def _doc_start_clip(toks: list[_Tok], limit: int, separator: str) -> str:
 
 
 def _can_highlight_all(doclen_cp: int, limit: int, limit_words: int,
-                       force_passages: bool, limit_passages: int) -> bool:
-    # CanHighlightAll (sphinxexcerpt.cpp:685)
+                       force_passages: bool, limit_passages: int,
+                       passage_boundary: str = "") -> bool:
+    # CanHighlightAll (sphinxexcerpt.cpp:685): a passage-boundary SPZ mode
+    # always forces passage extraction (m_ePassageSPZ==SPH_SPZ_NONE check)
     all_ = (limit == 0 or limit >= doclen_cp) and \
-        (limit_words == 0 or limit_words > doclen_cp // 2)
+        (limit_words == 0 or limit_words > doclen_cp // 2) and \
+        not passage_boundary
     if all_ and force_passages and (limit or limit_words or limit_passages):
         all_ = False
     return all_
@@ -697,7 +734,8 @@ def highlight_fragments(text: str, query: str, tokenizer: Tokenizer,
         clip = _doc_start_clip(toks, limit, opts.chunk_separator)
         return [clip] if clip else []
     if _can_highlight_all(len(text), limit, limit_words,
-                          opts.force_passages, limit_passages):
+                          opts.force_passages, limit_passages,
+                          opts.passage_boundary):
         return [_highlight_all(toks, opts.before_match, opts.after_match,
                                [opts.start_passage_id])]
     passages: list[_Passage] = []
@@ -705,7 +743,7 @@ def highlight_fragments(text: str, query: str, tokenizer: Tokenizer,
     weights = [len(t) for t in terms]
     ex = _Extractor(toks, opts.around, limit, limit_words, limit_passages,
                     opts.force_all_words, found, weights, len(text), 0,
-                    passages, ctx)
+                    passages, ctx, opts.passage_boundary)
     ex.run()
     sel = _select_best(passages, limit, limit_words, limit_passages,
                        found, weights, opts.force_all_words,
@@ -737,7 +775,8 @@ def build_snippet(text: str, query: str, tokenizer: Tokenizer,
             return ""
         return _doc_start_clip(toks, opts.limit, opts.chunk_separator)
     if _can_highlight_all(len(text), opts.limit, opts.limit_words,
-                          opts.force_passages, opts.limit_passages):
+                          opts.force_passages, opts.limit_passages,
+                          opts.passage_boundary):
         return _highlight_all(toks, opts.before_match, opts.after_match,
                               [opts.start_passage_id])
     passages: list[_Passage] = []
@@ -745,7 +784,8 @@ def build_snippet(text: str, query: str, tokenizer: Tokenizer,
     weights = [len(t) for t in terms]
     ex = _Extractor(toks, opts.around, opts.limit, opts.limit_words,
                     opts.limit_passages, opts.force_all_words, found,
-                    weights, len(text), 0, passages, ctx)
+                    weights, len(text), 0, passages, ctx,
+                    opts.passage_boundary)
     ex.run()
     sel = _select_best(passages, opts.limit, opts.limit_words,
                        opts.limit_passages, found, weights,

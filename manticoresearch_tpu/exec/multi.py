@@ -241,9 +241,15 @@ def search_grouped_parts(parts, q, schema, single_part_hint="",
             # group host-side (the reference re-sorts the merged window
             # the same way, sphinxsort.cpp distinct fixup)
             t0 = time.perf_counter()
+            # the grouping pass must see EVERY match (the reference's
+            # grouper processes all matches regardless of max_matches;
+            # sphinxsort.cpp) — an n_docs-sized window keeps COUNT(*) /
+            # COUNT(DISTINCT)/SUM exact instead of clipping at max_matches
+            full = max(q.max_matches,
+                       sum(getattr(p, "n_docs", 0) or 0 for p in parts))
             base_q = dc_replace(q, group_by=None, select=None, having=None,
                                 sort=[("weight", False), ("id", True)],
-                                offset=0, limit=q.max_matches)
+                                offset=0, limit=full, max_matches=full)
             results = [p.search(base_q) for p in parts]
             err = next((r.error for r in results if r.error), None)
             if err:
@@ -262,7 +268,6 @@ def search_grouped_parts(parts, q, schema, single_part_hint="",
                         seen2[m.docid] = (pi3, [m])
             matches = [m for _, ms in seen2.values() for m in ms]
             matches.sort(key=lambda m: (-m.weight, m.docid))
-            matches = matches[:q.max_matches]
             from .searcher import host_group_matches
             rows, total = host_group_matches(matches, q)
             dt = (time.perf_counter() - t0) * 1000.0

@@ -1084,12 +1084,25 @@ class Session:
         cols = st.columns
         if not cols:
             cols = ["id"] + t.schema.fields + [a.name for a in t.schema.attrs]
+        # same column/type validation as the plain _insert path — a bad
+        # record must fail HERE, not inside every member's applier thread
+        str_cols = set(t.schema.fields) | {
+            a.name for a in t.schema.attrs
+            if getattr(a.type, "value", "") in ("string", "json")}
         docs = []
-        for row in st.rows:
+        for rn, row in enumerate(st.rows, 1):
             if len(row) != len(cols):
                 return QLResult.err(
                     f"column count mismatch: {len(cols)} vs {len(row)}")
+            for ci, (c, v) in enumerate(zip(cols, row), 1):
+                if c in str_cols and not isinstance(v, str):
+                    return QLResult.err(
+                        f"row {rn}, column {ci}: string expected")
             doc = dict(zip(cols, row))
+            if "id" not in doc:
+                # auto ids, as in _insert (UidShort, sphinxutils.cpp:3357)
+                from ..utils.uid import uid_short
+                doc["id"] = uid_short()
             docid = int(doc.get("id", 0))
             if not st.replace and docid in t.docid_seg:
                 return QLResult.err(f"duplicate id {docid}")

@@ -187,6 +187,11 @@ class Cluster:
         self.sequencer = sequencer or service.address
         self.tables: set[str] = set()
         self.applied = 0                  # last locally-applied seq
+        # per-table SST floor: a joiner's snapshots are taken per table
+        # while the log advances, so overlap records must not be replayed
+        # into tables already past them (ADVICE r3)
+        self.table_floor: dict[str, int] = {}
+        self.error: str | None = None
         self._log: list[tuple[int, str, dict]] = []   # sequencer-side
         self._lock = threading.Lock()
         self._applied_cv = threading.Condition()
@@ -231,6 +236,16 @@ class Cluster:
     def stop(self) -> None:
         self._stop.set()
 
+    def _apply_one_safe(self, seq: int, table: str, rec: dict) -> None:
+        try:
+            self._apply_one(seq, table, rec)
+        except Exception as e:  # noqa: BLE001 — applier must survive
+            self.error = f"apply seq {seq} on '{table}': {e}"
+            with self._applied_cv:
+                if self.applied < seq:
+                    self.applied = seq
+                self._applied_cv.notify_all()
+
     def _apply_one(self, seq: int, table: str, rec: dict) -> None:
         if rec.get("op") == "cluster_add":
             from ..schema import Schema
@@ -243,6 +258,8 @@ class Cluster:
                 self._applied_cv.notify_all()
             return
         t = self.catalog.tables.get(table)
+        if t is not None and seq <= self.table_floor.get(table, 0):
+            t = None                       # SST already contains this seq
         if t is not None:
             t._binlog_write(rec)           # persist first (WAL)
             saved = t._binlog
@@ -263,7 +280,7 @@ class Cluster:
                     time.sleep(0.02)
                     continue
                 for seq, table, rec in batch:
-                    self._apply_one(seq, table, rec)
+                    self._apply_one_safe(seq, table, rec)
             return
         # remote member: subscribe to the sequencer's log
         asyncio.run(self._subscribe_loop())
@@ -290,7 +307,8 @@ class Cluster:
                     if "error" in msg:
                         self.error = msg["error"]
                         return
-                    self._apply_one(msg["seq"], msg["table"], msg["rec"])
+                    self._apply_one_safe(msg["seq"], msg["table"],
+                                         msg["rec"])
                 writer.close()
             except (ConnectionError, OSError) as e:
                 self.error = str(e)
@@ -385,6 +403,7 @@ def join_cluster(catalog, service: ClusterService, name: str,
             catalog.create(tname, Schema.from_json(meta["schema"]),
                            options=meta.get("options") or {})
         seq = _sst_table(catalog.get(tname), name, host, int(port))
+        cl.table_floor[tname] = seq
         min_seq = min(min_seq, seq)
     cl.applied = min_seq
     catalog.clusters[name] = cl
@@ -408,7 +427,14 @@ def _sst_table(t, cluster: str, host: str, port: int) -> int:
         os.makedirs(base, exist_ok=True)
         for _ in range(int(head["sst"]["files"])):
             meta = json.loads(await reader.readline())
-            dst = os.path.join(base, meta["file"])
+            # donor-supplied names must stay under the joiner's data_dir
+            fname = str(meta["file"])
+            if os.path.isabs(fname) or ".." in fname.split(os.sep):
+                raise ClusterError(f"SST: unsafe file name {fname!r}")
+            dst = os.path.join(base, fname)
+            if not os.path.realpath(dst).startswith(
+                    os.path.realpath(base) + os.sep):
+                raise ClusterError(f"SST: file escapes data_dir: {fname!r}")
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             size = int(meta["size"])
             with open(dst, "wb") as f:

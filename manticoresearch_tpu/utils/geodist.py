@@ -82,21 +82,27 @@ def geodist_adaptive_deg(lat1: float, lon1: float,
     dlon = _deg_diff(_f32(lon1 - lon2))
     if dlon < 13:
         # flat ellipsoid model, k coeffs interpolated at the midpoint
-        m = _f32(float(_f32(_f32(lat1 + lat2) + _f32(180)))
-                 * _TABLE_K / 360)
+        # (GeodistAdaptiveDeg, sphinxexpr.cpp:5727-5732) — every float
+        # multiply/add rounds through float32 exactly as the C code does,
+        # and the fraction uses the MASKED index (m - i after i &= K-1)
+        m = _f32(_f32(_f32(_f32(lat1 + lat2) + _f32(180.0)) * _f32(_TABLE_K))
+                 / _f32(360.0))
         i = int(m) & (_TABLE_K - 1)
-        mi = _f32(m - int(m))
-        kk1 = _f32(_g_k[i][0] + _f32(_g_k[i + 1][0] - _g_k[i][0]) * mi)
-        kk2 = _f32(_g_k[i][1] + _f32(_g_k[i + 1][1] - _g_k[i][1]) * mi)
-        return float(_f32(math.sqrt(float(kk1) * float(dlat) * float(dlat)
-                                    + float(kk2) * float(dlon)
-                                    * float(dlon))))
-    d = 2 * 6371000
-    a = (float(_fast_sin(_f32(dlat * _TO_RADF2))) ** 2
-         + float(_fast_cos(_f32(lat1 * _TO_RADF)))
-         * float(_fast_cos(_f32(lat2 * _TO_RADF)))
-         * float(_fast_sin(_f32(dlon * _TO_RADF2))) ** 2)
-    return float(_f32(d * float(_fast_asin_sqrt(a))))
+        mi = _f32(m - _f32(i))
+        kk1 = _f32(_g_k[i][0]
+                   + _f32(_f32(_g_k[i + 1][0] - _g_k[i][0]) * mi))
+        kk2 = _f32(_g_k[i][1]
+                   + _f32(_f32(_g_k[i + 1][1] - _g_k[i][1]) * mi))
+        s = _f32(_f32(_f32(kk1 * dlat) * dlat)
+                 + _f32(_f32(kk2 * dlon) * dlon))
+        return float(_f32(math.sqrt(float(s))))
+    d = _f32(2 * 6371000)
+    s1 = _fast_sin(_f32(dlat * _TO_RADF2))
+    s2 = _fast_sin(_f32(dlon * _TO_RADF2))
+    c1 = _fast_cos(_f32(lat1 * _TO_RADF))
+    c2 = _fast_cos(_f32(lat2 * _TO_RADF))
+    a = _f32(_f32(s1 * s1) + _f32(_f32(c1 * c2) * _f32(s2 * s2)))
+    return float(_f32(d * _fast_asin_sqrt(float(a))))
 
 
 def geodist_adaptive_rad(lat1: float, lon1: float,

@@ -199,6 +199,7 @@ def settings_from_sql_options(options: dict[str, str]
         token_filter=str(o.get("token_filter", "")),
         min_prefix_len=_i("min_prefix_len", 0),
         min_infix_len=_i("min_infix_len", 0),
+        mode=str(o.get("dict", "keywords")).strip() or "keywords",
     )
     return tok, dic
 

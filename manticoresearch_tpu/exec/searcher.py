@@ -201,7 +201,8 @@ class SearchIndex:
                            pf_out=out if cq.sig.emit_factors else None)
         prof.append(("finalize", time.perf_counter() - t2))
         res.profile = prof
-        res.plan_repr = f"{cq.sig.expr} ranker={cq.sig.ranker}"
+        from ..query.explain import render_plan
+        res.plan_repr = render_plan(cq.ast, self.schema)
         return res
 
     def search_batch(self, queries: list[SearchQuery]) -> list[SearchResult]:
@@ -637,7 +638,8 @@ class SearchIndex:
         stats = [WordStat(t, d, h) for t, d, h in cq.stat_list]
         total = min(found, q.max_matches)
         res = SearchResult(matches, total, found, dt, stats)
-        res.plan_repr = f"{cq.sig.expr} ranker={cq.sig.ranker}"
+        from ..query.explain import render_plan
+        res.plan_repr = render_plan(cq.ast, self.schema)
         return res
 
     def _host_column(self, name: str):

@@ -974,7 +974,11 @@ class Session:
         meta += [("total", str(res.total)),
                 ("total_found", str(res.total_found)),
                 ("time", f"{res.time_ms / 1000.0:.3f}")]
-        for i, ws in enumerate(res.word_stats):
+        # SHOW META sorts keywords lexicographically (MakeSortedWordStat,
+        # sphinx.cpp:27938: byte-order compare of the normalized words)
+        stats = sorted(res.word_stats,
+                       key=lambda ws: ws.word.encode("utf-8", "replace"))
+        for i, ws in enumerate(stats):
             meta.append((f"keyword[{i}]", ws.word))
             meta.append((f"docs[{i}]", str(ws.docs)))
             meta.append((f"hits[{i}]", str(ws.hits)))
@@ -1753,9 +1757,10 @@ class Session:
                 return QLResult(columns=["Variable", "Value"],
                                 rows=[("transformed_tree", "EMPTY")])
             cq = parts[0].plan(SearchQuery(match=qtext))
+            from ..query.explain import render_plan
             return QLResult(columns=["Variable", "Value"],
-                            rows=[("transformed_tree", repr(cq.sig.expr)),
-                                  ("ranker", cq.sig.ranker)])
+                            rows=[("transformed_tree",
+                                   render_plan(cq.ast, t.schema))])
         return QLResult.err(f"unhandled statement kind {k}")
 
     def _commit_txn(self):

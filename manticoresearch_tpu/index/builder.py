@@ -263,7 +263,8 @@ class IndexBuilder:
         native = None
         ndict = None
         if trivial_dict and self.tokenizer._ngram_set is None \
-                and not self.tokenizer._features_active:
+                and not self.tokenizer._features_active \
+                and not self.tok_settings.multiforms:
             from ..native import get_native_lib
             native = get_native_lib()
         if native is not None:

@@ -624,6 +624,9 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
 
         zctr = 0  # trace-time cursor into rt["zspans"] (planner order)
         zspan_acc: dict = {}   # ZONESPAN groups: zlim -> per-zone presence
+        lim_hit_ok: dict = {}  # slot -> per-hit qualify mask: the ranker
+        #                        stream must carry only qualifying hits
+        #                        (ExtTermPos emits filtered hits upward)
         for s, lmask, f_start, f_end, zlim in sig.slot_limited:
             hrowL, hpkL, mskL = slot_hits(s)
             hfield = (hpkL >> 24) & 0x7F
@@ -673,6 +676,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 flagged = jax.lax.dynamic_slice(
                     data["hit_packed"], (stH,), (sz,))
                 ok &= (flagged & HITMAN_END_FLAG) != 0
+            lim_hit_ok[s] = ok
             rowL = to_idx(jnp.where(ok, hrowL, N))
             tf_lim = jnp.zeros(size, jnp.int32).at[rowL].add(
                 jnp.where(ok, 1, 0))
@@ -773,7 +777,10 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             if node not in phrase_results:
                 continue
             acc = jnp.zeros(size, jnp.float32)
-            for s in gslots:
+            # a repeated phrase member ("zee lord of zee rings") is ONE
+            # weighted qword instance — the dupes are idf-zeroed
+            # (ExtTerm_T::GetQwords, searchnode.cpp:2030)
+            for s in dict.fromkeys(gslots):
                 row, msk, st_, sz_ = slot_postings(s)
                 tfq_ = slot_tfq(s, st_, sz_)
                 c_ = jnp.where(msk, tfq_ * rt["idf"][s] * rt["mult"][s],
@@ -851,6 +858,12 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             parts_slot = []
             for s in rk_slots:
                 hrowS, hpkS, mskS = slot_hits(s)
+                if s in lim_hit_ok:
+                    # position/zone/field-limited term: only qualifying
+                    # hits reach the ranker (ExtConditional hit filtering)
+                    mskS = mskS & lim_hit_ok[s]
+                    hrowS = jnp.where(mskS, hrowS, N)
+                    hpkS = jnp.where(mskS, hpkS, 0)
                 # HANDLE_DUPES: a keyword at several query positions emits
                 # its hits once per occurrence (static qpos values), so LCS
                 # chains can pass through repeated words
@@ -897,32 +910,113 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     weight = jnp.zeros(size, jnp.int32).at[to_idx(hrow)].add(
                         jnp.where(hrow < N, fw[wfield], 0))
                     total_rank = None
-                elif sig.slot_occs and not rk_phrases:
-                    # HANDLE_DUPES path: duplicate-keyword entries would
-                    # break the immediate-predecessor chain in (row, pos)
-                    # order, so sort by (row, delta=pos-qpos, pos): a chain
-                    # of consecutive words lives inside one constant-delta
-                    # segment regardless of interleaved dupe entries
-                    delta = hpk - hqp
-                    hrow, sdelta, hpk, hslot = jax.lax.sort(
-                        (hrow, delta, hpk, hslot), num_keys=3)
-                    hw = jnp.where(hrow < N, 1, 0).astype(jnp.int32)
-                    p_row = jnp.concatenate([jnp.full(1, -1, hrow.dtype),
-                                             hrow[:-1]])
-                    p_d = jnp.concatenate([jnp.zeros(1, sdelta.dtype),
-                                           sdelta[:-1]])
-                    p_pk = jnp.concatenate([jnp.zeros(1, hpk.dtype),
-                                            hpk[:-1]])
-                    linked = ((hrow == p_row) & (sdelta == p_d)
-                              & (hpk == p_pk + 1))
+                elif sig.has_dupes or sig.slot_occs:
+                    # HANDLE_DUPES proximity state machine
+                    # (RankerState_Proximity_fn<*,true>,
+                    # sphinxsearch.cpp:1369-1414), vectorized equivalent.
+                    # The sequential state has one load-bearing quirk: once
+                    # the first 2-chain forms, the LCS tail only advances
+                    # on further extensions of THAT chain (m_uCurLCS never
+                    # resets below 2), so no later chain can start — in any
+                    # field. Equivalently:
+                    #  1. hits merge per distinct (row,pos) into qpos masks
+                    #  2. the EARLIEST adjacent-position extension (mask
+                    #     shift match, gap<32) starts the one growable
+                    #     chain; its delta d = pos-qpos is then constant
+                    #  3. the chain grows over same-delta elements while
+                    #     successive gaps stay <32
+                    #  4. every other distinct position contributes only
+                    #     its hit weight to its field's LCS
+                    payload = (jnp.clip(hqp, 0, 255)
+                               | (jnp.clip(hw, 0, 255) << 8))
+                    hrow, hpk, payload, hslot = jax.lax.sort(
+                        (hrow, hpk, payload, hslot), num_keys=3)
+                    hqp = payload & 0xFF
+                    hw = (payload >> 8) & 0xFF
+                    valid = hrow < N
                     M = hrow.shape[0]
                     idx = jnp.arange(M, dtype=jnp.int32)
-                    run_start = jax.lax.cummax(jnp.where(linked, 0, idx))
-                    cumw = jnp.cumsum(hw)
-                    curlcs = cumw - cumw[run_start] + hw[run_start]
-                    curlcs = jnp.minimum(curlcs, 255)
-                    # recover qpos for the factor stream (delta = pk - qp)
-                    hqp = hpk - sdelta
+                    p_row = jnp.concatenate(
+                        [jnp.full(1, -1, hrow.dtype), hrow[:-1]])
+                    p_pk = jnp.concatenate(
+                        [jnp.full(1, -1, hpk.dtype), hpk[:-1]])
+                    newpos = (hrow != p_row) | (hpk != p_pk)
+                    gid = jnp.cumsum(newpos.astype(jnp.int32)) - 1
+                    qbit = jnp.where(valid,
+                                     jnp.int32(1) << jnp.clip(hqp, 0, 30),
+                                     0)
+                    # segmented OR-scan: curQposMask as each hit arrives
+                    def _segor(a, b):
+                        m1, r1 = a
+                        m2, r2 = b
+                        return (jnp.where(r2, m2, m1 | m2), r1 | r2)
+                    seg_or, _ = jax.lax.associative_scan(
+                        _segor, (qbit, newpos))
+                    # full mask + pos of each distinct-position group
+                    last_of_gid = jnp.zeros(M, jnp.int32).at[gid].max(idx)
+                    gmask = seg_or[last_of_gid]          # [gid]-indexed via M
+                    gpos = hpk[last_of_gid]
+                    grow = hrow[last_of_gid]
+                    pgid = jnp.maximum(gid - 1, 0)
+                    prev_mask = gmask[pgid]
+                    prev_pos = gpos[pgid]
+                    prev_row = grow[pgid]
+                    gap = hpk - prev_pos
+                    ext = (valid & (gid > 0) & (prev_row == hrow)
+                           & (gap >= 1) & (gap < 32)
+                           & (((seg_or >> jnp.clip(gap, 0, 31)) & prev_mask)
+                              != 0))
+                    hidx0 = to_idx(hrow)
+                    first_ext = jnp.full(size, M, jnp.int32).at[
+                        jnp.where(valid, hidx0, sink)].min(
+                        jnp.where(ext, idx, M))
+                    started = first_ext < M
+                    fe = jnp.clip(first_ext, 0, M - 1)
+                    win_delta = jnp.where(started, hpk[fe] - hqp[fe], -1)
+                    win_field = jnp.where(started, (hpk[fe] >> 24) & 0x7F, 0)
+                    # chain growth: same-(row,delta) elements in pos order,
+                    # broken at the first >=32 gap past the start
+                    delta = jnp.where(valid, hpk - hqp, -2)
+                    on_chain = valid & (delta == win_delta[hidx0])
+                    srow2, sd2, spk2, sidx2 = jax.lax.sort(
+                        (jnp.where(on_chain, hrow, N),
+                         delta, hpk, idx), num_keys=3)
+                    pp = jnp.concatenate(
+                        [jnp.full(1, -(1 << 28), spk2.dtype), spk2[:-1]])
+                    pr = jnp.concatenate(
+                        [jnp.full(1, -1, srow2.dtype), srow2[:-1]])
+                    pd = jnp.concatenate(
+                        [jnp.full(1, -2, sd2.dtype), sd2[:-1]])
+                    samegrp = (pr == srow2) & (pd == sd2)
+                    brk = (samegrp & ((spk2 - pp) >= 32)).astype(jnp.int32)
+                    brk = jnp.where(samegrp, brk, 0)
+                    # segmented cumsum of breaks within the (row,delta) run
+                    def _segadd(a, b):
+                        v1, r1 = a
+                        v2, r2 = b
+                        return (jnp.where(r2, v2, v1 + v2), r1 | r2)
+                    cumbrk, _ = jax.lax.associative_scan(
+                        _segadd, (brk, ~samegrp))
+                    # break-count at the chain-starting element, per row
+                    hidx2 = to_idx(jnp.where(srow2 < N, srow2, N))
+                    at_start = (srow2 < N) & (sidx2 == first_ext[hidx2])
+                    start_brk = jnp.zeros(size, jnp.int32).at[
+                        jnp.where(srow2 < N, hidx2, sink)].max(
+                        jnp.where(at_start, cumbrk, 0))
+                    member = ((srow2 < N)
+                              & (sidx2 >= first_ext[hidx2])
+                              & (cumbrk == start_brk[hidx2]))
+                    w2 = hw[sidx2]
+                    chain = jnp.zeros(size, jnp.int32).at[
+                        jnp.where(srow2 < N, hidx2, sink)].add(
+                        jnp.where(member, w2, 0)) + 1   # +1 = chain start
+                    chain = jnp.where(started, jnp.minimum(chain, 255), 0)
+                    # per-field baseline = max hit weight; chain field maxes
+                    # with the chain value (computed below via curlcs)
+                    curlcs = jnp.where(valid, hw, 0)
+                    chain_bonus = (started[hidx0]
+                                   & (idx == first_ext[hidx0]))
+                    curlcs = jnp.where(chain_bonus, chain[hidx0], curlcs)
                 else:
                     # pack the payload into one i32 (qpos<=255, w<=255,
                     # span<=255, slot<=31) so the sort carries 3 operands

@@ -27,6 +27,9 @@ class QTerm:
     #                                          (blended chunks cover their
     #                                          parts' positions: m_iAtomPos
     #                                          advances per tokenizer pos)
+    raw: str = ""                            # display form for SHOW PLAN:
+    #                                          XQKeyword_t m_sWord is the
+    #                                          raw (pre-dict) token
 
 
 @dataclass(frozen=True)
@@ -37,6 +40,7 @@ class QPhrase:
     # per-word query-position offsets relative to the first word (gaps >1
     # where stopped/overshort words held a position); () = 0,1,2,...
     positions: tuple = ()
+    raws: tuple = ()          # raw (pre-dict) display forms for SHOW PLAN
 
 
 @dataclass(frozen=True)
@@ -44,6 +48,7 @@ class QQuorum:
     words: tuple[str, ...]
     m: int                    # resolved count (fractions resolved at parse)
     fields: tuple[str, ...] | None = None
+    raws: tuple = ()          # raw (pre-dict) display forms for SHOW PLAN
 
 
 @dataclass(frozen=True)
@@ -86,6 +91,16 @@ class QNot:
 class QMaybe:
     left: object
     right: object             # MAYBE: match left, rank with right's weight too
+
+
+@dataclass(frozen=True)
+class QGap:
+    """A query atom whose keywords all dropped (stopword/overshort) but
+    which still consumes atom positions: the reference's parser advances
+    m_iAtomPos over stopped keywords (stopword_step, sphinxquery.cpp), so
+    proximity LCS sees the positional hole ("senior pastor of riverside
+    church" with 'of' stopped ranks doc positions 1,2,4,5 as LCS 4)."""
+    span: int = 1
 
 
 @dataclass(frozen=True)

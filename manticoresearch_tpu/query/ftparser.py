@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 from ..text.dictionary import Dictionary
 from ..text.tokenizer import Tokenizer
-from .ast import (QAll, QAnd, QMaybe, QNear, QOr, QPhrase, QQuorum,
+from .ast import (QAll, QAnd, QGap, QMaybe, QNear, QOr, QPhrase, QQuorum,
                   QSentence, QTerm)
 
 
@@ -243,7 +243,7 @@ class FtQueryParser:
         while i < len(toks):
             t = toks[i]
             best = None
-            if t.kind == "word":
+            if t.kind == "word" and t.text[:1] not in "~/":
                 f0 = fold_one(t.text)
                 for src, dst in by_first.get(f0, ()):
                     k = len(src)
@@ -287,12 +287,13 @@ class FtQueryParser:
                 and toks[0].start <= toks[1].start
                 and toks[0].end >= toks[-1].end):
             toks = [toks[0]]
-        raw_tokens = [t.text for t in toks]
         out = []
-        for t in raw_tokens:
-            term = self.dictionary.process_query_term(t, exact=exact)
+        self._last_raws = []
+        for t in toks:
+            term = self.dictionary.process_query_term(t.text, exact=exact)
             if term is not None:
                 out.append(term)
+                self._last_raws.append(t.text)
         return out
 
     def _parse_field_spec(self, text: str) -> tuple[str, ...] | None:
@@ -369,7 +370,9 @@ class FtQueryParser:
             if t.kind == "not":
                 self._next()
                 child = self._parse_or_expr()
-                if child is not None:
+                if isinstance(child, QGap):
+                    pos_children.append(child)
+                elif child is not None:
                     neg_children.append(child)
                 continue
             child = self._parse_or_expr()
@@ -398,11 +401,14 @@ class FtQueryParser:
             if child is not None:
                 pos_children.append(child)
 
-        if not pos_children and neg_children:
+        if all(isinstance(c, QGap) for c in pos_children) \
+                and neg_children:
             raise QueryParseError(
                 "query is non-computable (single NOT operator)"
             )  # reference error unless not_terms_only_allowed
         if not pos_children:
+            return None
+        if all(isinstance(c, QGap) for c in pos_children):
             return None
         pos = pos_children[0] if len(pos_children) == 1 else QAnd(tuple(pos_children))
         if not neg_children:
@@ -422,8 +428,10 @@ class FtQueryParser:
             while self._peek() and self._peek().kind == "field":
                 self.cur_fields = self._parse_field_spec(self._next().text)
             right = self._parse_atom()
-            if left is None:
-                left = right
+            if isinstance(right, QGap):
+                right = None
+            if left is None or isinstance(left, QGap):
+                left = right if left is None else (right or left)
             elif right is not None:
                 lc = left.children if isinstance(left, QOr) else (left,)
                 rc = right.children if isinstance(right, QOr) else (right,)
@@ -482,6 +490,11 @@ class FtQueryParser:
         return out
 
     def _make_term_atom(self, raw: str):
+        if raw and raw[0] in "~/" and not raw.startswith("\x01"):
+            # a stray proximity/quorum suffix not attached to a phrase is
+            # a syntax error (sphinxquery.y: "unexpected '~'")
+            raise QueryParseError(
+                f"syntax error, unexpected '{raw[0]}' near '{raw}'")
         if raw.startswith("\x01"):
             terms = self._exc_terms(raw)
             if not terms:
@@ -521,15 +534,35 @@ class FtQueryParser:
                              wildcard=True, zones=self.cur_zones)
         terms = self._terms_of(body, exact)
         if not terms:
-            return None
+            # every keyword of the atom dropped (stopword/overshort):
+            # the atom still consumes its positions (m_iAtomPos advances
+            # over stopped keywords — stopword_step semantics)
+            return QGap(getattr(self, "_last_span", 1))
+        raws = list(getattr(self, "_last_raws", []) or terms)
+        if exact and self.dictionary.settings.index_exact_words \
+                and (self.dictionary._morphs or self.dictionary._wordforms):
+            # the exact-form operator displays as part of the keyword
+            # (XQKeyword m_sWord keeps the '=' marker: plan "=dogs");
+            # without index_exact_words the '=' is dropped entirely
+            raws = ["=" + r for r in raws]
         if len(terms) == 1:
             return QTerm(terms[0], self.cur_fields, exact, boost,
                          field_start=fstart, field_end=fend,
-                         zones=self.cur_zones,
+                         zones=self.cur_zones, raw=raws[0],
                          atom_span=getattr(self, "_last_span", 1))
-        # a single syntax word expanding to multiple tokens ("t-shirt")
-        # indexes as consecutive positions -> behaves as a phrase
-        return QPhrase(tuple(terms), self.cur_fields)
+        # a single syntax word expanding to multiple tokens ("t-shirt",
+        # multiform destinations like rdogs > red dogs) becomes separate
+        # consecutive keywords — implicit AND, one atom pos each (the XQ
+        # parser appends each tokenizer emission as its own keyword;
+        # golden test_022 plan: OR(AND(me), AND(AND(red), AND(dogs)));
+        # ^/$ anchors apply to the first/last emission (q48 field_end)
+        kids = []
+        for i2, (t, rw) in enumerate(zip(terms, raws)):
+            kids.append(QTerm(t, self.cur_fields, zones=self.cur_zones,
+                              raw=rw,
+                              field_start=fstart and i2 == 0,
+                              field_end=fend and i2 == len(terms) - 1))
+        return QAnd(tuple(kids))
 
     def _parse_quoted(self, exact: bool = False):
         self._next()  # opening quote
@@ -562,6 +595,7 @@ class FtQueryParser:
         # suffix: ~N proximity or /N quorum
         prox = 0
         quorum = None
+        suffix_gap = False
         rest = self._peek()
         if rest is not None and rest.kind == "word" and rest.text[:1] in "~/":
             self._next()
@@ -574,6 +608,7 @@ class FtQueryParser:
                     quorum = val
             except ValueError:
                 raise QueryParseError(f"bad phrase suffix {txt!r}")
+            suffix_gap = True
         # tokenize chunk-by-chunk: stopped/overshort tokens keep their
         # POSITION (stopword_step/overshort_step semantics), so phrase
         # matching preserves the gaps — "walking in my shoes" with in/my
@@ -583,13 +618,13 @@ class FtQueryParser:
         ds = self.dictionary.settings
         wc_enabled = (getattr(ds, "min_prefix_len", 0) > 0
                       or getattr(ds, "min_infix_len", 0) > 0)
-        entries: list[tuple[str, int]] = []
+        entries: list[tuple] = []   # (term, pos, raw)
         base = 0
         for chunk in words:
             if chunk.startswith("\x01"):
                 for term in self._exc_terms(chunk):
                     base += 1
-                    entries.append((term, base))
+                    entries.append((term, base, term))
                 continue
             if any(c in "*?" for c in chunk):
                 if all(c in "*?" for c in chunk):
@@ -604,7 +639,7 @@ class FtQueryParser:
                         continue
                 else:
                     base += 1
-                    entries.append((chunk.lower(), base))
+                    entries.append((chunk.lower(), base, chunk.lower()))
                     continue
             toks = self.tokenizer.tokenize(chunk)
             maxpos = max((t.position for t in toks), default=0)
@@ -618,7 +653,7 @@ class FtQueryParser:
                 term = self.dictionary.process_query_term(tk.text,
                                                           exact=exact)
                 if term is not None:
-                    entries.append((term, base + tk.position))
+                    entries.append((term, base + tk.position, tk.text))
             if toks:
                 base += maxpos
             elif any(c.isalnum() for c in chunk):
@@ -627,20 +662,28 @@ class FtQueryParser:
                 base += self.tokenizer.settings.overshort_step
             # pure-special chunks ('(', '!') consume no position
         words = [e[0] for e in entries]
+        raws = tuple(e[2] for e in entries)
         if not words:
             return None
         base = entries[0][1]
         deltas = tuple(e[1] - base for e in entries)
+
+        def _with_gap(node):
+            # the /N or ~N count is a tokenizer token in the reference —
+            # it consumes one atom position after the phrase
+            return QAnd((node, QGap(1))) if suffix_gap else node
         if quorum is not None:
             m = int(quorum) if quorum >= 1 else max(1, int(len(words) * quorum))
-            if m >= len(words):
-                return QAnd(tuple(QTerm(w, self.cur_fields) for w in words)) \
-                    if len(words) > 1 else QTerm(words[0], self.cur_fields)
-            return QQuorum(tuple(words), m, self.cur_fields)
+            if len(words) == 1:
+                return _with_gap(QTerm(words[0], self.cur_fields,
+                                       raw=raws[0]))
+            return _with_gap(QQuorum(tuple(words), m, self.cur_fields,
+                                     raws=raws))
         if len(words) == 1:
             # a one-word phrase degenerates to the bare term — keep its
             # wildcard flag so `"*abc*"` still expands in the planner
-            return QTerm(words[0], self.cur_fields,
-                         wildcard=any(c in "*?" for c in words[0]))
-        return QPhrase(tuple(words), self.cur_fields, proximity=prox,
-                       positions=deltas)
+            return _with_gap(QTerm(words[0], self.cur_fields, raw=raws[0],
+                             wildcard=any(c in "*?" for c in words[0])))
+        return _with_gap(QPhrase(tuple(words), self.cur_fields,
+                                 proximity=prox, positions=deltas,
+                                 raws=raws))

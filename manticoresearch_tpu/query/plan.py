@@ -55,6 +55,9 @@ class PlanSig:
     slot_occs: tuple = ()       # HANDLE_DUPES: per-slot tuple of query
                                 # positions when a keyword occurs more than
                                 # once in the query (else empty)
+    has_dupes: bool = False     # HasQwordDupes (sphinxsearch.cpp:4178):
+                                # any word string appears in >1 query atom
+                                # -> the dupes proximity state machine
     sparse: bool = False        # sparse candidate pipeline: evaluate over
                                 # the union of the query terms' postings
                                 # (sorted + segment-reduced) instead of

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .ast import (QAll, QAnd, QAndNot, QMaybe, QNear, QOr, QPhrase,
+from .ast import (QAll, QAnd, QAndNot, QGap, QMaybe, QNear, QOr, QPhrase,
                   QQuorum, QSentence, QTerm)
 from .plan import FilterSpec, PlanSig, _desc_slots
 
@@ -46,6 +46,7 @@ class CompiledQuery:
     # display word stats: (word, docs, hits) with wildcard expansions
     # aggregated under the original pattern (sphinx.cpp:14873 AddStat)
     stat_list: list = field(default_factory=list)
+    ast: object = None             # transformed AST (SHOW PLAN render)
 
 
 def _next_pow2(x: int, lo: int = 128) -> int:
@@ -473,11 +474,17 @@ class _SlotTable:
         self.zones: list[tuple] = []   # zone-name tuple per slot
         self.occ: list[list[int]] = []  # every occurrence's qpos per slot
         self.mult: list[float] = []
+        self.first_boost: list[float] = []  # boost of the slot's first instance
         self.qpos: list[int] = []   # query atom position (m_iAtomPos), 1-based
         self._cursor = 0            # advances per leaf occurrence
         self.groups: list[tuple] = []   # payload merge groups (slot tuples)
         self.all_mask = all_fields_mask
         self.mask_of = mask_of
+
+    def skip(self, span: int = 1) -> None:
+        """Advance the atom-position cursor without emitting a slot
+        (stopped keywords consume positions: stopword_step)."""
+        self._cursor += max(1, span)
 
     def get(self, term: str, fields, positive: bool, weight: float = 1.0,
             field_start: bool = False, field_end: bool = False,
@@ -504,6 +511,7 @@ class _SlotTable:
             self.flags.append((field_start, field_end))
             self.zones.append(tuple(zones))
             self.mult.append(0.0)
+            self.first_boost.append(weight)
             self.qpos.append(pos)
             self.occ.append([pos])
         if positive:
@@ -515,13 +523,22 @@ def _lower(node, st: _SlotTable, positive: bool):
     """AST -> plan expr tuple, assigning slots."""
     if isinstance(node, QAll) or node is None:
         return ("all",)
+    if isinstance(node, QGap):
+        # stopped atom: consumes query positions, matches nothing
+        # (m_iAtomPos advances over stopwords; node itself is NULL)
+        st.skip(node.span)
+        return None
     if isinstance(node, QTerm):
         s = st.get(node.word, node.fields, positive, node.boost,
                    node.field_start, node.field_end, node.zones,
                    span=getattr(node, "atom_span", 1))
         return ("term", s)
     if isinstance(node, QAnd):
-        return ("and", tuple(_lower(c, st, positive) for c in node.children))
+        kids = tuple(k for k in (_lower(c, st, positive)
+                                 for c in node.children) if k is not None)
+        if not kids:
+            return None
+        return kids[0] if len(kids) == 1 else ("and", kids)
     if isinstance(node, QOr):
         # an OR whose children are all expansions of ONE wildcard pattern is
         # the reference's payload term-merge node (BuildExpandedTree +
@@ -549,10 +566,19 @@ def _lower(node, st: _SlotTable, positive: bool):
     if isinstance(node, QMaybe):
         # MAYBE: matching follows the left arm; the right arm's hits and
         # tfidf contribute to rank when present (ExtMaybe, searchnode.cpp)
-        return ("maybe", _lower(node.left, st, positive),
-                _lower(node.right, st, positive))
+        lo = _lower(node.left, st, positive)
+        ro = _lower(node.right, st, positive)
+        if lo is None:
+            return ro
+        if ro is None:
+            return lo
+        return ("maybe", lo, ro)
     if isinstance(node, QQuorum):
         slots = tuple(st.get(w, node.fields, positive) for w in node.words)
+        if node.m >= len(node.words):
+            # over-threshold quorum degrades to plain AND at execution
+            # (ExtNode creation; the SHOW PLAN tree keeps QUORUM(count=N))
+            return ("and", tuple(("term", s2) for s2 in slots))
         return ("quorum", slots, node.m)
     if isinstance(node, QPhrase):
         slots = tuple(st.get(w, node.fields, positive) for w in node.words)
@@ -561,6 +587,13 @@ def _lower(node, st: _SlotTable, positive: bool):
             return ("proximity", slots, node.proximity, deltas)
         return ("phrase", slots, deltas)
     if isinstance(node, QNear):
+        if isinstance(node.left, QGap) or isinstance(node.right, QGap):
+            if isinstance(node.left, QGap):
+                st.skip(node.left.span)
+                return _lower(node.right, st,
+                              positive and not node.not_near)
+            st.skip(node.right.span)
+            return _lower(node.left, st, positive)
         if isinstance(node.left, QTerm) and isinstance(node.right, QTerm):
             sa = st.get(node.left.word, node.left.fields, positive)
             sb = st.get(node.right.word, node.right.fields,
@@ -710,16 +743,20 @@ def plan_query(
     # term-merge node is a single hQwords entry (sphExpandXQNode,
     # sphinx.cpp:14880-14912)
     term2pat = {t: p for p, terms in expanded_records.items() for t in terms}
-    _seen_pat: set[str] = set()
+    _seen_keys: set[str] = set()
     n_qwords = 0
+    word_dupe = [False] * S          # slot is a 2nd+ instance of its word
     for _s in range(S):
         if _s in bigram_slots:
             continue
-        _p = term2pat.get(st.terms[_s])
-        if _p is None:
-            n_qwords += 1
-        elif _p not in _seen_pat:
-            _seen_pat.add(_p)
+        _key = term2pat.get(st.terms[_s], st.terms[_s])
+        if _key in _seen_keys:
+            # duplicate qword: the reference's ExtTerm_T::GetQwords leaves
+            # m_fIDF = 0 for every instance after the first
+            # (searchnode.cpp:2030-2037), so dupes contribute NO tfidf
+            word_dupe[_s] = True
+        else:
+            _seen_keys.add(_key)
             n_qwords += 1
     slot_packed: list = []
     pk_starts = np.zeros((max(S, 1), 3), np.int32)
@@ -750,7 +787,8 @@ def plan_query(
             idf[s] = compute_idf(eff_df, total_docs, plain=idf_plain,
                                  normalized_tfidf=tfidf_normalized,
                                  n_qwords=n_qwords)
-            mult[s] = st.mult[s] if st.mult[s] > 0 else 1.0
+            mult[s] = 0.0 if word_dupe[s] else (
+                st.first_boost[s] if st.mult[s] > 0 else 1.0)
             slot_df.append(df)
             slot_hits.append(th)
             continue
@@ -762,7 +800,8 @@ def plan_query(
         idf[s] = compute_idf(eff_df, total_docs, plain=idf_plain,
                              normalized_tfidf=tfidf_normalized,
                              n_qwords=n_qwords)
-        mult[s] = st.mult[s] if st.mult[s] > 0 else 1.0
+        mult[s] = 0.0 if word_dupe[s] else (
+            st.first_boost[s] if st.mult[s] > 0 else 1.0)
         slot_df.append(df)
         slot_hits.append(th)
 
@@ -785,12 +824,28 @@ def plan_query(
             stat_list.append((t, slot_df[s], slot_hits[s]))
         elif p not in _emitted:
             _emitted.add(p)
-            sdocs = shits = 0
+            # expanded-pattern stats: dict=crc substring terms are real
+            # dict entries, so the stat is the MERGED posting list's
+            # DISTINCT doc count; dict=keywords sums the expanded terms'
+            # dict dfs (AddStat with tWordlist totals, sphinx.cpp:14873;
+            # golden test_161: crc 't*' = docs 2, keywords 't*' = docs 3)
+            crc = getattr(getattr(index, "dict_settings", None),
+                          "mode", "keywords") == "crc"
+            shits = 0
+            sdocs = 0
+            rowsets = []
             for et in expanded_records[p]:
                 etid = index.term_id(et)
                 if etid >= 0:
-                    sdocs += int(index.term_docs[etid])
                     shits += int(index.term_hits[etid])
+                    if crc:
+                        o0 = int(index.term_offsets[etid])
+                        o1 = int(index.term_offsets[etid + 1])
+                        rowsets.append(index.post_rowid[o0:o1])
+                    else:
+                        sdocs += int(index.term_docs[etid])
+            if crc and rowsets:
+                sdocs = int(np.unique(np.concatenate(rowsets)).size)
             stat_list.append((p, sdocs, shits))
     # patterns that expanded to nothing still report a (0,0) stat under
     # their starred form (AddStat on the empty expansion, sphinx.cpp:14865)
@@ -835,10 +890,15 @@ def plan_query(
     elif expr[0] == "all":
         eff_ranker = "none"
     elif ranker == "proximity_bm25":
-        eff_ranker = ("ws_bm25" if not has_positional and S <= 1
-                      else "proximity_bm25")
+        # m_bSingleWord (sphinxquery.cpp:2014) counts keyword INSTANCES:
+        # "go go" is two keywords (dupes ranker), not the WeightSum path
+        single = (not has_positional and S <= 1
+                  and all(len(o) <= 1 for o in st.occ))
+        eff_ranker = "ws_bm25" if single else "proximity_bm25"
     elif ranker == "proximity":
-        eff_ranker = "ws" if not has_positional and S <= 1 else "proximity"
+        single = (not has_positional and S <= 1
+                  and all(len(o) <= 1 for o in st.occ))
+        eff_ranker = "ws" if single else "proximity"
     elif ranker == "bm25":
         eff_ranker = "ws_bm25"
     elif ranker in ("none", "fieldmask", "wordcount", "matchany"):
@@ -1017,6 +1077,10 @@ def plan_query(
     # occurrence into the ranker stream, so LCS chains can pass through
     # repeated words ("to be or not to be")
     slot_occs = tuple(tuple(st.occ[s]) for s in range(S))
+    # HasQwordDupes (sphinxsearch.cpp:4178): same-slot multi-occurrence OR
+    # distinct slots sharing one word string both select the dupes ranker
+    has_dupes = (any(len(o) > 1 for o in slot_occs)
+                 or any(word_dupe))
     if all(len(o) <= 1 for o in slot_occs):
         slot_occs = ()
 
@@ -1156,6 +1220,7 @@ def plan_query(
         filters=tuple(fspecs), k=k, order=order,
         slot_limited=slot_limited, ranker_expr=ranker_expr,
         emit_factors=emit_factors, slot_occs=slot_occs,
+        has_dupes=has_dupes,
         sparse=sparse,
         slot_packed=(tuple(slot_packed) if packed_store is not None
                      else ()),
@@ -1193,6 +1258,7 @@ def plan_query(
         sig=sig, runtime=runtime, slot_terms=list(st.terms),
         slot_df=slot_df, slot_hits=slot_hits, stat_list=stat_list,
         slot_pb=slot_pb, slot_hb=slot_hb, n_hit_iters=n_hit_iters,
+        ast=node,
     )
 
 

@@ -465,6 +465,14 @@ class SqlParser:
         return conds
 
     def parse_cond(self) -> Cond:
+        if self.peek() == ("op", "(") and (
+                self.peek(1)[1] or "").upper() == "MATCH":
+            # parenthesized condition: WHERE (MATCH('...')) — the
+            # reference grammar allows bracketed where_items
+            self.next()
+            c = self.parse_cond()
+            self.expect_op(")")
+            return c
         if self.at_kw("MATCH"):
             self.next()
             self.expect_op("(")

@@ -28,6 +28,9 @@ class DictSettings:
     # stars fold away as separators)
     min_prefix_len: int = 0
     min_infix_len: int = 0
+    mode: str = "keywords"        # dict=keywords | dict=crc: crc indexes
+    #                               substrings as real terms, so expanded
+    #                               stats count DISTINCT docs (test_161)
 
     def key(self) -> tuple:
         return (
@@ -39,6 +42,7 @@ class DictSettings:
             self.token_filter,
             self.min_prefix_len,
             self.min_infix_len,
+            self.mode,
         )
 
 
@@ -50,7 +54,7 @@ class Dictionary:
         ]
         self._wordforms = dict(self.settings.wordforms)
 
-    def process(self, token: str) -> list[str]:
+    def process(self, token: str, skip_morph: bool = False) -> list[str]:
         """Map one raw token to the term(s) actually indexed.
 
         Returns [] for stopwords. With index_exact_words, emits the exact
@@ -71,15 +75,20 @@ class Dictionary:
                         res.extend(self._process_tail(str(t2)))
                     return res
                 token = str(out)
-        return self._process_tail(token)
+        return self._process_tail(token, skip_morph)
 
-    def _process_tail(self, token: str) -> list[str]:
-        """Stopword/morphology/wordforms pipeline after token filters."""
+    def _process_tail(self, token: str,
+                      skip_morph: bool = False) -> list[str]:
+        """Stopword/morphology/wordforms pipeline after token filters.
+        skip_morph: multiform-destination tokens are post-morphology
+        (XQKeyword m_bMorphed / CSphMultiformTokenizer emissions)."""
         s = self.settings
         if token in s.stopwords:
             return []
         term = token
-        if self._wordforms and term in self._wordforms:
+        if skip_morph:
+            pass
+        elif self._wordforms and term in self._wordforms:
             term = self._wordforms[term]
         elif len(term) >= s.min_stemming_len:
             for m in self._morphs:
@@ -102,7 +111,8 @@ class Dictionary:
             return [term, "=" + token]
         return [term]
 
-    def process_query_term(self, token: str, exact: bool = False) -> str | None:
+    def process_query_term(self, token: str, exact: bool = False,
+                           skip_morph: bool = False) -> str | None:
         """Query-side term mapping; exact=True means the =term operator.
         With index_exact_words disabled the '=' loses its meaning and the
         keyword processes normally (sphinxquery.cpp exact-form check)."""
@@ -111,7 +121,7 @@ class Dictionary:
             # without morphology/wordforms the exact form IS the plain
             # form: the reference drops the '=' with a warning
             return "=" + token
-        out = self.process(token)
+        out = self.process(token, skip_morph=skip_morph)
         if not out:
             return None
         return out[0]

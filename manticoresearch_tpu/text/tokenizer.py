@@ -531,7 +531,8 @@ class Tokenizer:
         """Builder fast path: returns (terms list[str], positions list[int])
         without Token objects. Falls back to tokenize() when native code or
         plain settings are unavailable."""
-        if self._ngram_set is None and not self._features_active:
+        if self._ngram_set is None and not self._features_active \
+                and not self.settings.multiforms:
             from ..native import get_native_lib
             lib = get_native_lib()
             if lib is not None:

@@ -773,7 +773,7 @@ def index_options(idx: dict) -> tuple[dict, dict]:
         "blend_mode", "phrase_boundary", "phrase_boundary_step",
         "bigram_index", "bigram_freq_words", "index_exact_words",
         "min_stemming_len", "morphology", "min_prefix_len",
-        "min_infix_len", "regexp_filter", "stored_fields",
+        "min_infix_len", "regexp_filter", "stored_fields", "dict",
     ]
     for k in passthrough:
         v = one(k)

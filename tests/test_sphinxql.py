@@ -270,7 +270,9 @@ class TestUdfAndPlan:
         one(loaded, "SELECT id FROM products WHERE MATCH('apple banana')")
         r = one(loaded, "SHOW PLAN")
         assert r.error is None
-        assert "and" in r.rows[0][1]
+        # reference-format render (RenderPlainBsonPlan)
+        assert r.rows[0][1] == ("AND(\n  AND(KEYWORD(apple, querypos=1)), "
+                                "\n  AND(KEYWORD(banana, querypos=2)))")
 
 
 class TestAlterTable:

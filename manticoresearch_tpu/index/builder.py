@@ -285,7 +285,7 @@ class IndexBuilder:
         para_rows: list[int] = []
         para_keys: list[int] = []
         zone_acc: dict[str, list[tuple[int, int, int]]] = {
-            z: [] for z in index_zones}
+            z: [] for z in index_zones if not z.endswith("*")}
 
         for rowid, (docid, doc) in enumerate(docs_sorted):
             for fid, fname in enumerate(schema.fields):
@@ -340,7 +340,15 @@ class IndexBuilder:
                         import bisect as _b
                         for zname, zo, zc in zevents:
                             if zname not in zone_acc:
-                                continue
+                                # zone matched via a trailing-star pattern
+                                # (index_zones = z_*): record under the
+                                # ACTUAL tag name so ZONE:z_1 resolves
+                                if any(zname.startswith(z[:-1])
+                                       for z in index_zones
+                                       if z.endswith("*")):
+                                    zone_acc.setdefault(zname, [])
+                                else:
+                                    continue
                             i0 = _b.bisect_left(tok_starts, zo)
                             i1 = _b.bisect_right(tok_ends, zc) - 1
                             if i0 <= i1:
@@ -423,7 +431,13 @@ class IndexBuilder:
                     from ..utils.jsonrender import render_json
                     attrs_json[a.name].append(
                         render_json(v) if isinstance(v, str) else v)
-                elif a.type in (AttrType.MVA, AttrType.MVA64):
+                elif a.type is AttrType.MVA:
+                    # 32-bit MVA values are UNSIGNED: negatives wrap and
+                    # sort after the positives (golden test_108 renders
+                    # 1,2,10,100,4294967096,4294967195)
+                    attrs_mva[a.name].append(
+                        sorted((int(x) & 0xFFFFFFFF) for x in (v or [])))
+                elif a.type is AttrType.MVA64:
                     attrs_mva[a.name].append(sorted(int(x) for x in (v or [])))
 
         # re-map vocab ids to sorted-term order (deterministic; enables

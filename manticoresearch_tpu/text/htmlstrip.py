@@ -53,6 +53,13 @@ def strip_html(text: str, remove_elements: tuple[str, ...] = (),
     index_attrs = index_attrs or {}
     removed = {e.strip().lower() for e in remove_elements if e.strip()}
     zone_set = {z.strip().lower() for z in zones if z.strip()}
+    # index_zones supports trailing-star patterns ("z_*", h*):
+    # sphinx.cpp zone-name wildcards
+    zone_pats = tuple(z[:-1] for z in zone_set if z.endswith("*"))
+    zone_set = {z for z in zone_set if not z.endswith("*")}
+
+    def _is_zone(nm: str) -> bool:
+        return nm in zone_set or any(nm.startswith(p) for p in zone_pats)
 
     text = _COMMENT.sub(" ", text)
     text = _CDATA.sub(r" \1 ", text)
@@ -80,7 +87,7 @@ def strip_html(text: str, remove_elements: tuple[str, ...] = (),
             if closing and name == skip_until:
                 skip_until = None
             continue
-        if name in zone_set:
+        if _is_zone(name):
             if not closing:
                 open_zones.append((name, out_len))
             else:

@@ -351,6 +351,8 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
         for row in con.execute(kq):
             sd.kill_ids.append(int(row[0]))
 
+    file_fields = {v.strip().lower()
+                   for v in src.get("sql_file_field", [])}
     q = src.get("sql_query", [None])[0]
     if q is None:
         raise GoldenUnsupported("source has no sql_query")
@@ -425,6 +427,17 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
         doc = {"id": did}
         for f in sd.fields:
             doc[f] = "" if d.get(f) is None else str(d[f])
+            if f in file_fields and doc[f]:
+                # sql_file_field: the column holds a file path whose
+                # CONTENT is the field text (indexer CWD = test/)
+                fp = doc[f]
+                if not os.path.isabs(fp):
+                    fp = os.path.join(TESTROOT, fp)
+                try:
+                    with open(fp, encoding="utf-8", errors="replace") as fh:
+                        doc[f] = fh.read()
+                except OSError:
+                    doc[f] = ""
         for a in sd.attrs:
             name = a.name
             code = sd.attr_codes[name]
@@ -779,6 +792,14 @@ def index_options(idx: dict) -> tuple[dict, dict]:
         v = one(k)
         if v is not None:
             o[k] = v
+    if "charset_table" not in o:
+        # plain config-file indexes default to SPHINX_DEFAULT_UTF8_TABLE
+        # (sphinx.cpp:161,4878) — includes '_' and Cyrillic only; the
+        # wide non_cjk default applies to RT/CREATE TABLE mode only
+        # (IndexSettingsContainer_c::SetDefaults, indexsettings.cpp:1150)
+        o["charset_table"] = ("0..9, A..Z->a..z, _, a..z, "
+                              "U+410..U+42F->U+430..U+44F, "
+                              "U+430..U+44F, U+401->U+451, U+451")
     # legacy star syntax: enable_star=0 with prefix/infix means every
     # keyword is implicitly expanded; enable_star=1 is the 3.x default
     # (stars explicit). Tests setting enable_star=0 are unsupported.

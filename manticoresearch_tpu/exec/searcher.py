@@ -700,12 +700,13 @@ def _render_packed_factors(pf: dict, j: int, fields, slot_terms,
     layout rendered like the reference's ToString path): doc-level factors,
     then per-field blocks for matched fields, then per-word tf/idf."""
     def _f(v):
-        # the reference StringBuilder's %f: %.8f with trailing zeros
-        # trimmed down to at least 6 decimals (0 -> "0.000000")
-        s2 = f"{float(np.float32(v)):.8f}"
-        while s2.endswith("0") and len(s2.split(".")[1]) > 6:
-            s2 = s2[:-1]
-        return s2
+        # PrintVarFloat (sphinxutils.cpp:2377): "%f" (6 decimals) when it
+        # round-trips to the same float32, else "%1.8f"
+        f32 = np.float32(v)
+        s2 = f"{float(f32):.6f}"
+        if np.float32(float(s2)) == f32:
+            return s2
+        return f"{float(f32):.8f}"
 
     if as_json:
         fields_out = []
@@ -770,10 +771,14 @@ def _render_packed_factors(pf: dict, j: int, fields, slot_terms,
             f"wlccs={_f(pf['pf_wlccs'][j, f])}, "
             f"atc={_f(pf['pf_atc'][j, f])})")
     idf = np.asarray(runtime["idf"])
+    qpos_r = np.asarray(runtime.get("qpos", np.arange(1, len(slot_terms) + 1)))
     for s, term in enumerate(slot_terms):
         tf = int(pf["pf_word_tf"][j, s])
         if tf:
-            parts.append(f"word{s}=(tf={tf}, idf={_f(idf[s])})")
+            # word index = query position - 1 (PackFactors iterates
+            # qpos entries; dupes leave gaps: word0..word2, word4, word6)
+            wi = int(qpos_r[s]) - 1 if s < len(qpos_r) else s
+            parts.append(f"word{wi}=(tf={tf}, idf={_f(idf[s])})")
     return ", ".join(parts)
 
 
@@ -1026,6 +1031,11 @@ def host_group_matches(matches, q):
         rows.sort(key=lambda m: m.docid, reverse=not asc)
     else:
         rows.sort(key=lambda m: m.weight, reverse=not asc)
+
+    # the grouper buffer holds at most max_matches GROUPS
+    # (CSphKBufferGroupSorter size; golden test_180 option max_matches=2
+    # returns 2 group rows with exact aggregates)
+    rows = rows[:q.max_matches]
 
     if q.having is not None:
         col, op_s, val = q.having

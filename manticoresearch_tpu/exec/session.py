@@ -705,7 +705,13 @@ class Session:
             collation=str(self.variables.get("collation_connection",
                                              "libc_ci")).lower(),
             tfidf_normalized="tfidf_unnormalized" not in str(opts.get("idf", "")),
-            select=[it.alias or it.expr for it in st.items],
+            # select carries EXPRESSIONS for the engine: an aliased
+            # PACKEDFACTORS()/aggregate must keep its function form
+            # (aliases only rename output columns)
+            select=[it.expr if it.expr.lower().replace(" ", "").startswith(
+                        ("packedfactors(", "count(", "sum(", "min(",
+                         "max(", "avg(", "group_concat("))
+                    else (it.alias or it.expr) for it in st.items],
             group_by=st.group_by,
             having=st.having,
             within_sort=(st.within_order or None),
@@ -883,7 +889,17 @@ class Session:
                                    n.replace(" ", ""), m.attrs.get(n2))))
             elif (schema.attr(raw) is not None or raw in schema.fields
                   or raw == st.group_by):
-                getters.append(lambda m, n=raw: m.attrs.get(n))
+                _adr = schema.attr(raw)
+                if _adr is not None and _adr.type.value in (
+                        "uint", "timestamp"):
+                    # 32-bit uint attrs display UNSIGNED (the device
+                    # carries them as wrapped i32; 4294967295 not -1)
+                    getters.append(
+                        lambda m, n=raw: (m.attrs.get(n) & 0xFFFFFFFF)
+                        if isinstance(m.attrs.get(n), int)
+                        else m.attrs.get(n))
+                else:
+                    getters.append(lambda m, n=raw: m.attrs.get(n))
             else:
                 tree = parse_expr(raw)
                 # int-typed functions render unsigned (%u int display,
@@ -1268,9 +1284,12 @@ class Session:
             for token in tok.tokenize(str(text)):
                 terms = dic.process(token.text)
                 term = terms[0] if terms else None
+                # stopped keywords still consume a query position
+                # (GetKeywords m_iQpos from the tokenizer's counter;
+                # golden test_154: 'a bird' -> bird qpos=2)
+                qpos += 1
                 if term is None:
                     continue
-                qpos += 1
                 if not want_stats:
                     rows.append((str(qpos), token.text, term))
                     continue
@@ -1586,11 +1605,17 @@ class Session:
                                 rows=rows)
             tname = {"multi": "mva", "multi64": "mva64"}
             stored = set(getattr(t, "stored_fields", ()) or ())
-            rows = [("id", "bigint", "")]
+            # columnar_attrs display (the SoA device layout subsumes the
+            # columnar lib; DESC shows the declared storage per attr)
+            colr = {c.strip() for c in str((getattr(t, "options", None)
+                    or {}).get("columnar_attrs", "")).replace(
+                    ",", " ").split() if c.strip()}
+            rows = [("id", "bigint", "columnar" if "id" in colr else "")]
             rows += [(f, "text",
                       "indexed stored" if f in stored else "indexed")
                      for f in t.schema.fields]
-            rows += [(a.name, tname.get(a.type.value, a.type.value), "")
+            rows += [(a.name, tname.get(a.type.value, a.type.value),
+                      "columnar" if a.name in colr else "")
                      for a in t.schema.attrs]
             return QLResult(columns=["Field", "Type", "Properties"],
                             rows=rows)
@@ -1733,6 +1758,15 @@ class Session:
                     dstt.truncate()
                 for p in srct.searchable_parts():
                     dstt.attach_packed(p.packed)
+                # the attached disk index's docstore travels with it
+                # (AttachDiskIndex moves the whole index incl. .spds;
+                # golden test_398 SELECT * shows stored title after ATTACH)
+                src_stored = list(getattr(srct, "stored_fields", ()) or ())
+                if src_stored:
+                    dst_stored = list(getattr(dstt, "stored_fields", ())
+                                      or ())
+                    dstt.stored_fields = dst_stored + [
+                        f for f in src_stored if f not in dst_stored]
                 del self.catalog.tables[src]
                 self.catalog._save_manifest()
                 return QLResult.ok(0)

@@ -48,10 +48,17 @@ class FactorContext:
     """Computes factor arrays from the sorted ranker hit stream."""
 
     def __init__(self, *, N, F, S, stream, lcs, bm25part, termmask, rt,
-                 field_lens, fl_on: bool = True):
-        # stream: (hrow, hpk, hqp, hslot, valid_mask) — sorted not required
+                 field_lens, fl_on: bool = True, raw_stream=None,
+                 max_qpos: int = 0):
+        # stream: (hrow, hpk, hqp, hslot, valid_mask) — sorted not required.
+        # With query dupes `stream` is DEDUPED (one count per physical
+        # hit, folded to the first-instance qpos: m_dTermsHit/m_dTermDupes,
+        # sphinxsearch.cpp:3446) while raw_stream keeps every emission —
+        # exact_order/lccs/atc walk raw hits in the reference.
         self.N, self.F, self.S = N, F, S
         self.stream = stream
+        self.raw_stream = raw_stream if raw_stream is not None else stream
+        self.max_qpos = int(max_qpos) if max_qpos else max(S, 1)
         self.lcs = lcs                  # [N+1, F]
         self.bm25part = bm25part        # [N+1] int
         self.termmask = termmask        # [N+1, W] multi-word bitmask
@@ -124,6 +131,22 @@ class FactorContext:
         srow, spk, spl = jax.lax.sort((row, pk, payload), num_keys=2)
         out = (srow, spk, spl & 0xFF, (spl >> 8) & 0xFF, (spl >> 16) & 1)
         self._cache["_sorted"] = out
+        return out
+
+    def _sorted_raw_stream(self):
+        """raw_stream sorted by (row, packed pos, qpos) — every emission,
+        unfolded qpos (exact_order/lccs/atc walk raw hits)."""
+        if "_sorted_raw" in self._cache:
+            return self._cache["_sorted_raw"]
+        hrow, hpk, hqp, hslot, valid = self.raw_stream
+        row = jnp.where(valid, hrow, self.N)
+        pk = jnp.where(valid, hpk, 0)
+        payload = (jnp.clip(hqp, 0, 255)
+                   | (jnp.clip(hslot, 0, 255) << 8)
+                   | (jnp.where(valid, 1, 0) << 16))
+        srow, spk, spl = jax.lax.sort((row, pk, payload), num_keys=3)
+        out = (srow, spk, spl & 0xFF, (spl >> 8) & 0xFF, (spl >> 16) & 1)
+        self._cache["_sorted_raw"] = out
         return out
 
     def max_window_hits(self, n: int):
@@ -202,25 +225,35 @@ class FactorContext:
                 v = jnp.min(jnp.where(seen > 0, idf, jnp.inf), axis=-1)
             return jnp.where(any_seen, v, 0.0)
         if name == "exact_order":
-            # 1 iff all query keywords occur in the field in exact query
-            # order (not necessarily adjacent). Greedy subsequence chain:
-            # for each slot s in query order take the smallest hit position
-            # strictly greater than the previous slot's chosen position —
-            # greedy-earliest is exact for subsequence existence.
-            pos = (hpk & ((1 << 23) - 1)).astype(jnp.int32)
-            hfield = (hpk >> 24) & 0x7F
-            row = jnp.where(valid, hrow, N)
-            big = jnp.int32(2**24)
-            cur = jnp.zeros((N + 1, F), jnp.int32)
-            ok = jnp.ones((N + 1, F), jnp.bool_)
-            for s in range(S):
-                m = valid & (hslot == s)
-                cand = jnp.where(m & (pos > cur[row, hfield]), pos, big)
-                nxt = jnp.full((N + 1, F), big, jnp.int32).at[
-                    row, hfield].min(cand)
-                ok = ok & (nxt < big)
-                cur = nxt
-            return ok.astype(jnp.int32)
+            # per-field consecutive-qpos chain over RAW hits
+            # (sphinxsearch.cpp:3503-3515): the counter advances when a
+            # hit's qpos == last+1; the field sets when the chain reaches
+            # query_word_count (distinct non-excluded positions) — qpos
+            # gaps from stopwords/dupes stall the chain, so the target
+            # can be reached before max qpos
+            srow, spk, sqp, _ssl, sval = self._sorted_raw_stream()
+            sfield = (spk >> 24) & 0x7F
+            M = srow.shape[0]
+            sidx = jnp.arange(M, dtype=jnp.int32)
+            svalb = sval == 1
+            rown = jnp.where(svalb, srow, N)
+            cur = jnp.full((N + 1, F), -1, jnp.int32)
+            alive2 = jnp.ones((N + 1, F), jnp.bool_)
+            count = jnp.zeros((N + 1, F), jnp.int32)
+            for qv in range(1, self.max_qpos + 1):
+                m = (svalb & (sqp == qv)
+                     & (sidx > cur[rown, sfield])
+                     & alive2[rown, sfield])
+                nxt = jnp.full((N + 1, F), M, jnp.int32).at[
+                    jnp.where(m, rown, N),
+                    jnp.where(m, sfield, 0)].min(jnp.where(m, sidx, M))
+                found = nxt < M
+                count = count + jnp.where(found & alive2, 1, 0)
+                alive2 = alive2 & found
+                cur = jnp.where(found, nxt, cur)
+            target = self.rt["exact_target"][0] \
+                if "exact_target" in self.rt else jnp.int32(S)
+            return (count >= target).astype(jnp.int32)
         if name == "min_best_span_pos":
             # position where the longest LCS span begins in the field
             # (m_iMinBestSpanPos): redo the LCS linked-run scan over the
@@ -336,6 +369,49 @@ class FactorContext:
                 jnp.where(valid, srow, N), sfield].min(
                 jnp.where(valid, gaps, big))
             return jnp.where(out >= big, 0, out)
+        if name == "atc" and "idf_by_qpos" in rt:
+            # raw-stream ATC (UpdateATC walks every emission; dupe qpos
+            # carry the first instance's idf, same-qpos pairs x0.25)
+            pos_mask = (1 << 23) - 1
+            srow, spk, sqp, _sslot, sval = self._sorted_raw_stream()
+            sfield = ((spk >> 24) & 0x7F).astype(jnp.int32)
+            spos = (spk & pos_mask).astype(jnp.int32)
+            M = srow.shape[0]
+            idx = jnp.arange(M, dtype=jnp.int32)
+            idf_q = rt["idf_by_qpos"]
+            Q = int(idf_q.shape[0])
+            qc = jnp.clip(sqp, 0, Q - 1)
+            nw = (self.max_qpos + 32) // 32
+            tc = jnp.zeros(M, jnp.float32)
+            for step in (-1, 1):
+                seen_m = [jnp.zeros(M, jnp.int32) for _ in range(nw)]
+                for d in range(1, 11):
+                    j = idx + step * d
+                    jc = jnp.clip(j, 0, M - 1)
+                    ok = ((j >= 0) & (j < M) & (sval == 1)
+                          & (srow[jc] == srow) & (sfield[jc] == sfield)
+                          & (sval[jc] == 1))
+                    q_j = jnp.clip(qc[jc], 0, nw * 32 - 1)
+                    delta = jnp.abs(spos - spos[jc])
+                    ok &= delta > 0
+                    already = jnp.zeros(M, dtype=bool)
+                    for w in range(nw):
+                        already |= ((seen_m[w] >> (q_j & 31)) & 1
+                                    ).astype(bool) & ((q_j >> 5) == w)
+                    take = ok & ~already
+                    dup = q_j == qc
+                    contrib = idf_q[jnp.clip(q_j, 0, Q - 1)] / (
+                        delta.astype(jnp.float32) ** jnp.float32(1.75))
+                    contrib = jnp.where(dup, contrib * 0.25, contrib)
+                    tc = tc + jnp.where(take, contrib, 0.0)
+                    for w in range(nw):
+                        seen_m[w] = seen_m[w] | jnp.where(
+                            take & ((q_j >> 5) == w),
+                            jnp.int32(1) << (q_j & 31), 0)
+            A = jnp.zeros((N + 1, F, Q), jnp.float32).at[
+                jnp.where(sval == 1, srow, N), sfield, qc].add(
+                jnp.where(sval == 1, tc, 0.0))
+            return jnp.log1p(jnp.sum(A * idf_q[None, None, :], axis=-1))
         if name == "atc":
             # aggregate term closeness (UpdateATC/TermTC, sphinxsearch.cpp
             # :3904-3995): per hit, sum idf(neighbor)/|dpos|^1.75 over the

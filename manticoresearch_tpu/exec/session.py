@@ -1387,6 +1387,10 @@ class Session:
                     if skip_bad:
                         continue
                     return QLResult.err(f"bad JSON document: {rd!r}")
+                if not isinstance(d, dict):
+                    if skip_bad:
+                        continue
+                    return QLResult.err(f"bad JSON document: {rd!r}")
             else:
                 field_name = t.schema.fields[0] if t.schema.fields else "text"
                 d = {field_name: str(rd)}

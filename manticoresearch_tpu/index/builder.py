@@ -432,13 +432,15 @@ class IndexBuilder:
                     attrs_json[a.name].append(
                         render_json(v) if isinstance(v, str) else v)
                 elif a.type is AttrType.MVA:
-                    # 32-bit MVA values are UNSIGNED: negatives wrap and
-                    # sort after the positives (golden test_108 renders
-                    # 1,2,10,100,4294967096,4294967195)
+                    # 32-bit MVA values are UNSIGNED (negatives wrap and
+                    # sort after the positives, golden test_108) and the
+                    # stored list is sorted-UNIQUE (golden test_224:
+                    # inserting (1,1) stores "1")
                     attrs_mva[a.name].append(
-                        sorted((int(x) & 0xFFFFFFFF) for x in (v or [])))
+                        sorted({(int(x) & 0xFFFFFFFF) for x in (v or [])}))
                 elif a.type is AttrType.MVA64:
-                    attrs_mva[a.name].append(sorted(int(x) for x in (v or [])))
+                    attrs_mva[a.name].append(
+                        sorted({int(x) for x in (v or [])}))
 
         # re-map vocab ids to sorted-term order (deterministic; enables
         # wildcard expansion by prefix bisect, like the .spi sorted wordlist)

@@ -51,6 +51,21 @@ class PercolateIndex:
             os.makedirs(data_dir, exist_ok=True)
             self._load()
 
+    def search(self, q):
+        """SELECT over the stored-query table (a PQ table inside a
+        distributed index serves its queries as rows; the reference's
+        PercolateIndex_c implements MultiQuery over the meta schema)."""
+        from ..exec.searcher import Match, SearchResult
+        stored = sorted(self.queries.values(), key=lambda x: x.qid)
+        matches = [Match(s2.qid, 1,
+                         {"query": s2.query, "tags": " ".join(s2.tags),
+                          "filters": s2.filters})
+                   for s2 in stored]
+        total = len(matches)
+        matches = matches[q.offset:q.offset + q.limit]
+        return SearchResult(matches, min(total, q.max_matches), total,
+                            0.0, [])
+
     # -- store / manage queries ----------------------------------------
     def add_query(self, query: str, filters: str = "",
                   tags: list[str] | None = None, qid: int | None = None

@@ -96,6 +96,14 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
         # low 31 bits exact on device and flag overflow host-side (full
         # precision copy stays on host in PackedIndex.attrs_big)
         attrs[name] = np.clip(arr, -(2**31), 2**31 - 1).astype(np.int32)
+        # exact 64-bit filtering: (hi, biased lo) i32 split — arithmetic
+        # hi shift keeps the sign, so signed lexicographic compare over
+        # the pair equals signed int64 compare (sphinxfilter.cpp 64-bit
+        # Filter_Range; same scheme as the docid split)
+        a64 = arr.astype(np.int64)
+        attrs[name + "#hi"] = (a64 >> 32).astype(np.int32)
+        attrs[name + "#lo"] = ((a64 & 0xFFFFFFFF) - (1 << 31)).astype(
+            np.int32)
     for name in packed.attrs_str:
         # strings live on device as lexicographic ordinals (filters/ORDER
         # BY); the case-folded twin serves utf8_general_ci collation

@@ -830,6 +830,30 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     m = ge & le
                 fmask_filters &= (~m if spec.exclude else m)
                 continue
+            if spec.kind in ("big_values", "big_range"):
+                # 64-bit attr over the (hi, biased lo) split arrays
+                ahi = attrs[spec.attr + "#hi"]
+                alo = attrs[spec.attr + "#lo"]
+                if sparse:
+                    cl = jnp.clip(rows_vec, 0, max(ahi.shape[0] - 1, 0))
+                    ahi, alo = ahi[cl], alo[cl]
+                else:
+                    if len(ahi) == N:
+                        ahi = jnp.concatenate([ahi, ahi[-1:]])
+                        alo = jnp.concatenate([alo, alo[-1:]])
+                v = rt["filter_vals"][i]
+                if spec.kind == "big_values":
+                    eq = (ahi[:, None] == v[0][None, :]) & \
+                         (alo[:, None] == v[1][None, :])
+                    m = jnp.any(eq, axis=1)
+                else:
+                    ge = (ahi > v[0, 0]) | ((ahi == v[0, 0])
+                                            & (alo >= v[1, 0]))
+                    le = (ahi < v[0, 1]) | ((ahi == v[0, 1])
+                                            & (alo <= v[1, 1]))
+                    m = ge & le
+                fmask_filters &= (~m if spec.exclude else m)
+                continue
             attr = attrs[spec.attr]
             if sparse:
                 attr = attr[jnp.clip(rows_vec, 0, max(attr.shape[0] - 1, 0))]

@@ -936,6 +936,10 @@ def _call_host(name: str, vals):
         # REMAP(cond, target, (c1,..), (t1,..)): target remapped where
         # cond matches a listed value (Expr_Remap_c)
         cond, target, cs, ts = vals[0], vals[1], vals[2], vals[3]
+        if not isinstance(cs, (list, tuple)):
+            cs = [cs]               # single-element IN-list folds to scalar
+        if not isinstance(ts, (list, tuple)):
+            ts = [ts]
         for c, t in zip(cs, ts):
             if cond == c:
                 return t

@@ -1034,6 +1034,30 @@ def plan_query(
         _ad0 = index.schema.attr(f.attr)
         _usgn = _ad0 is not None and _ad0.type.value in (
             "uint", "timestamp", "bool")
+        if _ad0 is not None and _ad0.type.value == "bigint" \
+                and f.kind in ("values", "range_i"):
+            # 64-bit attr filters compare over the (hi, biased-lo) split
+            def _split64(v: int) -> tuple[int, int]:
+                v = max(-(2**63), min(int(v), 2**63 - 1))
+                return v >> 32, (v & 0xFFFFFFFF) - (1 << 31)
+            if f.kind == "values":
+                vals = sorted(int(v) for v in f.values)
+                nv = _next_pow2(len(vals), 1)
+                vals = vals + [vals[-1]] * (nv - len(vals))
+                sp = [_split64(v) for v in vals]
+                fspecs.append(FilterSpec(f.attr, "big_values", f.exclude,
+                                         n_values=nv))
+                fvals.append(np.asarray([[h for h, _ in sp],
+                                         [l for _, l in sp]], np.int32))
+            else:
+                lo = -(2**63) if f.lo is None \
+                    else int(f.lo) + (1 if f.lo_excl else 0)
+                hi = 2**63 - 1 if f.hi is None \
+                    else int(f.hi) - (1 if f.hi_excl else 0)
+                (lh, ll), (hh, hl) = _split64(lo), _split64(hi)
+                fspecs.append(FilterSpec(f.attr, "big_range", f.exclude))
+                fvals.append(np.asarray([[lh, hh], [ll, hl]], np.int32))
+            continue
 
         def _wrap32(v: int) -> int:
             v &= 0xFFFFFFFF

@@ -1956,8 +1956,14 @@ def _render_cell(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, list):
-        # MVA render over the SQL wire: bare comma-joined values
-        return ",".join(str(int(x)) for x in v)
+        # MVA/JSON-array render over the SQL wire: comma-joined; values
+        # may be strings from JSON arrays (test_396 '5all')
+        def _one(x):
+            try:
+                return str(int(x))
+            except (TypeError, ValueError):
+                return str(x)
+        return ",".join(_one(x) for x in v)
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):

@@ -707,11 +707,10 @@ class Session:
             tfidf_normalized="tfidf_unnormalized" not in str(opts.get("idf", "")),
             # select carries EXPRESSIONS for the engine: an aliased
             # PACKEDFACTORS()/aggregate must keep its function form
-            # (aliases only rename output columns)
-            select=[it.expr if it.expr.lower().replace(" ", "").startswith(
-                        ("packedfactors(", "count(", "sum(", "min(",
-                         "max(", "avg(", "group_concat("))
-                    else (it.alias or it.expr) for it in st.items],
+            # (aliases only rename output columns); aggregate args that
+            # reference earlier select ALIASES resolve to their exprs
+            # (count(distinct i) with `j.id i`, golden test_412)
+            select=_engine_select(st.items),
             group_by=st.group_by,
             having=st.having,
             within_sort=(st.within_order or None),
@@ -728,8 +727,11 @@ class Session:
                 st = dc_replace(st, group_by="1")
                 q.group_by = "1"
         if st.group_by:
-            # aggregates are recognized from raw expr text
-            q.select = [it.expr for it in st.items]
+            # aggregates are recognized from raw expr text; args that
+            # reference select aliases resolve to the aliased expressions
+            q.select = [_resolve_agg_args(it.expr, st.items)
+                        if _AGG_RE.match(it.expr) else it.expr
+                        for it in st.items]
             # ORDER BY may name a SELECT alias (ORDER BY c DESC with
             # count(*) AS c): resolve to the aggregate's expr text
             amap = {it.alias: it.expr for it in st.items if it.alias}
@@ -884,9 +886,12 @@ class Session:
             elif lraw in ("count(*)", "@count") or lraw.startswith(
                     ("count(", "sum(", "min(", "max(", "avg(",
                      "group_concat(")):
-                getters.append(lambda m, n=raw, n2=name:
+                # engine keys may carry alias-resolved args (test_412)
+                rkey = _resolve_agg_args(raw, st.items)
+                getters.append(lambda m, n=raw, n2=name, n3=rkey:
                                m.attrs.get(n, m.attrs.get(
-                                   n.replace(" ", ""), m.attrs.get(n2))))
+                                   n.replace(" ", ""),
+                                   m.attrs.get(n3, m.attrs.get(n2)))))
             elif (schema.attr(raw) is not None or raw in schema.fields
                   or raw == st.group_by):
                 _adr = schema.attr(raw)
@@ -913,6 +918,11 @@ class Session:
                     # (SELECT 0 zero, 1/zero — expr parser alias refs)
                     v = eval_expr_host(t, {**uv, **m.attrs, **extra},
                                        m.weight, m.docid)
+                    if isinstance(v, (list, dict)):
+                        # JSON sub-values render as compact JSON text
+                        # (golden test_396: json_col.a -> "[1,2,3,4]")
+                        from ..utils.jsonrender import _dump
+                        return _dump(v)
                     return (v & 0xFFFFFFFF) if u and isinstance(v, int) \
                         else v
                 _g._wants_extra = True
@@ -1991,6 +2001,39 @@ def _cond_to_filter(c: Cond):
         return AttrFilterDef(c.attr, f"mva_{c.kind}", values=c.values,
                              exclude=c.negate), None
     return None, f"unsupported condition {c.kind}"
+
+
+_AGG_RE = __import__("re").compile(
+    r"^\s*(count|sum|min|max|avg|group_concat)\s*\(", __import__("re").I)
+
+
+def _resolve_agg_args(e: str, items) -> str:
+    """Aggregate args referencing select ALIASES resolve to the aliased
+    expressions (count(distinct i) with `j.id i`, golden test_412)."""
+    import re as _re
+    amap = {it.alias: it.expr for it in items
+            if it.alias and it.alias != it.expr}
+    if not amap:
+        return e
+    head, _, rest = e.partition("(")
+    rest = _re.sub(r"[A-Za-z_][\w.]*",
+                   lambda m: amap.get(m.group(0), m.group(0)), rest)
+    return head + "(" + rest
+
+
+def _engine_select(items) -> list:
+    """Select list for the engine: aggregates keep their function form
+    (aliases only rename output columns)."""
+    out = []
+    for it in items:
+        e = it.expr
+        low = e.lower().replace(" ", "")
+        if low.startswith(("packedfactors(", "count(", "sum(", "min(",
+                           "max(", "avg(", "group_concat(")):
+            out.append(_resolve_agg_args(e, items))
+        else:
+            out.append(it.alias or it.expr)
+    return out
 
 
 def _extract_id_list(conds: list[Cond]):

@@ -607,6 +607,10 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
         results = (eval_expr_host(body, {**row, var: el}, weight, docid)
                    for el in seq)
         if kind == "ALL":
+            # ALL() over an empty array is 0, not vacuous truth
+            # (Expr_JsonFieldAggr; golden test_396 doc with "a":[])
+            if not seq:
+                return 0
             return int(all(bool(r) for r in results))
         if kind == "ANY":
             return int(any(bool(r) for r in results))

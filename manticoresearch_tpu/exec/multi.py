@@ -232,8 +232,17 @@ def search_grouped_parts(parts, q, schema, single_part_hint="",
     if len(parts) > 1:
         sel = [s.lower() for s in (q.select or [])]
         gb_ad = schema.attr(q.group_by) if q.group_by else None
+        # a WITHIN GROUP ORDER BY equal to the default rep order
+        # (weight desc, id asc) IS the default grouped merge — it must
+        # not force the exact raw-window path (golden test_067: agent
+        # group rows merge by key, counts summing across dup docids)
+        ws = [("weight" if c in ("@weight", "weight()") else
+               ("id" if c == "@id" else c), a)
+              for c, a in (q.within_sort or [])]
+        default_ws = ws in ([], [("weight", False)],
+                            [("weight", False), ("id", True)])
         if (segments and any("distinct" in s for s in sel)) \
-                or q.within_sort \
+                or (q.within_sort and not default_ws) \
                 or (gb_ad is not None
                     and gb_ad.type.value in ("multi", "multi64")):
             # exact COUNT(DISTINCT) across parts: per-part counts don't
@@ -325,10 +334,14 @@ def search_grouped_parts(parts, q, schema, single_part_hint="",
                 return 1
             cur_c = getattr(cur, "_sub_count", _cnt(cur))
             m_c = _cnt(m)
-            # local multi-index ties keep the LATER part's row; agent
-            # merges keep the FIRST (recorded reference behavior)
-            best = m if (m_c > cur_c or (m_c == cur_c
-                                         and not agent_mode)) else cur
+            # local multi-index: the larger subgroup's row wins, ties
+            # keep the LATER part. Agent merges: the grouper's rep is
+            # NEVER replaced (KillGroupbyDupes pushes in merge order;
+            # PushGrouped only folds aggregates) — first part wins.
+            if agent_mode:
+                best = cur
+            else:
+                best = m if (m_c > cur_c or m_c == cur_c) else cur
             nm2 = Match(best.docid, best.weight, attrs)
             nm2._sub_count = max(cur_c, m_c)
             merged[key] = nm2

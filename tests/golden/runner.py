@@ -905,7 +905,12 @@ class _CrossEnvDistributed:
                                                     search_grouped_parts)
         parts = self._tables()
         if q.group_by:
-            return search_grouped_parts(parts, q, self.schema)
+            loc = [i for i, (a, _n) in enumerate(self.parts) if a == 0]
+            rem = [i for i, (a, _n) in enumerate(self.parts) if a != 0]
+            ordered = [parts[i] for i in loc] + \
+                      [parts[i] for i in rem[::-1]]
+            return search_grouped_parts(ordered, q, self.schema,
+                                        agent_mode=True)
         part_q = _dc(q, offset=0, limit=q.offset + q.limit)
         results = [p.search(part_q) for p in parts]
         return merge_part_results(results, q, self.schema)
@@ -1540,7 +1545,18 @@ class GoldenEnv:
             # results merge by key (search orchestrator semantics)
             from manticoresearch_tpu.exec.multi import search_grouped_parts
             parts = [self.agents[aid].catalog.get(n) for aid, n in names]
-            res = search_grouped_parts(parts, sq, parts[0].schema)
+            # any remote part => agent merge semantics: grouped rows merge
+            # in KillGroupbyDupes order — locals first, then agents in
+            # DESCENDING tag order — and the first pushed rep sticks
+            amode = any(aid != 0 for aid, _n in names) or len(
+                {aid for aid, _n in names}) > 1
+            if amode:
+                loc = [(a, n) for a, n in names if a == 0]
+                rem = [(a, n) for a, n in names if a != 0]
+                ordered = loc + rem[::-1]
+                parts = [self.agents[a].catalog.get(n) for a, n in ordered]
+            res = search_grouped_parts(parts, sq, parts[0].schema,
+                                       agent_mode=amode)
         else:
             parts = [self.agents[aid].catalog.get(n) for aid, n in names]
             results = [p.search(sq) for p in parts]
@@ -1723,7 +1739,10 @@ class GoldenEnv:
             # the API reports failed queries with just the error string
             out["query"] = q.query
             return out
-        out["attrs"] = attrs_map
+        # JSON attrs serialize to plain API clients as STRING
+        # (FixupAttrForNetwork, searchd.cpp:3308-3310)
+        out["attrs"] = {k: (SPH_ATTR_STRING if v == 0 else v)
+                        for k, v in attrs_map.items()}
         resarray = bool(int(q.attrs.get("resarray", 0) or 0))
         matches: dict | list = [] if resarray else {}
         for m in res.matches:
@@ -1780,7 +1799,11 @@ class GoldenEnv:
                 elif code == SPH_ATTR_STRING:
                     vals[aname] = "" if v is None else str(v)
                 elif code == 0:
-                    vals[aname] = v
+                    # empty JSON source serializes as "{}" to API clients
+                    # (empty BSON root renders as an empty object)
+                    vals[aname] = v if (v is not None and str(v).strip()) \
+                        else "{}"
+
                 elif code == SPH_ATTR_BIGINT:
                     try:
                         vals[aname] = int(v or 0)

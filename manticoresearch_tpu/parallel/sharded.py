@@ -555,6 +555,11 @@ class ShardedIndex:
             "total_docs": cq.runtime["total_docs"],
             "avg_doc_len": cq.runtime["avg_doc_len"],
         }
+        # replicated small arrays the kernel may read depending on the plan
+        # (dupe folding, payload merge-group idf)
+        for k in ("qpos_fold", "slot_fold", "gidf"):
+            if k in cq.runtime:
+                rt_repl[k] = cq.runtime[k]
         sharding = NamedSharding(self.mesh, P(self.axis))
         repl = NamedSharding(self.mesh, P())
         rt_shard = jax.tree.map(lambda x: jax.device_put(x, sharding), rt_shard)

@@ -241,7 +241,7 @@ def search_grouped_parts(parts, q, schema, single_part_hint="",
               for c, a in (q.within_sort or [])]
         default_ws = ws in ([], [("weight", False)],
                             [("weight", False), ("id", True)])
-        if (segments and any("distinct" in s for s in sel)) \
+        if (not agent_mode and any("distinct" in s for s in sel)) \
                 or (q.within_sort and not default_ws) \
                 or (gb_ad is not None
                     and gb_ad.type.value in ("multi", "multi64")):
@@ -263,19 +263,29 @@ def search_grouped_parts(parts, q, schema, single_part_hint="",
             err = next((r.error for r in results if r.error), None)
             if err:
                 return SearchResult([], 0, 0, 0.0, [], error=err)
-            # docid dupes across parts: the LAST part's copy wins
-            # (KillDupesAndFlatten) before grouping; dupes WITHIN one
-            # part are legitimate rows and all survive
-            seen2: dict[int, tuple[int, list]] = {}
-            for pi3, r in enumerate(results):
-                for m in r.matches:
-                    m._part = pi3   # later parts win grouped-rep ties
-                    prev = seen2.get(m.docid)
-                    if prev is not None and prev[0] == pi3:
-                        prev[1].append(m)
-                    else:
-                        seen2[m.docid] = (pi3, [m])
-            matches = [m for _, ms in seen2.values() for m in ms]
+            # docid dupes across RT segments/chunks: the LAST part's copy
+            # wins (replaced docs) before grouping; dupes WITHIN one part
+            # are legitimate rows. Across SEPARATE local indexes every
+            # row feeds the grouper — the reference does not kill docid
+            # dupes there (golden test_020 q14: mini1={1,7} mini2={1}
+            # group-counts 3)
+            if segments:
+                seen2: dict[int, tuple[int, list]] = {}
+                for pi3, r in enumerate(results):
+                    for m in r.matches:
+                        m._part = pi3   # later parts win grouped-rep ties
+                        prev = seen2.get(m.docid)
+                        if prev is not None and prev[0] == pi3:
+                            prev[1].append(m)
+                        else:
+                            seen2[m.docid] = (pi3, [m])
+                matches = [m for _, ms in seen2.values() for m in ms]
+            else:
+                matches = []
+                for pi3, r in enumerate(results):
+                    for m in r.matches:
+                        m._part = pi3
+                        matches.append(m)
             matches.sort(key=lambda m: (-m.weight, m.docid))
             from .searcher import host_group_matches
             rows, total = host_group_matches(matches, q)

@@ -905,6 +905,13 @@ class Session:
                         else m.attrs.get(n))
                 else:
                     getters.append(lambda m, n=raw: m.attrs.get(n))
+                if _adr is not None:
+                    # a later select alias that REUSES this attr name
+                    # overwrites the attr's row slot in place; this
+                    # plain reference is a locator onto that slot and
+                    # displays the overwritten value (test_189 q10:
+                    # `idd as agent, agent+2 as idd` -> agent==idd)
+                    getters[-1]._attr_ref = raw
             else:
                 tree = parse_expr(raw)
                 # int-typed functions render unsigned (%u int display,
@@ -945,6 +952,14 @@ class Session:
                         extra[al] = v
                     vals.append(v)
                     gi += 1
+                # in-place alias shadowing: `<expr> AS attrname` writes
+                # the existing attribute's slot, so plain references to
+                # that attr (locators) display the new value
+                for gi2, g2 in enumerate(getters):
+                    ar = getattr(g2, "_attr_ref", None)
+                    if ar is not None and ar in extra \
+                            and galias[gi2] != ar:
+                        vals[gi2] = extra[ar]
                 rows.append(tuple(vals))
         except ExprError as e:
             return QLResult.err(
@@ -1360,7 +1375,9 @@ class Session:
         texts = data if isinstance(data, list) else [data]
         t = self.catalog.get(index)
         opts = SnippetOptions()
+        from .snippets import OPTION_ALIASES
         for k, v in st.named.items():
+            k = OPTION_ALIASES.get(k, k)
             if hasattr(opts, k):
                 cur = getattr(opts, k)
                 setattr(opts, k, type(cur)(v) if cur is not None else v)
@@ -1893,9 +1910,10 @@ def _make_snippet_getter(raw: str, table, schema):
     if not query_quoted:
         raise ValueError("1 argument to SNIPPET() must be a string")
     opts = SnippetOptions()
+    from .snippets import OPTION_ALIASES
     for text, _quoted in parts[2:]:
         k, _, v = text.partition("=")
-        k = k.strip().lower()
+        k = OPTION_ALIASES.get(k.strip().lower(), k.strip().lower())
         if hasattr(opts, k):
             cur = getattr(opts, k)
             if isinstance(cur, bool):

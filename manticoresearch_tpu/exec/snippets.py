@@ -49,6 +49,16 @@ class SnippetOptions:
 # token stream: words (from the index tokenizer) + gap runs, split at
 # space/non-space transitions (SplitSpaceIntoTokens, snippetfunctor.cpp:160)
 
+# CALL SNIPPETS / SNIPPET() option-name aliases (searchd.cpp:10488-10521)
+OPTION_ALIASES = {
+    "snippet_separator": "chunk_separator",
+    "snippet_boundary": "passage_boundary",
+    "limit_snippets": "limit_passages",
+    "start_snippet_id": "start_passage_id",
+    "force_snippets": "force_passages",
+}
+
+
 @dataclass
 class _Tok:
     text: str                      # raw source slice (rendered verbatim)
@@ -617,9 +627,30 @@ def _select_best(passages: list[_Passage], limit: int, limit_words: int,
         t_words -= show[-1].words
         show.pop()
 
-    if not weight_order:
-        show.sort(key=lambda p: (p.fld, p.start))
+    # reference always sorts the selection in document order
+    # (PassagePositionOrder_fn, snippetpassage.cpp:271); weight_order only
+    # reorders the RENDERED texts afterwards (WeightedPassageSort_fn)
+    show.sort(key=lambda p: (p.fld, p.start))
     return show
+
+
+def _clip_ranges(sel: list[_Passage]) -> list[tuple[_Passage, int, int]]:
+    """Render ranges for position-ordered selected passages.
+
+    The reference emitter assigns each token to the FIRST passage containing
+    it, scanning forward only (PassageHighlighter_c::UpdatePassage,
+    snippetfunctor.cpp:1160-1188), so overlapping selections render
+    disjoint spans: a later passage only renders its suffix past the
+    previous passage's end. Fully-covered passages render nothing."""
+    out = []
+    prev_hi = 0
+    for p in sel:
+        lo = max(p.start, prev_hi)
+        hi = p.start + p.ntokens
+        prev_hi = max(prev_hi, hi)
+        if lo < hi:
+            out.append((p, lo, hi))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -660,11 +691,6 @@ def _render_span(toks: list[_Tok], lo: int, hi: int, before: str,
         out.append(a)
         i = end + 1
     return "".join(out)
-
-
-def _render_passage(toks: list[_Tok], p: _Passage, before: str,
-                    after: str) -> str:
-    return _render_span(toks, p.start, p.start + p.ntokens, before, after)
 
 
 def _doc_start_clip(toks: list[_Tok], limit: int, separator: str) -> str:
@@ -750,11 +776,13 @@ def highlight_fragments(text: str, query: str, tokenizer: Tokenizer,
                        opts.use_boundaries, opts.weight_order)
     out = []
     pid = opts.start_passage_id
-    for p in sel:
+    for p, lo, hi in _clip_ranges(sel):
         b, a = _tags(opts, pid)
         pid += 1
-        out.append(_render_passage(toks, p, b, a))
-    return out
+        out.append((p.weight(), _render_span(toks, lo, hi, b, a)))
+    if opts.weight_order:
+        out.sort(key=lambda t: -t[0])
+    return [s for _, s in out]
 
 
 def build_snippet(text: str, query: str, tokenizer: Tokenizer,
@@ -793,11 +821,13 @@ def build_snippet(text: str, query: str, tokenizer: Tokenizer,
                        opts.weight_order)
     pieces = []
     pid = opts.start_passage_id
-    for p in sel:
+    for p, lo, hi in _clip_ranges(sel):
         b, a = _tags(opts, pid)
         pid += 1
-        pieces.append(_render_passage(toks, p, b, a))
-    snippet = opts.chunk_separator.join(pieces)
+        pieces.append((p.weight(), _render_span(toks, lo, hi, b, a)))
+    if opts.weight_order:
+        pieces.sort(key=lambda t: -t[0])
+    snippet = opts.chunk_separator.join(s for _, s in pieces)
     if sel and sel[0].start > 0:
         snippet = opts.chunk_separator + snippet
     if sel and sel[-1].start + sel[-1].ntokens < len(toks):

@@ -254,6 +254,49 @@ class FactorContext:
             target = self.rt["exact_target"][0] \
                 if "exact_target" in self.rt else jnp.int32(S)
             return (count >= target).astype(jnp.int32)
+        if name == "min_best_span_pos" and "qpos_fold" in rt:
+            # dupe queries: the HANDLE_DUPES machine extends spans through
+            # ANY dupe qpos whose qpos delta equals the position delta
+            # (m_uCurQposMask>>iDelta & m_uLcsTailQposMask,
+            # sphinxsearch.cpp:3358) — chain the RAW stream (unfolded
+            # qpos) grouped by constant delta = pos - qpos, runs over
+            # consecutive positions, min start among runs reaching lcs
+            pos_mask = (1 << 23) - 1
+            hrow, hpk, hqp, _hslot, valid = self.raw_stream
+            row = jnp.where(valid, hrow, N).astype(jnp.int32)
+            fld = ((hpk >> 24) & 0x7F).astype(jnp.int32)
+            pos = (hpk & pos_mask).astype(jnp.int32)
+            delta = jnp.where(valid, pos - hqp.astype(jnp.int32),
+                              jnp.int32(1 << 24))
+            srow, sfld, sdelta, spos = jax.lax.sort(
+                (row, fld, delta, pos), num_keys=4)
+            sval = (srow < N) & (sdelta < (1 << 24))
+            M = srow.shape[0]
+            idx = jnp.arange(M, dtype=jnp.int32)
+            p_row = jnp.concatenate([jnp.full(1, -1, srow.dtype),
+                                     srow[:-1]])
+            p_fld = jnp.concatenate([jnp.full(1, -1, sfld.dtype),
+                                     sfld[:-1]])
+            p_dl = jnp.concatenate([jnp.full(1, -(1 << 24), sdelta.dtype),
+                                    sdelta[:-1]])
+            p_pos = jnp.concatenate([jnp.full(1, -9, spos.dtype),
+                                     spos[:-1]])
+            samekey = (srow == p_row) & (sfld == p_fld) & (sdelta == p_dl)
+            linked = samekey & ((spos == p_pos + 1) | (spos == p_pos))
+            run_start = jax.lax.cummax(jnp.where(linked, 0, idx))
+            # same-(delta,pos) re-emissions count once
+            hw = jnp.where(sval & ~(samekey & (spos == p_pos)), 1, 0
+                           ).astype(jnp.int32)
+            cumw = jnp.cumsum(hw)
+            runw = cumw - cumw[run_start] + hw[run_start]
+            lcs_here = self.lcs[jnp.where(sval, srow, N), sfld]
+            best = sval & (runw >= lcs_here)
+            start_pos = spos[run_start]
+            big = jnp.int32(2**22)
+            out = jnp.full((N + 1, F), big, jnp.int32).at[
+                jnp.where(best, srow, N), sfld].min(
+                jnp.where(best, start_pos, big))
+            return jnp.where(out >= big, 0, out)
         if name == "min_best_span_pos":
             # position where the longest LCS span begins in the field
             # (m_iMinBestSpanPos): redo the LCS linked-run scan over the
@@ -411,7 +454,10 @@ class FactorContext:
             A = jnp.zeros((N + 1, F, Q), jnp.float32).at[
                 jnp.where(sval == 1, srow, N), sfield, qc].add(
                 jnp.where(sval == 1, tc, 0.0))
-            return jnp.log1p(jnp.sum(A * idf_q[None, None, :], axis=-1))
+            # log(1.0f + ws) in f32 — the reference rounds 1+ws BEFORE the log
+            # (UpdateATC, sphinxsearch.cpp:3992); log1p differs at ulp
+            ws = jnp.sum(A * idf_q[None, None, :], axis=-1)
+            return jnp.log(jnp.float32(1.0) + ws)
         if name == "atc":
             # aggregate term closeness (UpdateATC/TermTC, sphinxsearch.cpp
             # :3904-3995): per hit, sum idf(neighbor)/|dpos|^1.75 over the
@@ -456,7 +502,8 @@ class FactorContext:
             A = jnp.zeros((N + 1, F, max(S, 1)), jnp.float32).at[
                 jnp.where(sval == 1, srow, N), sfield, slot_c].add(
                 jnp.where(sval == 1, tc, 0.0))
-            return jnp.log1p(jnp.sum(A * idfv[None, None, :], axis=-1))
+            ws = jnp.sum(A * idfv[None, None, :], axis=-1)
+            return jnp.log(jnp.float32(1.0) + ws)
         if name == "exact_hit":
             # field content == query: first hit at pos 1 and the field's
             # token count equals the lcs span (approximation of the

@@ -719,6 +719,26 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
                 return row[key]
             return eval_expr_host(args[1], row, weight, docid)
         vals = [eval_expr_host(a, row, weight, docid) for a in args]
+        if name == "TO_STRING" and args \
+                and isinstance(vals[0], (list, dict)) \
+                and args[0][0] == "attr" and "." in str(args[0][1]):
+            # TO_STRING over a JSON sub-field formats as compact JSON
+            # (Expr_ToString_c SPH_ATTR_JSON_FIELD -> sphJsonFieldFormat,
+            # sphinxexpr.cpp:1695-1712); MVA args stay comma-joined
+            from ..utils.jsonrender import _dump
+            return _dump(vals[0])
+        if name in ("LEAST", "GREATEST") and len(args) == 1 \
+                and isinstance(vals[0], list) \
+                and args[0][0] == "attr" and "." not in str(args[0][1]):
+            # over a uint/bigint MVA the return type is INTEGER/BIGINT
+            # (FUNC_LEAST ret-type fixup, sphinxexpr.cpp:9297), not the
+            # float render used for JSON arrays
+            nums = [v for v in vals[0]
+                    if isinstance(v, (int, float))
+                    and not isinstance(v, bool)]
+            if not nums:
+                return None
+            return int(min(nums) if name == "LEAST" else max(nums))
         if name == "ABS" and vals and isinstance(vals[0], int) \
             and not _has_wide_int(args[0]):
             # int32 context: the argument wraps before ABS

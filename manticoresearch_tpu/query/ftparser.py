@@ -115,6 +115,13 @@ def _lex(q: str, word_chars: frozenset = frozenset()) -> list[_Tok]:
             # folds '@' to a separator, yielding adjacent keywords
             # (reference field-op lexing requires term start)
             kind = "word"
+        if kind == "stray" and text == "@" and out \
+                and out[-1].kind == "word" and m.start() == last_word_end:
+            # trailing '@' glued to a word ("jill@"): part of the keyword
+            # (blend chars keep it; otherwise the tokenizer folds it to a
+            # separator) — the reference only field-parses '@' at term
+            # start (golden test_203)
+            kind = "word"
         if kind == "not" and out and out[-1].kind == "word" \
                 and m.start() == last_word_end:
             # '-'/'!' directly after a word char is part of the word

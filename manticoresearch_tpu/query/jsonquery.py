@@ -8,6 +8,7 @@ offset/from, sort, _source, aggs (terms buckets), max_matches.
 """
 from __future__ import annotations
 
+import json
 import re
 from typing import Any
 
@@ -226,13 +227,46 @@ def parse_json_query(body: dict) -> tuple[str, SearchQuery, dict]:
     return str(index), sq, aggs
 
 
+def _typed_attr(v, atype):
+    """JsonObjAddAttr (sphinxjsonquery.cpp:1147): BOOL renders true/false,
+    FLOAT via PrintVarFloat ("%f" when it round-trips at f32, else %1.8f;
+    the JSON number then loses trailing zeros), JSON attrs as parsed
+    objects (sphJsonFormat), MVA as number arrays."""
+    tname = getattr(atype, "name", str(atype)).lower()
+    if tname == "bool":
+        return bool(int(v or 0))
+    if tname == "float":
+        import numpy as _np
+        f32 = _np.float32(v or 0.0)
+        s = f"{float(f32):.6f}"
+        if _np.float32(float(s)) != f32:
+            s = f"{float(f32):.8f}"
+        return float(s)
+    if tname == "json":
+        if isinstance(v, (dict, list)):
+            return v
+        s = str(v or "")
+        if not s.strip():
+            return None
+        try:
+            return json.loads(s)
+        except ValueError:
+            return s
+    return v
+
+
 def render_result(res, aggs_results: dict | None = None,
                   source: list[str] | None = None,
                   attr_names: set | None = None,
-                  stored_docs: dict | None = None) -> dict:
+                  stored_docs: dict | None = None,
+                  attr_types: dict | None = None) -> dict:
     hits = []
     for m in res.matches:
         attrs = m.attrs
+        if attr_types:
+            attrs = {k: (_typed_attr(v, attr_types[k])
+                         if k in attr_types else v)
+                     for k, v in attrs.items()}
         if attr_names is not None:
             # _source carries attributes, then the docstore's stored
             # fields (sphinxjsonquery EncodeResultToJson: attrs followed

@@ -48,6 +48,13 @@ def sql_tokenize(s: str) -> list[tuple[str, str, int, int]]:
         i = m.end()
         if m.lastgroup == "ws":
             continue
+        if m.lastgroup == "num" and i < len(s) \
+                and (s[i].isalpha() or s[i] == "_"):
+            # digit-leading identifier = BAD_NUMERIC (sphinxql.l lexer;
+            # golden test_186 `select 100500some`)
+            raise SqlParseError(
+                f"sphinxql: syntax error, unexpected BAD_NUMERIC near "
+                f"'{s[m.start():]}'")
         if m.lastgroup == "bname":
             # `backtick` identifiers (MySQL compat): any chars allowed
             out.append(("name", m.group()[1:-1], m.start(), m.end()))
@@ -409,7 +416,10 @@ class SqlParser:
                              and pv.upper() not in self._EXPR_KWS))):
                 alias = lv
                 expr = self.sql[self.toks[start][2]:self.toks[self.i - 2][3]]
-        return SelectItem(expr.strip(), alias)
+        expr = expr.strip()
+        if re.fullmatch(r"`[^`]+`", expr):
+            expr = expr[1:-1]      # display names drop backticks
+        return SelectItem(expr, alias)
 
     def parse_expr_text(self, stop_kw=(), stop_op=(), stop_comma=False) -> str:
         """Collect source text until a stop keyword/op at depth 0."""

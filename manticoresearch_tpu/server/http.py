@@ -363,7 +363,9 @@ class HttpServer:
         out = render_result(res, aggs_out or None, source=sq.select,
                             attr_names={a.name for a in
                                         table.schema.attrs},
-                            stored_docs=stored_docs)
+                            stored_docs=stored_docs,
+                            attr_types={a.name: a.type for a in
+                                        table.schema.attrs})
         if highlight:
             for hit in out["hits"]["hits"]:
                 hl = highlight.get(hit["_id"])

@@ -673,9 +673,17 @@ class TestQueryTransforms:
 
 
 class TestTokenFilterPlugins:
-    def test_create_plugin_token_filter(self):
+    def test_create_plugin_token_filter(self, tmp_path):
         import sys
-        sys.path.insert(0, "/tmp/tfmod")
+        (tmp_path / "mytf.py").write_text(
+            "def camel_split(token, field=None):\n"
+            "    # emit extra 'alpha' for prefixed tokens; drop 'xxx'\n"
+            "    if token == 'xxx':\n"
+            "        return []\n"
+            "    if token.startswith('prefix'):\n"
+            "        return [token, token[len('prefix'):]]\n"
+            "    return [token]\n")
+        sys.path.insert(0, str(tmp_path))
         cat = Catalog()
         s = Session(cat)
         (r,) = s.execute("CREATE PLUGIN splitter TYPE 'index_token_filter' "

@@ -331,14 +331,28 @@ class IndexBuilder:
                         hits_packed.append(
                             hitman_pack(fid, pos, pos == last_pos))
                     continue
-                if index_zones:
-                    tokens, zevents = self.tokenizer.tokenize_with_zones(
-                        str(text))
-                    if zevents and tokens:
-                        tok_starts = [t.start for t in tokens]
-                        tok_ends = [t.end for t in tokens]
-                        import bisect as _b
-                        for zname, zo, zc in zevents:
+                if index_zones or index_sp:
+                    # boundary-consuming token stream: sentence/paragraph/
+                    # zone boundaries are MAGIC tokens in the reference —
+                    # they occupy hit positions exactly like words
+                    # (BuildRegularHits + BuildZoneHits,
+                    # sphinx.cpp:22437/22233). tokenize_boundaries returns
+                    # tokens with adjusted positions plus the boundary
+                    # events at their consumed positions.
+                    tokens, bevents, last_hit_pos = \
+                        self.tokenizer.tokenize_boundaries(str(text))
+                    zstack: dict[str, list[int]] = {}
+                    for kind, zname, pos in bevents:
+                        key = fid << HITMAN_FIELD_SHIFT | pos
+                        sent_rows.append(rowid)
+                        sent_keys.append(key)
+                        if kind == "s":
+                            continue
+                        # paragraph and zone boundaries imply both break
+                        # kinds (\3sentence + \3paragraph emitted together)
+                        para_rows.append(rowid)
+                        para_keys.append(key)
+                        if kind == "zopen":
                             if zname not in zone_acc:
                                 # zone matched via a trailing-star pattern
                                 # (index_zones = z_*): record under the
@@ -349,19 +363,31 @@ class IndexBuilder:
                                     zone_acc.setdefault(zname, [])
                                 else:
                                     continue
-                            i0 = _b.bisect_left(tok_starts, zo)
-                            i1 = _b.bisect_right(tok_ends, zc) - 1
-                            if i0 <= i1:
+                            zstack.setdefault(zname, []).append(pos)
+                        elif kind == "zclose":
+                            opens = zstack.get(zname)
+                            if opens:
+                                op = opens.pop()
                                 zone_acc[zname].append((
                                     rowid,
-                                    fid << HITMAN_FIELD_SHIFT
-                                    | tokens[i0].position,
-                                    fid << HITMAN_FIELD_SHIFT
-                                    | tokens[i1].position))
+                                    fid << HITMAN_FIELD_SHIFT | op, key))
+                    for zname, opens in zstack.items():
+                        # unclosed zones run to the end of the field
+                        for op in opens:
+                            zone_acc[zname].append((
+                                rowid, fid << HITMAN_FIELD_SHIFT | op,
+                                fid << HITMAN_FIELD_SHIFT
+                                | max(last_hit_pos, op)))
+                    # field length = position of the LAST hit, magic
+                    # included (m_pFieldLengthAttrs, sphinx.cpp:22415);
+                    # trailing boundaries also steal the end-of-field flag
+                    # from the last real token
+                    field_lens[rowid, fid] = last_hit_pos
+                    last_pos = last_hit_pos
                 else:
                     tokens = self.tokenizer.tokenize(str(text))
-                field_lens[rowid, fid] = len(tokens)
-                last_pos = tokens[-1].position if tokens else 0
+                    field_lens[rowid, fid] = len(tokens)
+                    last_pos = tokens[-1].position if tokens else 0
                 ptoks: list[tuple[str, int]] = []
                 for t in tokens:
                     first = None
@@ -390,23 +416,6 @@ class IndexBuilder:
                         hits_tid.append(tid)
                         hits_row.append(rowid)
                         hits_packed.append(hitman_pack(fid, p1, False))
-                if index_sp and tokens:
-                    # a sentence ends at token i when .!? appears between it
-                    # and the next token; a blank line ends a paragraph
-                    # (paragraph breaks imply sentence breaks)
-                    txt = str(text)
-                    for i, t in enumerate(tokens):
-                        gap = (txt[t.end: tokens[i + 1].start]
-                               if i + 1 < len(tokens) else "")
-                        key = fid << HITMAN_FIELD_SHIFT | t.position
-                        if "\n\n" in gap:
-                            para_rows.append(rowid)
-                            para_keys.append(key)
-                            sent_rows.append(rowid)
-                            sent_keys.append(key)
-                        elif any(c in gap for c in ".!?"):
-                            sent_rows.append(rowid)
-                            sent_keys.append(key)
             for a in schema.attrs:
                 v = doc.get(a.name)
                 if a.type in (AttrType.UINT, AttrType.BOOL, AttrType.TIMESTAMP):

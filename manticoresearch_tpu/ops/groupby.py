@@ -62,7 +62,11 @@ def _build_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
     core = build_match_core(sig, n_rows, n_fields, slot_pb, slot_hb,
                             n_hit_iters)
     N = n_rows
-    Z = int(sum(slot_pb)) if sig.sparse else N + 1
+    # sparse Z mirrors build_match_core (ops/search.py:352): scan plans
+    # stream a scan_bucket-sized candidate window, term plans the slot
+    # posting union
+    Z = ((sig.scan_bucket if getattr(sig, "scan_index", None)
+          else int(sum(slot_pb))) if sig.sparse else N + 1)
     k = gspec.k
 
     def fn(data, rt):

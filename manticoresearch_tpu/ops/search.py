@@ -630,10 +630,16 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
         lim_hit_ok: dict = {}  # slot -> per-hit qualify mask: the ranker
         #                        stream must carry only qualifying hits
         #                        (ExtTermPos emits filtered hits upward)
-        for s, lmask, f_start, f_end, zlim in sig.slot_limited:
+        for s, lmask, f_start, f_end, zlim, maxpos in sig.slot_limited:
             hrowL, hpkL, mskL = slot_hits(s)
             hfield = (hpkL >> 24) & 0x7F
             ok = mskL & (((jnp.int32(1) << hfield) & lmask) != 0)
+            if maxpos:
+                # @field[N] position-range modifier: only hits at in-field
+                # position <= N qualify (TERM_POS_FIELD_LIMIT,
+                # sphinxsearch.cpp ExtConditional; XQLimitSpec_t
+                # m_iFieldMaxPos)
+                ok &= (hpkL & ((1 << 23) - 1)) <= maxpos
             if zlim:
                 # ZONE:(z1,z2): the hit must lie inside some instance of a
                 # listed zone (ExtTerm zone filtering, sphinxsearch zones):

@@ -30,6 +30,10 @@ class QTerm:
     raw: str = ""                            # display form for SHOW PLAN:
     #                                          XQKeyword_t m_sWord is the
     #                                          raw (pre-dict) token
+    max_field_pos: int = 0                   # @field[N]: only hits at
+    #                                          in-field position <= N match
+    #                                          (XQLimitSpec_t
+    #                                          m_iFieldMaxPos; 0 = off)
 
 
 @dataclass(frozen=True)

@@ -38,7 +38,7 @@ _TOKEN_RE = re.compile(
   | (?P<or>\|)
   | (?P<not>[-!])
   | (?P<quote>")
-  | (?P<field>@(?:@relaxed|!?\(\s*[\w,\s]+\s*\)|!?[\w*]+))
+  | (?P<field>@(?:@relaxed|!?\(\s*[\w,\s]+\s*\)(?:\[\d+\])?|!?[\w*]+(?:\[\d+\])?))
   | (?P<zone>ZONESPAN:(?:\(\s*[\w,\s]+\s*\)|\w+)|ZONE:(?:\(\s*[\w,\s]+\s*\)|\w+))
   | (?P<maybe>MAYBE\b)
   | (?P<esc>\\.)
@@ -185,6 +185,7 @@ class FtQueryParser:
         self.i = 0
         self.cur_fields: tuple[str, ...] | None = None
         self.cur_zones: tuple[str, ...] = ()
+        self.cur_maxpos = 0
         self.relaxed = False
         node = self._parse_and_list()
         if self.i < len(self.toks):
@@ -305,11 +306,21 @@ class FtQueryParser:
 
     def _parse_field_spec(self, text: str) -> tuple[str, ...] | None:
         body = text[1:]
+        # optional position-range modifier: @field[N] / @(f1,f2)[N]
+        # (ParseFields, sphinxquery.cpp:201-215) — hits at in-field
+        # position > N won't match; resets to 0 per field operator
+        prev_maxpos = getattr(self, "cur_maxpos", 0)
+        self.cur_maxpos = 0
+        m = re.search(r"\[(\d+)\]$", body)
+        if m:
+            self.cur_maxpos = int(m.group(1))
+            body = body[:m.start()]
         if body == "@relaxed":
             # @@relaxed: unknown field references stop being errors
             # (sphinxquery.cpp relaxed flag); limits to only-missing
             # fields match nothing
             self.relaxed = True
+            self.cur_maxpos = prev_maxpos
             return self.cur_fields
         if body == "*":
             return None
@@ -508,7 +519,8 @@ class FtQueryParser:
                 return None
             if len(terms) == 1:
                 return QTerm(terms[0], self.cur_fields,
-                             zones=self.cur_zones)
+                             zones=self.cur_zones,
+                             max_field_pos=self.cur_maxpos)
             return QPhrase(tuple(terms), self.cur_fields)
         m = _POST_WORD_RE.match(raw)
         exact = bool(m.group("exact"))
@@ -540,7 +552,8 @@ class FtQueryParser:
                 return QTerm(body.lower(), self.cur_fields, exact, boost,
                              wildcard=True, zones=self.cur_zones,
                              field_start=fstart, field_end=fend,
-                             raw=body.lower())
+                             raw=body.lower(),
+                             max_field_pos=self.cur_maxpos)
         terms = self._terms_of(body, exact)
         if not terms:
             # every keyword of the atom dropped (stopword/overshort):
@@ -558,7 +571,8 @@ class FtQueryParser:
             return QTerm(terms[0], self.cur_fields, exact, boost,
                          field_start=fstart, field_end=fend,
                          zones=self.cur_zones, raw=raws[0],
-                         atom_span=getattr(self, "_last_span", 1))
+                         atom_span=getattr(self, "_last_span", 1),
+                         max_field_pos=self.cur_maxpos)
         # a single syntax word expanding to multiple tokens ("t-shirt",
         # multiform destinations like rdogs > red dogs) becomes separate
         # consecutive keywords — implicit AND, one atom pos each (the XQ
@@ -570,7 +584,8 @@ class FtQueryParser:
             kids.append(QTerm(t, self.cur_fields, zones=self.cur_zones,
                               raw=rw,
                               field_start=fstart and i2 == 0,
-                              field_end=fend and i2 == len(terms) - 1))
+                              field_end=fend and i2 == len(terms) - 1,
+                              max_field_pos=self.cur_maxpos))
         return QAnd(tuple(kids))
 
     def _parse_quoted(self, exact: bool = False):
@@ -617,6 +632,10 @@ class FtQueryParser:
                     quorum = val
             except ValueError:
                 raise QueryParseError(f"bad phrase suffix {txt!r}")
+            if txt.startswith("~") and prox < 1:
+                # CheckQuorumProximity (sphinxquery.cpp:303)
+                raise QueryParseError(
+                    f"proximity threshold too low ({prox})")
             suffix_gap = True
         # tokenize chunk-by-chunk: stopped/overshort tokens keep their
         # POSITION (stopword_step/overshort_step semantics), so phrase
@@ -685,14 +704,16 @@ class FtQueryParser:
             m = int(quorum) if quorum >= 1 else max(1, int(len(words) * quorum))
             if len(words) == 1:
                 return _with_gap(QTerm(words[0], self.cur_fields,
-                                       raw=raws[0]))
+                                       raw=raws[0],
+                                       max_field_pos=self.cur_maxpos))
             return _with_gap(QQuorum(tuple(words), m, self.cur_fields,
                                      raws=raws))
         if len(words) == 1:
             # a one-word phrase degenerates to the bare term — keep its
             # wildcard flag so `"*abc*"` still expands in the planner
             return _with_gap(QTerm(words[0], self.cur_fields, raw=raws[0],
-                             wildcard=any(c in "*?" for c in words[0])))
+                             wildcard=any(c in "*?" for c in words[0]),
+                             max_field_pos=self.cur_maxpos))
         return _with_gap(QPhrase(tuple(words), self.cur_fields,
                                  proximity=prox, positions=deltas,
                                  raws=raws))

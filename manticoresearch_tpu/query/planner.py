@@ -263,10 +263,12 @@ def expand_keywords_ast(node, index):
         if getattr(ds, "min_prefix_len", 0) > 0 \
                 or getattr(ds, "min_infix_len", 0) > 0:
             alts.append(QTerm(node.word + "*", node.fields, boost=node.boost,
-                              wildcard=True, zones=node.zones))
+                              wildcard=True, zones=node.zones,
+                              max_field_pos=node.max_field_pos))
         if ds.index_exact_words:
             alts.append(QTerm(node.word, node.fields, exact=True,
-                              boost=node.boost, zones=node.zones))
+                              boost=node.boost, zones=node.zones,
+                              max_field_pos=node.max_field_pos))
         return QOr(tuple(alts))
     if isinstance(node, QAnd):
         return QAnd(tuple(expand_keywords_ast(c, index)
@@ -380,7 +382,8 @@ def expand_wildcards(node, index, expansion_limit: int = 0,
                 return QTerm(bare, node.fields, boost=node.boost,
                              zones=node.zones,
                              field_start=node.field_start,
-                             field_end=node.field_end)
+                             field_end=node.field_end,
+                             max_field_pos=node.max_field_pos)
             n_wild = sum(1 for c in pat if c in _WILDS)
             if n_wild == len(pat):
                 # just wilds: the keyword drops entirely
@@ -388,7 +391,8 @@ def expand_wildcards(node, index, expansion_limit: int = 0,
             if n_wild == 0:
                 return QTerm(pat, node.fields, zones=node.zones,
                              field_start=node.field_start,
-                             field_end=node.field_end)
+                             field_end=node.field_end,
+                             max_field_pos=node.max_field_pos)
             matches = _expansion_terms(pat, term_strs, min_prefix,
                                        min_infix, expansion_limit,
                                        exact_forms=exact_forms)
@@ -397,16 +401,19 @@ def expand_wildcards(node, index, expansion_limit: int = 0,
             if not matches:
                 return QTerm(pat, node.fields, zones=node.zones,
                              field_start=node.field_start,
-                             field_end=node.field_end)  # df=0
+                             field_end=node.field_end,
+                             max_field_pos=node.max_field_pos)  # df=0
             if len(matches) == 1:
                 return QTerm(matches[0], node.fields, boost=node.boost,
                              zones=node.zones, expanded=pat,
                              field_start=node.field_start,
-                             field_end=node.field_end)
+                             field_end=node.field_end,
+                             max_field_pos=node.max_field_pos)
             return QOr(tuple(QTerm(m, node.fields, boost=node.boost,
                                    zones=node.zones, expanded=pat,
                                    field_start=node.field_start,
-                                   field_end=node.field_end)
+                                   field_end=node.field_end,
+                                   max_field_pos=node.max_field_pos)
                              for m in matches))
         if isinstance(node, QPhrase) and enabled \
                 and any(any(c in _WILDS for c in w) for w in node.words):
@@ -499,7 +506,7 @@ class _SlotTable:
     def get(self, term: str, fields, positive: bool, weight: float = 1.0,
             field_start: bool = False, field_end: bool = False,
             zones: tuple = (), advance: bool = True,
-            span: int = 1) -> int:
+            span: int = 1, max_field_pos: int = 0) -> int:
         if advance:
             self._cursor += 1
         pos = self._cursor
@@ -509,7 +516,7 @@ class _SlotTable:
             # (m_iAtomPos advances per tokenizer position)
             self._cursor += max(1, span) - 1
         mask = self.mask_of(fields)
-        key = (term, mask, field_start, field_end, zones)
+        key = (term, mask, field_start, field_end, zones, max_field_pos)
         if key in self.slots:
             s = self.slots[key]
             self.occ[s].append(pos)
@@ -518,7 +525,7 @@ class _SlotTable:
             self.slots[key] = s
             self.terms.append(term)
             self.masks.append(mask)
-            self.flags.append((field_start, field_end))
+            self.flags.append((field_start, field_end, max_field_pos))
             self.zones.append(tuple(zones))
             self.mult.append(0.0)
             self.first_boost.append(weight)
@@ -553,7 +560,8 @@ def _lower(node, st: _SlotTable, positive: bool):
     if isinstance(node, QTerm):
         s = st.get(node.word, node.fields, positive, node.boost,
                    node.field_start, node.field_end, node.zones,
-                   span=getattr(node, "atom_span", 1))
+                   span=getattr(node, "atom_span", 1),
+                   max_field_pos=getattr(node, "max_field_pos", 0))
         return ("term", s)
     if isinstance(node, QAnd):
         kids = tuple(k for k in (_lower(c, st, positive)
@@ -723,8 +731,8 @@ def plan_query(
                             and wb in bfreq))
                 plain = (st.masks[sa] == all_mask
                          and st.masks[sb] == all_mask
-                         and st.flags[sa] == (False, False)
-                         and st.flags[sb] == (False, False)
+                         and st.flags[sa] == (False, False, 0)
+                         and st.flags[sb] == (False, False, 0)
                          and not st.zones[sa] and not st.zones[sb])
                 if qual and plain:
                     bslot = st.get(f"{wa} {wb}", None, True)
@@ -880,10 +888,11 @@ def plan_query(
     # evaluated over hits; the kernel skips them in the posting pass.
     # entries: (slot, fieldmask, field_start, field_end)
     slot_limited = tuple(
-        (s, st.masks[s], st.flags[s][0], st.flags[s][1], st.zones[s])
+        (s, st.masks[s], st.flags[s][0], st.flags[s][1], st.zones[s],
+         st.flags[s][2])
         for s in range(S)
         if st.masks[s] != all_mask or st.flags[s][0] or st.flags[s][1]
-        or st.zones[s]
+        or st.zones[s] or st.flags[s][2]
     )
 
     # ranker resolution (sphCreateRanker:4167): single-keyword

@@ -62,6 +62,11 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
+# reply-size cap (max_packet_size, searchd default 8M; the master
+# rejects oversized agent replies — CheckSockError/invalid packet size)
+MAX_PACKET = 8 << 20
+
+
 def _recv_frame(sock: socket.socket) -> tuple[int, dict]:
     hdr = _recv_exact(sock, _HDR.size)
     magic, ver, cmd, ln = _HDR.unpack(hdr)
@@ -69,8 +74,31 @@ def _recv_frame(sock: socket.socket) -> tuple[int, dict]:
         raise ConnectionError(f"bad agent protocol magic {magic:#x}")
     if ver > PROTO_VERSION:
         raise ConnectionError(f"unsupported agent protocol version {ver}")
+    if MAX_PACKET and ln > MAX_PACKET:
+        raise ConnectionError(
+            f"invalid packet size (status=0, len={ln}, "
+            f"max_packet_size={MAX_PACKET})")
     body = _recv_exact(sock, ln) if ln else b"{}"
     return cmd, json.loads(body)
+
+
+def prune_attrs_for_select(matches, q) -> None:
+    """Agents ship only the attrs the master asked for (the reference
+    master requests an explicit item list; `select id,gid` over a wide
+    schema must NOT push every attribute through the wire — golden
+    test_220 hits max_packet_size otherwise)."""
+    if q.select is None:
+        return
+    keep = {s.strip().lower() for s in q.select}
+    if "*" in keep:
+        return
+    keep.add((q.group_by or "").lower())
+    for col, _asc in (q.sort or []):
+        keep.add(str(col).lower())
+    for m in matches:
+        m.attrs = {k: v for k, v in m.attrs.items()
+                   if k.startswith("@") or "(" in k
+                   or k.lower() in keep}
 
 
 # ---------------------------------------------------------------------------
@@ -468,6 +496,7 @@ class AgentServer:
                 r = table.search(q)
             except Exception as e:  # noqa: BLE001 — report, don't kill conn
                 return STATUS_ERROR, {"error": f"{type(e).__name__}: {e}"}
+            prune_attrs_for_select(r.matches, q)
             return STATUS_OK, result_to_payload(r)
         if cmd == CMD_UPDATE:
             try:

@@ -36,20 +36,32 @@ def parse_index_attrs(spec: str) -> dict[str, tuple[str, ...]]:
     return out
 
 
-def strip_html(text: str, remove_elements: tuple[str, ...] = (),
-               index_attrs: dict[str, tuple[str, ...]] | None = None,
-               zones: tuple[str, ...] = (), with_zones: bool = False):
-    """Strip markup. With `zones` + `with_zones=True`, also returns zone
-    events [(name, open_char_off, close_char_off), ...] with offsets into
-    the RETURNED text (CSphHTMLStripper's MAGIC_CODE_ZONE emission
-    repackaged as explicit spans; entities inside zones are left encoded so
-    offsets stay valid — zone content is re-unescaped by the caller's
-    tokenizer charset fold, which ignores '&').
+# block-level elements that emit a paragraph boundary when index_sp=1
+# (CSphHTMLStripper::EnableParagraphs, sphinx.cpp:20385-20392); open AND
+# close tags both emit MAGIC_CODE_PARAGRAPH
+BLOCK_TAGS = frozenset((
+    "address", "blockquote", "caption", "center", "dd", "div", "dl", "dt",
+    "h1", "h2", "h3", "h4", "h5", "li", "menu", "ol", "p", "pre", "table",
+    "tbody", "td", "tfoot", "th", "thead", "tr", "ul"))
 
-    Note: when zones are requested, entity decoding is skipped (offsets
-    must map 1:1); zone-indexed fields should not rely on entities."""
-    if "<" not in text and "&" not in text:
-        return (text, []) if with_zones else text
+
+def strip_html_events(text: str, remove_elements: tuple[str, ...] = (),
+                      index_attrs: dict[str, tuple[str, ...]] | None = None,
+                      zones: tuple[str, ...] = (), paragraphs: bool = False):
+    """Strip markup, returning (stripped_text, events). Events are the
+    stripper's boundary emissions in document order — the analog of the
+    MAGIC_CODE_ZONE / MAGIC_CODE_PARAGRAPH bytes CSphHTMLStripper injects
+    into the stripped stream (sphinx.cpp:21250-21272):
+
+      ("zopen",  name, off)  zone-open tag   (<zoneA>)
+      ("zclose", name, off)  zone-close tag  (</zoneA>)
+      ("para",   "",   off)  block-level tag boundary (paragraphs=True,
+                             both open and close tags)
+
+    with `off` an offset into the RETURNED text. Each event consumes one
+    token position at indexing time (BuildZoneHits, sphinx.cpp:22233) —
+    the caller does that accounting. Entity decoding is skipped (offsets
+    must map 1:1); zone/sp-indexed fields should not rely on entities."""
     index_attrs = index_attrs or {}
     removed = {e.strip().lower() for e in remove_elements if e.strip()}
     zone_set = {z.strip().lower() for z in zones if z.strip()}
@@ -68,8 +80,7 @@ def strip_html(text: str, remove_elements: tuple[str, ...] = (),
 
     out: list[str] = []
     out_len = 0
-    open_zones: list[tuple[str, int]] = []
-    events: list[tuple[str, int, int]] = []
+    events: list[tuple[str, str, int]] = []
 
     def emit(s: str):
         nonlocal out_len
@@ -88,14 +99,13 @@ def strip_html(text: str, remove_elements: tuple[str, ...] = (),
                 skip_until = None
             continue
         if _is_zone(name):
-            if not closing:
-                open_zones.append((name, out_len))
-            else:
-                for j in range(len(open_zones) - 1, -1, -1):
-                    if open_zones[j][0] == name:
-                        events.append((name, open_zones[j][1], out_len))
-                        del open_zones[j]
-                        break
+            events.append(("zclose" if closing else "zopen", name, out_len))
+            emit(" ")
+            continue
+        if paragraphs and name in BLOCK_TAGS:
+            events.append(("para", "", out_len))
+            emit(" ")
+            continue
         if not closing and name in removed:
             # self-closing removed element has no content to skip
             if not attrs_raw.rstrip().endswith("/"):
@@ -113,9 +123,63 @@ def strip_html(text: str, remove_elements: tuple[str, ...] = (),
         emit(" ")
     if skip_until is None:
         emit(text[i:])
-    for name, off in open_zones:        # unclosed zones run to the end
-        events.append((name, off, out_len))
     result = "".join(out)
-    if with_zones:
-        return result, events
-    return html.unescape(result)
+    # space/paragraph sequence elimination (sphinx.cpp:21314-21374):
+    # consecutive paragraph markers collapse to one; a paragraph marker
+    # with only whitespace between it and a zone marker (either side) is
+    # dropped — the zone boundary subsumes it. Zone markers never collapse.
+    kept: list[tuple[str, str, int]] = []
+    para_out = False
+    zone_out = False
+    ptr = 0
+    for kind, name, off in events:
+        if any(c not in " \t\n\r" for c in result[ptr:off]):
+            para_out = zone_out = False
+        ptr = off
+        if kind == "para":
+            if not para_out and not zone_out:
+                kept.append((kind, name, off))
+                para_out = True
+        else:
+            if para_out:
+                # rewind the immediately preceding paragraph marker
+                kept.pop()
+            kept.append((kind, name, off))
+            zone_out = True
+            para_out = False
+    return result, kept
+
+
+def strip_html(text: str, remove_elements: tuple[str, ...] = (),
+               index_attrs: dict[str, tuple[str, ...]] | None = None,
+               zones: tuple[str, ...] = (), with_zones: bool = False):
+    """Strip markup. With `zones` + `with_zones=True`, also returns zone
+    events [(name, open_char_off, close_char_off), ...] with offsets into
+    the RETURNED text (CSphHTMLStripper's MAGIC_CODE_ZONE emission
+    repackaged as matched spans; entities inside zones are left encoded so
+    offsets stay valid — zone content is re-unescaped by the caller's
+    tokenizer charset fold, which ignores '&').
+
+    Note: when zones are requested, entity decoding is skipped (offsets
+    must map 1:1); zone-indexed fields should not rely on entities."""
+    if "<" not in text and "&" not in text:
+        return (text, []) if with_zones else text
+    result, raw = strip_html_events(text, remove_elements, index_attrs,
+                                    zones)
+    if not with_zones:
+        return html.unescape(result)
+    # pair zopen/zclose into spans (innermost-first per name)
+    open_zones: list[tuple[str, int]] = []
+    events: list[tuple[str, int, int]] = []
+    for kind, name, off in raw:
+        if kind == "zopen":
+            open_zones.append((name, off))
+        elif kind == "zclose":
+            for j in range(len(open_zones) - 1, -1, -1):
+                if open_zones[j][0] == name:
+                    events.append((name, open_zones[j][1], off))
+                    del open_zones[j]
+                    break
+    for name, off in open_zones:        # unclosed zones run to the end
+        events.append((name, off, len(result)))
+    return result, events

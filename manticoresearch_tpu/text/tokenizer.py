@@ -459,6 +459,122 @@ class Tokenizer:
                 pos += 1  # whole-token variants claimed first_pos
         return out, pos
 
+    def tokenize_boundaries(self, text: str):
+        """index_sp / index_zones token stream with position-consuming
+        boundaries. Returns (tokens, events, last_pos):
+
+        - tokens carry ADJUSTED positions: each boundary before a token
+          shifts it by +1, exactly like the reference's magic tokens
+          (MAGIC_CODE_SENTENCE/PARAGRAPH/ZONE go through the same
+          HITMAN::AddPos as words — BuildRegularHits sphinx.cpp:22461,
+          BuildZoneHits sphinx.cpp:22233);
+        - events are (kind, name, pos): kind 's' (sentence boundary),
+          'p' (paragraph: block tag open/close), 'zopen'/'zclose' (zone
+          tags) at the position the boundary itself consumed. Zone and
+          paragraph events imply sentence breaks; zone events imply
+          paragraph breaks (BuildZoneHits emits \\3sentence/\\3paragraph
+          alongside the zone word);
+        - last_pos is the final consumed position (field length per the
+          reference's m_pFieldLengthAttrs = pos of the LAST hit, magic
+          included).
+
+        Sentence detection replicates CodepointArbitrationI
+        (sphinx.cpp:4578-4655): '?'/'!' always break; '.' breaks unless
+        in-word (next char alnum/-/_/,/high-bit), in-phrase (". a"), or
+        after a middle-name/salutation token (J. / Mr. / MRS.)."""
+        sp = bool(self.settings.index_sp)
+        zones_on = bool(self.settings.index_zones)
+        raw_events: list[tuple[str, str, int]] = []
+        if self.settings.html_strip:
+            from .htmlstrip import parse_index_attrs, strip_html_events
+            ia = parse_index_attrs(self.settings.html_index_attrs)
+            rm = tuple(self.settings.html_remove_elements)
+            zn = tuple(self.settings.index_zones) if zones_on else ()
+            stripped, raw_events = strip_html_events(
+                text, rm, ia, zones=zn, paragraphs=sp)
+        else:
+            stripped = text
+        saved = self._strip
+        self._strip = None          # already stripped
+        try:
+            toks = self.tokenize(stripped)
+        finally:
+            self._strip = saved
+        if sp:
+            raw_events.extend(self._sentence_events(stripped, toks))
+        if not raw_events:
+            return toks, [], (toks[-1].position if toks else 0)
+        raw_events.sort(key=lambda e: e[2])
+        # walk tokens+events by offset, consuming one position per event
+        events_out: list[tuple[str, str, int]] = []
+        out: list[Token] = []
+        ei = 0
+        delta = 0
+        last_pos = 0
+        for t in toks:
+            while ei < len(raw_events) and raw_events[ei][2] <= t.start:
+                kind, name, _off = raw_events[ei]
+                delta += 1
+                last_pos += 1
+                events_out.append((kind, name, last_pos))
+                ei += 1
+            nt = Token(t.text, t.position + delta, t.start, t.end, t.mf)
+            out.append(nt)
+            last_pos = nt.position
+        for kind, name, _off in raw_events[ei:]:
+            delta += 1
+            last_pos += 1
+            events_out.append((kind, name, last_pos))
+        return out, events_out, last_pos
+
+    @staticmethod
+    def _sentence_events(text: str, toks) -> list[tuple[str, str, int]]:
+        """Sentence boundaries per CodepointArbitrationI — returns
+        ('s', '', char_off) events."""
+        ends = {t.end: t for t in toks}   # token ending exactly at offset
+
+        def _cap(c: str) -> bool:
+            return "A" <= c <= "Z"
+
+        out = []
+        n = len(text)
+        for o, ch in enumerate(text):
+            if ch in "?!":
+                out.append(("s", "", o))
+                continue
+            if ch != ".":
+                continue
+            nxt = text[o + 1] if o + 1 < n else "\0"
+            # in-word dot ("U.K", "1.5"): sphIsAlpha covers [0-9a-zA-Z-_]
+            if (nxt.isascii() and (nxt.isalnum() or nxt in "-_,")) \
+                    or ord(nxt) > 127:
+                continue
+            # in-phrase dot (". a" / ". (a"): exactly one space then a
+            # small letter or an opening paren + small letter
+            if nxt in " \t\n\r":
+                n2 = text[o + 2] if o + 2 < n else "\0"
+                if "a" <= n2 <= "z":
+                    continue
+                if n2 == "(" and o + 3 < n and "a" <= text[o + 3] <= "z":
+                    continue
+            # middle name / salutation: the dot directly terminates a
+            # 1-2-3 char token (J. | Mr./MR./MS./DR. | Mrs./Drs.)
+            t = ends.get(o)
+            if t is not None:
+                ln = len(t.text)
+                if ln == 1 and o >= 1 and _cap(text[o - 1]):
+                    continue
+                if ln == 2 and o >= 2 and _cap(text[o - 2]):
+                    if not _cap(text[o - 1]):
+                        continue
+                    if (text[o - 2], text[o - 1]) in (
+                            ("M", "R"), ("M", "S"), ("D", "R")):
+                        continue
+                if ln == 3 and t.text in ("mrs", "drs"):
+                    continue
+            out.append(("s", "", o))
+        return out
+
     def tokenize_with_zones(self, text: str):
         """Tokenize + zone spans: returns (tokens, [(zone, open_char_off,
         close_char_off)]) with offsets into the stripped text — token

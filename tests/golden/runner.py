@@ -868,10 +868,14 @@ class _CrossEnvDistributed:
 
     data_dir = None
 
-    def __init__(self, name: str, genv, parts):
+    def __init__(self, name: str, genv, parts, agent_flags=None):
         self.name = name
         self.genv = genv
         self.parts = parts      # [(agent_id, index_name)]
+        # which parts came from `agent =` (wire semantics apply even when
+        # the address is the SAME daemon — reference always connects)
+        self.agent_flags = agent_flags \
+            if agent_flags is not None else [a != 0 for a, _ in parts]
         self.options: dict = {}
 
     def _tables(self):
@@ -905,15 +909,55 @@ class _CrossEnvDistributed:
                                                     search_grouped_parts)
         parts = self._tables()
         if q.group_by:
-            loc = [i for i, (a, _n) in enumerate(self.parts) if a == 0]
-            rem = [i for i, (a, _n) in enumerate(self.parts) if a != 0]
+            loc = [i for i in range(len(self.parts))
+                   if not self.agent_flags[i]]
+            rem = [i for i in range(len(self.parts))
+                   if self.agent_flags[i]]
             ordered = [parts[i] for i in loc] + \
                       [parts[i] for i in rem[::-1]]
             return search_grouped_parts(ordered, q, self.schema,
                                         agent_mode=True)
         part_q = _dc(q, offset=0, limit=q.offset + q.limit)
         results = [p.search(part_q) for p in parts]
+        # emulate the wire for remote parts: replies prune to the select
+        # list and respect max_packet_size (the reference master rejects
+        # oversized agent replies — golden test_220)
+        mp = self._max_packet()
+        if mp:
+            import json as _json
+            from manticoresearch_tpu.server.agent import (
+                prune_attrs_for_select, result_to_payload)
+            for is_agent, r, tbl in zip(self.agent_flags, results, parts):
+                if not is_agent or r.error:
+                    continue
+                prune_attrs_for_select(r.matches, part_q)
+                ln = len(_json.dumps(result_to_payload(r)).encode())
+                if ln > mp:
+                    from manticoresearch_tpu.exec.searcher import \
+                        SearchResult
+                    return SearchResult(
+                        [], 0, 0, 0.0, [],
+                        error=f"index {self.name}: agent 127.0.0.1:13312:"
+                              f" invalid packet size (status=0, "
+                              f"len={ln}, max_packet_size={mp})")
         return merge_part_results(results, q, self.schema)
+
+    def _max_packet(self) -> int:
+        from .testcase import section_dict
+        sd = section_dict(getattr(self.genv, "sections", []) or [],
+                          "searchd", "")
+        raw = (sd.get("max_packet_size") or [""])[-1].strip().upper()
+        if not raw:
+            return 0
+        mult = 1
+        if raw.endswith("K"):
+            mult, raw = 1024, raw[:-1]
+        elif raw.endswith("M"):
+            mult, raw = 1 << 20, raw[:-1]
+        try:
+            return int(raw) * mult
+        except ValueError:
+            return 0
 
     def update_attrs(self, docids, values) -> int:
         return sum(t.update_attrs(docids, values) for t in self._tables())
@@ -1017,8 +1061,10 @@ class GoldenEnv:
                 if idx.get("agent_blackhole"):
                     raise GoldenUnsupported("blackhole agents")
                 parts: list[tuple[int, str]] = []
+                agent_flags: list[bool] = []
                 for v in idx.get("local", []):
                     parts.append((self._aid, v.strip()))
+                    agent_flags.append(False)
                 for spec in (idx.get("agent", [])
                              + idx.get("agent_persistent", [])):
                     # "host:port:idx1,idx2[,...]" (mirrors `|` unsupported)
@@ -1031,9 +1077,10 @@ class GoldenEnv:
                     aid = self._agent_id_of(m.group(1))
                     for nm in m.group(2).split(","):
                         parts.append((aid, nm.strip()))
+                        agent_flags.append(True)
                 self.env.distributed[sec.name] = parts
                 self.env.index_order.append(sec.name)
-                if all(a2 == self._aid for a2, _ in parts):
+                if not any(agent_flags):
                     # same-daemon parts: register a real distributed table
                     # so SphinxQL SELECTs resolve it too
                     self.env.catalog.create(
@@ -1044,7 +1091,8 @@ class GoldenEnv:
                     # in-process, so register a shim whose remote parts
                     # search the other agent envs' catalogs directly
                     self.env.catalog.tables[sec.name] = \
-                        _CrossEnvDistributed(sec.name, self, parts)
+                        _CrossEnvDistributed(sec.name, self, parts,
+                                             agent_flags)
                 continue
             if typ == "rt":
                 o, qdef = index_options(idx)

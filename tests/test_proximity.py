@@ -190,10 +190,14 @@ class TestSentenceParagraph:
     def sp_index(self):
         from manticoresearch_tpu.text.tokenizer import TokenizerSettings
         schema = Schema(fields=["body"])
+        # paragraph boundaries come from block-level tags under html_strip
+        # (EnableParagraphs, sphinx.cpp:20385) — plain blank lines are NOT
+        # paragraph breaks in the reference
         b = IndexBuilder(schema,
-                         tokenizer_settings=TokenizerSettings(index_sp=True))
+                         tokenizer_settings=TokenizerSettings(
+                             index_sp=True, html_strip=True))
         b.add_documents([
-            dict(id=1, body="The cat sat here. The dog ran away.\n\n"
+            dict(id=1, body="The cat sat here. The dog ran away.<p>"
                             "A bird flew over the cat."),
             dict(id=2, body="Dogs and cats together in one sentence."),
             dict(id=3, body="No animals here at all. Nothing to see."),

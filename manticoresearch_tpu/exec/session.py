@@ -294,19 +294,29 @@ class Session:
 
     # ------------------------------------------------------------------
     def execute(self, sql: str) -> list[QLResult]:
-        try:
-            stmts = parse_sql(sql)
-        except SqlParseError as e:
-            return [QLResult.err(f"sphinxql: syntax error: {e}")]
+        # statements of a batch parse and execute INDEPENDENTLY — a parse
+        # error in one yields an error result for it only (test_069)
+        from ..query.sphinxql import split_statements
+        pieces = split_statements(sql)
         out: list[QLResult] = []
         self.state = "query"
         self.current_info = sql[:512]
         t0 = time.perf_counter()
-        for st in stmts:
+        for piece in pieces:
             try:
-                out.extend(self._dispatch(st))
-            except (ValueError, ExprError, NotImplementedError, KeyError) as e:
-                out.append(QLResult.err(str(e)))
+                stmts = parse_sql(piece)
+            except SqlParseError as e:
+                msg = str(e)
+                if not msg.startswith("sphinxql:"):
+                    msg = f"sphinxql: syntax error: {msg}"
+                out.append(QLResult.err(msg))
+                continue
+            for st in stmts:
+                try:
+                    out.extend(self._dispatch(st))
+                except (ValueError, ExprError, NotImplementedError,
+                        KeyError) as e:
+                    out.append(QLResult.err(str(e)))
         self.last_job_took = time.perf_counter() - t0
         self.work_time += self.last_job_took
         self.state = "net_idle"
@@ -362,7 +372,7 @@ class Session:
             # reference, searchd.cpp)
             cols, row = [], []
             for it in st.items:
-                cols.append(it.alias or it.expr)
+                cols.append(it.alias or it.display or it.expr)
                 low = it.expr.strip().lower()
                 if low.startswith("@@"):
                     row.append(self._sysvar(low[2:]))
@@ -482,7 +492,8 @@ class Session:
                         f"non-scalar attribute '{m2.group(2)}'")]
         expr_sort = None
         if q.sort and not q.group_by and tables:
-            expr_sort = self._resolve_expr_sort(st, q, tables[0].schema)
+            expr_sort = self._resolve_expr_sort(st, q, tables[0].schema,
+                                                tables[0])
         if len(tables) == 1:
             res = tables[0].search(q)
         elif q.group_by:
@@ -777,7 +788,7 @@ class Session:
             return fixed[name]
         return self.variables.get(name, 0)
 
-    def _resolve_expr_sort(self, st: SelectStmt, q, schema):
+    def _resolve_expr_sort(self, st: SelectStmt, q, schema, table=None):
         """ORDER BY <expr or select-alias>: the device sorts by rel, the
         final top-max_matches re-sorts host-side on the evaluated expression
         (the reference's expression sorters, sphinxsort.cpp comparators over
@@ -799,6 +810,20 @@ class Session:
             if it.alias == primary:
                 text = it.expr
                 break
+        tl = text.strip().lower()
+        if tl in {f.lower() for f in schema.fields}:
+            # sorting by a full-text FIELD (directly or via a select
+            # alias) is an error in row-wise indexes (CheckSortClause,
+            # sphinxsort.cpp:6578) — but works when the field_string's
+            # attr twin is COLUMNAR (the columnar sorters resolve select
+            # aliases; golden test_430 queries 8 vs 9)
+            colr = {c.strip().lower() for c in str(
+                (getattr(table, "options", None) or {})
+                .get("columnar_attrs", "")).replace(",", " ").split()}
+            if tl not in colr:
+                raise ValueError(
+                    f"index {st.indexes[0]}: sort-by attribute "
+                    f"'{primary}' not found")
         try:
             tree = parse_expr(text)
         except ExprError:
@@ -834,7 +859,7 @@ class Session:
         for it in st.items:
             # unaliased items display lowercased (the reference parser
             # folds the expression span: SELECT CRC32('x') -> crc32('x'))
-            name = it.alias or _fold_expr_case(it.expr)
+            name = it.alias or it.display or _fold_expr_case(it.expr)
             raw = it.expr
             _pre = len(getters)
             if raw == "*":
@@ -984,7 +1009,7 @@ class Session:
         res = tables[0].search(fq)
         if res.error:
             return QLResult.err(res.error)
-        cols = [it.alias or it.expr for it in fc.items] + ["count(*)"]
+        cols = [it.alias or it.display or it.expr for it in fc.items] + ["count(*)"]
         seen = set()
         dedup_cols = []
         for c in cols:
@@ -2050,7 +2075,7 @@ def _engine_select(items) -> list:
                            "max(", "avg(", "group_concat(")):
             out.append(_resolve_agg_args(e, items))
         else:
-            out.append(it.alias or it.expr)
+            out.append(it.alias or it.display or it.expr)
     return out
 
 

@@ -33,7 +33,7 @@ class ExprError(ValueError):
 _TOK = re.compile(r"""
     (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<bname>`[^`]+`)
-  | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
+  | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*(?:\[(?:\d+|'[^']*')\][A-Za-z_0-9@.]*)*)
   | (?P<str>'(?:[^'\\]|\\.)*')
   | (?P<op><=|>=|<>|!=|==|=|<|>|\+|-|\*|/|%|&|\||\^|\(|\)|,|\{|\})
   | (?P<ws>\s+)
@@ -77,6 +77,12 @@ def tokenize(s: str) -> list[tuple[str, str]]:
                     f"syntax error, unexpected BAD_NUMERIC near "
                     f"{inner!r}")
             out.append(("name", inner))
+        elif kind == "name" and "[" in m.group():
+            # JSON subscripts normalize to dotted path segments:
+            # j.parent[0] -> j.parent.0, j['key'] -> j.key
+            t = re.sub(r"\['([^']*)'\]", r".\1", m.group())
+            t = re.sub(r"\[(\d+)\]", r".\1", t)
+            out.append(("name", t))
         elif kind != "ws":
             out.append((kind, m.group()))
     return out

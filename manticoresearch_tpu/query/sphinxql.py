@@ -30,7 +30,7 @@ _SQL_TOK = re.compile(r"""
     (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d*|\.\d+|\d+)
   | (?P<bname>`[^`]+`)
-  | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*)
+  | (?P<name>[A-Za-z_@][A-Za-z_0-9@.]*(?:\[(?:\d+|'[^']*')\][A-Za-z_0-9@.]*)*)
   | (?P<op><=|>=|<>|!=|:=|=|<|>|\(|\)|,|\*|\+|-|/|%|&|\||\^|;|:|\{|\})
   | (?P<ws>\s+|--[^\n]*|\#[^\n]*|/\*.*?\*/)
 """, re.VERBOSE | re.DOTALL)
@@ -47,6 +47,14 @@ def sql_tokenize(s: str) -> list[tuple[str, str, int, int]]:
             raise SqlParseError(f"bad character {s[i]!r} at offset {i}")
         i = m.end()
         if m.lastgroup == "ws":
+            continue
+        if m.lastgroup == "name" and "[" in m.group():
+            # JSON subscripts normalize to dotted path segments:
+            # j.parent[0] -> j.parent.0, j['key'] -> j.key
+            # (sphinxjson path grammar)
+            t = re.sub(r"\['([^']*)'\]", r".\1", m.group())
+            t = re.sub(r"\[(\d+)\]", r".\1", t)
+            out.append(("name", t, m.start(), m.end()))
             continue
         if m.lastgroup == "num" and i < len(s) \
                 and (s[i].isalpha() or s[i] == "_"):
@@ -74,6 +82,9 @@ def _unquote(s: str) -> str:
 class SelectItem:
     expr: str                 # raw expression text
     alias: str | None = None
+    display: str | None = None   # column header when it differs from expr
+    #                              (backticked digit-leading identifiers
+    #                              display as typed, resolve stripped)
 
 
 @dataclass
@@ -319,6 +330,20 @@ class SqlParser:
         if self.eat_kw("WHERE"):
             conds = self.parse_conds()
 
+        # index hints: FORCE/IGNORE/USE INDEX (name[, ...]) — accepted and
+        # recorded; the planner has no CBO hints to apply them to yet
+        # (sphinxql.y:1130 AddIndexHint)
+        while self.at_kw("FORCE") or self.at_kw("IGNORE") \
+                or self.at_kw("USE"):
+            self.next()
+            self.expect_kw("INDEX")
+            self.expect_op("(")
+            self.name()
+            while self.peek() == ("op", ","):
+                self.next()
+                self.name()
+            self.expect_op(")")
+
         st = SelectStmt(items=items, indexes=indexes, conds=conds)
 
         if self.eat_kw("GROUP"):
@@ -417,9 +442,17 @@ class SqlParser:
                 alias = lv
                 expr = self.sql[self.toks[start][2]:self.toks[self.i - 2][3]]
         expr = expr.strip()
+        display = None
         if re.fullmatch(r"`[^`]+`", expr):
-            expr = expr[1:-1]      # display names drop backticks
-        return SelectItem(expr, alias)
+            # display names drop backticks for valid identifiers; a
+            # digit-leading name displays in its raw `...` form (the
+            # select lexer can't token it, so the item renders as typed —
+            # golden test_186 `id` vs test_069 `123abc`) while resolution
+            # uses the stripped name
+            if not re.fullmatch(r"`[A-Za-z_@][^`]*`", expr):
+                display = expr
+            expr = expr[1:-1]
+        return SelectItem(expr, alias, display)
 
     def parse_expr_text(self, stop_kw=(), stop_op=(), stop_comma=False) -> str:
         """Collect source text until a stop keyword/op at depth 0."""
@@ -1008,6 +1041,51 @@ class SqlParser:
         if k != "str":
             raise SqlParseError("EXPLAIN QUERY needs a quoted query")
         return SimpleStmt("explain", [idx, _unquote(v)])
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a multi-statement batch on top-level ';' (outside quotes,
+    backticks and comments) — the reference daemon executes each statement
+    of a batch independently, so a lexer error in one statement still lets
+    the rest run (golden test_069: BAD_NUMERIC mid-batch)."""
+    out = []
+    cur = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            q = c
+            cur.append(c)
+            i += 1
+            while i < n:
+                cur.append(sql[i])
+                if sql[i] == "\\" and q != "`" and i + 1 < n:
+                    cur.append(sql[i + 1])
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if c == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if c == "/" and sql[i:i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            cur.append(" ")
+            continue
+        if c == ";":
+            out.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return [s for s in (x.strip() for x in out) if s]
 
 
 def parse_sql(sql: str):

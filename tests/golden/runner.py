@@ -1938,9 +1938,11 @@ class GoldenEnv:
                     out["error"] = r.error
                     out["errno"] = 1064
                     shaped.append(extra(out))
-                    # mysqli_multi_query stops at the first failure
-                    stop = True
-                    break
+                    # the daemon keeps executing the rest of the batch and
+                    # the result stream continues past error sets
+                    # (golden test_069: errors at statements 6-7, results
+                    # recorded for all 14)
+                    continue
                 if r.columns:
                     rows = []
                     for row in r.rows:

@@ -134,6 +134,32 @@ class DistributedTable:
         from ..text.dictionary import DictSettings
         return DictSettings()
 
+    @property
+    def stored_fields(self):
+        """SELECT * over a distributed table returns the parts' stored
+        fields (the reference ships docstore columns in agent replies)."""
+        for n in self.locals_:
+            try:
+                sf = getattr(self.catalog.get(n), "stored_fields", None)
+            except (ValueError, KeyError):
+                continue
+            if sf:
+                return sf
+        return ()
+
+    def get_document(self, docid):
+        for n in self.locals_:
+            try:
+                t = self.catalog.get(n)
+            except (ValueError, KeyError):
+                continue
+            gd = getattr(t, "get_document", None)
+            if gd is not None:
+                d = gd(docid)
+                if d:
+                    return d
+        return None
+
     def delete(self, docids: list) -> int:
         """DELETE fans out to local parts (the reference forwards
         deletes to distributed parts, HandleMysqlDelete agent loop)."""
@@ -223,7 +249,16 @@ class DistributedTable:
             # requests are in flight — RunSubset, searchd.cpp:6550)
             with ThreadPoolExecutor(max_workers=min(len(parts), 16)) as ex:
                 results = list(ex.map(lambda p: p.search(part_q), parts))
-        return merge_part_results(results, q, self.schema)
+        merged = merge_part_results(results, q, self.schema,
+                                    agent_mode=bool(self.agents))
+        from .multi import minimize_result_schema
+        try:
+            merged.schema = minimize_result_schema(
+                results, [getattr(p, "schema", None) or self.schema
+                          for p in parts])
+        except AttributeError:
+            pass
+        return merged
 
     # -- writes ----------------------------------------------------------
     def update_attrs(self, docids: list, values: dict) -> int:

@@ -71,8 +71,32 @@ def merge_word_stats(results):
     return [WordStat(w, *stats_map[w]) for w in order]
 
 
-def merge_part_results(results, q, schema):
-    """Merge per-part SearchResults into one (weight/order-correct)."""
+def minimize_result_schema(results, part_schemas):
+    """Minimized schema over the parts that returned MATCHES — empty
+    result sets don't constrain it (MinimizeSchemas, searchd.cpp:4305:
+    'skip empty result set'). Returns None when nothing matched."""
+    live = [s for s, r in zip(part_schemas, results)
+            if r is not None and not r.error and r.matches]
+    if not live:
+        return None
+    base = live[0]
+    common = {a.name for a in base.attrs}
+    for s in live[1:]:
+        common &= {a.name for a in s.attrs}
+    if common == {a.name for a in base.attrs}:
+        return base
+    from ..schema import Schema
+    return Schema(fields=list(base.fields),
+                  attrs=[a for a in base.attrs if a.name in common])
+
+
+def merge_part_results(results, q, schema, agent_mode: bool = False):
+    """Merge per-part SearchResults into one (weight/order-correct).
+
+    agent_mode: remote-agent merges under the DEFAULT sort keep the
+    reverse-tag arrival order as the weight tiebreak instead of docid asc
+    (the master's remote merge compares shipped sort keys only; golden
+    test_323 dist fullscan surfaces the later agent's rows first)."""
     from .searcher import SearchResult
 
     err = next((r.error for r in results if r.error), None)
@@ -102,7 +126,13 @@ def merge_part_results(results, q, schema):
     all_matches = [m for pi2 in sorted(by_part, reverse=True)
                    for m in by_part[pi2]]
     killed = n_copies - len(all_matches)
-    _apply_sort(all_matches, q, presort_docid=False)
+    DEFAULT_SORT = [("weight", False), ("id", True)]
+    if agent_mode and list(q.sort or DEFAULT_SORT) == DEFAULT_SORT:
+        from dataclasses import replace as _rp
+        _apply_sort(all_matches, _rp(q, sort=[("weight", False)]),
+                    presort_docid=False)
+    else:
+        _apply_sort(all_matches, q, presort_docid=False)
     total_found = sum(r.total_found for r in results) - killed
     window = all_matches[q.offset:q.offset + q.limit]
     stats = merge_word_stats(results)
@@ -186,6 +216,7 @@ def _search_with_stats(index, q, stats_kwargs):
         cq = plan_query(
             ast, index.packed,
             filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
+            filter_tree=q.filter_tree,
             window=q.offset + q.limit, order=order,
             field_weights=q.field_weights, idf_plain=q.idf_plain,
             tfidf_normalized=q.tfidf_normalized,

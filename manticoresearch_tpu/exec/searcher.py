@@ -25,6 +25,9 @@ from ..text.tokenizer import Tokenizer
 class SearchQuery:
     match: str = ""
     filters: list[AttrFilterDef] = dc_field(default_factory=list)
+    # boolean combination of `filters` (WHERE with OR / parens):
+    # ("leaf", i) | ("and"/"or", (children...)); None = AND of all
+    filter_tree: tuple | None = None
     limit: int = 20
     offset: int = 0
     max_matches: int = 1000
@@ -74,6 +77,10 @@ class SearchResult:
     error: str | None = None
     warning: str | None = None
     profile: list = dc_field(default_factory=list)  # (stage, seconds) pairs
+    # distributed merges: the minimized result schema over the parts that
+    # actually returned matches (MinimizeSchemas skips empty result sets,
+    # searchd.cpp:4305); None = use the table's static schema
+    schema: object = None
 
 
 class SearchIndex:
@@ -126,6 +133,7 @@ class SearchIndex:
             tuple(sorted(q.field_weights.items())),
             tuple((f.attr, f.kind, tuple(f.values), f.lo, f.hi, f.exclude,
                    f.lo_excl, f.hi_excl) for f in q.filters),
+            q.filter_tree,
         )
         cached = self._plan_cache.get(key)
         if cached is not None:
@@ -135,7 +143,7 @@ class SearchIndex:
         cq = plan_query(
             ast, self.packed,
             filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
-            window=q.offset + q.limit,
+            filter_tree=q.filter_tree, window=q.offset + q.limit,
             order=order, field_weights=q.field_weights,
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
             emit_factors=emit_factors, expansion_limit=q.expansion_limit,
@@ -452,6 +460,7 @@ class SearchIndex:
         cq = plan_query(
             ast, self.packed,
             filters=q.filters, ranker=q.ranker,
+            filter_tree=q.filter_tree,
             max_matches=q.max_matches, window=q.offset + q.limit,
             order=("rel",), field_weights=q.field_weights,
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,

@@ -560,7 +560,9 @@ class Session:
                 f"*/ {stmt};\n")
             self.query_log.flush()
 
-        main = self._project(st, res, tables[0].schema, tables[0])
+        main = self._project(st, res,
+                             getattr(res, "schema", None)
+                             or tables[0].schema, tables[0])
         out = [main]
         for fc in st.facets:
             out.append(self._facet(st, fc, tables))
@@ -574,27 +576,27 @@ class Session:
         # path; computed ones become late filters)
         amap = {it.alias: it.expr for it in st.items
                 if it.alias and it.expr != it.alias}
-        for c in st.conds:
-            if c.kind == "match":
-                match = c.value
-                continue
+
+        def _convert_cond(c) -> str | None:
+            """Lower one WHERE condition into `filters` entries; returns
+            an error string or None."""
             if c.attr in amap:
                 c = dc_replace(c, attr=amap[c.attr])
             if c.kind == "cmp" and c.attr.lower().replace(" ", "") in (
                     "@count", "count(*)", "@distinct"):
-                return None, ("aggregates in 'where' clause prohibited, "
-                              "use 'HAVING'")
+                return ("aggregates in 'where' clause prohibited, "
+                        "use 'HAVING'")
             if c.attr.startswith("@") and c.attr.lower() not in (
                     "@id",):
-                return None, ("Using the old-fashion @variables (@count, "
-                              "@weight, etc.) is deprecated")
+                return ("Using the old-fashion @variables (@count, "
+                        "@weight, etc.) is deprecated")
             if c.kind == "in" and len(c.values) == 1 \
                     and isinstance(c.values[0], str) \
                     and c.values[0].startswith("@"):
                 # id IN @uservar: resolve the stored value list
                 uv = self.uservars.get(c.values[0])
                 if uv is None:
-                    return None, f"undefined variable {c.values[0]}"
+                    return f"undefined variable {c.values[0]}"
                 c = dc_replace(c, values=list(uv)
                                if isinstance(uv, (list, tuple)) else [uv])
             m_any = re.match(r"^(any|all)\((\w+)\)$", c.attr, re.I)
@@ -609,7 +611,7 @@ class Session:
                     nm2, "mva_all_range" if (not is_any) != c.negate
                     else "mva_any_range",
                     lo=c.lo, hi=c.hi, exclude=c.negate))
-                continue
+                return None
             if m_any and c.kind in ("cmp", "in"):
                 # ANY(mva) op v: exists an element satisfying op;
                 # ALL(mva) op v: every element satisfies op
@@ -634,7 +636,7 @@ class Session:
                         filters.append(AttrFilterDef(
                             nm2, "mva_any", values=c.values,
                             exclude=True))
-                    continue
+                    return None
                 v = c.value
                 if c.op == "=":
                     filters.append(AttrFilterDef(
@@ -657,7 +659,7 @@ class Session:
                     filters.append(AttrFilterDef(
                         nm2, kind2, lo=lo, hi=hi,
                         lo_excl=c.op == ">", hi_excl=c.op == "<"))
-                continue
+                return None
             if c.kind == "isnull":
                 # IS [NOT] NULL on plain string/MVA attrs has no null
                 # concept: the filter passes everything (reference
@@ -669,10 +671,10 @@ class Session:
                     ad0 = None
                 if ad0 is not None and ad0.type.value in (
                         "string", "multi", "multi64"):
-                    continue
+                    return None
             f, err = _cond_to_filter(c)
             if err:
-                return None, err
+                return err
             try:
                 ad0 = self.catalog.get(st.indexes[0]).schema.attr(f.attr)
             except (ValueError, KeyError, IndexError):
@@ -685,6 +687,66 @@ class Session:
                     f"index {st.indexes[0]}: suggest an explicit "
                     f"ANY()/ALL() around a filter on MVA column")
             filters.append(f)
+            return None
+
+        tree_nodes: list = []   # boolean node per top-level cond (or None)
+        saw_or = False
+
+        def _convert_tree(node):
+            """Lower a boolean cond tree -> ("leaf"/"and"/"or", ...) over
+            `filters` indices. None = always-true (vanished cond).
+            Raises ValueError on conversion errors."""
+            nonlocal saw_or
+            if isinstance(node, Cond):
+                if node.kind == "match":
+                    raise ValueError(
+                        "MATCH() must be the top-level condition "
+                        "(cannot appear inside OR)")
+                i0 = len(filters)
+                err2 = _convert_cond(node)
+                if err2:
+                    raise ValueError(err2)
+                leaves = tuple(("leaf", i2)
+                               for i2 in range(i0, len(filters)))
+                if not leaves:
+                    return None
+                return leaves[0] if len(leaves) == 1 \
+                    else ("and", leaves)
+            op2, kids2 = node
+            parts = [_convert_tree(k2) for k2 in kids2]
+            if op2 == "or":
+                saw_or = True
+                if any(p is None for p in parts):
+                    return None     # an always-true branch wins the OR
+            else:
+                parts = [p for p in parts if p is not None]
+                if not parts:
+                    return None
+            return parts[0] if len(parts) == 1 else (op2, tuple(parts))
+
+        for c in st.conds:
+            if c.kind == "match":
+                match = c.value
+                continue
+            if c.kind == "ortree":
+                try:
+                    tree_nodes.append(_convert_tree(c.value))
+                except ValueError as e:
+                    return None, str(e)
+                continue
+            i0 = len(filters)
+            err = _convert_cond(c)
+            if err:
+                return None, err
+            tree_nodes.extend(("leaf", i2)
+                              for i2 in range(i0, len(filters)))
+
+        filter_tree = None
+        if saw_or:
+            nodes = [n for n in tree_nodes if n is not None]
+            filter_tree = (None if not nodes
+                           else nodes[0] if len(nodes) == 1
+                           else ("and", tuple(nodes)))
 
         sort = [(col, asc) for col, asc in st.order] or \
             [("weight", False), ("id", True)]
@@ -700,6 +762,7 @@ class Session:
         q = SearchQuery(
             match=match,
             filters=filters,
+            filter_tree=filter_tree,
             offset=st.offset,
             limit=st.limit,
             max_matches=int(opts.get("max_matches", 1000)),

@@ -801,20 +801,20 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
 
         match = _eval_expr(sig.expr, termmask, phrase_results, alive, size)
 
-        fmask_filters = jnp.ones(size, dtype=bool)
+        leaf_masks: list = []
         for i, spec in enumerate(sig.filters):
             if spec.kind.startswith("mva_"):
-                fmask_filters &= _eval_mva_filter(
+                leaf_masks.append(_eval_mva_filter(
                     spec, data["mva_offsets"][spec.attr],
                     data["mva_values"][spec.attr],
-                    rt["filter_vals"][i], rows_vec, n_hit_iters or 32)
+                    rt["filter_vals"][i], rows_vec, n_hit_iters or 32))
                 continue
             if spec.kind == "host_mask":
                 # host-evaluated predicate (JSON paths) as a packed bitmask
                 v = rt["filter_vals"][i]
                 w = jnp.clip(rows_vec >> 5, 0, v.shape[0] - 1)
                 m = ((v[w] >> (rows_vec & 31)) & 1).astype(bool)
-                fmask_filters &= (~m if spec.exclude else m)
+                leaf_masks.append(~m if spec.exclude else m)
                 continue
             if spec.kind in ("id_values", "id_range"):
                 # 64-bit docid filter over the (hi, lo) i32 split; lo is
@@ -834,7 +834,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     le = (dhi < v[0, 1]) | ((dhi == v[0, 1]) &
                                             (dlo <= v[1, 1]))
                     m = ge & le
-                fmask_filters &= (~m if spec.exclude else m)
+                leaf_masks.append(~m if spec.exclude else m)
                 continue
             if spec.kind in ("big_values", "big_range"):
                 # 64-bit attr over the (hi, biased lo) split arrays
@@ -858,14 +858,33 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     le = (ahi < v[0, 1]) | ((ahi == v[0, 1])
                                             & (alo <= v[1, 1]))
                     m = ge & le
-                fmask_filters &= (~m if spec.exclude else m)
+                leaf_masks.append(~m if spec.exclude else m)
                 continue
             attr = attrs[spec.attr]
             if sparse:
                 attr = attr[jnp.clip(rows_vec, 0, max(attr.shape[0] - 1, 0))]
             else:
                 attr = jnp.concatenate([attr, attr[-1:]]) if len(attr) == N else attr
-            fmask_filters &= _eval_filter(spec, attr, rt["filter_vals"][i])
+            leaf_masks.append(_eval_filter(spec, attr,
+                                           rt["filter_vals"][i]))
+
+        # combine the per-filter masks: AND of all by default, or per the
+        # plan's boolean filter tree (m_dFilterTree analog — WHERE with
+        # OR / parenthesized conditions, sphinxfilter.cpp CreateFilterTree)
+        def _combine_filters(node):
+            if node[0] == "leaf":
+                return leaf_masks[node[1]]
+            parts = [_combine_filters(c) for c in node[1]]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out | p) if node[0] == "or" else (out & p)
+            return out
+
+        fmask_filters = jnp.ones(size, dtype=bool)
+        if leaf_masks:
+            tree = sig.filter_tree or (
+                "and", tuple(("leaf", i2) for i2 in range(len(leaf_masks))))
+            fmask_filters = _combine_filters(tree)
 
         eligible = match & alive & fmask_filters
 

@@ -433,6 +433,7 @@ class ShardedIndex:
         return plan_query(
             ast, self.union,
             filters=q.filters, ranker=q.ranker, max_matches=q.max_matches,
+            filter_tree=q.filter_tree,
             order=order, field_weights=q.field_weights,
             idf_plain=q.idf_plain, tfidf_normalized=q.tfidf_normalized,
             packed_store=self._union_store(),

@@ -80,6 +80,11 @@ class PlanSig:
                                 # the secondary-index/histogram analog
                                 # (histogram.h:19, sphinx.cpp:12676)
     scan_bucket: int = 0        # pow2 candidate bucket for scan_index
+    filter_tree: tuple = ()     # boolean combination of the filters:
+                                # ("leaf", i) | ("and"/"or", (children...))
+                                # over sig.filters indices; () = AND of all
+                                # (the reference's m_dFilterTree,
+                                # sphinxfilter.cpp filter tree eval)
     merge_groups: tuple = ()    # wildcard payload term-merge (ExtPayload,
                                 # sphinx.cpp:14880-14912): tuples of slot
                                 # ids that rank as ONE qword — the kernel

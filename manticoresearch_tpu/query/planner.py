@@ -666,6 +666,7 @@ def plan_query(
     index,                      # PackedIndex
     *,
     filters: list[AttrFilterDef] | None = None,
+    filter_tree: tuple | None = None,
     ranker: str = "proximity_bm25",
     max_matches: int = 1000,
     window: int | None = None,   # offset+limit: device keeps only this many
@@ -1236,8 +1237,10 @@ def plan_query(
               and not _has_positional(expr)
               and not slot_limited and not st.groups)
     if (not sparse and not emit_factors and _mode != "never"
-            and packed_store is not None
+            and packed_store is not None and not filter_tree
             and (expr == ("all",) and eff_ranker == "none" or _ft_ok)):
+        # (filter-first pre-selection assumes a CONJUNCTION: slicing one
+        # filter's value window is wrong under an OR tree)
         for f in filters or []:
             if f.exclude or f.attr in ("id",):
                 continue
@@ -1293,9 +1296,9 @@ def plan_query(
         # position/field-limited payloads recalculate df over the
         # FILTERED hit cache (PopulateCache "recalculate docs count",
         # searchnode.cpp:1415-1425; golden test_211 '^abc*' idf df=2)
-        fs, fe = st.flags[g[0]]
+        fs, fe, maxp = st.flags[g[0]]
         lmask = st.masks[g[0]]
-        limited = fs or fe or (lmask != st.all_mask)
+        limited = fs or fe or maxp or (lmask != st.all_mask)
         rows_parts = []
         for s in g:
             tid = index.term_id(st.terms[s])
@@ -1342,6 +1345,7 @@ def plan_query(
         fl_on=bool(getattr(index, "index_field_lengths", False)),
         expr=expr, n_slots=S, ranker=eff_ranker,
         filters=tuple(fspecs), k=k, order=order,
+        filter_tree=tuple(filter_tree) if filter_tree else (),
         slot_limited=slot_limited, ranker_expr=ranker_expr,
         emit_factors=emit_factors, slot_occs=slot_occs,
         has_dupes=has_dupes,

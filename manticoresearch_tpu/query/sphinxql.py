@@ -502,10 +502,74 @@ class SqlParser:
         return out
 
     def parse_conds(self) -> list[Cond]:
-        conds = [self.parse_cond()]
+        """WHERE grammar with boolean combinations (filter tree,
+        sphinxql.y where_expr: AND binds tighter than OR, parens group).
+        Returns the reference-era flat list: top-level AND members, with
+        any OR subtree wrapped as Cond('ortree', value=('or'/'and',
+        [children])) whose leaves are plain Conds."""
+        tree = self._parse_cond_or()
+        out: list[Cond] = []
+
+        # MATCH() applies globally regardless of where it sits in the
+        # boolean expression — the reference extracts the FT query and
+        # builds the filter tree over the attribute conditions only
+        # (golden test_323: match('test') and gid > 72 OR pid < 1101
+        # means FT(test) AND (gid>72 OR pid<1101))
+        def _lift(node):
+            if isinstance(node, Cond):
+                if node.kind == "match":
+                    out.append(node)
+                    return None
+                return node
+            op, kids = node
+            kids = [k2 for k2 in (_lift(k) for k in kids)
+                    if k2 is not None]
+            if not kids:
+                return None
+            return kids[0] if len(kids) == 1 else (op, kids)
+
+        def _flat(node):
+            if node is None:
+                return
+            if isinstance(node, Cond):
+                out.append(node)
+                return
+            op, kids = node
+            if op == "and":
+                for k in kids:
+                    _flat(k)
+            else:
+                out.append(Cond("ortree", value=node))
+        _flat(_lift(tree))
+        return out
+
+    def _parse_cond_or(self):
+        kids = [self._parse_cond_and()]
+        while self.eat_kw("OR"):
+            kids.append(self._parse_cond_and())
+        return kids[0] if len(kids) == 1 else ("or", kids)
+
+    def _parse_cond_and(self):
+        kids = [self._parse_cond_prim()]
         while self.eat_kw("AND"):
-            conds.append(self.parse_cond())
-        return conds
+            kids.append(self._parse_cond_prim())
+        return kids[0] if len(kids) == 1 else ("and", kids)
+
+    def _parse_cond_prim(self):
+        if self.peek() == ("op", "(") and (
+                self.peek(1)[1] or "").upper() != "MATCH":
+            # parenthesized boolean group: WHERE (a AND b) OR c — but
+            # only when it really parses as a condition group; else
+            # backtrack and let parse_cond treat '(' as expression text
+            save = self.i
+            self.next()
+            try:
+                sub = self._parse_cond_or()
+                self.expect_op(")")
+                return sub
+            except SqlParseError:
+                self.i = save
+        return self.parse_cond()
 
     def parse_cond(self) -> Cond:
         if self.peek() == ("op", "(") and (
@@ -1067,15 +1131,6 @@ def split_statements(sql: str) -> list[str]:
                     i += 1
                     break
                 i += 1
-            continue
-        if c == "-" and sql[i:i + 2] == "--":
-            j = sql.find("\n", i)
-            i = n if j < 0 else j
-            continue
-        if c == "/" and sql[i:i + 2] == "/*":
-            j = sql.find("*/", i + 2)
-            i = n if j < 0 else j + 2
-            cur.append(" ")
             continue
         if c == ";":
             out.append("".join(cur))

@@ -940,7 +940,12 @@ class _CrossEnvDistributed:
                         error=f"index {self.name}: agent 127.0.0.1:13312:"
                               f" invalid packet size (status=0, "
                               f"len={ln}, max_packet_size={mp})")
-        return merge_part_results(results, q, self.schema)
+        merged = merge_part_results(results, q, self.schema,
+                                    agent_mode=any(self.agent_flags))
+        from manticoresearch_tpu.exec.multi import minimize_result_schema
+        merged.schema = minimize_result_schema(
+            results, [p.schema for p in parts])
+        return merged
 
     def _max_packet(self) -> int:
         from .testcase import section_dict
@@ -958,6 +963,23 @@ class _CrossEnvDistributed:
             return int(raw) * mult
         except ValueError:
             return 0
+
+    @property
+    def stored_fields(self):
+        for t in self._tables():
+            sf = getattr(t, "stored_fields", None)
+            if sf:
+                return sf
+        return ()
+
+    def get_document(self, docid):
+        for t in self._tables():
+            gd = getattr(t, "get_document", None)
+            if gd is not None:
+                d = gd(docid)
+                if d:
+                    return d
+        return None
 
     def update_attrs(self, docids, values) -> int:
         return sum(t.update_attrs(docids, values) for t in self._tables())
@@ -1917,12 +1939,15 @@ class GoldenEnv:
                                            "return code=0 */"})]
             raise GoldenUnsupported(f"sphinxql system={sysattr!r}")
 
-        stmts = ([q.query] if ";" not in q.query
-                 else _split_sql(q.query))
+        # a query with same-line ';' separators runs as ONE multi-statement
+        # batch: result set 0 is labeled with the full text, set N with
+        # explode(';')[N] + '/* result N+1 of previous multistatement */'
+        # (helpers.inc:2364-2366); the loader already split on ';\n'
+        parts = q.query.split(";")
         no_time = ("show" in q.query.lower()
                    and "meta" in q.query.lower())
         shaped: list[dict] = []
-        for k, stmt in enumerate(stmts):
+        for k, stmt in enumerate([q.query]):
             results = self.agents[aid].session.execute(stmt)
             if not results:
                 shaped.append(extra({
@@ -1930,10 +1955,17 @@ class GoldenEnv:
                     "total_affected": 0}))
                 continue
             stop = False
+
+            def _label(n: int) -> str:
+                if n == 0 or ";" not in stmt:
+                    return stmt.strip().rstrip(";").strip()
+                head = (parts[n] + " ") if n < len(parts) else ""
+                return (head + f"/* result {n + 1} of previous "
+                               f"multistatement */").strip()
             # a FACET statement yields one result set per facet — the
             # php harness records each (mysqli_multi_query next_result)
-            for r in results:
-                out: dict = {"sphinxql": stmt.strip().rstrip(";").strip()}
+            for rs_n, r in enumerate(results):
+                out: dict = {"sphinxql": _label(rs_n)}
                 if r.error:
                     out["error"] = r.error
                     out["errno"] = 1064

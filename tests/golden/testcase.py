@@ -168,6 +168,18 @@ def _expand_query_variants(qnode) -> list[str]:
     return ["".join(p) for p in itertools.product(*groups)]
 
 
+def _split_sphinxql(text: str) -> list[str]:
+    """One <sphinxql> block becomes one query per ';' AT END OF LINE
+    (AddQuery preg_split('/;\\n/'), helpers.inc:1723) — statements
+    separated by '; ' on the SAME line stay one multi-statement query
+    (labeled '/* result N of previous multistatement */' downstream)."""
+    pieces = [p.strip() for p in text.split(";\n") if p.strip()]
+    # an all-empty block still emits ONE empty query (AddQuery's
+    # empty-$query_texts fallback) — <sphinxql system=.../> tags have no
+    # text but must keep their position in the result stream
+    return pieces or [""]
+
+
 def load_test(dirname: str, root: str = TESTROOT) -> GoldenTest:
     path = os.path.join(root, dirname, "test.xml")
     with open(path, "rb") as f:
@@ -195,7 +207,8 @@ def load_test(dirname: str, root: str = TESTROOT) -> GoldenTest:
                                                dict(q.attrib)))
             elif t == "sphinxql":
                 for v in _expand_query_variants(q):
-                    gt.queries.append(QlQuery(v.strip(), dict(q.attrib)))
+                    for piece in _split_sphinxql(v):
+                        gt.queries.append(QlQuery(piece, dict(q.attrib)))
             elif t == "comment":
                 gt.queries.append(QlQuery((q.text or "").strip(),
                                           dict(q.attrib), type="comment"))
@@ -211,7 +224,8 @@ def load_test(dirname: str, root: str = TESTROOT) -> GoldenTest:
         for q in sph:
             if _tag(q) == "sphinxql":
                 for v in _expand_query_variants(q):
-                    gt.queries.append(QlQuery(v.strip(), dict(q.attrib)))
+                    for piece in _split_sphinxql(v):
+                        gt.queries.append(QlQuery(piece, dict(q.attrib)))
     httpq = _get_first(tree, "httpqueries")
     if httpq is not None:
         for q in httpq:

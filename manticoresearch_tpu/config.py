@@ -200,6 +200,7 @@ def settings_from_sql_options(options: dict[str, str]
         min_prefix_len=_i("min_prefix_len", 0),
         min_infix_len=_i("min_infix_len", 0),
         mode=str(o.get("dict", "keywords")).strip() or "keywords",
+        hitless_words=str(o.get("hitless_words", "") or ""),
     )
     return tok, dic
 

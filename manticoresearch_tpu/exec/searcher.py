@@ -209,6 +209,8 @@ class SearchIndex:
                            pf_out=out if cq.sig.emit_factors else None)
         prof.append(("finalize", time.perf_counter() - t2))
         res.profile = prof
+        if getattr(cq, "warning", ""):
+            res.warning = cq.warning
         from ..query.explain import render_plan
         res.plan_repr = render_plan(cq.ast, self.schema)
         return res

@@ -83,6 +83,12 @@ class PackedIndex:
     # ZONE spans (index_zones): zone name -> (rows, start_keys, end_keys),
     # keys = fid<<24|pos of the zone's first/last token, sorted by (row, key)
     zones: dict = dc_field(default_factory=dict)
+    # hitless_words: terms indexed without positions (their hit lists hold
+    # one SYNTHETIC hit per matched field at in-field position -1 —
+    # ExtTermHitless_T::CollectHits, searchnode.cpp:2142); the planner
+    # keeps them out of positional nodes
+    hitless_terms: frozenset = frozenset()
+    hitless_all: bool = False
 
     @property
     def n_terms(self) -> int:
@@ -195,6 +201,29 @@ class IndexBuilder:
         # (duplicate-id rows both survive, test_047 model q7); RT-level
         # REPLACE dedup happens in the RT layer, not here
         self._docs: list[tuple[int, dict]] = []
+
+    def _resolve_hitless(self, term_strs) -> tuple[bool, set]:
+        """hitless_words -> (all?, set of dict-processed term strings).
+        Word-list files run through the index tokenizer + dictionary
+        (morphology applies) exactly like LoadHitlessWords
+        (sphinx.cpp:9345)."""
+        spec = str(getattr(self.dict_settings, "hitless_words", "") or "")
+        if not spec.strip():
+            return False, set()
+        if spec.strip().lower() == "all":
+            return True, set()
+        out: set = set()
+        for path in spec.replace(",", " ").split():
+            try:
+                with open(path, encoding="utf-8", errors="replace") as fh:
+                    text = fh.read()
+            except OSError as e:
+                raise ValueError(f"hitless_words: failed to open "
+                                 f"'{path}': {e}") from e
+            for t in self.tokenizer.tokenize(text):
+                for term in self.dictionary.process(t.text):
+                    out.add(term)
+        return False, out
 
     def add_document(self, doc: Mapping[str, Any]) -> None:
         if "id" not in doc:
@@ -490,6 +519,12 @@ class IndexBuilder:
         order = np.lexsort((pk_arr, row_arr, tid_arr))
         tid_arr, row_arr, pk_arr = tid_arr[order], row_arr[order], pk_arr[order]
 
+        # hitless stats keep the REAL hit totals (dict entry counters are
+        # written before positions are dropped)
+        term_hits_real = np.bincount(
+            tid_arr, minlength=len(term_strs)).astype(np.int32) \
+            if len(tid_arr) else np.zeros(len(term_strs), np.int32)
+
         # posting boundaries: unique (tid, rowid)
         H = len(tid_arr)
         if H:
@@ -514,13 +549,56 @@ class IndexBuilder:
             post_tf = np.zeros(0, dtype=np.int32)
             post_fieldmask = np.zeros(0, dtype=np.int32)
 
+        # hitless_words: drop positions — each hitless posting's hit list
+        # becomes one synthetic hit per matched field at in-field pos -1
+        # (LoadHitlessWords sphinx.cpp:9345 + ExtTermHitless emission);
+        # tf/fieldmask/df keep the REAL values (doclist carries them)
+        hl_all, hl_set = self._resolve_hitless(term_strs)
+        if H and (hl_all or hl_set):
+            hl_ids = np.array(sorted(
+                i for i, s2 in enumerate(term_strs)
+                if hl_all or s2 in hl_set), np.int64)
+            post_is_hl = np.isin(post_tid, hl_ids)
+            if post_is_hl.any():
+                POSMAX = (1 << 23) - 1
+                hit_is_hl = np.repeat(post_is_hl, post_tf)
+                tids_h = post_tid[post_is_hl]
+                rows_h = post_rowid[post_is_hl].astype(np.int64)
+                fm_h = post_fieldmask[post_is_hl].astype(np.int64)
+                s_tid, s_row, s_pk = [], [], []
+                for fb in range(32):
+                    sel = ((fm_h >> fb) & 1).astype(bool)
+                    if not sel.any():
+                        continue
+                    s_tid.append(tids_h[sel])
+                    s_row.append(rows_h[sel])
+                    s_pk.append(np.full(
+                        int(sel.sum()),
+                        (fb << HITMAN_FIELD_SHIFT) | POSMAX, np.int64))
+                tid_arr = np.concatenate([tid_arr[~hit_is_hl]] + s_tid)
+                row_arr = np.concatenate([row_arr[~hit_is_hl]] + s_row)
+                pk_arr = np.concatenate([pk_arr[~hit_is_hl]] + s_pk)
+                order2 = np.lexsort((pk_arr, row_arr, tid_arr))
+                tid_arr = tid_arr[order2]
+                row_arr = row_arr[order2]
+                pk_arr = pk_arr[order2]
+                H = len(tid_arr)
+                # every posting keeps >=1 (synthetic) hit, so the
+                # (tid,row) boundary SET is unchanged — tf/fieldmask
+                # stay aligned; only the hit offsets move
+                new_post2 = np.empty(H, dtype=bool)
+                new_post2[0] = True
+                new_post2[1:] = ((tid_arr[1:] != tid_arr[:-1])
+                                 | (row_arr[1:] != row_arr[:-1]))
+                post_starts2 = np.flatnonzero(new_post2)
+                assert len(post_starts2) == P
+                post_hit_offset = np.append(post_starts2, H).astype(
+                    np.int32)
+
         T = len(term_strs)
         term_offsets = np.searchsorted(post_tid, np.arange(T + 1)).astype(np.int32)
         term_docs = np.diff(term_offsets).astype(np.int32)
-        term_hits = np.zeros(T, dtype=np.int32)
-        if H:
-            hit_term = tid_arr
-            term_hits = np.bincount(hit_term, minlength=T).astype(np.int32)
+        term_hits = term_hits_real
 
         post_tfq = (
             post_tf.astype(np.float32)
@@ -528,6 +606,9 @@ class IndexBuilder:
         ).astype(np.float32)
 
         sp_kwargs = {}
+        if hl_all or hl_set:
+            sp_kwargs["hitless_terms"] = frozenset(hl_set)
+            sp_kwargs["hitless_all"] = hl_all
         if index_sp:
             sp_kwargs = dict(
                 sent_rowid=np.asarray(sent_rows, np.int32),

@@ -47,6 +47,8 @@ class CompiledQuery:
     # aggregated under the original pattern (sphinx.cpp:14873 AddStat)
     stat_list: list = field(default_factory=list)
     ast: object = None             # transformed AST (SHOW PLAN render)
+    warning: str = ""              # plan-time warning (hitless phrase
+    #                                degradation etc.)
 
 
 def _next_pow2(x: int, lo: int = 128) -> int:
@@ -497,6 +499,9 @@ class _SlotTable:
         self.groups: list[tuple] = []   # payload merge groups (slot tuples)
         self.all_mask = all_fields_mask
         self.mask_of = mask_of
+        self.warnings: list[str] = []
+        self.hitless = lambda w: False   # plan_query installs the real one
+        self.dead_stats: set[int] = set()   # slots excluded from word stats
 
     def skip(self, span: int = 1) -> None:
         """Advance the atom-position cursor without emitting a slot
@@ -510,6 +515,17 @@ class _SlotTable:
         if advance:
             self._cursor += 1
         pos = self._cursor
+        if (field_start or field_end or zones or max_field_pos) \
+                and self.hitless(term):
+            # positional modifiers on a hitless word are dropped with a
+            # warning (ExtNode_i::Create, searchnode.cpp:1151-1155)
+            if "hitlist unavailable, position limit ignored" \
+                    not in self.warnings:
+                self.warnings.append(
+                    "hitlist unavailable, position limit ignored")
+            field_start = field_end = False
+            zones = ()
+            max_field_pos = 0
         if advance:
             # a blended chunk's qpos is its first position, but the
             # cursor advances over the parts' positions too
@@ -604,6 +620,8 @@ def _lower(node, st: _SlotTable, positive: bool):
             return lo
         return ("maybe", lo, ro)
     if isinstance(node, QQuorum):
+        # quorum needs no hitlists (CreateMultiNode bNeedsHitlist=false,
+        # searchnode.cpp:1661): hitless members participate normally
         slots = tuple(st.get(w, node.fields, positive) for w in node.words)
         if node.m >= len(node.words):
             # over-threshold quorum degrades to plain AND at execution
@@ -613,10 +631,50 @@ def _lower(node, st: _SlotTable, positive: bool):
     if isinstance(node, QPhrase):
         slots = tuple(st.get(w, node.fields, positive) for w in node.words)
         deltas = node.positions or tuple(range(len(slots)))
+        if any(st.hitless(w) for w in node.words):
+            # partition: the phrase runs over the words that still carry
+            # hitlists (ORIGINAL positions kept, so gaps stay), ANDed
+            # with the hitless words as plain terms; under two positional
+            # atoms the node can't exist (searchnode.cpp:1000-1010
+            # 'can't create phrase node, hitlists unavailable')
+            keep = [i2 for i2, w in enumerate(node.words)
+                    if not st.hitless(w)]
+            if len({deltas[i2] for i2 in keep}) < 2:
+                st.warnings.append(
+                    f"can't create phrase node, hitlists unavailable "
+                    f"(hitlists={len(keep)}, nodes={len(node.words)})")
+                # the reference deletes the node's qwords before stats
+                # collection: none of the phrase's words report stats
+                st.dead_stats.update(slots)
+                return ("term", st.get("\x00", None, False))
+            p_slots = tuple(slots[i2] for i2 in keep)
+            p_deltas = tuple(deltas[i2] for i2 in keep)
+            core = (("proximity", p_slots, node.proximity, p_deltas)
+                    if node.proximity else ("phrase", p_slots, p_deltas))
+            hl_slots = tuple(slots[i2] for i2 in range(len(slots))
+                             if i2 not in keep)
+            return ("and", (core,) + tuple(("term", s2)
+                                           for s2 in hl_slots))
         if node.proximity:
             return ("proximity", slots, node.proximity, deltas)
         return ("phrase", slots, deltas)
     if isinstance(node, QNear):
+        def _nd_words(nd):
+            if isinstance(nd, QTerm):
+                return [nd.word]
+            if isinstance(nd, QPhrase):
+                return list(nd.words)
+            if isinstance(nd, QNear):
+                return _nd_words(nd.left) + _nd_words(nd.right)
+            return []
+        if any(st.hitless(w)
+               for w in _nd_words(node.left) + _nd_words(node.right)):
+            # CreateOrderNode: any hitless child kills the whole node
+            # (searchnode.cpp:1057 'failed to create order node,
+            # hitlist unavailable')
+            st.warnings.append(
+                "failed to create order node, hitlist unavailable")
+            return ("term", st.get("\x00", None, False))
         if isinstance(node.left, QGap) or isinstance(node.right, QGap):
             if isinstance(node.left, QGap):
                 st.skip(node.left.span)
@@ -655,6 +713,10 @@ def _lower(node, st: _SlotTable, positive: bool):
         if not (isinstance(node.left, QTerm) and isinstance(node.right, QTerm)):
             raise NotImplementedError(
                 "SENTENCE/PARAGRAPH between non-keyword operands lands later")
+        if st.hitless(node.left.word) or st.hitless(node.right.word):
+            st.warnings.append(
+                "failed to create order node, hitlist unavailable")
+            return ("term", st.get("\x00", None, False))
         sa = st.get(node.left.word, node.left.fields, positive)
         sb = st.get(node.right.word, node.right.fields, positive)
         return ("paragraph" if node.paragraph else "sentence", (sa, sb))
@@ -710,6 +772,10 @@ def plan_query(
         return index.schema.field_mask(list(fields))
 
     st = _SlotTable(all_mask, mask_of)
+    _hl_set = getattr(index, "hitless_terms", frozenset()) or frozenset()
+    _hl_all = bool(getattr(index, "hitless_all", False))
+    if _hl_all or _hl_set:
+        st.hitless = lambda w: _hl_all or w in _hl_set
     expr = _lower(node, st, True)
 
     # bigram fast path (sphinx.cpp bigram indexing): a qualifying 2-word
@@ -846,6 +912,9 @@ def plan_query(
         if t == "\x00":
             continue   # dropped-keywords sentinel: no stat (the reference
             #            reports no words for a fully-dropped query)
+        if s in st.dead_stats:
+            continue   # qwords of a hitless-killed phrase node: deleted
+            #            before stats collection (searchnode.cpp:1005)
         p = term2pat.get(t)
         if p is None:
             if t in _emitted:
@@ -1401,7 +1470,7 @@ def plan_query(
         sig=sig, runtime=runtime, slot_terms=list(st.terms),
         slot_df=slot_df, slot_hits=slot_hits, stat_list=stat_list,
         slot_pb=slot_pb, slot_hb=slot_hb, n_hit_iters=n_hit_iters,
-        ast=node,
+        ast=node, warning="; ".join(st.warnings),
     )
 
 

@@ -31,6 +31,10 @@ class DictSettings:
     mode: str = "keywords"        # dict=keywords | dict=crc: crc indexes
     #                               substrings as real terms, so expanded
     #                               stats count DISTINCT docs (test_161)
+    # hitless_words: "all" or space/comma-separated word-list file paths
+    # (LoadHitlessWords, sphinx.cpp:9345) — listed words index postings
+    # (tf + fieldmask) but no positions
+    hitless_words: str = ""
 
     def key(self) -> tuple:
         return (
@@ -43,6 +47,7 @@ class DictSettings:
             self.min_prefix_len,
             self.min_infix_len,
             self.mode,
+            self.hitless_words,
         )
 
 

@@ -834,7 +834,9 @@ def index_options(idx: dict) -> tuple[dict, dict]:
         raise GoldenUnsupported("global_idf file")
     hitless = one("hitless_words")
     if hitless:
-        raise GoldenUnsupported("hitless_words")
+        # file paths already rendered absolute by <this_test/>; "all"
+        # passes through verbatim
+        o["hitless_words"] = hitless
     return o, qdef
 
 

@@ -201,6 +201,14 @@ def settings_from_sql_options(options: dict[str, str]
         min_infix_len=_i("min_infix_len", 0),
         mode=str(o.get("dict", "keywords")).strip() or "keywords",
         hitless_words=str(o.get("hitless_words", "") or ""),
+        prefix_fields=tuple(
+            s.strip().lower() for s in
+            str(o.get("prefix_fields", "") or "").replace(",", " ").split()
+            if s.strip()),
+        infix_fields=tuple(
+            s.strip().lower() for s in
+            str(o.get("infix_fields", "") or "").replace(",", " ").split()
+            if s.strip()),
     )
     return tok, dic
 

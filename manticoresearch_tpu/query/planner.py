@@ -372,6 +372,33 @@ def expand_wildcards(node, index, expansion_limit: int = 0,
     enabled = min_prefix > 0 or min_infix > 0
     exact_forms = bool(ds and (ds.index_exact_words or ds.morphology))
 
+    # dict=crc prefix_fields/infix_fields: each field indexes whole words,
+    # prefixes, or all substrings (GetWordpart, indexsettings.cpp:223 —
+    # prefix wins when a field qualifies for both). A prefix query is
+    # answered by PREFIX and INFIX fields (infix substring emission adds
+    # the magic-head prefix forms, BuildSubstringHits sphinx.cpp:22390);
+    # an infix query only by INFIX fields. We model this as a field limit
+    # on the expansion terms (hits outside enabled fields are filtered,
+    # stats recalc over the filtered cache).
+    _crc = bool(ds) and getattr(ds, "mode", "keywords") == "crc"
+    _pfx_l = tuple(getattr(ds, "prefix_fields", ()) or ()) if ds else ()
+    _inf_l = tuple(getattr(ds, "infix_fields", ()) or ()) if ds else ()
+
+    def crc_field_limit(pat: str):
+        """-> tuple of allowed fields, or None = unrestricted."""
+        if not _crc or (not _pfx_l and not _inf_l):
+            return None
+        flds = [f.lower() for f in index.schema.fields]
+        pfx = {f for f in flds
+               if min_prefix > 0 and (not _pfx_l or f in _pfx_l)}
+        inf = {f for f in flds
+               if min_infix > 0 and (not _inf_l or f in _inf_l)
+               and f not in pfx}
+        is_prefix_q = (pat.endswith("*") and not pat.startswith("*")
+                       and "*" not in pat[:-1] and "?" not in pat)
+        ok = (pfx | inf) if is_prefix_q else inf
+        return tuple(f for f in flds if f in ok)
+
     def rec(node):
         if isinstance(node, QTerm) and node.wildcard:
             pat = node.word
@@ -395,23 +422,38 @@ def expand_wildcards(node, index, expansion_limit: int = 0,
                              field_start=node.field_start,
                              field_end=node.field_end,
                              max_field_pos=node.max_field_pos)
+            lim = crc_field_limit(pat)
+            efields = node.fields
+            if lim is not None:
+                efields = (lim if node.fields is None
+                           else tuple(f for f in node.fields
+                                      if f.lower() in lim))
+                if not efields:
+                    # no field carries the needed substring index: the
+                    # pattern matches nothing (crc term absent)
+                    if expanded_out is not None:
+                        expanded_out[pat] = []
+                    return QTerm(pat, node.fields, zones=node.zones,
+                                 field_start=node.field_start,
+                                 field_end=node.field_end,
+                                 max_field_pos=node.max_field_pos)
             matches = _expansion_terms(pat, term_strs, min_prefix,
                                        min_infix, expansion_limit,
                                        exact_forms=exact_forms)
             if expanded_out is not None:
                 expanded_out[pat] = list(matches or ())
             if not matches:
-                return QTerm(pat, node.fields, zones=node.zones,
+                return QTerm(pat, efields, zones=node.zones,
                              field_start=node.field_start,
                              field_end=node.field_end,
                              max_field_pos=node.max_field_pos)  # df=0
             if len(matches) == 1:
-                return QTerm(matches[0], node.fields, boost=node.boost,
+                return QTerm(matches[0], efields, boost=node.boost,
                              zones=node.zones, expanded=pat,
                              field_start=node.field_start,
                              field_end=node.field_end,
                              max_field_pos=node.max_field_pos)
-            return QOr(tuple(QTerm(m, node.fields, boost=node.boost,
+            return QOr(tuple(QTerm(m, efields, boost=node.boost,
                                    zones=node.zones, expanded=pat,
                                    field_start=node.field_start,
                                    field_end=node.field_end,
@@ -931,16 +973,34 @@ def plan_query(
             # golden test_161: crc 't*' = docs 2, keywords 't*' = docs 3)
             crc = getattr(getattr(index, "dict_settings", None),
                           "mode", "keywords") == "crc"
+            # crc + prefix_fields/infix_fields: the substring terms only
+            # exist for the allowed fields, so docs/hits count over the
+            # FIELD-FILTERED hit stream (the crc dict entry holds only
+            # those postings in the reference)
+            _lm = st.masks[s] if st.masks[s] != st.all_mask and crc \
+                else 0
             shits = 0
             sdocs = 0
             rowsets = []
             for et in expanded_records[p]:
                 etid = index.term_id(et)
                 if etid >= 0:
+                    o0 = int(index.term_offsets[etid])
+                    o1 = int(index.term_offsets[etid + 1])
+                    if _lm:
+                        h0 = int(index.post_hit_offset[o0])
+                        h1 = int(index.post_hit_offset[o1])
+                        hf = (np.asarray(index.hit_packed[h0:h1])
+                              >> 24) & 0x7F
+                        okh = ((1 << hf.astype(np.int64)) & _lm) != 0
+                        shits += int(okh.sum())
+                        hrows = np.repeat(
+                            index.post_rowid[o0:o1],
+                            np.diff(index.post_hit_offset[o0:o1 + 1]))
+                        rowsets.append(np.unique(hrows[okh]))
+                        continue
                     shits += int(index.term_hits[etid])
                     if crc:
-                        o0 = int(index.term_offsets[etid])
-                        o1 = int(index.term_offsets[etid + 1])
                         rowsets.append(index.post_rowid[o0:o1])
                     else:
                         sdocs += int(index.term_docs[etid])

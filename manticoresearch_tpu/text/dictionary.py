@@ -35,6 +35,11 @@ class DictSettings:
     # (LoadHitlessWords, sphinx.cpp:9345) — listed words index postings
     # (tf + fieldmask) but no positions
     hitless_words: str = ""
+    # dict=crc per-field substring indexing (GetWordpart,
+    # indexsettings.cpp:223): empty list = every field qualifies; a field
+    # in NEITHER list (when both are non-empty) indexes whole words only
+    prefix_fields: tuple = ()
+    infix_fields: tuple = ()
 
     def key(self) -> tuple:
         return (
@@ -48,6 +53,8 @@ class DictSettings:
             self.min_infix_len,
             self.mode,
             self.hitless_words,
+            self.prefix_fields,
+            self.infix_fields,
         )
 
 

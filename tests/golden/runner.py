@@ -787,7 +787,7 @@ def index_options(idx: dict) -> tuple[dict, dict]:
         "bigram_index", "bigram_freq_words", "index_exact_words",
         "min_stemming_len", "morphology", "min_prefix_len",
         "min_infix_len", "regexp_filter", "stored_fields", "dict",
-        "columnar_attrs",
+        "columnar_attrs", "prefix_fields", "infix_fields",
     ]
     for k in passthrough:
         v = one(k)

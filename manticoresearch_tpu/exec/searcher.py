@@ -577,8 +577,17 @@ class SearchIndex:
                     v = np.asarray(out[f"agg{j}"])[i]
                     attrs[name] = float(v) if a.kind == "avg" or a.is_float \
                         else int(v)
+            need = set(plain_cols or [])
+            # projection expressions re-evaluate over the rep match's
+            # attrs: hydrate every schema attr a select expr references
+            # (select ((idd265-1000) mod 3) i ... group by i, test_183)
+            import re as _re2
+            for sel in (q.select or []):
+                for tok in _re2.findall(r"[A-Za-z_][A-Za-z_0-9]*", sel):
+                    if self.schema.attr(tok) is not None:
+                        need.add(tok)
             base = self._hydrate(np.asarray([r]), np.asarray([rep_weight[i]]),
-                                 plain_cols or [])
+                                 sorted(need))
             attrs.update(base[0].attrs)
             attrs["@groupby"] = keyval
             rows.append(Match(base[0].docid, int(rep_weight[i]), attrs))

@@ -1487,7 +1487,9 @@ class Session:
         raw_docs = st.args[1]
         if not isinstance(raw_docs, list):
             raw_docs = [raw_docs]
-        as_json = bool(int(st.named.get("docs_json", 0)))
+        # docs are JSON objects by default (m_bJsonDocs = true,
+        # searchdaemon.h:1308); plain-text docs need 0 as docs_json
+        as_json = bool(int(st.named.get("docs_json", 1)))
         id_alias = st.named.get("docs_id")   # 'attr' as docs_id
         shift = int(st.named.get("shift", 0))
         skip_bad = bool(int(st.named.get("skip_bad_json", 0)))

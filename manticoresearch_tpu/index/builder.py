@@ -131,9 +131,15 @@ class PackedIndex:
         posting format for single-shard serving (ops/packed_store.py)."""
         if not hasattr(self, "_pstore"):
             from ..ops.packed_store import build_store
+            force = None
+            if getattr(self.post_fieldmask, "ndim", 1) == 2:
+                # wide-field indexes: plane classes pack single-word
+                # masks only — keep every term in the raw residual stream
+                force = np.zeros(len(self.term_docs), bool)
             self._pstore = build_store(
                 self.term_docs, self.term_offsets, self.post_rowid,
-                self.post_tf, self.post_tfq, self.post_fieldmask)
+                self.post_tf, self.post_tfq, self.post_fieldmask,
+                force_packed=force)
         return self._pstore
 
     def rowid_of_docid(self, docid: int) -> int:
@@ -537,17 +543,34 @@ class IndexBuilder:
             post_rowid = row_arr[post_starts].astype(np.int32)
             post_tid = tid_arr[post_starts]
             post_tf = np.diff(post_hit_offset).astype(np.int32)
-            fields_of_hits = (pk_arr >> HITMAN_FIELD_SHIFT).astype(np.int64) & 0x7F
-            post_fieldmask = np.bitwise_or.reduceat(
-                (1 << fields_of_hits).astype(np.int64), post_starts
-            ).astype(np.int32)
+            fields_of_hits = (pk_arr >> HITMAN_FIELD_SHIFT).astype(np.int64) & 0xFF
+            if len(schema.fields) > 32:
+                # multi-word fieldmask planes [P, FW] (FieldMask_t is a
+                # 256-bit vector in the reference, sphinx.h:108,833)
+                FW = (len(schema.fields) + 31) >> 5
+                planes = []
+                for w2 in range(FW):
+                    inw = (fields_of_hits >> 5) == w2
+                    bits = np.where(
+                        inw, 1 << (fields_of_hits & 31), 0).astype(np.int64)
+                    planes.append(np.bitwise_or.reduceat(
+                        bits, post_starts).astype(np.int64))
+                post_fieldmask = np.stack(
+                    [((p2 & 0xFFFFFFFF) - ((p2 >> 31) & 1) * (1 << 32)
+                      ).astype(np.int32) for p2 in planes], axis=1)
+            else:
+                post_fieldmask = np.bitwise_or.reduceat(
+                    (1 << fields_of_hits).astype(np.int64), post_starts
+                ).astype(np.int32)
         else:
             P = 0
             post_hit_offset = np.zeros(1, dtype=np.int32)
             post_rowid = np.zeros(0, dtype=np.int32)
             post_tid = np.zeros(0, dtype=np.int64)
             post_tf = np.zeros(0, dtype=np.int32)
-            post_fieldmask = np.zeros(0, dtype=np.int32)
+            post_fieldmask = (
+                np.zeros((0, (len(schema.fields) + 31) >> 5), np.int32)
+                if len(schema.fields) > 32 else np.zeros(0, np.int32))
 
         # hitless_words: drop positions — each hitless posting's hit list
         # becomes one synthetic hit per matched field at in-field pos -1

@@ -166,7 +166,12 @@ def upload(packed: PackedIndex, device=None) -> DeviceIndex:
                                                ).view(np.int32))
     res_rowid = padp(store.res_rowid, n, pad_p)        # pad rows -> sink N
     res_tfq = padp(store.res_tfq, 0, pad_p)
-    res_fm = padp(store.res_fieldmask, 0, pad_p)
+    if store.res_fieldmask.ndim == 2:
+        res_fm = np.concatenate(
+            [store.res_fieldmask,
+             np.zeros((pad_p, store.res_fieldmask.shape[1]), np.int32)])
+    else:
+        res_fm = padp(store.res_fieldmask, 0, pad_p)
 
     hit_rowid = np.repeat(packed.post_rowid, packed.post_tf).astype(np.int32)
     hit_rowid = padp(hit_rowid, n, pad_h)

@@ -71,7 +71,7 @@ class FactorContext:
 
     def _scatter_field(self, vals, reduce="add", init=0):
         hrow, hpk, hqp, hslot, valid = self.stream
-        hfield = (hpk >> 24) & 0x7F
+        hfield = (hpk >> 24) & 0xFF
         row = jnp.where(valid, hrow, self.N)
         if reduce == "add":
             return jnp.zeros((self.N + 1, self.F), vals.dtype).at[
@@ -94,7 +94,7 @@ class FactorContext:
         if "_seen" in self._cache:
             return self._cache["_seen"]
         hrow, hpk, hqp, hslot, valid = self.stream
-        hfield = (hpk >> 24) & 0x7F
+        hfield = (hpk >> 24) & 0xFF
         row = jnp.where(valid, hrow, self.N)
         seen = jnp.zeros((self.N + 1, self.F, max(self.S, 1)),
                          jnp.int32).at[
@@ -108,7 +108,7 @@ class FactorContext:
         if "_ftf" in self._cache:
             return self._cache["_ftf"]
         hrow, hpk, hqp, hslot, valid = self.stream
-        hfield = (hpk >> 24) & 0x7F
+        hfield = (hpk >> 24) & 0xFF
         row = jnp.where(valid, hrow, self.N)
         ftf = jnp.zeros((self.N + 1, self.F, max(self.S, 1)),
                         jnp.int32).at[
@@ -156,7 +156,7 @@ class FactorContext:
         search, then per-field scatter-max."""
         from .search import _lex_search_le
         srow, spk, _, _, sval = self._sorted_stream()
-        sfield = (spk >> 24) & 0x7F
+        sfield = (spk >> 24) & 0xFF
         M = srow.shape[0]
         idx = jnp.arange(M, dtype=jnp.int32)
         n_iters = max(1, int(np.ceil(np.log2(max(M, 2))))) + 1
@@ -232,7 +232,7 @@ class FactorContext:
             # gaps from stopwords/dupes stall the chain, so the target
             # can be reached before max qpos
             srow, spk, sqp, _ssl, sval = self._sorted_raw_stream()
-            sfield = (spk >> 24) & 0x7F
+            sfield = (spk >> 24) & 0xFF
             M = srow.shape[0]
             sidx = jnp.arange(M, dtype=jnp.int32)
             svalb = sval == 1
@@ -264,7 +264,7 @@ class FactorContext:
             pos_mask = (1 << 23) - 1
             hrow, hpk, hqp, _hslot, valid = self.raw_stream
             row = jnp.where(valid, hrow, N).astype(jnp.int32)
-            fld = ((hpk >> 24) & 0x7F).astype(jnp.int32)
+            fld = ((hpk >> 24) & 0xFF).astype(jnp.int32)
             pos = (hpk & pos_mask).astype(jnp.int32)
             delta = jnp.where(valid, pos - hqp.astype(jnp.int32),
                               jnp.int32(1 << 24))
@@ -305,7 +305,7 @@ class FactorContext:
             # keyword queries (phrase-emission spans rank via the kernel).
             pos_mask = (1 << 23) - 1
             srow, spk, sqp, sslot, sval = self._sorted_stream()
-            sfield = (spk >> 24) & 0x7F
+            sfield = (spk >> 24) & 0xFF
             spos = spk & pos_mask
             delta = spos - sqp
             p_row = jnp.concatenate([jnp.full(1, -1, srow.dtype), srow[:-1]])
@@ -347,7 +347,7 @@ class FactorContext:
             sqp = spl & 0xFF
             sslot = (spl >> 8) & 0xFF
             sval = (spl >> 16) & 1
-            sfield = (spk >> 24) & 0x7F
+            sfield = (spk >> 24) & 0xFF
             spos = spk & pos_mask
             p_row = jnp.concatenate([jnp.full(1, -1, srow.dtype), srow[:-1]])
             p_fld = jnp.concatenate([jnp.full(1, -1, sfield.dtype),
@@ -380,7 +380,7 @@ class FactorContext:
             # gaps = span - (distinct_words - 1) - 1.
             pos_mask = (1 << 23) - 1
             srow, spk, sqp, sslot, sval = self._sorted_stream()
-            sfield = ((spk >> 24) & 0x7F).astype(jnp.int32)
+            sfield = ((spk >> 24) & 0xFF).astype(jnp.int32)
             spos = (spk & pos_mask).astype(jnp.int32)
             M = srow.shape[0]
             idx = jnp.arange(M, dtype=jnp.int32)
@@ -417,7 +417,7 @@ class FactorContext:
             # carry the first instance's idf, same-qpos pairs x0.25)
             pos_mask = (1 << 23) - 1
             srow, spk, sqp, _sslot, sval = self._sorted_raw_stream()
-            sfield = ((spk >> 24) & 0x7F).astype(jnp.int32)
+            sfield = ((spk >> 24) & 0xFF).astype(jnp.int32)
             spos = (spk & pos_mask).astype(jnp.int32)
             M = srow.shape[0]
             idx = jnp.arange(M, dtype=jnp.int32)
@@ -466,7 +466,7 @@ class FactorContext:
             # field atc = log(1 + sum_q atc_q * idf_q).
             pos_mask = (1 << 23) - 1
             srow, spk, sqp, sslot, sval = self._sorted_stream()
-            sfield = ((spk >> 24) & 0x7F).astype(jnp.int32)
+            sfield = ((spk >> 24) & 0xFF).astype(jnp.int32)
             spos = (spk & pos_mask).astype(jnp.int32)
             M = srow.shape[0]
             idx = jnp.arange(M, dtype=jnp.int32)

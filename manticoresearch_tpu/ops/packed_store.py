@@ -109,7 +109,9 @@ def build_store(term_docs: np.ndarray, term_offsets: np.ndarray,
     Pres = int(res_offsets[-1])
     res_rowid = np.zeros(Pres, np.int32)
     res_tfq = np.zeros(Pres, np.float32)
-    res_fm = np.zeros(Pres, np.int32)
+    # wide-field indexes carry [P, FW] fieldmask planes
+    res_fm = (np.zeros((Pres, post_fieldmask.shape[1]), np.int32)
+              if post_fieldmask.ndim == 2 else np.zeros(Pres, np.int32))
     u_tids = np.flatnonzero(~packed_sel & (df > 0))
     if len(u_tids):
         src = _ranges_concat(term_offsets, u_tids, df)

@@ -356,6 +356,9 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
 
     from ..query.plan import RANKERS_WITH_HITS
     need_fieldmask = sig.ranker in ("ws_bm25", "ws", "fieldmask")
+    # multi-word fieldmask planes for >32 full-text fields (FieldMask_t
+    # is 256-bit in the reference, sphinx.h:108)
+    FWID = (n_fields + 31) >> 5
     use_lcs = sig.ranker in RANKERS_WITH_HITS
     pos_slots = tuple(sorted(positive_slots(sig.expr))) if sig.expr[0] != "all" else ()
     phrase_nodes = _collect_phrase_nodes(sig.expr)
@@ -425,6 +428,10 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     (nb, 4 * c))
                 return decode_words(w, c).reshape(-1)
             key = "res_fieldmask" if slot_packed else "post_fieldmask"
+            if FWID > 1:
+                # wide-field indexes: [.., FW] mask planes
+                return jax.lax.dynamic_slice(
+                    data[key], (st, 0), (sz, FWID))
             return jax.lax.dynamic_slice(data[key], (st,), (sz,))
 
         def slot_tf_raw(s, st, sz):
@@ -605,11 +612,19 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     fm = slot_fieldmask(s, st, sz)
                     # per-slot fieldmask is unique per doc -> scatter-add of
                     # the whole mask, then OR across slots via elementwise
-                    fh_s = jnp.zeros(N + 1, jnp.int32).at[row].add(
-                        jnp.where(msk, fm, 0))
-                    fbits = ((fh_s[:, None]
-                              >> jnp.arange(F, dtype=jnp.int32)[None, :]) & 1
-                             ).astype(jnp.int32)
+                    if FWID > 1:
+                        fh_s = jnp.zeros((N + 1, FWID), jnp.int32).at[
+                            row].add(jnp.where(msk[:, None], fm, 0))
+                        fpl = jnp.arange(F, dtype=jnp.int32) >> 5
+                        fbt = jnp.arange(F, dtype=jnp.int32) & 31
+                        fbits = ((fh_s[:, fpl] >> fbt[None, :]) & 1
+                                 ).astype(jnp.int32)
+                    else:
+                        fh_s = jnp.zeros(N + 1, jnp.int32).at[row].add(
+                            jnp.where(msk, fm, 0))
+                        fbits = ((fh_s[:, None]
+                                  >> jnp.arange(F, dtype=jnp.int32)[None, :])
+                                 & 1).astype(jnp.int32)
                     fieldhit = fieldhit | fbits
 
         # field-limited slots: tf = hits within the allowed fields only
@@ -632,8 +647,18 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
         #                        (ExtTermPos emits filtered hits upward)
         for s, lmask, f_start, f_end, zlim, maxpos in sig.slot_limited:
             hrowL, hpkL, mskL = slot_hits(s)
-            hfield = (hpkL >> 24) & 0x7F
-            ok = mskL & (((jnp.int32(1) << hfield) & lmask) != 0)
+            hfield = (hpkL >> 24) & 0xFF
+            if FWID > 1:
+                import numpy as _np
+                lmp = []
+                for w2 in range(FWID):
+                    v = (int(lmask) >> (32 * w2)) & 0xFFFFFFFF
+                    lmp.append(v - (1 << 32) if v >= (1 << 31) else v)
+                lmpl = jnp.asarray(_np.asarray(lmp, _np.int32))
+                ok = mskL & (
+                    ((lmpl[hfield >> 5] >> (hfield & 31)) & 1) != 0)
+            else:
+                ok = mskL & (((jnp.int32(1) << hfield) & lmask) != 0)
             if maxpos:
                 # @field[N] position-range modifier: only hits at in-field
                 # position <= N qualify (TERM_POS_FIELD_LIMIT,
@@ -959,7 +984,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                 if sig.ranker == "wordcount":
                     # RankerState_Wordcount_fn (sphinxsearch.cpp:1620):
                     # weight = sum of field_weight over every stream hit
-                    wfield = (hpk >> 24) & 0x7F
+                    wfield = (hpk >> 24) & 0xFF
                     weight = jnp.zeros(size, jnp.int32).at[to_idx(hrow)].add(
                         jnp.where(hrow < N, fw[wfield], 0))
                     total_rank = None
@@ -1026,7 +1051,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     started = first_ext < M
                     fe = jnp.clip(first_ext, 0, M - 1)
                     win_delta = jnp.where(started, hpk[fe] - hqp[fe], -1)
-                    win_field = jnp.where(started, (hpk[fe] >> 24) & 0x7F, 0)
+                    win_field = jnp.where(started, (hpk[fe] >> 24) & 0xFF, 0)
                     # chain growth: same-(row,delta) elements in pos order,
                     # broken at the first >=32 gap past the start
                     delta = jnp.where(valid, hpk - hqp, -2)
@@ -1092,7 +1117,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     hqp = payload & 0xFF
                     hw = (payload >> 8) & 0xFF
                     hsp = (payload >> 16) & 0xFF
-                    hslot = (payload >> 24) & 0x7F
+                    hslot = (payload >> 24) & 0xFF
                     delta = hpk - hqp
                     p_row = jnp.concatenate([jnp.full(1, -1, hrow.dtype), hrow[:-1]])
                     p_pk = jnp.concatenate([jnp.zeros(1, hpk.dtype), hpk[:-1]])
@@ -1107,7 +1132,7 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     curlcs = cumw - cumw[run_start] + hw[run_start]
                     curlcs = jnp.minimum(curlcs, 255)  # BYTE m_uCurLCS
                 if sig.ranker != "wordcount":
-                    hfield2 = (hpk >> 24) & 0x7F
+                    hfield2 = (hpk >> 24) & 0xFF
                     hidx = to_idx(hrow)
                     lcs = jnp.stack(
                         [jnp.zeros(size, jnp.int32).at[
@@ -1196,7 +1221,9 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             weight = jnp.ones(size, jnp.int32)
         elif sig.ranker == "fieldmask":
             # ranker=fieldmask returns the matched-field bitmask itself
-            fw_pow = (jnp.int32(1) << jnp.arange(F, dtype=jnp.int32))
+            # (a DWORD: fields >=32 truncate away, like the reference)
+            fr = jnp.arange(F, dtype=jnp.int32)
+            fw_pow = jnp.where(fr < 32, jnp.int32(1) << (fr & 31), 0)
             weight = jnp.sum(fieldhit * fw_pow[None, :], axis=-1).astype(jnp.int32)
         else:
             raise NotImplementedError(f"ranker {sig.ranker}")

@@ -991,7 +991,7 @@ def plan_query(
                         h0 = int(index.post_hit_offset[o0])
                         h1 = int(index.post_hit_offset[o1])
                         hf = (np.asarray(index.hit_packed[h0:h1])
-                              >> 24) & 0x7F
+                              >> 24) & 0xFF
                         okh = ((1 << hf.astype(np.int64)) & _lm) != 0
                         shits += int(okh.sum())
                         hrows = np.repeat(
@@ -1327,6 +1327,11 @@ def plan_query(
         and B_total >= k
     )
     _mode = os.environ.get("MT_SPARSE", "auto")
+    if index.schema.n_fields > 32:
+        # wide-field indexes (multi-word fieldmask planes) stay on the
+        # dense path: the packed store and candidate pipeline carry
+        # single-word masks only
+        _mode = "never"
     if _mode == "never":
         sparse = False
     elif _mode == "always":
@@ -1447,7 +1452,7 @@ def plan_query(
                     if fe:
                         ok &= (hp & (1 << 23)) != 0
                     if lmask != st.all_mask:
-                        fld = (hp >> 24) & 0x7F
+                        fld = (hp >> 24) & 0xFF
                         ok &= ((np.int64(1) << fld.astype(np.int64))
                                & lmask) != 0
                     rows_parts.append(hrows[ok])

@@ -52,8 +52,10 @@ class Schema:
     attrs: list[AttrDef] = field(default_factory=list)
 
     def __post_init__(self):
-        if len(self.fields) > 32:
-            raise ValueError("device fast path supports up to 32 full-text fields")
+        if len(self.fields) > 256:
+            # the reference caps at SPH_MAX_FIELDS=256 (sphinx.h:108);
+            # >32 fields switch the engine to multi-word fieldmask planes
+            raise ValueError("too many full-text fields (max 256)")
         names = [f for f in self.fields] + [a.name for a in self.attrs]
         if len(set(names)) != len(names):
             # one exception: a full-text field may share its name with a

@@ -60,7 +60,7 @@ def check_index(path: str) -> list[str]:
     # ---- hitlist checks (CheckHitlists, indexcheck.cpp) -------------------
     if H:
         pos_mask = (1 << 23) - 1
-        fields = (p.hit_packed >> 24) & 0x7F
+        fields = (p.hit_packed >> 24) & 0xFF
         poss = p.hit_packed & pos_mask
         F = max(p.schema.n_fields, 1)
         chk(bool(np.all(fields < F)), "hit field id out of schema range")
@@ -183,7 +183,7 @@ def main(argv=None) -> int:
             h0, h1 = int(p.post_hit_offset[i]), int(p.post_hit_offset[i + 1])
             for h in range(h0, h1):
                 pk = int(p.hit_packed[h])
-                print(f"{did}\t{(pk >> 24) & 0x7F}\t{pk & ((1 << 23) - 1)}"
+                print(f"{did}\t{(pk >> 24) & 0xFF}\t{pk & ((1 << 23) - 1)}"
                       f"\t{(pk >> 23) & 1}")
         return 0
     if args.stats:

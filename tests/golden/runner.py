@@ -1191,10 +1191,6 @@ class GoldenEnv:
             self._kills[(self._aid, sec.name)] = kill_ids
             self._klist_target[(self._aid, sec.name)] = (idx.get("killlist_target")
                                             or [""])[-1]
-            if len(sd.fields) > 32:
-                raise GoldenUnsupported(
-                    f"{len(sd.fields)} full-text fields (>32-field "
-                    f"masks not implemented)")
             try:
                 schema = Schema(fields=sd.fields, attrs=sd.attrs)
             except ValueError:

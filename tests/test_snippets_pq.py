@@ -91,7 +91,7 @@ class TestPercolate:
         assert len(r.rows) == 2
 
         r = one(sess, "CALL PQ('pq', ('i love my red shoes', "
-                      "'blue sky above'), 1 AS docs)")
+                      "'blue sky above'), 1 AS docs, 0 AS docs_json)")
         assert r.error is None
         # only query 1 matches doc 1 ('red' query has filter gid>5, and the
         # bare-text doc has gid=0)

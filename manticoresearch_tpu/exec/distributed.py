@@ -242,6 +242,16 @@ class DistributedTable:
                                         agent_mode=True)
 
         part_q = dc_replace(q, offset=0, limit=q.offset + q.limit)
+        if any(getattr(f, "uservar", False) for f in q.filters):
+            # remote agents don't share the master's uservars: @var
+            # filters match nothing on agent parts (golden test_039)
+            from .searcher import SearchResult as _SR
+            loc = [p for p in parts if isinstance(p, _LocalPart)]
+            results = [p.search(part_q) for p in loc] + [
+                _SR([], 0, 0, 0.0, [])
+                for p in parts if not isinstance(p, _LocalPart)]
+            return merge_part_results(results, q, self.schema,
+                                      agent_mode=bool(self.agents))
         if len(parts) == 1:
             results = [parts[0].search(part_q)]
         else:

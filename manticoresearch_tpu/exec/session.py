@@ -276,6 +276,10 @@ class Session:
         if not hasattr(catalog, "uservars"):
             catalog.uservars = {}
         self.uservars: dict[str, Any] = catalog.uservars
+        # vars set via SET INDEX <t> GLOBAL: pushed to that index's agents
+        self.uservars_pushed: set = getattr(catalog, "uservars_pushed",
+                                            set())
+        catalog.uservars_pushed = self.uservars_pushed
         self.start_time = time.time()
         self.queries_done = 0
         # thread registry entry (SHOW THREADS; ThreadSystem_t analog,
@@ -340,6 +344,10 @@ class Session:
                 # user variables are daemon-global value lists
                 # (g_hUservars, searchd.cpp)
                 self.uservars[st.name] = st.value
+                if getattr(st, "pushed_to_agents", False):
+                    self.uservars_pushed.add(st.name)
+                else:
+                    self.uservars_pushed.discard(st.name)
                 return [QLResult.ok()]
             if st.name == "autocommit":
                 self.autocommit = bool(int(st.value))
@@ -580,7 +588,8 @@ class Session:
         def _convert_cond(c) -> str | None:
             """Lower one WHERE condition into `filters` entries; returns
             an error string or None."""
-            if c.attr in amap:
+            was_alias = c.attr in amap
+            if was_alias:
                 c = dc_replace(c, attr=amap[c.attr])
             if c.kind == "cmp" and c.attr.lower().replace(" ", "") in (
                     "@count", "count(*)", "@distinct"):
@@ -590,15 +599,18 @@ class Session:
                     "@id",):
                 return ("Using the old-fashion @variables (@count, "
                         "@weight, etc.) is deprecated")
+            from_uservar = False
             if c.kind == "in" and len(c.values) == 1 \
                     and isinstance(c.values[0], str) \
                     and c.values[0].startswith("@"):
                 # id IN @uservar: resolve the stored value list
-                uv = self.uservars.get(c.values[0])
+                _vname = c.values[0]
+                uv = self.uservars.get(_vname)
                 if uv is None:
-                    return f"undefined variable {c.values[0]}"
+                    return f"undefined variable {_vname}"
                 c = dc_replace(c, values=list(uv)
                                if isinstance(uv, (list, tuple)) else [uv])
+                from_uservar = _vname not in self.uservars_pushed
             m_any = re.match(r"^(any|all)\((\w+)\)$", c.attr, re.I)
             if m_any and c.kind == "between":
                 is_any = m_any.group(1).lower() == "any"
@@ -672,9 +684,18 @@ class Session:
                 if ad0 is not None and ad0.type.value in (
                         "string", "multi", "multi64"):
                     return None
+                if ad0 is not None and ad0.type.value == "json" \
+                        and not was_alias:
+                    # IS [NOT] NULL directly on a JSON column passes
+                    # everything ({} rows included); only the expression
+                    # path (via a select alias) treats {} as null
+                    # (golden test_318 queries 3 vs 4)
+                    return None
             f, err = _cond_to_filter(c)
             if err:
                 return err
+            if from_uservar:
+                f = dc_replace(f, uservar=True)
             try:
                 ad0 = self.catalog.get(st.indexes[0]).schema.attr(f.attr)
             except (ValueError, KeyError, IndexError):

@@ -73,7 +73,22 @@ class RtIndex:
         docid = int(doc["id"])
         if not replace and (docid in self.docid_seg or docid in self.accum):
             raise ValueError(f"duplicate id {docid}")
-        self.accum[docid] = dict(doc)
+        doc = dict(doc)
+        if str((getattr(self, "options", None) or {}).get(
+                "index_field_lengths", "0")).strip() not in ("", "0"):
+            # index_field_lengths: auto-populate <field>_len TOKENCOUNT
+            # attrs (AddAutoAttrs / m_pFieldLengthAttrs)
+            attr_names = {a.name for a in self.schema.attrs}
+            tok = None
+            for f in self.schema.fields:
+                ln_name = f + "_len"
+                if ln_name not in attr_names or ln_name in doc:
+                    continue
+                if tok is None:
+                    from ..text.tokenizer import Tokenizer
+                    tok = Tokenizer(self.tok_settings)
+                doc[ln_name] = len(tok.tokenize(str(doc.get(f, "") or "")))
+        self.accum[docid] = doc
         self.accum_deletes.discard(docid)
 
     def delete(self, docids: list[int]) -> int:

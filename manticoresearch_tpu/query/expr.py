@@ -599,8 +599,12 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
     if op == "isnull":
         v = eval_expr_host(tree[1], row, weight, docid)
         # empty strings count as NULL (string attrs store "" for
-        # missing; golden test_357)
-        return int(v is None or v == "")
+        # missing; golden test_357); a JSON column holding an empty
+        # OBJECT is null too, but an empty ARRAY is not (golden
+        # test_318: {} -> null, [] -> not null)
+        if isinstance(v, str):
+            return int(v.strip() in ("", "{}"))
+        return int(v is None or v == {})
     if op == "foriter":
         # ALL/ANY/INDEXOF(body FOR var IN container) over a JSON array
         # or MVA list (Expr_JsonFieldAggr semantics)

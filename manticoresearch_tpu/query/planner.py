@@ -31,6 +31,10 @@ class AttrFilterDef:
     exclude: bool = False
     lo_excl: bool = False
     hi_excl: bool = False
+    uservar: bool = False          # values came from a @uservar: remote
+    #                                agents don't share the master's
+    #                                uservars, so agent parts match
+    #                                nothing (golden test_039)
 
 
 @dataclass
@@ -89,21 +93,28 @@ def compute_idf(df: int, total_docs: int, *, plain: bool = False,
     return idf * boost
 
 
-def json_path_get(obj, path: str):
-    """Descend a dotted JSON path; int segments index arrays."""
+_JSON_MISSING = object()   # marks an absent path (vs an explicit null)
+
+
+def json_path_get(obj, path: str, missing=None):
+    """Descend a dotted JSON path; int segments index arrays. `missing`
+    is returned when the path does not exist — pass a sentinel to
+    distinguish it from an explicit JSON null value."""
     cur = obj
     for seg in path.split("."):
         if cur is None:
-            return None
+            return missing
         if isinstance(cur, dict):
+            if seg not in cur:
+                return missing
             cur = cur.get(seg)
         elif isinstance(cur, list):
             try:
                 cur = cur[int(seg)]
             except (ValueError, IndexError):
-                return None
+                return missing
         else:
-            return None
+            return missing
     return cur
 
 
@@ -138,7 +149,12 @@ def _eval_json_filter(index, base: str, f) -> np.ndarray:
         lo = _json_cmp_num(f.lo) if f.lo is not None else None
         hi = _json_cmp_num(f.hi) if f.hi is not None else None
         for r in range(n):
-            v = _json_cmp_num(json_path_get(docs[r], path))
+            raw = json_path_get(docs[r], path, missing=_JSON_MISSING)
+            if raw is _JSON_MISSING:
+                continue
+            # an explicit JSON null compares as 0 (Expr_JsonField null
+            # coercion; golden test_318 {"price":null} matches price<25)
+            v = 0.0 if raw is None else _json_cmp_num(raw)
             if v is None:
                 continue
             ok = True

@@ -930,7 +930,9 @@ class SqlParser:
         self.expect_kw("SET")
         if self.eat_kw("INDEX"):
             # SET INDEX <name> GLOBAL @var = (...): per-index uservar
-            # (SetIndexUservar); stored globally like plain uservars
+            # (SetIndexUservar) — the master PUSHES the variable to that
+            # index's agents, so agent parts can resolve it (unlike plain
+            # SET GLOBAL uservars — golden test_039)
             self.name()
             self.expect_kw("GLOBAL")
             name = self.name()
@@ -941,7 +943,9 @@ class SqlParser:
                 self.next()
                 vals.append(self.value())
             self.expect_op(")")
-            return SetStmt(name.lower(), vals, True)
+            st2 = SetStmt(name.lower(), vals, True)
+            st2.pushed_to_agents = True
+            return st2
         is_global = bool(self.eat_kw("GLOBAL"))
         if self.eat_kw("NAMES"):
             self.value() if self.peek()[0] in ("str", "num") else self.name()

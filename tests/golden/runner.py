@@ -28,6 +28,7 @@ from .testcase import (GoldenTest, parse_sphinx_conf, section_dict)
 TESTROOT = "/root/reference/test"
 
 SPH_ATTR_INTEGER = 1
+SPH_ATTR_TOKENCOUNT = 11   # index_field_lengths <field>_len attrs
 SPH_ATTR_TIMESTAMP = 2
 SPH_ATTR_BOOL = 4
 SPH_ATTR_FLOAT = 5
@@ -920,7 +921,16 @@ class _CrossEnvDistributed:
             return search_grouped_parts(ordered, q, self.schema,
                                         agent_mode=True)
         part_q = _dc(q, offset=0, limit=q.offset + q.limit)
-        results = [p.search(part_q) for p in parts]
+        # remote agents don't share the master's uservars: a @var-sourced
+        # filter matches nothing there (the agent-side 'undefined
+        # variable' failure is swallowed into an empty part result —
+        # golden test_039 `id in @var1` over dist returns local ids only)
+        from manticoresearch_tpu.exec.searcher import SearchResult as _SR
+        has_uv = any(getattr(f, "uservar", False) for f in q.filters)
+        results = [(_SR([], 0, 0, 0.0, [])
+                    if has_uv and self.agent_flags[i3]
+                    else p.search(part_q))
+                   for i3, p in enumerate(parts)]
         # emulate the wire for remote parts: replies prune to the select
         # list and respect max_packet_size (the reference master rejects
         # oversized agent replies — golden test_220)
@@ -1123,6 +1133,14 @@ class GoldenEnv:
                 tok, dic = settings_from_sql_options(o)
                 flds = [v.strip().lower() for v in idx.get("rt_field", [])]
                 attrs, codes = rt_attrs(idx)
+                if (idx.get("index_field_lengths") or ["0"])[-1].strip() \
+                        not in ("", "0"):
+                    # index_field_lengths=1: <field>_len TOKENCOUNT attrs
+                    # (AddAutoAttrs, sphinx.cpp:22219)
+                    o["index_field_lengths"] = "1"
+                    for f in flds:
+                        attrs.append(AttrDef(f + "_len", AttrType.UINT))
+                        codes[f + "_len"] = SPH_ATTR_TOKENCOUNT
                 schema = Schema(fields=flds, attrs=attrs)
                 from manticoresearch_tpu.index.rt import RtIndex
                 self.env.catalog.tables[sec.name] = RtIndex(
@@ -1216,7 +1234,7 @@ class GoldenEnv:
                             if r is not None else 0)
                 for f in schema.fields:
                     sd.attrs.append(AttrDef(f + "_len", AttrType.UINT))
-                    sd.attr_codes[f + "_len"] = SPH_ATTR_INTEGER
+                    sd.attr_codes[f + "_len"] = SPH_ATTR_TOKENCOUNT
                 schema = Schema(fields=sd.fields, attrs=sd.attrs)
                 b = IndexBuilder(schema, tok, dic)
                 b.add_documents(docs)

@@ -331,6 +331,19 @@ class RtIndex:
                                   np.int64)
                     seg.packed.attrs_mva[name] = (
                         no.astype(off.dtype), nv)
+                elif name in seg.packed.attrs_str:
+                    # blob string update (UpdateAttributes .SPB rewrite,
+                    # sphinx.cpp blob updates; golden test_414) — the
+                    # ordinal cache rebuilds on re-upload
+                    seg.packed.attrs_str[name][r] = str(val)
+                    if hasattr(seg.packed, "_str_ord"):
+                        seg.packed._str_ord = {}
+                elif name in seg.packed.attrs_json:
+                    from ..utils.jsonrender import render_json
+                    seg.packed.attrs_json[name][r] = (
+                        render_json(val) if isinstance(val, str) else val)
+                    if hasattr(seg.packed, "_json_parsed"):
+                        del seg.packed._json_parsed
                 else:
                     raise ValueError(f"unknown or non-updatable attr {name!r}")
                 seg.docs[d][name] = val
@@ -362,6 +375,10 @@ class RtIndex:
                 dev.attrs[name] = jnp.asarray(
                     np.clip(p.attrs_big[name], -(2**31), 2**31 - 1
                             ).astype(np.int32))
+            elif name.split("\x00")[0] in p.attrs_str:
+                base = name.split("\x00")[0]
+                ci = name.endswith("\x00ci")
+                dev.attrs[name] = jnp.asarray(p.str_ordinals(base, ci)[2])
         for name in list(dev.mva_offsets):
             if name in p.attrs_mva:
                 off, vals_a = p.attrs_mva[name]

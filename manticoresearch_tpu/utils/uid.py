@@ -25,3 +25,12 @@ def setup(server_id: int, started_sec: int) -> None:
 
 def uid_short() -> int:
     return _BASE + next(_counter)
+
+
+def reset() -> None:
+    """Restart semantics: a fresh daemon restarts the counter at 1
+    (UidShort state is process-local) — the golden harness's
+    restart-daemon hook calls this (test_358 stored-query ids)."""
+    global _counter
+    with _lock:
+        _counter = itertools.count(1)

@@ -1950,6 +1950,10 @@ class GoldenEnv:
             # durable, so the restart itself is a no-op; emit the same
             # status line the php harness records.
             if sysattr == "restart-daemon":
+                # a fresh daemon restarts the UidShort counter at 1
+                # (test_358 stored-query ids after restart)
+                from manticoresearch_tpu.utils import uid as _uid
+                _uid.reset()
                 return [extra({"sphinxql": "/* restart-daemon => stop=ok, "
                                            "return code=0; start=ok, "
                                            "return code=0 */"})]
@@ -2308,6 +2312,9 @@ def run_subtest(gt: GoldenTest, subtest: int, model_subtest: list,
     strings (empty = pass)."""
     if isinstance(model_subtest, list) and model_subtest == ["failed"]:
         return []    # the reference itself failed this variant; skip
+    # every subtest is a fresh daemon: UidShort auto-ids restart at 1
+    from manticoresearch_tpu.utils import uid as _uid
+    _uid.reset()
     env = GoldenEnv(gt, subtest, tmpdir)
     failures: list[str] = []
     mi = 0

@@ -47,6 +47,7 @@ class SearchQuery:
     select: list[str] | None = None      # None = * (all attrs)
     cutoff: int = 0
     group_by: str | None = None          # attr name or expression
+    group_n: int = 1                     # GROUP N BY: rows kept per group
     having: tuple | None = None          # (colname, op, value) host filter
     # WITHIN GROUP ORDER BY: which member represents the group
     # (sphinxsort m_sSortBy vs m_sGroupSortBy); None = weight desc, id asc
@@ -405,6 +406,8 @@ class SearchIndex:
         gb_ad = self.schema.attr(q.group_by)
         host_only = (gb_ad is not None
                      and gb_ad.type.value in ("multi", "multi64"))
+        if getattr(q, "group_n", 1) > 1:
+            host_only = True   # GROUP N BY emits N member rows per group
         if q.within_sort:
             wad = self.schema.attr(q.within_sort[0][0])
             if wad is not None and wad.type.value not in (
@@ -983,6 +986,7 @@ def host_group_matches(matches, q):
             ms = sorted(ms, key=lambda m: (
                 getattr(m, "_part", 0) != best_part,
                 -m.weight, m.docid))
+        n_rep = max(1, int(getattr(q, "group_n", 1) or 1))
         rep = ms[0]
         attrs = {q.group_by: key}
         for sel in selects:
@@ -1030,17 +1034,22 @@ def host_group_matches(matches, q):
                 attrs[sel] = max(nums)
             else:
                 attrs[sel] = sum(nums) / len(nums)
-        attrs.update(rep.attrs)
-        if not isinstance(rep.attrs.get(q.group_by), list):
-            attrs[q.group_by] = key
-        attrs["@groupby"] = key
-        rows.append(Match(rep.docid, rep.weight, attrs))
+        # GROUP N BY: up to N member rows per group, each carrying the
+        # group's aggregates (CSphKBufferNGroupSorter)
+        for rep2 in ms[:n_rep]:
+            a2 = dict(attrs)
+            a2.update(rep2.attrs)
+            if not isinstance(rep2.attrs.get(q.group_by), list):
+                a2[q.group_by] = key
+            a2["@groupby"] = key
+            rows.append(Match(rep2.docid, rep2.weight, a2))
 
     primary, asc = (q.sort or [("weight", False)])[0]
     if primary in ("@count", "count(*)"):
         rows.sort(key=lambda m: (m.attrs.get("count(*)", 0), -m.docid),
                   reverse=not asc)
-    elif primary == q.group_by or primary in ("@groupby", "@group"):
+    elif primary == q.group_by or primary.lower().replace(" ", "") in (
+            "@groupby", "@group", "groupby()"):
         rows.sort(key=lambda m: (m.attrs.get("@groupby") is None,
                                  m.attrs.get("@groupby")
                                  if isinstance(m.attrs.get("@groupby"),

@@ -807,6 +807,7 @@ class Session:
             # (count(distinct i) with `j.id i`, golden test_412)
             select=_engine_select(st.items),
             group_by=st.group_by,
+            group_n=int(getattr(st, "group_n", 1) or 1),
             having=st.having,
             within_sort=(st.within_order or None),
         )

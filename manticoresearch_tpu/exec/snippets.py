@@ -43,6 +43,9 @@ class SnippetOptions:
     force_passages: bool = False   # never use the whole-doc fast path
     passage_boundary: str = ""    # "sentence" | "paragraph": clamp spans
     html_strip_mode: str = "index"  # "none"|"strip"|"index"|"retain"
+    query_mode: bool = False      # evaluate the query's boolean tree over
+    #                               the doc: only terms of MATCHED subtrees
+    #                               highlight (SnippetsQwordSetup)
 
 
 # ---------------------------------------------------------------------------
@@ -751,7 +754,11 @@ def highlight_fragments(text: str, query: str, tokenizer: Tokenizer,
     if opts.html_strip_mode == "strip":
         from ..text.htmlstrip import strip_html
         text = strip_html(text, (), {})
-    terms = _query_terms(query, tokenizer, dictionary)
+    terms = None
+    if opts.query_mode:
+        terms = _query_mode_terms(query, tokenizer, dictionary, text)
+    if terms is None:
+        terms = _query_terms(query, tokenizer, dictionary)
     toks = _stream(text, tokenizer)
     found = _mark(toks, dictionary, terms, opts.exact_phrase)
     if not found:
@@ -785,6 +792,98 @@ def highlight_fragments(text: str, query: str, tokenizer: Tokenizer,
     return [s for _, s in out]
 
 
+def _query_mode_terms(query: str, tokenizer: Tokenizer,
+                      dictionary: Dictionary, text: str):
+    """query_mode=1: parse the full query syntax, evaluate the boolean
+    tree against the document's term set, and return only the terms of
+    MATCHED subtrees — 'aaa|(bbb ccc)' over 'aaa bbb ddd' highlights
+    only aaa (the reference runs the real ExtNode tree over a one-doc
+    index; golden test_232). Returns None to fall back to bag-of-words
+    (unparseable query / operators we approximate)."""
+    from ..query import ast as A
+    from ..query.ftparser import FtQueryParser
+    try:
+        tree = FtQueryParser(tokenizer, dictionary, []).parse(query)
+    except Exception:   # noqa: BLE001 — unparsable: bag-of-words
+        return None
+    doc_terms: set = set()
+    for t in tokenizer.tokenize(text):
+        doc_terms.update(dictionary.process(t.text))
+        doc_terms.add(t.text)
+
+    def matched(nd) -> bool:
+        if nd is None or isinstance(nd, (A.QAll, A.QGap)):
+            return True
+        if isinstance(nd, A.QTerm):
+            if nd.wildcard:
+                pat = nd.word.strip("*")
+                return any(pat in w for w in doc_terms)
+            return nd.word in doc_terms
+        if isinstance(nd, A.QAnd):
+            out_m = True
+            for c in nd.children:
+                if isinstance(c, A.QNot):
+                    out_m &= not matched(c.child)
+                else:
+                    out_m &= matched(c)
+            return out_m
+        if isinstance(nd, A.QOr):
+            return any(matched(c) for c in nd.children)
+        if isinstance(nd, (A.QPhrase,)):
+            return all(w in doc_terms or w == "\x00" for w in nd.words)
+        if isinstance(nd, A.QQuorum):
+            return sum(1 for w in nd.words if w in doc_terms) >= nd.m
+        if isinstance(nd, A.QAndNot):
+            return matched(nd.left) and not matched(nd.right)
+        if isinstance(nd, A.QMaybe):
+            return matched(nd.left)
+        if isinstance(nd, (A.QNear, A.QSentence)):
+            return matched(nd.left) and matched(nd.right)
+        return True
+
+    out: list[str] = []
+
+    def _add(w):
+        if w and w != "\x00" and w not in out:
+            out.append(w)
+
+    def emit(nd):
+        """Collect highlightable terms from nd, assuming nd matched."""
+        if nd is None or isinstance(nd, (A.QAll, A.QGap, A.QNot)):
+            return
+        if isinstance(nd, A.QTerm):
+            _add(("*" + nd.word.strip("*") + "*")
+                 if nd.wildcard else nd.word)
+        elif isinstance(nd, A.QAnd):
+            for c in nd.children:
+                if not isinstance(c, A.QNot):
+                    emit(c)
+        elif isinstance(nd, A.QOr):
+            for c in nd.children:
+                if matched(c):
+                    emit(c)
+        elif isinstance(nd, A.QPhrase):
+            for w in nd.words:
+                _add(w)
+        elif isinstance(nd, A.QQuorum):
+            for w in nd.words:
+                if w in doc_terms:
+                    _add(w)
+        elif isinstance(nd, A.QAndNot):
+            emit(nd.left)
+        elif isinstance(nd, A.QMaybe):
+            emit(nd.left)
+            if matched(nd.right):
+                emit(nd.right)
+        elif isinstance(nd, (A.QNear, A.QSentence)):
+            emit(nd.left)
+            emit(nd.right)
+
+    if matched(tree):
+        emit(tree)
+    return out[:32]
+
+
 def build_snippet(text: str, query: str, tokenizer: Tokenizer,
                   dictionary: Dictionary,
                   opts: SnippetOptions | None = None) -> str:
@@ -795,7 +894,11 @@ def build_snippet(text: str, query: str, tokenizer: Tokenizer,
     if opts.html_strip_mode == "strip":
         from ..text.htmlstrip import strip_html
         text = strip_html(text, (), {})
-    terms = _query_terms(query, tokenizer, dictionary)
+    terms = None
+    if opts.query_mode:
+        terms = _query_mode_terms(query, tokenizer, dictionary, text)
+    if terms is None:
+        terms = _query_terms(query, tokenizer, dictionary)
     toks = _stream(text, tokenizer)
     found = _mark(toks, dictionary, terms, opts.exact_phrase)
     if not found:

@@ -931,10 +931,76 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
             #   lcs[field] = max(curlcs over hits in field)
             #   rank = sum_f lcs[f] * field_weight[f]
             qpos = rt["qpos"]
+            # boolean-subtree emission gating (ExtNode hit streams): a
+            # term's hits reach the ranker only where every enclosing
+            # AND/ANDNOT/MAYBE-right/QUORUM subtree MATCHED the doc —
+            # 'aaa|(bbb ccc)' must not let a lone bbb hit extend LCS
+            # chains (ExtAnd_c::GetHitsChunk emits nothing for docs the
+            # arm didn't match; golden test_232). Flat AND roots collect
+            # no gates, so the common case is untouched.
+            _gate_cache: dict = {repr(sig.expr): match}
+            _slot_paths: dict[int, list] = {}
+            _node_paths: dict[tuple, list] = {}
+
+            def _anc_walk(node, anc):
+                op2 = node[0]
+                if op2 == "term":
+                    _slot_paths.setdefault(node[1], []).append(tuple(anc))
+                elif op2 in ("phrase", "proximity", "bigram_phrase",
+                             "near"):
+                    _node_paths.setdefault(node, []).append(tuple(anc))
+                elif op2 == "quorum":
+                    for s2 in node[1]:
+                        _slot_paths.setdefault(s2, []).append(
+                            tuple(anc) + (node,))
+                elif op2 == "and":
+                    for k2 in node[1]:
+                        _anc_walk(k2, anc + [node])
+                elif op2 == "or":
+                    for k2 in node[1]:
+                        _anc_walk(k2, anc)
+                elif op2 == "andnot":
+                    _anc_walk(node[1], anc + [node])
+                elif op2 == "maybe":
+                    _anc_walk(node[1], anc)
+                    _anc_walk(node[2], anc + [node])
+            _anc_walk(sig.expr, [])
+
+            def _gate_of(paths):
+                """OR over paths of AND over ancestor-subtree matches;
+                None = unconditional emission."""
+                if not paths or any(len(p2) == 0 for p2 in paths):
+                    return None
+                # the root's match is implied by doc eligibility — a path
+                # consisting only of the root needs no gate
+                alts = []
+                for p2 in paths:
+                    need = [nd for nd in p2 if nd is not sig.expr]
+                    if not need:
+                        return None
+                    g2 = None
+                    for nd in need:
+                        key2 = repr(nd)
+                        if key2 not in _gate_cache:
+                            _gate_cache[key2] = _eval_expr(
+                                nd, termmask, phrase_results, alive, size)
+                        m2 = _gate_cache[key2]
+                        g2 = m2 if g2 is None else (g2 & m2)
+                    alts.append(g2)
+                out2 = alts[0]
+                for g2 in alts[1:]:
+                    out2 = out2 | g2
+                return out2
+
             parts_row, parts_pk, parts_qp, parts_w, parts_sp = [], [], [], [], []
             parts_slot = []
             for s in rk_slots:
                 hrowS, hpkS, mskS = slot_hits(s)
+                _g = _gate_of(_slot_paths.get(s, []))
+                if _g is not None:
+                    mskS = mskS & _g[to_idx(hrowS)]
+                    hrowS = jnp.where(mskS, hrowS, N)
+                    hpkS = jnp.where(mskS, hpkS, 0)
                 if s in lim_hit_ok:
                     # position/zone/field-limited term: only qualifying
                     # hits reach the ranker (ExtConditional hit filtering)
@@ -957,6 +1023,9 @@ def build_match_core(sig: PlanSig, n_rows: int, n_fields: int,
                     parts_slot.append(jnp.full_like(hrowS, s))
             for node in rk_phrases:
                 pm, ptf, a_row, a_key, a_ok, a_w = phrase_results[node]
+                _g = _gate_of(_node_paths.get(node, []))
+                if _g is not None:
+                    a_ok = a_ok & _g[to_idx(a_row)]
                 n_words = len(node[1])
                 first_slot = node[1][0]
                 # FSMphrase emission (searchnode.cpp:3920-3930): hit at the

@@ -836,9 +836,9 @@ def _call_host(name: str, vals):
     if name == "DOUBLE":
         return float(vals[0])
     if name == "MIN":
-        return min(vals[0], vals[1])
+        return min(vals)
     if name == "MAX":
-        return max(vals[0], vals[1])
+        return max(vals)
     if name == "POW":
         return math.pow(vals[0], vals[1])
     if name == "IDIV":

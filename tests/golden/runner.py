@@ -984,6 +984,53 @@ class _CrossEnvDistributed:
                 return sf
         return ()
 
+    @property
+    def tok_settings(self):
+        # CALL KEYWORDS/SNIPPETS against a distributed table use the
+        # first part's text pipeline (searchd.cpp)
+        for t in self._tables():
+            ts = getattr(t, "tok_settings", None)
+            if ts is not None:
+                return ts
+        from manticoresearch_tpu.text.tokenizer import TokenizerSettings
+        return TokenizerSettings()
+
+    @property
+    def dict_settings(self):
+        for t in self._tables():
+            ds = getattr(t, "dict_settings", None)
+            if ds is not None:
+                return ds
+        from manticoresearch_tpu.text.dictionary import DictSettings
+        return DictSettings()
+
+    def delete(self, docids):
+        # distributed DELETE fans out to every part (searchd DELETE on
+        # dist tables)
+        return sum(t.delete(docids) for t in self._tables()
+                   if hasattr(t, "delete"))
+
+    def commit(self):
+        for t in self._tables():
+            if hasattr(t, "commit"):
+                t.commit()
+
+    def insert(self, doc, replace=False):
+        raise ValueError(f"table '{self.name}' is distributed")
+
+    def global_stats(self):
+        total = 0
+        df: dict = {}
+        for t in self._tables():
+            gs = getattr(t, "global_stats", None)
+            if gs is None:
+                continue
+            td2, d2 = gs()
+            total += td2
+            for k2, v2 in d2.items():
+                df[k2] = df.get(k2, 0) + v2
+        return total, df
+
     def get_document(self, docid):
         for t in self._tables():
             gd = getattr(t, "get_document", None)

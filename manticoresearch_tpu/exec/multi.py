@@ -56,6 +56,71 @@ def _apply_sort(matches, q, presort_docid: bool = True):
                          reverse=not asc)
 
 
+def ref_queue_order(keys, size):
+    """Exact CSphMatchQueue emulation (/root/reference/src/sphinxsort.cpp:
+    583-811): a binary heap keeping the WORST match at the root — Push
+    sifts up, overflow pops the root, Flatten heap-sorts by popping the
+    root to the tail.  Replicated because the pop order is observable:
+    with equal sort keys, the reference's result order is this heap's
+    artifact (per-chunk rowid ties across RT disk chunks; golden
+    test_066's implicit-sort fullscans).
+
+    keys: (weight, rowid) per entry in PUSH order.  Comparator is
+    MatchRelevanceLt_fn (sphinxsort.cpp:4534: lower weight = worse;
+    equal weight, HIGHER rowid = worse).  Returns the surviving entry
+    indices, best first."""
+    def comp_less(a, b):            # COMP::IsLess(a, b): a worse than b
+        if keys[a][0] != keys[b][0]:
+            return keys[a][0] < keys[b][0]
+        return keys[a][1] > keys[b][1]
+
+    def fn_less(i, j):              # InvCompareIndex_fn: inverted operands
+        return comp_less(heap[j], heap[i])
+
+    heap: list[int] = []
+
+    def sift_down():
+        i = 0
+        used = len(heap)
+        while True:
+            c = 2 * i + 1
+            if c >= used:
+                break
+            if c + 1 < used and fn_less(c, c + 1):
+                c += 1
+            if fn_less(i, c):
+                heap[i], heap[c] = heap[c], heap[i]
+                i = c
+                continue
+            break
+
+    def pop_root():
+        removed = heap.pop()
+        if heap:
+            heap[0], removed = removed, heap[0]
+        sift_down()
+        return removed
+
+    for e in range(len(keys)):
+        if len(heap) == size:
+            if comp_less(e, heap[0]):
+                continue
+            pop_root()
+        heap.append(e)
+        i = len(heap) - 1
+        while i:
+            p = (i - 1) // 2
+            if not fn_less(p, i):
+                break
+            heap[i], heap[p] = heap[p], heap[i]
+            i = p
+    out = []
+    while heap:
+        out.append(pop_root())
+    out.reverse()
+    return out
+
+
 def merge_word_stats(results):
     """Sum per-term docs/hits across part results, first-seen term order."""
     from .searcher import WordStat
@@ -90,7 +155,8 @@ def minimize_result_schema(results, part_schemas):
                   attrs=[a for a in base.attrs if a.name in common])
 
 
-def merge_part_results(results, q, schema, agent_mode: bool = False):
+def merge_part_results(results, q, schema, agent_mode: bool = False,
+                       rt_heap: bool = False):
     """Merge per-part SearchResults into one (weight/order-correct).
 
     agent_mode: remote-agent merges under the DEFAULT sort keep the
@@ -127,7 +193,22 @@ def merge_part_results(results, q, schema, agent_mode: bool = False):
                    for m in by_part[pi2]]
     killed = n_copies - len(all_matches)
     DEFAULT_SORT = [("weight", False), ("id", True)]
-    if agent_mode and list(q.sort or DEFAULT_SORT) == DEFAULT_SORT:
+    if rt_heap and not q.sort:
+        # RT implicit-sort merges replicate the reference's SHARED match
+        # queue across chunks: pushes arrive per part in rowid order, the
+        # comparator ties on the per-chunk rowid, and the heap's pop
+        # order decides full ties (sphinxsort.cpp MatchRelevanceLt_fn +
+        # CSphMatchQueue; golden test_066).
+        push, keys = [], []
+        for pi2 in sorted(by_part):
+            part_ms = sorted(by_part[pi2],
+                             key=lambda m: getattr(m, "_rowid", m.docid))
+            for m in part_ms:
+                push.append(m)
+                keys.append((m.weight, getattr(m, "_rowid", m.docid)))
+        order = ref_queue_order(keys, max(q.max_matches, 1))
+        all_matches = [push[i] for i in order]
+    elif agent_mode and list(q.sort or DEFAULT_SORT) == DEFAULT_SORT:
         from dataclasses import replace as _rp
         _apply_sort(all_matches, _rp(q, sort=[("weight", False)]),
                     presort_docid=False)
@@ -174,14 +255,18 @@ def search_rt(rt, q):
     from .searcher import _wants_packedfactors
     pf_sel = [s for s in (q.select or [])
               if s.lower().replace(" ", "").startswith("packedfactors(")]
-    part_q = dc_replace(q, offset=0, limit=q.offset + q.limit,
+    # implicit relevance sort: fetch the full sorter window per part so
+    # the shared-queue tie emulation sees every candidate the reference's
+    # single max_matches-sized sorter would (multi.py ref_queue_order)
+    part_limit = q.max_matches if not q.sort else q.offset + q.limit
+    part_q = dc_replace(q, offset=0, limit=part_limit,
                         select=pf_sel or None)
     results = []
     for part in parts:
         cq_kwargs = dict(total_docs_override=total_docs, local_df=df,
                          emit_factors=_wants_packedfactors(q.select))
         results.append(_search_with_stats(part, part_q, cq_kwargs))
-    merged = merge_part_results(results, q, rt.schema)
+    merged = merge_part_results(results, q, rt.schema, rt_heap=True)
     return merged
 
 

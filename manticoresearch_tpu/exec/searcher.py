@@ -34,9 +34,10 @@ class SearchQuery:
     ranker: str = "proximity_bm25"
     field_weights: dict[str, int] = dc_field(default_factory=dict)
     # sort: list of (key, asc) — key is "weight", "id", or attr name.
-    sort: list[tuple[str, bool]] = dc_field(
-        default_factory=lambda: [("weight", False), ("id", True)]
-    )
+    # None = implicit relevance sort (FUNC_REL_DESC: weight desc with
+    # per-chunk-rowid tie order — distinct from an explicit
+    # `ORDER BY weight() DESC, id ASC`, golden test_066)
+    sort: list[tuple[str, bool]] | None = None
     idf_plain: bool = False
     tfidf_normalized: bool = True
     expansion_limit: int = 0             # max dict terms per wildcard
@@ -128,7 +129,8 @@ class SearchIndex:
         emit_factors = _wants_packedfactors(q.select)
         key = (
             q.match, q.ranker, q.max_matches, q.offset + q.limit,
-            tuple(q.sort), q.idf_plain, q.tfidf_normalized, emit_factors,
+            tuple(q.sort or ()), q.idf_plain, q.tfidf_normalized,
+            emit_factors,
             q.expansion_limit, q.boolean_simplify, q.expand_keywords,
             q.collation,
             tuple(sorted(q.field_weights.items())),
@@ -645,6 +647,10 @@ class SearchIndex:
         rowids, weights, sel = rowids[lo:hi], weights[lo:hi], sel[lo:hi]
 
         matches = self._hydrate(rowids, weights, q.select)
+        for m, r in zip(matches, rowids.tolist()):
+            # physical row id within this part — RT part merges tie-break
+            # on it (MatchRelevanceLt_fn rowid compare; multi.py heap)
+            m._rowid = int(r)
         if pf_out is not None:
             pf = {k: np.asarray(v) for k, v in pf_out.items()
                   if k.startswith("pf_")}

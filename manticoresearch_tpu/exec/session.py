@@ -245,6 +245,14 @@ class Catalog:
             shutil.rmtree(t.data_dir)
 
     def get(self, name: str) -> RtIndex:
+        if name not in self.tables and "." in name:
+            # <table>.<N>: single disk-chunk/segment pseudo-table
+            # (ParseIdxSubkeys int subkeys, searchd.cpp; golden test_066)
+            base, _, suffix = name.rpartition(".")
+            if suffix.isdigit() and base in self.tables:
+                t = self.tables[base]
+                if hasattr(t, "part_view"):
+                    return t.part_view(int(suffix))
         if name not in self.tables:
             raise ValueError(f"no such table '{name}'")
         t = self.tables[name]
@@ -402,6 +410,12 @@ class Session:
                 tree = parse_expr(it.expr)
                 row.append(eval_expr_host(tree, {}))
             return [QLResult(columns=cols, rows=[tuple(row)])]
+
+        if len(st.indexes) == 1 and st.indexes[0].endswith(".status"):
+            base = st.indexes[0][: -len(".status")]
+            t0 = self.catalog.tables.get(base)
+            if t0 is not None and hasattr(t0, "chunk_status"):
+                return [self._select_index_status(st, t0)]
 
         # percolate tables list stored queries — their WHERE surface (id,
         # tags ANY/ALL) differs from document queries, so route BEFORE the
@@ -769,16 +783,20 @@ class Session:
                            else nodes[0] if len(nodes) == 1
                            else ("and", tuple(nodes)))
 
-        sort = [(col, asc) for col, asc in st.order] or \
-            [("weight", False), ("id", True)]
+        # no ORDER BY = implicit relevance sort, kept as None so merge
+        # layers can tell it apart from an explicit `ORDER BY weight()
+        # DESC, id ASC` (the reference uses FUNC_REL_DESC with rowid
+        # ties for the implicit case; golden test_066)
+        sort = [(col, asc) for col, asc in st.order] or None
         # ORDER BY names are case-insensitive against the schema
-        try:
-            schema0 = self.catalog.get(st.indexes[0]).schema
-            cmap = {n.lower(): n for n in
-                    [a.name for a in schema0.attrs] + schema0.fields}
-            sort = [(cmap.get(c.lower(), c), a) for c, a in sort]
-        except (ValueError, KeyError, IndexError):
-            pass
+        if sort:
+            try:
+                schema0 = self.catalog.get(st.indexes[0]).schema
+                cmap = {n.lower(): n for n in
+                        [a.name for a in schema0.attrs] + schema0.fields}
+                sort = [(cmap.get(c.lower(), c), a) for c, a in sort]
+            except (ValueError, KeyError, IndexError):
+                pass
         opts = st.options
         q = SearchQuery(
             match=match,
@@ -831,7 +849,8 @@ class Session:
             # ORDER BY may name a SELECT alias (ORDER BY c DESC with
             # count(*) AS c): resolve to the aggregate's expr text
             amap = {it.alias: it.expr for it in st.items if it.alias}
-            q.sort = [(amap.get(col, col), asc) for col, asc in q.sort]
+            q.sort = [(amap.get(col, col), asc)
+                      for col, asc in (q.sort or [])] or None
             if q.group_by in amap and amap[q.group_by] != q.group_by:
                 # GROUP BY a select alias: group on its expression, but
                 # expose the alias column from the group key
@@ -1115,6 +1134,37 @@ class Session:
             rows.append(tuple(row))
         return QLResult(columns=dedup_cols, rows=rows)
 
+    _STATUS_COLS = (
+        "chunk_id", "base_name", "indexed_documents", "indexed_bytes",
+        "ram_bytes", "disk_bytes", "disk_mapped", "disk_mapped_cached",
+        "disk_mapped_doclists", "disk_mapped_cached_doclists",
+        "disk_mapped_hitlists", "disk_mapped_cached_hitlists",
+        "killed_documents")
+
+    def _select_index_status(self, st: SelectStmt, t) -> QLResult:
+        """SELECT ... FROM <table>.status — per-disk-chunk rows served as
+        a dynamic table (HandleSelectIndexStatus feeding MakeDynamicIndex,
+        searchd.cpp:14371/6110).  Each fed row lands in its own segment
+        with rowid 0, so the implicit sort's shared-queue order over n
+        all-equal rows is [2..n, 1] — reproduced by ref_queue_order."""
+        from .multi import ref_queue_order
+        rows = t.chunk_status()
+        for i, r in enumerate(rows):
+            r["id"] = i + 1
+        order = ref_queue_order([(1, 0)] * len(rows), max(len(rows), 1))
+        rows = [rows[i] for i in order]
+        proj: list[tuple[str, str]] = []
+        for it in st.items:
+            e = it.expr.strip()
+            if e == "*":
+                proj.extend((c, c) for c in ("id",) + self._STATUS_COLS)
+            else:
+                proj.append((it.alias or it.display or e, e.lower()))
+        lim = st.limit if st.limit is not None else 20
+        out = [tuple(r.get(key, "") for _, key in proj)
+               for r in rows[st.offset:st.offset + lim]]
+        return QLResult(columns=[d for d, _ in proj], rows=out)
+
     def _store_meta(self, res) -> None:
         self.last_weights = {m.docid: m.weight for m in res.matches}
         meta = []
@@ -1309,6 +1359,14 @@ class Session:
             if res.error:
                 return QLResult.err(res.error)
             ids = [m.docid for m in res.matches]
+        store = st.options.get("store") if getattr(st, "options", None) \
+            else None
+        if store:
+            # DELETE ... OPTION store='@var': collect the matched ids into
+            # a global uservar, delete nothing (DEBUG SPLIT prep,
+            # sphinxrt.cpp; golden test_066)
+            self.uservars[str(store)] = sorted(int(x) for x in ids)
+            return QLResult.ok(0)
         n = t.delete(ids)
         if self.autocommit and not self.in_txn:
             t.commit()
@@ -1842,6 +1900,29 @@ class Session:
             return QLResult.ok()
         if k == "flush":
             self.catalog.get(st.args[0]).flush()
+            return QLResult.ok()
+        if k == "flush_ramchunk":
+            t = self.catalog.get(st.args[0])
+            if not hasattr(t, "flush_ramchunk"):
+                return QLResult.err(
+                    f"FLUSH RAMCHUNK requires an RT table, "
+                    f"'{st.args[0]}' is not")
+            t.flush_ramchunk()
+            return QLResult.ok()
+        if k == "debug_split":
+            tbl, cid, var = st.args
+            t = self.catalog.get(tbl)
+            vals = self.uservars.get(var) or []
+            if hasattr(t, "split_chunk"):
+                t.split_chunk(int(cid), vals)
+            return QLResult.ok()
+        if k == "debug_merge":
+            tbl, a, b = st.args
+            t = self.catalog.get(tbl)
+            if hasattr(t, "merge_chunks"):
+                t.merge_chunks(int(a), int(b))
+            return QLResult.ok()
+        if k == "debug":
             return QLResult.ok()
         if k in ("flush_attributes", "flush_logs", "flush_hostnames",
                  "set_names"):

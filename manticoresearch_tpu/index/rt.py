@@ -37,6 +37,7 @@ class _Segment:
     packed: PackedIndex
     search: Any                      # exec.searcher.SearchIndex
     docs: dict[int, dict]            # retained source docs (for merge)
+    chunk_id: int | None = None      # persistent disk-chunk id; None = RAM
 
 
 class RtIndex:
@@ -52,6 +53,7 @@ class RtIndex:
         self.tok_settings = tokenizer_settings or TokenizerSettings()
         self.dict_settings = dict_settings or DictSettings()
         self.segments: list[_Segment] = []
+        self.next_chunk_id = 0         # persistent disk-chunk id counter
         self.accum: dict[int, dict] = {}      # pending (uncommitted) docs
         self.accum_deletes: set[int] = set()
         self.docid_seg: dict[int, int] = {}   # live docid -> segment idx
@@ -157,17 +159,21 @@ class RtIndex:
     def _merge_segments(self) -> None:
         """Progressive merge (MergeSegments, sphinxrt.cpp:2606): merge the
         smallest half at the POSTING level — no re-tokenization; killed
-        rows are compacted away (index/merge.py)."""
+        rows are compacted away (index/merge.py). Only RAM segments
+        participate — sealed disk chunks keep their identity (split/
+        merge them explicitly via DEBUG SPLIT/MERGE or OPTIMIZE)."""
         from ..exec.searcher import SearchIndex
         from .merge import merge_packed
 
-        order = sorted(range(len(self.segments)),
-                       key=lambda i: self.segments[i].packed.n_docs)
+        chunks = [s for s in self.segments if s.chunk_id is not None]
+        rams = [s for s in self.segments if s.chunk_id is None]
+        order = sorted(range(len(rams)),
+                       key=lambda i: rams[i].packed.n_docs)
         merge_idx = set(order[: len(order) // 2 + 1])
         merged_docs: dict[int, dict] = {}
         to_merge: list[_Segment] = []
         keep: list[_Segment] = []
-        for i, seg in enumerate(self.segments):
+        for i, seg in enumerate(rams):
             if i in merge_idx:
                 merged_docs.update(seg.docs)
                 to_merge.append(seg)
@@ -177,9 +183,14 @@ class RtIndex:
             packed = merge_packed([s.packed for s in to_merge],
                                   [set(s.docs) for s in to_merge])
             keep.append(_Segment(packed, SearchIndex(packed), merged_docs))
-        self.segments = keep
+        self._set_segments(chunks + keep)
+
+    def _set_segments(self, segs: list[_Segment]) -> None:
+        """Install a new segment list (disk chunks first, in position
+        order, RAM segments after) and rebuild the docid map."""
+        self.segments = segs
         self.docid_seg = {}
-        for si, seg in enumerate(self.segments):
+        for si, seg in enumerate(segs):
             for d in seg.docs:
                 self.docid_seg[d] = si
 
@@ -233,7 +244,7 @@ class RtIndex:
             b.add_documents(seg.docs.values())
             packed = b.build()
             rebuilt.append(_Segment(packed, SearchIndex(packed),
-                                    dict(seg.docs)))
+                                    dict(seg.docs), seg.chunk_id))
         self.segments = rebuilt
         self.docid_seg = {}
         for si, seg in enumerate(self.segments):
@@ -258,6 +269,138 @@ class RtIndex:
         for d in docs:
             self.docid_seg[d] = si
 
+    # -- disk-chunk management (golden test_066) ---------------------------
+    def _chunks(self) -> list[_Segment]:
+        return [s for s in self.segments if s.chunk_id is not None]
+
+    def _ram_segs(self) -> list[_Segment]:
+        return [s for s in self.segments if s.chunk_id is None]
+
+    def flush_ramchunk(self) -> None:
+        """FLUSH RAMCHUNK: seal every RAM segment into one new disk chunk
+        with a persistent chunk id (ForceRamFlush/SaveDiskChunk,
+        sphinxrt.cpp; chunk numbering m_iChunk)."""
+        rams = self._ram_segs()
+        if not rams:
+            return
+        self.generation += 1
+        from ..exec.searcher import SearchIndex
+        from .merge import merge_packed
+
+        docs: dict[int, dict] = {}
+        for s in rams:
+            docs.update(s.docs)
+        if len(rams) == 1:
+            packed, search = rams[0].packed, rams[0].search
+        else:
+            packed = merge_packed([s.packed for s in rams],
+                                  [set(s.docs) for s in rams])
+            search = SearchIndex(packed)
+        cid = self.next_chunk_id
+        self.next_chunk_id += 1
+        self._set_segments(self._chunks()
+                           + [_Segment(packed, search, docs, cid)])
+        self._binlog_write({"op": "flush_ramchunk", "ts": time.time()})
+
+    def _build_chunk_from_docs(self, docs: dict[int, dict]) -> _Segment:
+        from ..exec.searcher import SearchIndex
+        b = IndexBuilder(self.schema, self.tok_settings, self.dict_settings)
+        b.add_documents(docs.values())
+        packed = b.build()
+        cid = self.next_chunk_id
+        self.next_chunk_id += 1
+        return _Segment(packed, SearchIndex(packed), dict(docs), cid)
+
+    def split_chunk(self, chunk_id: int, ids) -> bool:
+        """DEBUG SPLIT <table> <chunk_id> ON @uservar (SplitOneChunk,
+        sphinxrt.cpp): the chunk splits in place into [docs in the id
+        set, docs outside it]; the non-matching part takes the first new
+        chunk id, the matching part the second, and the matching part
+        lands first positionally. No-op when the chunk id doesn't exist
+        or either side would be empty."""
+        pos = next((i for i, s in enumerate(self.segments)
+                    if s.chunk_id == chunk_id), None)
+        if pos is None:
+            return False
+        idset = {int(x) for x in ids}
+        seg = self.segments[pos]
+        match_docs = {d: v for d, v in seg.docs.items() if d in idset}
+        rest_docs = {d: v for d, v in seg.docs.items() if d not in idset}
+        if not match_docs or not rest_docs:
+            return False
+        self.generation += 1
+        rest = self._build_chunk_from_docs(rest_docs)
+        got = self._build_chunk_from_docs(match_docs)
+        self._set_segments(self.segments[:pos] + [got, rest]
+                           + self.segments[pos + 1:])
+        self._binlog_write({"op": "split", "chunk": int(chunk_id),
+                            "ids": sorted(idset), "ts": time.time()})
+        return True
+
+    def merge_chunks(self, cid_a: int, cid_b: int) -> bool:
+        """DEBUG MERGE <table> <A> <B>: chunk A merges into chunk B —
+        the combined chunk (A's docs first) takes a fresh chunk id at
+        B's position (MergeTwoChunks, sphinxrt.cpp)."""
+        pa = next((i for i, s in enumerate(self.segments)
+                   if s.chunk_id == cid_a), None)
+        pb = next((i for i, s in enumerate(self.segments)
+                   if s.chunk_id == cid_b), None)
+        if pa is None or pb is None or pa == pb:
+            return False
+        self.generation += 1
+        docs: dict[int, dict] = {}
+        docs.update(self.segments[pa].docs)
+        docs.update(self.segments[pb].docs)
+        merged = self._build_chunk_from_docs(docs)
+        segs = list(self.segments)
+        segs[pb] = merged
+        del segs[pa]
+        self._set_segments(segs)
+        self._binlog_write({"op": "merge", "a": int(cid_a), "b": int(cid_b),
+                            "ts": time.time()})
+        return True
+
+    def chunk_status(self) -> list[dict]:
+        """Rows for SELECT ... FROM <table>.status — one per disk chunk in
+        position order (HandleSelectIndexStatus, searchd.cpp:14371)."""
+        path = (getattr(self, "options", None) or {}).get("path") \
+            or f"data/{self.name}"
+        rows = []
+        for s in self._chunks():
+            live = len(s.docs)
+            ibytes = sum(len(str(doc.get(f) or ""))
+                         for doc in s.docs.values()
+                         for f in self.schema.fields)
+            rows.append({
+                "chunk_id": s.chunk_id,
+                "base_name": f"{path}.{s.chunk_id}",
+                "indexed_documents": live,
+                "indexed_bytes": ibytes,
+                "ram_bytes": 0, "disk_bytes": 0, "disk_mapped": 0,
+                "disk_mapped_cached": 0, "disk_mapped_doclists": 0,
+                "disk_mapped_cached_doclists": 0,
+                "disk_mapped_hitlists": 0,
+                "disk_mapped_cached_hitlists": 0,
+                "killed_documents": int(s.packed.n_docs) - live,
+            })
+        return rows
+
+    def part_view(self, n: int) -> "RtIndex":
+        """Single-part pseudo-table for SELECT ... FROM <table>.<N> —
+        disk chunks in position order, then RAM segments (GetDiskChunk
+        subtable addressing, searchd.cpp ParseIdxSubkeys)."""
+        parts = self._chunks() + self._ram_segs()
+        v = RtIndex(f"{self.name}.{n}", self.schema, self.tok_settings,
+                    self.dict_settings)
+        v.generation = self.generation   # qcache key stays fresh
+        v.options = dict(getattr(self, "options", None) or {})
+        v.stored_fields = getattr(self, "stored_fields", None)
+        if 0 <= n < len(parts):
+            seg = parts[n]
+            v.segments = [seg]
+            v.docid_seg = {d: 0 for d in seg.docs}
+        return v
+
     def truncate(self) -> None:
         self.generation += 1
         self.segments = []
@@ -280,8 +423,12 @@ class RtIndex:
             all_docs.update(seg.docs)
         packed = merge_packed([s.packed for s in self.segments],
                               [set(s.docs) for s in self.segments])
-        self.segments = [_Segment(packed, SearchIndex(packed), all_docs)] \
-            if all_docs else []
+        cid = None
+        if any(s.chunk_id is not None for s in self.segments):
+            cid = self.next_chunk_id     # merged disk chunk keeps identity
+            self.next_chunk_id += 1
+        self.segments = [_Segment(packed, SearchIndex(packed), all_docs,
+                                  cid)] if all_docs else []
         self.docid_seg = {d: 0 for d in all_docs}
 
     # -- update -------------------------------------------------------------
@@ -439,6 +586,12 @@ class RtIndex:
             if ct and ct != "field":
                 ct = AttrType(ct)
             self.alter(rec["alter"], rec["name"], ct)
+        elif op == "flush_ramchunk":
+            self.flush_ramchunk()
+        elif op == "split":
+            self.split_chunk(rec["chunk"], rec.get("ids", []))
+        elif op == "merge":
+            self.merge_chunks(rec["a"], rec["b"])
 
     def flush(self) -> None:
         """FLUSH RTINDEX analog: checkpoint segments to disk and reset the

@@ -204,6 +204,8 @@ def save_rt_snapshot(rt) -> None:
         "schema": rt.schema.to_json(),
         "settings": _settings_to_json(rt.tok_settings, rt.dict_settings),
         "n_segments": len(rt.segments),
+        "chunk_ids": [s.chunk_id for s in rt.segments],
+        "next_chunk_id": getattr(rt, "next_chunk_id", 0),
     }
     for i, seg in enumerate(rt.segments):
         seg_dir = os.path.join(base, f"segment_{i}")
@@ -235,12 +237,15 @@ def load_rt_snapshot(rt) -> bool:
         manifest = json.load(f)
     rt.segments = []
     rt.docid_seg = {}
+    chunk_ids = manifest.get("chunk_ids") or []
+    rt.next_chunk_id = manifest.get("next_chunk_id", 0)
     for i in range(manifest["n_segments"]):
         seg_dir = os.path.join(base, f"segment_{i}")
         packed = load_packed(seg_dir)
         with open(os.path.join(seg_dir, "docs.json")) as f:
             docs = {int(d["id"]): d for d in json.load(f)}
-        rt.segments.append(_Segment(packed, SearchIndex(packed), docs))
+        cid = chunk_ids[i] if i < len(chunk_ids) else None
+        rt.segments.append(_Segment(packed, SearchIndex(packed), docs, cid))
         for d in docs:
             rt.docid_seg[d] = i
     return True

@@ -137,6 +137,7 @@ class InsertStmt:
 class DeleteStmt:
     index: str
     conds: list[Cond]
+    options: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -298,6 +299,7 @@ class SqlParser:
             "RELOAD": self.parse_reload,
             "IMPORT": self.parse_import,
             "JOIN": self.parse_join_cluster,
+            "DEBUG": self.parse_debug,
         }.get(head)
         if fn is None:
             raise SqlParseError(f"unsupported statement {head}")
@@ -734,7 +736,21 @@ class SqlParser:
         self.expect_kw("FROM")
         index = self.table_ref()
         self.expect_kw("WHERE")
-        return DeleteStmt(index, self.parse_conds())
+        st = DeleteStmt(index, self.parse_conds())
+        if self.eat_kw("OPTION"):
+            # DELETE ... OPTION store='@uservar' collects the matched ids
+            # into a global uservar instead of deleting (DEBUG SPLIT prep,
+            # sphinxrt.cpp; golden test_066)
+            while True:
+                n = self.name()
+                self.expect_op("=")
+                st.options[n.lower()] = self.value() \
+                    if self.peek()[0] in ("num", "str") else self.name()
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+        return st
 
     def parse_update(self):
         self.expect_kw("UPDATE")
@@ -1009,7 +1025,11 @@ class SqlParser:
 
     def parse_flush(self):
         self.expect_kw("FLUSH")
-        if self.eat_kw("RTINDEX", "RAMCHUNK", "TABLE"):
+        if self.eat_kw("RAMCHUNK"):
+            # FLUSH RAMCHUNK seals the RAM segments into a disk chunk
+            # (distinct from FLUSH RTINDEX's checkpoint; sphinxrt.cpp)
+            return SimpleStmt("flush_ramchunk", [self.name()])
+        if self.eat_kw("RTINDEX", "TABLE"):
             return SimpleStmt("flush", [self.name()])
         if self.eat_kw("ATTRIBUTES"):
             return SimpleStmt("flush_attributes")
@@ -1018,6 +1038,34 @@ class SqlParser:
         if self.eat_kw("HOSTNAMES"):
             return SimpleStmt("flush_hostnames")
         raise SqlParseError("unsupported FLUSH")
+
+    def parse_debug(self):
+        """DEBUG <subcommand> (HandleMysqlDebug, searchd.cpp): SPLIT and
+        MERGE drive explicit RT disk-chunk surgery (golden test_066);
+        other subcommands are accepted as no-ops."""
+        self.expect_kw("DEBUG")
+        sub = (self.name() if self.peek()[0] == "name" else "").lower()
+
+        def _skip_rest():
+            while self.peek()[0] is not None \
+                    and self.peek() != ("op", ";"):
+                self.next()
+
+        if sub == "split":
+            tbl = self.name()
+            cid = int(self.next()[1])
+            self.expect_kw("ON")
+            var = self.name()
+            _skip_rest()
+            return SimpleStmt("debug_split", [tbl, cid, var])
+        if sub == "merge":
+            tbl = self.name()
+            a = int(self.next()[1])
+            b = int(self.next()[1])
+            _skip_rest()
+            return SimpleStmt("debug_merge", [tbl, a, b])
+        _skip_rest()
+        return SimpleStmt("debug", [sub])
 
     def parse_call(self):
         self.expect_kw("CALL")

@@ -366,7 +366,7 @@ def query_to_payload(q) -> dict:
         ],
         "limit": q.limit, "offset": q.offset,
         "max_matches": q.max_matches, "ranker": q.ranker,
-        "field_weights": q.field_weights, "sort": list(q.sort),
+        "field_weights": q.field_weights, "sort": list(q.sort or []),
         "idf_plain": q.idf_plain,
         "tfidf_normalized": q.tfidf_normalized,
         "select": q.select, "cutoff": q.cutoff,

@@ -2017,9 +2017,15 @@ class GoldenEnv:
         for k, stmt in enumerate([q.query]):
             results = self.agents[aid].session.execute(stmt)
             if not results:
-                shaped.append(extra({
-                    "sphinxql": stmt.strip().rstrip(";").strip(),
-                    "total_affected": 0}))
+                if not stmt.strip().rstrip(";").strip():
+                    # an empty query records the no-result error shape
+                    # with errno 0 (mysqli empty-query result row)
+                    shaped.append(extra({"sphinxql": "", "errno": 0,
+                                         "error": ""}))
+                else:
+                    shaped.append(extra({
+                        "sphinxql": stmt.strip().rstrip(";").strip(),
+                        "total_affected": 0}))
                 continue
             stop = False
 

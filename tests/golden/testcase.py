@@ -173,7 +173,10 @@ def _split_sphinxql(text: str) -> list[str]:
     (AddQuery preg_split('/;\\n/'), helpers.inc:1723) — statements
     separated by '; ' on the SAME line stay one multi-statement query
     (labeled '/* result N of previous multistatement */' downstream)."""
-    pieces = [p.strip() for p in text.split(";\n") if p.strip()]
+    # PREG_SPLIT_NO_EMPTY drops only ZERO-LENGTH pieces — a trailing
+    # whitespace-only piece (block ending ";\n\n") stays and becomes one
+    # empty query in the result stream (golden test_066's trailing row)
+    pieces = [p.strip() for p in text.split(";\n") if p != ""]
     # an all-empty block still emits ONE empty query (AddQuery's
     # empty-$query_texts fallback) — <sphinxql system=.../> tags have no
     # text but must keep their position in the result stream

@@ -220,6 +220,7 @@ def merge_part_results(results, q, schema, agent_mode: bool = False,
     t = sum(r.time_ms for r in results)
     out = SearchResult(window, min(total_found, q.max_matches), total_found,
                        t, stats)
+    out.warm_plan = all(getattr(r, "warm_plan", True) for r in results)
     out.profile = list(getattr(results[0], "profile", []))
     out.plan_repr = getattr(results[0], "plan_repr", None)
     return out
@@ -315,6 +316,10 @@ def _search_with_stats(index, q, stats_kwargs):
         )
     except (ValueError, NotImplementedError) as e:
         return SearchResult([], 0, 0, 0.0, [], error=str(e))
+    from ..ops.search import plan_shape_was_warm
+    warm = plan_shape_was_warm(
+        cq.sig, index.packed.n_docs, max(index.schema.n_fields, 1),
+        cq.slot_pb, cq.slot_hb, cq.n_hit_iters)
     fn = get_search_fn(
         cq.sig, index.packed.n_docs, max(index.schema.n_fields, 1),
         cq.slot_pb, cq.slot_hb, cq.n_hit_iters)
@@ -322,8 +327,10 @@ def _search_with_stats(index, q, stats_kwargs):
     rowids = np.asarray(out["rowid"])
     weights = np.asarray(out["weight"])
     found = int(out["found"])
-    return index._finish(q, cq, rowids, weights, found, t0,
-                         pf_out=out if cq.sig.emit_factors else None)
+    res = index._finish(q, cq, rowids, weights, found, t0,
+                        pf_out=out if cq.sig.emit_factors else None)
+    res.warm_plan = warm
+    return res
 
 
 def _search_rt_grouped(rt, q, parts):

@@ -197,6 +197,10 @@ class SearchIndex:
             return SearchResult([], 0, 0, 0.0, [], error=str(e))
         prof.append(("parse_and_plan", time.perf_counter() - t0))
 
+        from ..ops.search import plan_shape_was_warm
+        warm = plan_shape_was_warm(
+            cq.sig, self.packed.n_docs, max(self.schema.n_fields, 1),
+            cq.slot_pb, cq.slot_hb, cq.n_hit_iters)
         fn = get_search_fn(
             cq.sig, self.packed.n_docs, max(self.schema.n_fields, 1),
             cq.slot_pb, cq.slot_hb, cq.n_hit_iters,
@@ -212,6 +216,7 @@ class SearchIndex:
                            pf_out=out if cq.sig.emit_factors else None)
         prof.append(("finalize", time.perf_counter() - t2))
         res.profile = prof
+        res.warm_plan = warm
         if getattr(cq, "warning", ""):
             res.warning = cq.warning
         from ..query.explain import render_plan

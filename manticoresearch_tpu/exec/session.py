@@ -516,6 +516,29 @@ class Session:
         if q.sort and not q.group_by and tables:
             expr_sort = self._resolve_expr_sort(st, q, tables[0].schema,
                                                 tables[0])
+        group_agg_sort = None
+        if q.group_by and q.sort:
+            # ORDER BY an aggregate (AVG/SUM/MIN/MAX alias): the device
+            # groups under the default order, the host re-sorts group rows
+            # on the aggregate value (the reference's group sorter keys on
+            # m_tLocator of the aggregate attr, sphinxsort.cpp)
+            prim, asc0 = q.sort[0]
+            pl = prim.lower().replace(" ", "")
+            if _AGG_RE.match(prim) and not pl.startswith("count("):
+                # every group must exist before the max_matches cut — the
+                # reference's group sorter evicts by the aggregate key, so
+                # the kept groups are the BEST max_matches, not the first
+                try:
+                    nd = sum(getattr(self.catalog.get(n2), "n_docs", 0)
+                             for n2 in st.indexes)
+                except ValueError:
+                    nd = 0
+                group_agg_sort = (prim, asc0, q.offset,
+                                  q.limit if q.limit is not None else 20,
+                                  q.max_matches)
+                q = dc_replace(q, sort=None, offset=0,
+                               limit=max(q.max_matches, nd),
+                               max_matches=max(q.max_matches, nd))
         if len(tables) == 1:
             res = tables[0].search(q)
         elif q.group_by:
@@ -529,6 +552,17 @@ class Session:
                                          limit=q.offset + q.limit))
                      for t in tables]
             res = merge_part_results(parts, q, tables[0].schema)
+        if group_agg_sort is not None and res.error is None:
+            prim, asc0, off0, lim0, mm0 = group_agg_sort
+            key = next((k for k in (res.matches[0].attrs if res.matches
+                                    else {})
+                        if k.lower().replace(" ", "")
+                        == prim.lower().replace(" ", "")), prim)
+            res.matches.sort(
+                key=lambda m: (m.attrs.get(key) is not None,
+                               m.attrs.get(key) or 0),
+                reverse=not asc0)
+            res.matches = res.matches[:mm0][off0:off0 + lim0]
         if expr_sort is not None and res.error is None:
             tree, asc, offset, limit = expr_sort
             if tree == "__rand__":
@@ -798,6 +832,9 @@ class Session:
             except (ValueError, KeyError, IndexError):
                 pass
         opts = st.options
+        if "reverse_scan" in opts:
+            # parse-time rejection (searchdsql.cpp:599; golden test_239)
+            return None, "reverse_scan is deprecated"
         q = SearchQuery(
             match=match,
             filters=filters,
@@ -1469,18 +1506,81 @@ class Session:
             tok = Tokenizer(t.tok_settings)
             dic = Dictionary(t.dict_settings)
             total_docs, df = t.global_stats()
+            named = {k.lower(): v for k, v in (st.named or {}).items()}
             want_stats = False
             if len(st.args) > 2:
                 want_stats = str(st.args[2]).strip() in ("1", "true")
+            if "stats" in named:
+                want_stats = str(named["stats"]).strip() in ("1", "true")
+            fold_wild = str(named.get("fold_wildcards", "0")
+                            ).strip() in ("1", "true")
+            sort_mode = str(named.get("sort_mode", "")).strip().lower()
+            exp_limit = int(named.get("expansion_limit", 0) or 0)
             rows = []
             qpos = 0
-            for token in tok.tokenize(str(text)):
+            import fnmatch as _fn
+            import zlib as _zl
+
+            def _tokens_keeping_wildcards(s: str):
+                # the reference's keyword tokenizer keeps wildcard chars
+                # when the index allows expansion (AddPlainKeywords with
+                # the star-enabled tokenizer clone); our charset-driven
+                # tokenizer drops them, so wildcard-bearing pieces pass
+                # through case-folded as single tokens
+                from types import SimpleNamespace
+                for piece in s.split():
+                    if any(c in piece for c in "*?%"):
+                        yield SimpleNamespace(text=piece.lower())
+                    else:
+                        yield from tok.tokenize(piece)
+
+            for token in _tokens_keeping_wildcards(str(text)):
+                qpos += 1
+                if any(c in token.text for c in "*?%"):
+                    # wildcard expansion against the dict
+                    # (ISphQueryFilter::GetKeywords, sphinx.cpp:14172;
+                    # per-word entries dedup in CRC32-of-length-prefixed-
+                    # word order, DictEntryRtPayload_t::Convert,
+                    # sphinxrt.cpp:5385; golden test_364)
+                    pat = token.text.replace("%", "*")
+                    agg: dict[str, list[int]] = {}
+                    for seg in t.segments:
+                        p = seg.packed
+                        for tid, w in enumerate(p.term_strs):
+                            if _fn.fnmatchcase(w, pat):
+                                e = agg.setdefault(w, [0, 0])
+                                e[0] += int(p.term_docs[tid])
+                                e[1] += int(p.term_hits[tid])
+                    if exp_limit and len(agg) > exp_limit * max(
+                            len(t.segments), 1):
+                        agg = dict(sorted(
+                            agg.items(),
+                            key=lambda kv: (-kv[1][0], -kv[1][1])
+                        )[: exp_limit * max(len(t.segments), 1)])
+                    if fold_wild or not agg:
+                        d0 = sum(v[0] for v in agg.values())
+                        h0 = sum(v[1] for v in agg.values())
+                        row = (str(qpos), token.text, token.text)
+                        rows.append(row + ((str(d0), str(h0))
+                                           if want_stats else ()))
+                        continue
+
+                    def _crc(w: str) -> int:
+                        b = w.encode("utf-8")
+                        return _zl.crc32(bytes([len(b) & 0xFF]) + b) \
+                            & 0xFFFFFFFF
+                    for w in sorted(agg, key=lambda w: (_crc(w),
+                                                        w.encode())):
+                        row = (str(qpos), token.text, w)
+                        rows.append(row + ((str(agg[w][0]),
+                                            str(agg[w][1]))
+                                           if want_stats else ()))
+                    continue
                 terms = dic.process(token.text)
                 term = terms[0] if terms else None
                 # stopped keywords still consume a query position
                 # (GetKeywords m_iQpos from the tokenizer's counter;
                 # golden test_154: 'a bird' -> bird qpos=2)
-                qpos += 1
                 if term is None:
                     continue
                 if not want_stats:
@@ -1494,6 +1594,11 @@ class Session:
                         hits += int(seg.packed.term_hits[tid])
                 rows.append((str(qpos), token.text, term,
                              str(docs), str(hits)))
+            if want_stats and sort_mode in ("docs", "hits"):
+                # SortKeywords: qpos asc, docs|hits desc, normalized asc
+                # (KeywordSorterDocs_fn/KeywordSorter_fn, searchd.cpp:10866)
+                ki = 3 if sort_mode == "docs" else 4
+                rows.sort(key=lambda r: (int(r[0]), -int(r[ki]), r[2]))
             cols = ["qpos", "tokenized", "normalized"]
             if want_stats:
                 cols += ["docs", "hits"]

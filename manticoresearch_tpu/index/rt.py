@@ -264,10 +264,10 @@ class RtIndex:
         if dupes:
             self.delete(dupes)
         self.generation += 1
-        self.segments.append(_Segment(packed, SearchIndex(packed), docs))
-        si = len(self.segments) - 1
-        for d in docs:
-            self.docid_seg[d] = si
+        cid = self.next_chunk_id      # an attached index IS a disk chunk
+        self.next_chunk_id += 1
+        seg = _Segment(packed, SearchIndex(packed), docs, cid)
+        self._set_segments(self._chunks() + [seg] + self._ram_segs())
 
     # -- disk-chunk management (golden test_066) ---------------------------
     def _chunks(self) -> list[_Segment]:
@@ -649,8 +649,16 @@ class RtIndex:
             if hit is not None:
                 return hit
         res = search_rt(self, q)
+        # cold-compile launches carry XLA compile time, not query cost —
+        # they must not trip the wall-clock qcache threshold (the
+        # reference measures pure query time). RAM segments never cache:
+        # the reference's qcache keys disk-chunk identity only
+        # (sphinxqcache.cpp ties entries to a CSphIndex+TID; RAM chunks
+        # are excluded — golden test_229's counters stay 0 pre-flush).
         if qc is not None and res.error is None and \
-                res.time_ms >= qc.thresh_msec:
+                getattr(res, "warm_plan", True) and \
+                res.time_ms >= qc.thresh_msec and \
+                self.segments and not self._ram_segs():
             qc.put(key, res)
         return res
 
@@ -688,6 +696,7 @@ def rt_from_packed(name: str, packed, data_dir: str | None = None
     rt = RtIndex(name, packed.schema, packed.tokenizer_settings,
                  packed.dict_settings, data_dir=data_dir)
     docs = _docs_from_packed(packed)
-    rt.segments = [_Segment(packed, SearchIndex(packed), docs)]
+    rt.segments = [_Segment(packed, SearchIndex(packed), docs, 0)]
+    rt.next_chunk_id = 1
     rt.docid_seg = {d: 0 for d in docs}
     return rt

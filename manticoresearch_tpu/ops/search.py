@@ -286,6 +286,21 @@ def _eval_filter(spec: FilterSpec, attr, vals):
     return mask
 
 
+_seen_plan_shapes: set = set()
+
+
+def plan_shape_was_warm(sig, n_rows, n_fields, slot_pb=(), slot_hb=(),
+                        n_hit_iters=0) -> bool:
+    """True when this plan shape already compiled in this process.
+    First launches carry XLA compile time, which must not trip
+    wall-clock policies (the qcache_thresh_msec gate — the reference
+    measures pure query time, sphinxqcache.cpp)."""
+    k = (sig, n_rows, n_fields, slot_pb, slot_hb, n_hit_iters)
+    warm = k in _seen_plan_shapes
+    _seen_plan_shapes.add(k)
+    return warm
+
+
 @lru_cache(maxsize=512)
 def get_search_fn(sig: PlanSig, n_rows: int, n_fields: int,
                   slot_pb: tuple = (), slot_hb: tuple = (),

@@ -411,8 +411,13 @@ class SearchIndex:
                 return True, (lambda: res)
             return res
         gb_ad = self.schema.attr(q.group_by)
+        # bigint keys group host-side: the device key array is i32-clipped,
+        # which would collapse distinct 64-bit values (golden test_050)
         host_only = (gb_ad is not None
-                     and gb_ad.type.value in ("multi", "multi64"))
+                     and gb_ad.type.value in ("multi", "multi64",
+                                              "bigint"))
+        if gb_ad is None and self._expr_refs_bigint(q.group_by):
+            host_only = True   # expression keys over bigint attrs too
         if getattr(q, "group_n", 1) > 1:
             host_only = True   # GROUP N BY emits N member rows per group
         if q.within_sort:
@@ -458,6 +463,30 @@ class SearchIndex:
         if _defer:
             return True, _finish_grouped
         return _finish_grouped()
+
+    def _expr_refs_bigint(self, expr_text: str) -> bool:
+        """True when an expression references a bigint attr — such keys
+        must group host-side (device arrays are i32-clipped)."""
+        from ..query.expr import parse_expr
+        try:
+            tree = parse_expr(expr_text)
+        except Exception:   # noqa: BLE001 — non-expr keys group elsewhere
+            return False
+        found = False
+
+        def walk(t):
+            nonlocal found
+            if isinstance(t, (list, tuple)):
+                if len(t) >= 2 and t[0] == "attr" \
+                        and isinstance(t[1], str):
+                    ad = self.schema.attr(t[1])
+                    if ad is not None and ad.type.value == "bigint":
+                        found = True
+                for x in t:
+                    if isinstance(x, (list, tuple)):
+                        walk(x)
+        walk(tree)
+        return found
 
     def _plan_grouped(self, q: SearchQuery):
         """Plan a device GROUP BY query: (cq, gspec, aggs, agg_names,
@@ -861,7 +890,21 @@ def late_filters_for(q, schema) -> list:
     out = []
     for f in q.filters:
         nm = f.attr
-        if schema.attr(nm) is not None or nm in ("id", "@id"):
+        ad = schema.attr(nm)
+        if ad is not None and ad.type.value in ("multi", "multi64") \
+                and any(abs(int(v)) > 2**31 - 1
+                        for v in (f.values or [])
+                        ) or (ad is not None
+                              and ad.type.value in ("multi", "multi64")
+                              and any(x is not None
+                                      and abs(int(x)) > 2**31 - 1
+                                      for x in (f.lo, f.hi))):
+            # 64-bit MVA filter values exceed the device's i32 value
+            # pool — evaluate host-side over the match window
+            # (golden test_140 multi64 equality)
+            out.append(f)
+            continue
+        if ad is not None or nm in ("id", "@id"):
             continue
         import re as _re
         if _re.fullmatch(r"\w+(\.\w+)+", nm):

@@ -870,18 +870,15 @@ class Session:
             # implicit single-group aggregation: SELECT COUNT(*)/SUM(x)...
             # without GROUP BY groups the whole match set (reference
             # implicit-grouping semantics)
-            import re as _re
-            agg = _re.compile(r"^\s*(count|sum|min|max|avg|group_concat)"
-                              r"\s*\(", _re.IGNORECASE)
             exprs = [it.expr for it in st.items]
-            if exprs and any(agg.match(e) for e in exprs):
+            if exprs and any(_is_aggregate_expr(e) for e in exprs):
                 st = dc_replace(st, group_by="1")
                 q.group_by = "1"
         if st.group_by:
             # aggregates are recognized from raw expr text; args that
             # reference select aliases resolve to the aliased expressions
             q.select = [_resolve_agg_args(it.expr, st.items)
-                        if _AGG_RE.match(it.expr) else it.expr
+                        if _is_aggregate_expr(it.expr) else it.expr
                         for it in st.items]
             # ORDER BY may name a SELECT alias (ORDER BY c DESC with
             # count(*) AS c): resolve to the aggregate's expr text
@@ -1049,9 +1046,10 @@ class Session:
                 getters.append(lambda m, n=raw: m.attrs.get(
                     n, m.attrs.get(n.replace(" ", ""),
                                    m.attrs.get("packedfactors()", ""))))
-            elif lraw in ("count(*)", "@count") or lraw.startswith(
-                    ("count(", "sum(", "min(", "max(", "avg(",
-                     "group_concat(")):
+            elif lraw in ("count(*)", "@count") or (
+                    lraw.startswith(("count(", "sum(", "min(", "max(",
+                                     "avg(", "group_concat("))
+                    and _is_aggregate_expr(raw)):
                 # engine keys may carry alias-resolved args (test_412)
                 rkey = _resolve_agg_args(raw, st.items)
                 getters.append(lambda m, n=raw, n2=name, n3=rkey:
@@ -2321,6 +2319,28 @@ def _cond_to_filter(c: Cond):
 
 _AGG_RE = __import__("re").compile(
     r"^\s*(count|sum|min|max|avg|group_concat)\s*\(", __import__("re").I)
+
+
+def _is_aggregate_expr(e: str) -> bool:
+    """True for aggregate calls — but MIN(x,y)/MAX(x,y) with two args are
+    the SCALAR expression functions, not aggregates (ExprParser MIN/MAX
+    vs sphinxsort aggregates; golden test_050 'min(a,n) as sel')."""
+    m = _AGG_RE.match(e or "")
+    if not m:
+        return False
+    if m.group(1).lower() not in ("min", "max"):
+        return True
+    depth = 0
+    for ch in e[m.end():]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return False      # two top-level args: scalar MIN/MAX
+    return True
 
 
 def _resolve_agg_args(e: str, items) -> str:

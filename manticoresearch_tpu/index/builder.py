@@ -119,7 +119,10 @@ class PackedIndex:
             elif name in self.attrs_float:
                 vals = self.attrs_float[name]
             elif name in self.attrs_big:
-                vals = np.clip(self.attrs_big[name], -(2**31), 2**31 - 1)
+                # int64 values stay exact: the device only holds the
+                # rowid permutation; bound searches run host-side
+                # (golden test_050 bigint equality pre-selection)
+                vals = self.attrs_big[name]
             else:
                 raise KeyError(name)
             perm = np.argsort(vals, kind="stable").astype(np.int32)

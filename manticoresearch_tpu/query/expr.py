@@ -667,12 +667,22 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
         a = eval_expr_host(tree[1], row, weight, docid)
         b = eval_expr_host(tree[2], row, weight, docid)
         if op in ("add", "sub", "mul") and isinstance(a, int) \
-                and isinstance(b, int) and not _has_wide_int(tree):
+                and isinstance(b, int) and not _has_wide_int(tree) \
+                and abs(a) < 2**31 and abs(b) < 2**31:
             # int32 arithmetic wraps unless an operand is 64-bit typed
-            # (ExprParser widest-type rule: 1000000*1000000 overflows)
+            # (ExprParser widest-type rule: 1000000*1000000 overflows);
+            # a 64-bit VALUE (bigint attr) also promotes the whole
+            # expression to int64 (golden test_050: n+a over bigint n)
             r0 = {"add": a + b, "sub": a - b, "mul": a * b}[op]
             r0 &= 0xFFFFFFFF
             return r0 - (1 << 32) if r0 >= (1 << 31) else r0
+        if op in ("add", "sub", "mul") and isinstance(a, int) \
+                and isinstance(b, int):
+            # int64 context still wraps at 64 bits (C++ arithmetic;
+            # test_050: INT64_MAX + 100 wraps negative)
+            r0 = {"add": a + b, "sub": a - b, "mul": a * b}[op]
+            r0 &= (1 << 64) - 1
+            return r0 - (1 << 64) if r0 >= (1 << 63) else r0
         if a is None or isinstance(a, (list, dict)):
             a = 0   # JSON null/array/object coerce to 0 in numeric context
         if b is None or isinstance(b, (list, dict)):
@@ -750,9 +760,10 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
                 return None
             return int(min(nums) if name == "LEAST" else max(nums))
         if name == "ABS" and vals and isinstance(vals[0], int) \
-            and not _has_wide_int(args[0]):
+            and not _has_wide_int(args[0]) and abs(vals[0]) < 2**31:
             # int32 context: the argument wraps before ABS
-            # (ABS(CRC32('test')) = |(int)uCrc|)
+            # (ABS(CRC32('test')) = |(int)uCrc|); a 64-bit VALUE keeps
+            # the wide int64 path (bigint attrs, golden test_050)
             v = vals[0] & 0xFFFFFFFF
             vals = [v - (1 << 32) if v >= (1 << 31) else v]
         return _call_host(name, vals)

@@ -1479,15 +1479,6 @@ class GoldenEnv:
         if attrs.get("filter"):
             name = attrs["filter"]
             exclude = attrs.get("filter_exclude") == "1"
-            vals_probe = [attrs.get("filter_value"),
-                          attrs.get("filter_range")]
-            for vp in vals_probe:
-                if name != "id" and vp and \
-                        any(abs(int(x)) > 2**31 - 1 for x in
-                            re.findall(r"-?\d+", str(vp))):
-                    raise GoldenUnsupported(
-                        "attr filter beyond i32 (device filters are i32; "
-                        "64-bit attr filters land with the hi/lo split)")
             if attrs.get("filter_value") is not None:
                 filters.append(AttrFilterDef(
                     attr=name, kind="values",
@@ -1822,21 +1813,22 @@ class GoldenEnv:
                     tree = parse_expr(expr_s)
 
                     def _wide(t):
-                        if not isinstance(t, tuple):
+                        if not isinstance(t, (tuple, list)):
                             return False
-                        if t[0] == "id":
+                        if len(t) >= 1 and t[0] == "id":
                             return True
-                        if t[0] == "attr" and base_map.get(
+                        if len(t) >= 2 and t[0] == "attr" and base_map.get(
                                 t[1]) == SPH_ATTR_BIGINT:
                             return True
-                        if t[0] == "call" and t[1] in ("BIGINT", "SINT"):
+                        if len(t) >= 2 and t[0] == "call" \
+                                and t[1] in ("BIGINT", "SINT"):
                             return True
-                        return any(_wide(x) if isinstance(x, tuple)
-                                   else any(_wide(y) for y in x
-                                            if isinstance(y, tuple))
-                                   if isinstance(x, (tuple, list))
-                                   else False
-                                   for x in t[1:])
+                        if len(t) >= 2 and t[0] == "num" \
+                                and isinstance(t[1], (int, float)) \
+                                and abs(t[1]) >= 2**31:
+                            return True   # wide literal promotes to int64
+                        return any(_wide(x) for x in t
+                                   if isinstance(x, (tuple, list)))
                     sel_exprs[alias] = (tree, uint_names)
                     attrs_map[alias] = (SPH_ATTR_BIGINT if _wide(tree)
                                         else SPH_ATTR_INTEGER)
@@ -1939,9 +1931,18 @@ class GoldenEnv:
 
                 elif code == SPH_ATTR_BIGINT:
                     try:
-                        vals[aname] = int(v or 0)
+                        iv = int(v or 0)
                     except (TypeError, ValueError):
                         vals[aname] = v   # JSON group keys keep strings
+                        continue
+                    # the recorded models come from the x32 PHP client:
+                    # sphUnpackI64 (sphinxapi.php:323) returns an int only
+                    # for -2^31 <= v < 2^31 (v=0 prints via %u -> "0");
+                    # everything else stringifies
+                    if -(2**31) <= iv < 2**31 and iv != 0:
+                        vals[aname] = iv
+                    else:
+                        vals[aname] = str(iv)
                 else:
                     # uint/bool/timestamp render unsigned (PHP sprintf %u)
                     try:
@@ -2151,7 +2152,10 @@ def _render_cell(v) -> str:
 
 
 def _parse_range(s: str) -> tuple[int, int]:
-    m = re.match(r"\s*(-?\d+)\s*(?:[,:]|\s+|\s*-\s*)\s*(-?\d+)\s*$", s)
+    # NB: no \s* before the alternation — it would let the dash branch
+    # steal the sign of a space-separated negative bound
+    # ("-903 -900" must parse (-903, -900), not (-903, 900))
+    m = re.match(r"\s*(-?\d+)(?:\s*[,:]\s*|\s+|\s*-\s*)(-?\d+)\s*$", s)
     if not m:
         raise GoldenUnsupported(f"filter_range {s!r}")
     return int(m.group(1)), int(m.group(2))

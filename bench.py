@@ -256,6 +256,53 @@ def _run_batches(idx, gen_pair, n_batches, batch_size, budget_s,
     return qps, times
 
 
+def parity_recall_at_10(idx, gen, n_queries: int = 24) -> float:
+    """Couple the measured QPS to a parity-checked result set (VERDICT r4
+    #6): before timing, run single-term top-10 queries on the SAME built
+    index and compare the engine's (docid, weight) lists against an
+    independent HOST numpy model of the reference scoring semantics
+    (bm25part = trunc((idf*tf/(tf+K1) + 0.5) * 1000), rank = sum of
+    matched-field weights, weight = bm25part + rank*1000, ties docid asc
+    — sphinxsearch.cpp:1070,1129; sphinxsort.cpp:4534). Returns mean
+    recall@10 (1.0 = exact)."""
+    from manticoresearch_tpu.exec.searcher import SearchQuery
+
+    packed = idx.packed
+    total = 0.0
+    for qi in range(n_queries):
+        _w, term, _c = gen.term()
+        r = idx.search(SearchQuery(match=term, limit=10))
+        assert r.error is None, r.error
+        got = [(m.docid, m.weight) for m in r.matches]
+        # host model
+        tid = packed.term_id(term)
+        if tid < 0:
+            want = []
+        else:
+            t0, t1 = (int(packed.term_offsets[tid]),
+                      int(packed.term_offsets[tid + 1]))
+            rows = packed.post_rowid[t0:t1].astype(np.int64)
+            tfq = packed.post_tfq[t0:t1].astype(np.float32)
+            fm = packed.post_fieldmask[t0:t1]
+            cq = idx.plan(SearchQuery(match=term, limit=10))
+            idf = np.float32(np.asarray(cq.runtime["idf"])[0])
+            fw = np.asarray(cq.runtime["field_weights"]).astype(np.int64)
+            bm25part = np.trunc(
+                (idf * tfq + np.float32(0.5))
+                * np.float32(1000)).astype(np.int64)
+            rank = np.zeros(len(rows), np.int64)
+            for f in range(len(fw)):
+                rank += np.where((fm >> f) & 1, fw[f], 0)
+            w = bm25part + rank * 1000
+            order = np.lexsort((rows, -w))[:10]
+            docids = packed.doc_ids[rows[order]]
+            want = list(zip(docids.tolist(), w[order].tolist()))
+        hit = sum(1 for g in got if g in want)
+        denom = max(len(want), len(got), 1)
+        total += hit / denom
+    return round(total / max(n_queries, 1), 4)
+
+
 def _emit_error(err: str, stage: str):
     """Final-failure contract: ALWAYS print one parseable JSON line with an
     `error` field so the driver's `parsed` is never null (VERDICT r3 weak #1)."""
@@ -333,6 +380,7 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from manticoresearch_tpu.exec.searcher import SearchIndex
 
@@ -343,10 +391,21 @@ def main():
     rng = np.random.RandomState(7)
     gen = WorkloadGen(rng, args.vocab, packed)
 
+    # parity gate BEFORE timing (VERDICT r4 #6): the same built index must
+    # reproduce an independent host model of the reference scoring. QPS is
+    # only honest next to recall@10 = 1.0.
+    recall = parity_recall_at_10(idx, gen)
+    if recall < 1.0:
+        _emit_error(f"recall@10 parity failed: {recall} < 1.0 "
+                    "(device results diverge from the host reference "
+                    "model); refusing to report QPS", "parity")
+        return
+
     wanted = {c.strip() for c in args.configs.split(",")}
     deadline = (time.perf_counter() + args.deadline) if args.deadline \
         else None
     configs = {}
+    warnings: list[str] = []
     all_times: list[float] = []
     mains = [(cid, fn, b2) for cid, fn, b2 in (
         ("1_single_term_bm25", gen.config1, True),
@@ -354,24 +413,37 @@ def main():
         ("3_phrase_proximity", gen.config3, True),
         ("4_facet_groupby", gen.config4, True),
     ) if cid[0] in wanted]
+    # reserve tail slices for config 5 + the scale section so early
+    # compile storms can't consume their wall (BENCH_r04: scale was empty
+    # and config 3 silently dropped)
+    n_slices = len(mains) + (1 if "5" in wanted else 0) \
+        + (1 if str(args.scale_docs).strip(", ") else 0)
     t_cfg0 = time.perf_counter()
     for ci_, (cid, gen_fn, batched) in enumerate(mains):
-        if deadline is not None and time.perf_counter() > deadline:
-            break
         # per-config deadline slice: one config's compile storm (the
-        # tunnel recompiles everything; no persistent cache across the
-        # link) must not starve the rest — BENCH_r03/r04 lesson
+        # tunnel recompiles everything on a cold persistent cache) must
+        # not starve the rest — BENCH_r03/r04 lesson
         cfg_deadline = deadline
         if deadline is not None:
-            frac = (ci_ + 1) / (len(mains) + (1 if "5" in wanted else 0))
+            frac = (ci_ + 1) / max(n_slices, 1)
             cfg_deadline = min(deadline,
                                t_cfg0 + (deadline - t_cfg0) * frac)
+        if deadline is not None and time.perf_counter() > deadline:
+            configs[cid] = None
+            warnings.append(f"{cid}: global deadline exhausted before "
+                            "this config ran")
+            continue
         bs = args.batch if batched else max(args.batch // 8, 8)
         if cid.startswith("4"):
             bs = max(args.batch // 4, 8)   # grouped kernels are heavier
         qps, times = _run_batches(idx, gen_fn, args.batches, bs,
                                   args.budget, batched, cfg_deadline)
         if qps is None:
+            # a missing config must be an explicit null + warning, never
+            # a silent drop (VERDICT r4 weak #2)
+            configs[cid] = None
+            warnings.append(f"{cid}: deadline slice expired before one "
+                            "measured batch completed")
             continue
         configs[cid] = round(qps, 1)
         all_times += times
@@ -381,35 +453,55 @@ def main():
                   f"(batch p50 {np.percentile(times, 50)*1e3:.0f}ms)",
                   file=sys.stderr)
 
-    if "5" in wanted and (deadline is None
-                          or time.perf_counter() < deadline):
+    if "5" in wanted:
         # config 5: distributed over mesh shards (one shard per device;
         # on a single-chip link this still measures the shard_mapped
-        # program + packed posting path end-to-end)
-        import jax as _jax
-        from manticoresearch_tpu.parallel.sharded import ShardedIndex
-        D = min(8, len(_jax.devices()))
-        shards = build_corpus_shards(args.docs, args.vocab, args.avg_len,
-                                     D)
-        sidx = ShardedIndex(shards[:D])
-        qps, times = _run_batches(sidx, gen.config1, args.batches,
-                                  max(args.batch // 2, 8), args.budget,
-                                  batched=False, deadline=deadline)
-        if qps is not None:
-            configs[f"5_distributed_{len(shards[:D])}shard"] = round(qps, 1)
-            all_times += times
-            if args.verbose:
-                import sys
-                print(f"# 5_distributed ({D} shards): {qps:.1f} qps",
-                      file=sys.stderr)
+        # program + packed posting path end-to-end). Batched: one
+        # shard_mapped launch serves the whole batch (searchd.cpp:6737
+        # one-merged-chunk-per-agent, as one XLA program).
+        cid5 = "5_distributed"
+        if deadline is not None and time.perf_counter() > deadline:
+            configs[cid5] = None
+            warnings.append(f"{cid5}: global deadline exhausted")
+        else:
+            import jax as _jax
+            from manticoresearch_tpu.parallel.sharded import ShardedIndex
+            D = min(8, len(_jax.devices()))
+            shards = build_corpus_shards(args.docs, args.vocab,
+                                         args.avg_len, D)
+            sidx = ShardedIndex(shards[:D])
+            cfg_deadline = deadline
+            if deadline is not None:
+                frac = (len(mains) + 1) / max(n_slices, 1)
+                cfg_deadline = min(deadline,
+                                   t_cfg0 + (deadline - t_cfg0) * frac)
+            qps, times = _run_batches(sidx, gen.config1, args.batches,
+                                      args.batch, args.budget,
+                                      batched=True, deadline=cfg_deadline)
+            cid5 = f"5_distributed_{len(shards[:D])}shard"
+            if qps is not None:
+                configs[cid5] = round(qps, 1)
+                all_times += times
+                if args.verbose:
+                    import sys
+                    print(f"# {cid5} ({D} shards): {qps:.1f} qps",
+                          file=sys.stderr)
+            else:
+                configs[cid5] = None
+                warnings.append(f"{cid5}: deadline slice expired before "
+                                "one measured batch completed")
 
     # scale section: re-run key configs on a large corpus (VERDICT r2 #4:
     # prove the sparse pipeline at its own target scale — the >=400k-doc
     # gate activates here, and the packed store is what makes it fit)
     scale = {}
     for nd in [int(x) for x in str(args.scale_docs).split(",") if x]:
-        if nd <= 0 or (deadline is not None
-                       and time.perf_counter() > deadline - 120):
+        if nd <= 0:
+            continue
+        if deadline is not None and time.perf_counter() > deadline - 60:
+            scale[f"{nd // 1000}k_docs"] = None
+            warnings.append(f"scale {nd // 1000}k: deadline exhausted "
+                            "before the corpus was built")
             continue
         t0 = time.perf_counter()
         p2 = build_corpus(nd, args.vocab, args.avg_len, seed=43)
@@ -421,7 +513,9 @@ def main():
             if cid[0] not in wanted:
                 continue
             if deadline is not None and time.perf_counter() > deadline:
-                break
+                sc[cid] = None
+                warnings.append(f"scale {nd // 1000}k {cid}: deadline")
+                continue
             qps2, t2 = _run_batches(idx2, fn, args.batches, args.batch,
                                     args.budget, True, deadline)
             if qps2 is not None:
@@ -430,8 +524,11 @@ def main():
                     import sys
                     print(f"# scale {nd//1000}k {cid}: {qps2:.1f} qps",
                           file=sys.stderr)
-        if len(sc) > 1:
-            scale[f"{nd // 1000}k_docs"] = sc
+            else:
+                sc[cid] = None
+                warnings.append(f"scale {nd // 1000}k {cid}: deadline "
+                                "slice expired")
+        scale[f"{nd // 1000}k_docs"] = sc
         del idx2, p2, gen2
 
     # rough device-bandwidth accounting (VERDICT r3 weak #10): the dense
@@ -445,16 +542,19 @@ def main():
     util = {}
     n_bytes_doc = 4 * 4 * (args.docs + 1)
     for cid, qps in configs.items():
+        if qps is None:
+            continue
         per_q = n_bytes_doc
         gbs = qps * per_q / 1e9
         util[cid] = {"est_gbs": round(gbs, 1),
                      "pct_hbm_peak": round(100 * gbs / V5E_HBM_GBS, 1)}
 
     # headline: configs 1+2 blended (the round-1 comparable number)
-    head = [v for k, v in configs.items() if k[0] in "12"]
+    meas = {k: v for k, v in configs.items() if v is not None}
+    head = [v for k, v in meas.items() if k[0] in "12"]
     headline = round(float(np.mean(head)) if head
-                     else float(np.mean(list(configs.values())))
-                     if configs else 0.0, 1)
+                     else float(np.mean(list(meas.values())))
+                     if meas else 0.0, 1)
     lat = {
         "batch_p50_ms": round(float(np.percentile(all_times, 50)) * 1e3, 1),
         "batch_p99_ms": round(float(np.percentile(all_times, 99)) * 1e3, 1),
@@ -464,16 +564,20 @@ def main():
         print(f"# build={t_build:.1f}s docs={args.docs} "
               f"postings={packed.n_postings}", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": f"mixed_boolean_bm25_top10_qps_{args.docs // 1000}k_docs",
         "value": headline,
         "unit": "qps",
         "vs_baseline": round(headline / VS_BASELINE_QPS, 3),
+        "recall_at_10": recall,
         "configs": configs,
         "scale": scale,
         "latency_ms": lat,
         "utilization": util,
-    }))
+    }
+    if warnings:
+        out["warnings"] = warnings
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

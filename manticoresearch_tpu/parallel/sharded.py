@@ -297,7 +297,20 @@ class ShardedIndex:
             lambda x: jax.device_put(x, sharding), data)
 
     # ------------------------------------------------------------------
+    def _merge_k(self, sig: PlanSig) -> tuple[int, int]:
+        """(k_local, k): per-shard chunk size and merged-result size."""
+        k_local = max(1, min(sig.k, self.n_common))
+        return k_local, min(sig.k, len(self.shards) * k_local)
+
     def _sharded_fn(self, sig: PlanSig, slot_pb, slot_hb, n_hit_iters):
+        """One shard_mapped XLA program serving a whole BATCH of same-shape
+        queries: per-shard kernels vmapped over the batch, per-shard top-k
+        chunks merged with an all_gather over ICI + a replicated multi-key
+        sort (one pre-merged chunk per shard, like agents return one chunk
+        each — searchd.cpp:6737; merge = MinimizeAggrResult semantics,
+        searchd.cpp:4816,3990). Output is ONE packed i32 array
+        [B, 5k+1] = weight[k] ++ docid_hi[k] ++ docid_lo[k] ++ rowid[k] ++
+        shard[k] ++ found, so a batch pays a single device->host fetch."""
         key = (sig, slot_pb, slot_hb, n_hit_iters)
         if key in self._fn_cache:
             return self._fn_cache[key]
@@ -305,36 +318,38 @@ class ShardedIndex:
         N = self.n_common
         F = max(self.schema.n_fields, 1)
         D = len(self.shards)
-        # per-shard top-k is clamped to the shard row space; the merge then
-        # restores the requested k (one pre-merged chunk per shard, like
-        # agents return one chunk each — searchd.cpp:6737)
         from dataclasses import replace
-        k_local = max(1, min(sig.k, N))
+        k_local, k = self._merge_k(sig)
         kern = build_kernel(replace(sig, k=k_local), N, F, slot_pb,
                             slot_hb, n_hit_iters)
         axis = self.axis
-        k = min(sig.k, D * k_local)
 
         order = sig.order
 
         def per_shard(data, rt_shard, rt_repl):
             # shard_map keeps the sharded axis as a size-1 leading dim
             data = jax.tree.map(lambda x: x[0], data)
-            rt_shard = jax.tree.map(lambda x: x[0], rt_shard)
-            rt = {**rt_shard, **rt_repl}
-            out = kern(data, rt)
-            rid = out["rowid"]
+            rt_shard = jax.tree.map(lambda x: x[0], rt_shard)  # (B, ...)
+
+            def one(rs, rr):
+                return kern(data, {**rs, **rr})
+
+            out = jax.vmap(one)(rt_shard, rt_repl)
+            rid = out["rowid"]          # (B, k_local)
             w = out["weight"]
+            B = rid.shape[0]
             hi = data["docid_hi"][rid]
             lo = data["docid_lo"][rid]
-            gw = jax.lax.all_gather(w, axis).reshape(-1)
-            ghi = jax.lax.all_gather(hi, axis).reshape(-1)
-            glo = jax.lax.all_gather(lo, axis).reshape(-1)
-            grid = jax.lax.all_gather(rid, axis).reshape(-1)
-            gshard = jnp.repeat(
-                jnp.arange(D, dtype=jnp.int32), k_local,
-                total_repeat_length=gw.shape[0])
-            found = jax.lax.psum(out["found"], axis)
+
+            def g(x):                   # (B, kl) -> (B, D*kl)
+                return jax.lax.all_gather(x, axis) \
+                    .transpose(1, 0, 2).reshape(B, -1)
+
+            gw, ghi, glo, grid = g(w), g(hi), g(lo), g(rid)
+            gshard = jnp.broadcast_to(
+                jnp.repeat(jnp.arange(D, dtype=jnp.int32), k_local),
+                (B, D * k_local))
+            found = jax.lax.psum(out["found"], axis)    # (B,)
             if order[0] == "attr":
                 # attr-ordered merge: the sort key (numeric attr value)
                 # rides the gather; ties break (docid asc) like the
@@ -351,32 +366,20 @@ class ShardedIndex:
                 # entries past the shard's own match count are garbage
                 # rows (the attr-ordered kernel fills the chunk): they
                 # must sort last in the merge
-                local_found = out["found"]
-                valid = jnp.arange(k_local, dtype=jnp.int32) < local_found
+                valid = (jnp.arange(k_local, dtype=jnp.int32)[None, :]
+                         < out["found"][:, None])
                 sortk = jnp.where(valid, sortk, pad)
-                gk = jax.lax.all_gather(sortk, axis).reshape(-1)
+                gk = g(sortk)
                 _, shi, slo, sw2, srid, sshard = jax.lax.sort(
                     (gk, ghi, glo, gw, grid, gshard), num_keys=3)
-                return {
-                    "weight": sw2[:k],
-                    "docid_hi": shi[:k],
-                    "docid_lo": slo[:k],
-                    "rowid": srid[:k],
-                    "shard": sshard[:k],
-                    "found": found,
-                }
-            # merged order: weight desc, docid asc  (MinimizeAggrResult /
-            # MergeAllMatches semantics, searchd.cpp:4816,3990)
-            sw, shi, slo, srid, sshard = jax.lax.sort(
-                (~gw, ghi, glo, grid, gshard), num_keys=3)
-            return {
-                "weight": ~sw[:k],
-                "docid_hi": shi[:k],
-                "docid_lo": slo[:k],
-                "rowid": srid[:k],
-                "shard": sshard[:k],
-                "found": found,
-            }
+            else:
+                # merged order: weight desc, docid asc
+                nw, shi, slo, srid, sshard = jax.lax.sort(
+                    (~gw, ghi, glo, grid, gshard), num_keys=3)
+                sw2 = ~nw
+            return jnp.concatenate(
+                [sw2[:, :k], shi[:, :k], slo[:, :k], srid[:, :k],
+                 sshard[:, :k], found[:, None]], axis=1)
 
         smapped = shard_map(
             per_shard,
@@ -454,16 +457,18 @@ class ShardedIndex:
         return self._ustore
 
     def search(self, q):
-        from ..exec.searcher import Match, SearchResult, WordStat
-        import time
-        t0 = time.perf_counter()
+        return self.search_batch([q])[0]
+
+    def _prep(self, q):
+        """Classify + lower one query for the shard_mapped program.
+        Returns ("fallback", None) when the query needs per-shard kernels
+        with a host merge, ("error", msg) on plan errors, or
+        ("ok", (cq, rt_shard, rt_repl, slot_pb, slot_hb, n_hit_iters))
+        with HOST (un-device_put) runtime arrays — rt_shard leaves are
+        (D, ...), rt_repl leaves are per-query."""
         if getattr(q, "group_by", None):
-            # grouped queries: per-shard grouped kernels + exact host merge
-            # (COUNT/SUM/MIN/MAX; same semantics as RT segment merge)
-            from ..exec.multi import search_grouped_parts
-            return search_grouped_parts(
-                self._per_shard_indexes(), q, self.schema,
-                single_part_hint="query a single shard for exact distinct")
+            return "fallback", None
+
         def _host_merge_filter(f) -> bool:
             # string ordinals and JSON columns are per-shard structures;
             # such filters run on per-shard kernels + host merge
@@ -486,23 +491,21 @@ class ShardedIndex:
             rest = [c for c, _a in sort[1:] if c not in ("id", "@id")]
             return not rest
 
-        needs_per_shard = (
-            any(_host_merge_filter(f) for f in (q.filters or []))
-            or not _ici_sortable())
-        if needs_per_shard:
+        if (any(_host_merge_filter(f) for f in (q.filters or []))
+                or not _ici_sortable()):
             # per-shard kernels + host merge, with GLOBAL term stats so
             # weights match the single shard_mapped program (SetupLocalDF)
-            return self._per_shard_search(q)
+            return "fallback", None
         try:
             cq = self.plan(q)
         except (ValueError, NotImplementedError) as e:
-            return SearchResult([], 0, 0, 0.0, [], error=str(e))
+            return "error", str(e)
 
         if any(e[4] for e in cq.sig.slot_limited):
             # ZONE-limited slots: zone span arrays are per-shard (ragged),
             # so run per-shard kernels + host merge instead of one
             # shard_mapped program
-            return self._per_shard_search(q)
+            return "fallback", None
 
         S = max(cq.sig.n_slots, 1)
         D = len(self.shards)
@@ -561,20 +564,98 @@ class ShardedIndex:
         for k in ("qpos_fold", "slot_fold", "gidf"):
             if k in cq.runtime:
                 rt_repl[k] = cq.runtime[k]
+        return "ok", (cq, rt_shard, rt_repl, slot_pb, slot_hb, n_hit_iters)
+
+    def search_batch(self, queries):
+        """Batched distributed execution: queries grouped by plan shape
+        share ONE shard_mapped launch and ONE packed fetch (the same
+        multi-query batching the single-index path has —
+        exec/searcher.py:search_batch — applied to the agent fan-out
+        analog: every query in the batch scatter-gathers across all
+        shards inside one XLA program)."""
+        import time
+        from ..exec.searcher import SearchResult
+        t0 = time.perf_counter()
+        results: list = [None] * len(queries)
+        bundles: dict[int, tuple] = {}
+        groups: dict[tuple, list[int]] = {}
+        for i, q in enumerate(queries):
+            st, val = self._prep(q)
+            if st == "error":
+                results[i] = SearchResult([], 0, 0, 0.0, [], error=val)
+            elif st == "fallback":
+                results[i] = self._fallback_search(q)
+            else:
+                bundles[i] = val
+                cq = val[0]
+                groups.setdefault((cq.sig, val[3], val[4], val[5]),
+                                  []).append(i)
+
         sharding = NamedSharding(self.mesh, P(self.axis))
         repl = NamedSharding(self.mesh, P())
-        rt_shard = jax.tree.map(lambda x: jax.device_put(x, sharding), rt_shard)
-        rt_repl = jax.tree.map(lambda x: jax.device_put(np.asarray(x), repl), rt_repl)
+        # phase 1: dispatch every group's launch asynchronously
+        pending = []
+        for (sig, pb, hb, nhi), idxs in groups.items():
+            fn = self._sharded_fn(sig, pb, hb, nhi)
+            # pad the batch dim to a pow2 so group size doesn't multiply
+            # compile shapes (dummy slots repeat the last query)
+            B = 1
+            while B < len(idxs):
+                B <<= 1
+            rss = [bundles[i][1] for i in idxs]
+            rrs = [bundles[i][2] for i in idxs]
+            rss += [rss[-1]] * (B - len(rss))
+            rrs += [rrs[-1]] * (B - len(rrs))
+            # rt_shard leaves (D, ...) -> (D, B, ...); rt_repl -> (B, ...)
+            rt_shard = jax.tree.map(
+                lambda *xs: np.stack(xs, axis=1), *rss)
+            rt_repl = jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *rrs)
+            rt_shard = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), rt_shard)
+            rt_repl = jax.tree.map(
+                lambda x: jax.device_put(x, repl), rt_repl)
+            pending.append((idxs, fn(self.data, rt_shard, rt_repl)))
+        # phase 2: ONE device->host fetch for all groups
+        outs = [p[1] for p in pending]
+        if len(outs) > 1:
+            flat = jnp.concatenate([o.reshape(-1) for o in outs])
+            fh = np.asarray(flat)
+            fetched = []
+            off = 0
+            for o in outs:
+                size = int(np.prod(o.shape))
+                fetched.append(fh[off:off + size].reshape(o.shape))
+                off += size
+        else:
+            fetched = [np.asarray(o) for o in outs]
+        # phase 3: unpack + render
+        for (idxs, _), pout in zip(pending, fetched):
+            for bi, i in enumerate(idxs):
+                cq = bundles[i][0]
+                _, k = self._merge_k(cq.sig)
+                row = pout[bi]
+                results[i] = self._render_merged(
+                    queries[i], cq, row[:k], row[k:2 * k],
+                    row[2 * k:3 * k], row[3 * k:4 * k],
+                    row[4 * k:5 * k], int(row[5 * k]), t0)
+        return results
 
-        fn = self._sharded_fn(cq.sig, slot_pb, slot_hb, n_hit_iters)
-        out = fn(self.data, rt_shard, rt_repl)
+    def _fallback_search(self, q):
+        if getattr(q, "group_by", None):
+            # grouped queries: per-shard grouped kernels + exact host merge
+            # (COUNT/SUM/MIN/MAX; same semantics as RT segment merge)
+            from ..exec.multi import search_grouped_parts
+            return search_grouped_parts(
+                self._per_shard_indexes(), q, self.schema,
+                single_part_hint="query a single shard for exact distinct")
+        return self._per_shard_search(q)
 
-        w = np.asarray(out["weight"])
-        hi = np.asarray(out["docid_hi"]).astype(np.int64)
-        lo = np.asarray(out["docid_lo"]).astype(np.int64)
-        rid = np.asarray(out["rowid"])
-        shard = np.asarray(out["shard"])
-        found = int(out["found"])
+    def _render_merged(self, q, cq, w, hi, lo, rid, shard, found, t0):
+        import time
+        from ..exec.searcher import Match, SearchResult, WordStat
+        hi = hi.astype(np.int64)
+        lo = lo.astype(np.int64)
 
         n_avail = min(found, cq.sig.k)
         keep = w[:n_avail] != INT32_MIN

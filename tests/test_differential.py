@@ -106,6 +106,23 @@ def corpora():
     return single, rt, sharded
 
 
+def _tie_normalized(matches, limit=30):
+    """Canonicalize equal-weight runs: [(weight, sorted docids)] — except
+    a final run clipped by the result window keeps only its count (which
+    docids survive the clip is a sorter artifact on both sides)."""
+    runs: list[tuple[int, list[int]]] = []
+    for m in matches:
+        if runs and runs[-1][0] == m.weight:
+            runs[-1][1].append(m.docid)
+        else:
+            runs.append((m.weight, [m.docid]))
+    out = []
+    for i, (w, ids) in enumerate(runs):
+        clipped = (i == len(runs) - 1 and len(matches) == limit)
+        out.append((w, len(ids) if clipped else sorted(ids)))
+    return out
+
+
 def test_differential_random_queries(corpora):
     single, rt, sharded = corpora
     rng = np.random.RandomState(99)
@@ -120,9 +137,14 @@ def test_differential_random_queries(corpora):
         assert r3.error is None, (q.match, r3.error)
         ids1 = [m.docid for m in r1.matches]
         ws1 = [m.weight for m in r1.matches]
-        assert [m.docid for m in r2.matches] == ids1, \
+        # RT order within full-tie runs is the shared match-queue's pop
+        # artifact keyed on SEGMENT-local rowids (sphinxsort.cpp:4534
+        # MatchRelevanceLt_fn; our ref_queue_order emulation, anchored by
+        # golden test_066) — the reference's RT diverges from a plain
+        # index there too, so compare with ties normalized docid-asc.
+        assert _tie_normalized(r2.matches) == _tie_normalized(r1.matches), \
             f"RT diverged on {q.match!r}"
-        assert [m.weight for m in r2.matches] == ws1, \
+        assert sorted(m.weight for m in r2.matches) == sorted(ws1), \
             f"RT weights diverged on {q.match!r}"
         assert [m.docid for m in r3.matches] == ids1, \
             f"sharded diverged on {q.match!r}"

@@ -171,3 +171,41 @@ class TestIciAttrOrder:
                                                d["id"]))[:20]
             got = [(m.attrs[col], m.docid) for m in r.matches]
             assert got == [(d[col], d["id"]) for d in want], (col, asc)
+
+
+def test_search_batch_equals_sequential(single, sharded):
+    """search_batch must return exactly what per-query search returns —
+    one shard_mapped launch per plan shape, one fetch for the whole batch
+    (the batched agent fan-out; exec/searcher.py:search_batch is the
+    single-index analog)."""
+    gq = SearchQuery(match="alpha", group_by="year",
+                     select=["count(*)"], sort=[("year", True)], limit=50)
+    batch = list(QUERIES) + list(QUERIES_POSITIONAL) + [gq]
+    rs_batch = sharded.search_batch(batch)
+    for q, rb in zip(batch, rs_batch):
+        r1 = single.search(q)
+        assert (rb.error is None) == (r1.error is None), (rb.error, r1.error)
+        assert rb.total_found == r1.total_found
+        if q.group_by:
+            # grouped: key+count parity (group representatives may differ
+            # between the part merge and the single engine)
+            assert [(m.attrs["year"], m.attrs["count(*)"])
+                    for m in rb.matches] == \
+                [(m.attrs["year"], m.attrs["count(*)"])
+                 for m in r1.matches]
+            continue
+        assert [m.docid for m in rb.matches] == [m.docid for m in r1.matches]
+        assert [m.weight for m in rb.matches] == \
+            [m.weight for m in r1.matches]
+
+
+def test_search_batch_mixed_shapes(sharded, single):
+    """A batch mixing several plan shapes still groups correctly and pads
+    each group to a pow2 batch dim."""
+    batch = [SearchQuery(match="alpha"), SearchQuery(match="beta"),
+             SearchQuery(match="gamma"), SearchQuery(match="search engine"),
+             SearchQuery(match="kappa"), SearchQuery(match="zeta")]
+    rs = sharded.search_batch(batch)
+    for q, rb in zip(batch, rs):
+        r1 = single.search(q)
+        assert [m.docid for m in rb.matches] == [m.docid for m in r1.matches]

@@ -121,6 +121,138 @@ def ref_queue_order(keys, size):
     return out
 
 
+def sph_sort_indices(n: int, is_less) -> list[int]:
+    """Faithful replica of the reference's sphSort (sphinxstd.h:818):
+    iterative quicksort (median = middle element) with an insertion sort
+    below 33 elements and a heapsort depth-limit fallback. The insertion
+    sort shifts while NOT strictly less, so EQUAL elements come out in
+    REVERSED input order — an observable artifact (golden test_226's MVA
+    facets tie on the group rep's rowid and surface reversed). Returns
+    the permuted index list; is_less(i, j) is the comparator over the
+    ORIGINAL indices."""
+    data = list(range(n))
+    if n < 2:
+        return data
+
+    def sift_down(start: int, end: int) -> None:
+        while True:
+            child = start * 2 + 1
+            if child > end:
+                return
+            if child + 1 <= end and is_less(data[child], data[child + 1]):
+                child += 1
+            if is_less(data[child], data[start]):
+                return
+            data[child], data[start] = data[start], data[child]
+            start = child
+
+    def heap_sort(a: int, cnt: int) -> None:
+        if cnt <= 1:
+            return
+        sub = data[a:a + cnt]
+
+        def sless(i, j):
+            return is_less(sub[i], sub[j])
+        # local heapsort over the slice (mirrors sphHeapSort)
+        def sift(start, end):
+            while True:
+                c = start * 2 + 1
+                if c > end:
+                    return
+                if c + 1 <= end and sless(c, c + 1):
+                    c += 1
+                if sless(c, start):
+                    return
+                sub[c], sub[start] = sub[start], sub[c]
+                start = c
+        for s in range((cnt - 2) >> 1, -1, -1):
+            sift(s, cnt - 1)
+        end = cnt - 1
+        while end > 0:
+            sub[0], sub[end] = sub[end], sub[0]
+            end -= 1
+            sift(0, end)
+        data[a:a + cnt] = sub
+
+    SMALL_THRESH = 32
+    depth_limit = max(n.bit_length() - 1, 1)
+    depth_limit = ((depth_limit << 2) + depth_limit) >> 1  # x2.5
+
+    st0 = [0]
+    st1 = [n - 1]
+    while st0:
+        a = st0.pop()
+        b = st1.pop()
+        i, j = a, b
+        if not st0:
+            depth_limit -= 1
+            if not depth_limit:
+                heap_sort(a, b - a + 1)
+                return data
+        ln = b - a
+        if ln <= SMALL_THRESH:
+            for ii in range(a + 1, b + 1):
+                jj = ii
+                while jj > a:
+                    if is_less(data[jj - 1], data[jj]):
+                        break
+                    data[jj], data[jj - 1] = data[jj - 1], data[jj]
+                    jj -= 1
+            continue
+        x = data[a + ln // 2]
+        # NB: i and j are intentionally NOT reset between iterations —
+        # the second pass of this loop only pushes the other half
+        # (verbatim control flow from sphinxstd.h:873-898)
+        while a < b:
+            while i <= j:
+                while is_less(data[i], x):
+                    i += 1
+                while is_less(x, data[j]):
+                    j -= 1
+                if i <= j:
+                    data[i], data[j] = data[j], data[i]
+                    i += 1
+                    j -= 1
+            if j - a >= b - i:
+                if a < j:
+                    st0.append(a)
+                    st1.append(j)
+                a = i
+            else:
+                if i < b:
+                    st0.append(i)
+                    st1.append(b)
+                b = j
+    return data
+
+
+def ref_group_sort(entries) -> list[int]:
+    """SortGroups() emulation (sphinxsort.cpp:3303): order group rows the
+    way the reference's grouped sorter flattens them.
+
+    entries: list in GROUP-CREATION order of (sort_keys, rowid) where
+    sort_keys is a list of (value, desc) pairs from the ORDER BY clause
+    and rowid is the group REPRESENTATIVE's rowid. The comparator is
+    GroupSorter_fn (operands inverted so best sorts first,
+    sphinxsort.cpp:1796) over MatchGeneric*_fn keys with the rowid-asc
+    fallthrough (sphinxsort.cpp:4678); full rowid ties (MVA groups
+    sharing a rep) surface in sphSort's tie-reversed order."""
+    def comp_less(ia: int, ib: int) -> bool:
+        # GroupSorter_fn::IsLess(a,b) = COMP::IsLess(m[b], m[a]):
+        # "b worse than a" -> a first
+        ka, ra = entries[ia]
+        kb, rb = entries[ib]
+        for (va, desc), (vb, _d) in zip(ka, kb):
+            if va != vb:
+                try:
+                    gt = vb > va
+                except TypeError:
+                    gt = str(vb) > str(va)
+                return bool(desc) ^ bool(gt)
+        return rb > ra
+    return sph_sort_indices(len(entries), comp_less)
+
+
 def merge_word_stats(results):
     """Sum per-term docs/hits across part results, first-seen term order."""
     from .searcher import WordStat

@@ -995,8 +995,14 @@ def host_group_matches(matches, q):
             return v
         return v if not isinstance(v, dict) else str(v)
 
+    # group-creation order = push order: parts sequentially, each part in
+    # scan (rowid) order; MVA values expand in stored (sorted) order.
+    # This order is observable through SortGroups()'s tie handling
+    # (ref_group_sort) — full ties surface REVERSED.
     groups: dict = {}
-    for m in matches:
+    for m in sorted(matches,
+                    key=lambda m2: (getattr(m2, "_part", 0),
+                                    getattr(m2, "_rowid", m2.docid))):
         k0 = keyof(m)
         for k1 in (k0 if isinstance(k0, list) else [k0]):
             groups.setdefault(k1, []).append(m)
@@ -1090,30 +1096,51 @@ def host_group_matches(matches, q):
                 attrs[sel] = sum(nums) / len(nums)
         # GROUP N BY: up to N member rows per group, each carrying the
         # group's aggregates (CSphKBufferNGroupSorter)
+        grp_rows = []
         for rep2 in ms[:n_rep]:
             a2 = dict(attrs)
             a2.update(rep2.attrs)
             if not isinstance(rep2.attrs.get(q.group_by), list):
                 a2[q.group_by] = key
             a2["@groupby"] = key
-            rows.append(Match(rep2.docid, rep2.weight, a2))
+            grp_rows.append(Match(rep2.docid, rep2.weight, a2))
+        rows.append((grp_rows, rep, len(ms)))
 
-    primary, asc = (q.sort or [("weight", False)])[0]
-    if primary in ("@count", "count(*)"):
-        rows.sort(key=lambda m: (m.attrs.get("count(*)", 0), -m.docid),
-                  reverse=not asc)
-    elif primary == q.group_by or primary.lower().replace(" ", "") in (
-            "@groupby", "@group", "groupby()"):
-        rows.sort(key=lambda m: (m.attrs.get("@groupby") is None,
-                                 m.attrs.get("@groupby")
-                                 if isinstance(m.attrs.get("@groupby"),
-                                               (int, float))
-                                 else str(m.attrs.get("@groupby"))),
-                  reverse=not asc)
-    elif primary in ("id", "@id"):
-        rows.sort(key=lambda m: m.docid, reverse=not asc)
-    else:
-        rows.sort(key=lambda m: m.weight, reverse=not asc)
+    # group ordering: the reference's SortGroups() — ORDER BY keys with
+    # the rep-rowid fallthrough, and sphSort's observable tie handling
+    # (exec/multi.py ref_group_sort)
+    from .multi import ref_group_sort
+
+    def _group_keys(grp_rows, rep, cnt):
+        ks = []
+        head = grp_rows[0]
+        for col, asc2 in (q.sort or [("weight", False)]):
+            lc = col.lower().replace(" ", "")
+            if lc in ("@count", "count(*)"):
+                v: object = cnt
+            elif lc in ("weight", "@weight", "weight()"):
+                v = rep.weight
+            elif lc in ("@groupby", "@group", "groupby()") \
+                    or col == q.group_by:
+                gv = head.attrs.get("@groupby")
+                v = (gv if isinstance(gv, (int, float, bool))
+                     else str(gv))
+            elif lc in ("id", "@id"):
+                v = rep.docid
+            else:
+                v = head.attrs.get(col, 0)
+                if v is None:
+                    v = 0
+                elif not isinstance(v, (int, float, bool)):
+                    v = str(v)
+            ks.append((v, not asc2))
+        return ks
+
+    ents = [(_group_keys(gr, rep3, cnt3),
+             getattr(rep3, "_rowid", rep3.docid))
+            for gr, rep3, cnt3 in rows]
+    order2 = ref_group_sort(ents)
+    rows = [m for gi in order2 for m in rows[gi][0]]
 
     # the grouper buffer holds at most max_matches GROUPS
     # (CSphKBufferGroupSorter size; golden test_180 option max_matches=2

@@ -36,6 +36,24 @@ _COLUMN_TYPES = {
 }
 
 
+class _NegWrap:
+    """Inverts comparison for one key of a mixed-type host sort (DESC)."""
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, o):
+        a, b = self.v, o.v
+        try:
+            return b < a
+        except TypeError:
+            return str(b) < str(a)
+
+    def __eq__(self, o):
+        return self.v == o.v
+
+
 @dataclass
 class QLResult:
     columns: list[str] = field(default_factory=list)
@@ -314,21 +332,37 @@ class Session:
         self.state = "query"
         self.current_info = sql[:512]
         t0 = time.perf_counter()
+        # the leading run of SELECTs forms one shared SearchHandler batch:
+        # its multiplier row must land in last_meta BEFORE any trailing
+        # SHOW META in the same batch reads it (test_226 'select ...
+        # facet ...; show meta')
+        sel_prefix: list = []
+        prefix_open = True
         for piece in pieces:
             try:
                 stmts = parse_sql(piece)
             except SqlParseError as e:
+                if prefix_open:
+                    self._apply_multiplier_meta(sel_prefix)
+                    prefix_open = False
                 msg = str(e)
                 if not msg.startswith("sphinxql:"):
                     msg = f"sphinxql: syntax error: {msg}"
                 out.append(QLResult.err(msg))
                 continue
             for st in stmts:
+                if prefix_open and not isinstance(st, SelectStmt):
+                    self._apply_multiplier_meta(sel_prefix)
+                    prefix_open = False
                 try:
                     out.extend(self._dispatch(st))
+                    if prefix_open:
+                        sel_prefix.append(st)
                 except (ValueError, ExprError, NotImplementedError,
                         KeyError) as e:
                     out.append(QLResult.err(str(e)))
+        if prefix_open:
+            self._apply_multiplier_meta(sel_prefix)
         self.last_job_took = time.perf_counter() - t0
         self.work_time += self.last_job_took
         self.state = "net_idle"
@@ -496,6 +530,29 @@ class Session:
             return [QLResult.err(err)]
 
         tables = [self.catalog.get(n) for n in st.indexes]
+        if st.facets:
+            # facet aliases must not collide with the head query's output
+            # columns or each other (the reference's facet schema merge
+            # rejects duplicate dynamic attrs; test_226 'facet brand_id
+            # as price' against a selected 'price')
+            names = set()
+            for it in st.items:
+                if it.expr.strip() == "*":
+                    names.add("id")
+                    names.update(a.name.lower()
+                                 for a in tables[0].schema.attrs)
+                else:
+                    names.add((it.alias or it.display or it.expr).lower())
+            for fc in st.facets:
+                for it in fc.items:
+                    if it.alias:
+                        al = it.alias.lower()
+                        if al in names:
+                            return [QLResult.err(
+                                f"index {st.indexes[0]}: alias "
+                                f"'{it.alias}' must be unique (conflicts "
+                                "with another alias)")]
+                        names.add(al)
         if q.group_by:
             # aggregates over non-scalar attrs are a parse error in the
             # reference ("can not aggregate non-scalar attribute")
@@ -1131,41 +1188,170 @@ class Session:
         return QLResult(columns=cols, rows=rows, warning=res.warning)
 
     def _facet(self, base: SelectStmt, fc: FacetStmt, tables) -> QLResult:
-        by = fc.by or fc.items[0].expr
-        fsel = [it.expr for it in fc.items]
-        if not any(s.lower().replace(" ", "").startswith("count(")
-                   for s in fsel):
-            fsel = fsel + ["count(*)"]
+        """One FACET result set (sphinxql.y facet_stmt; searchd expands
+        facets into extra grouped queries over the same match set). BY
+        list absent = group by the facet items themselves; ORDER BY may
+        reference item aliases, facet() (= the group key) and count(*)."""
+        by_list = [b for b in (fc.by or [it.expr for it in fc.items])]
+        # alias -> expr map for ORDER BY resolution
+        amap = {}
+        for it in fc.items:
+            if it.alias:
+                amap[it.alias.lower()] = it.expr
+        order: list[tuple[str, bool]] = []
+        for c, a in fc.order:
+            cl = c.strip()
+            low = cl.lower().replace(" ", "")
+            if low in amap:
+                cl = amap[low]
+                low = cl.lower().replace(" ", "")
+            if low == "facet()":
+                cl = by_list[0] if len(by_list) == 1 else "facet()"
+            order.append((cl, a))
         fq, err = self._build_query(base)
         if err:
             return QLResult.err(err)
-        fq = dc_replace(
-            fq, group_by=by, select=fsel, offset=fc.offset, limit=fc.limit,
-            sort=[(c, a) for c, a in fc.order] or [("weight", False)],
-            having=None)
         if len(tables) > 1:
             return QLResult.err("FACET over multiple indexes: TODO")
-        res = tables[0].search(fq)
-        if res.error:
-            return QLResult.err(res.error)
-        cols = [it.alias or it.display or it.expr for it in fc.items] + ["count(*)"]
+        cols = [it.alias or it.display or it.expr for it in fc.items] \
+            + ["count(*)"]
         seen = set()
         dedup_cols = []
         for c in cols:
             if c not in seen:
                 seen.add(c)
                 dedup_cols.append(c)
+
+        from ..query.expr import ExprError, eval_expr_host, parse_expr
+        trees = {}
+        for it in fc.items:
+            try:
+                trees[it.alias or it.display or it.expr] = \
+                    parse_expr(it.expr)
+            except ExprError as e:
+                return QLResult.err(str(e))
+
+        if len(by_list) > 1:
+            return self._facet_multi(fq, fc, by_list, order, dedup_cols,
+                                     trees, tables[0])
+
+        by = by_list[0]
+        fsel = [it.expr for it in fc.items]
+        if not any(s.lower().replace(" ", "").startswith("count(")
+                   for s in fsel):
+            fsel = fsel + ["count(*)"]
+        fq = dc_replace(
+            fq, group_by=by, select=fsel, offset=fc.offset, limit=fc.limit,
+            sort=order or [("weight", False)], having=None)
+        res = tables[0].search(fq)
+        if res.error:
+            return QLResult.err(res.error)
         rows = []
+        nby = by.lower().replace(" ", "")
         for m in res.matches:
             row = []
             for c in dedup_cols:
                 lc = c.lower().replace(" ", "")
+                expr = amap.get(lc) or (c if c in trees else None)
+                nexpr = (expr or "").lower().replace(" ", "")
                 if lc == "count(*)":
                     row.append(m.attrs.get("count(*)"))
-                elif c == by or c in m.attrs:
-                    row.append(m.attrs.get(c if c in m.attrs else by))
+                elif nexpr == nby or lc == nby:
+                    # the item IS the group key: render the grouped key
+                    # VALUE — for MVA facets that's the per-value group
+                    # (@groupby), not the rep's whole list (test_226
+                    # 'facet categories' rows show 14, 13, ... not
+                    # '13,14')
+                    v = m.attrs.get("@groupby")
+                    if v is None:
+                        v = m.attrs.get(by)
+                    row.append(v)
+                elif expr is not None:
+                    # independent item expression: evaluate over the
+                    # group representative's attrs (test_226:
+                    # 'facet brand_id+1 by brand_id+2')
+                    try:
+                        row.append(eval_expr_host(trees[c], m.attrs,
+                                                  m.weight, m.docid))
+                    except ExprError:
+                        row.append(m.attrs.get(c))
+                elif c in m.attrs:
+                    row.append(m.attrs.get(c))
                 else:
                     row.append(m.attrs.get(by))
+            rows.append(tuple(row))
+        return QLResult(columns=dedup_cols, rows=rows)
+
+    def _facet_multi(self, fq, fc: FacetStmt, by_list, order, dedup_cols,
+                     trees, table) -> QLResult:
+        """Multi-attribute facet (FACET a,b BY c,d): grouped host-side by
+        the tuple of BY values over the full match window — the reference
+        composes a joint group key the same way (GroupbyMulti)."""
+        from ..query.expr import ExprError, eval_expr_host, parse_expr
+        big = max(getattr(fq, "max_matches", 1000),
+                  getattr(table, "n_docs", 0) or 0)
+        base_q = dc_replace(fq, group_by=None, select=None, having=None,
+                            sort=[("weight", False), ("id", True)],
+                            offset=0, limit=big, max_matches=big)
+        res = table.search(base_q)
+        if res.error:
+            return QLResult.err(res.error)
+        try:
+            by_trees = [parse_expr(b) for b in by_list]
+        except ExprError as e:
+            return QLResult.err(str(e))
+        groups: dict = {}
+        korder: list = []
+        for m in sorted(res.matches, key=lambda m2: m2.docid):
+            try:
+                key = tuple(eval_expr_host(t, m.attrs, m.weight, m.docid)
+                            for t in by_trees)
+            except ExprError as e:
+                return QLResult.err(str(e))
+            if key not in groups:
+                groups[key] = [m, 0]
+                korder.append(key)
+            g = groups[key]
+            g[1] += 1
+            # rep = best by weight desc, docid asc (first wins ties)
+            if m.weight > g[0].weight:
+                g[0] = m
+        ents = [(groups[k][0], groups[k][1], k) for k in korder]
+
+        def sort_key(e):
+            rep, cnt, key = e
+            ks = []
+            for c, a in (order or [("weight", False)]):
+                lc = c.lower().replace(" ", "")
+                if lc == "count(*)" or lc == "@count":
+                    v = cnt
+                elif lc in ("weight", "@weight", "weight()"):
+                    v = rep.weight
+                elif lc == "facet()":
+                    v = key
+                else:
+                    try:
+                        v = eval_expr_host(parse_expr(c), rep.attrs,
+                                           rep.weight, rep.docid)
+                    except ExprError:
+                        v = 0
+                ks.append(_NegWrap(v) if not a else v)
+            ks.append(rep.docid)   # implicit rep-rowid tie-break
+            return tuple(ks)
+
+        ents.sort(key=sort_key)
+        rows = []
+        for rep, cnt, key in ents[fc.offset:fc.offset + fc.limit]:
+            row = []
+            for c in dedup_cols:
+                if c.lower().replace(" ", "") == "count(*)":
+                    row.append(cnt)
+                else:
+                    try:
+                        row.append(eval_expr_host(trees[c], rep.attrs,
+                                                  rep.weight, rep.docid))
+                    except ExprError:
+                        row.append(rep.attrs.get(c))
             rows.append(tuple(row))
         return QLResult(columns=dedup_cols, rows=rows)
 
@@ -1199,6 +1385,54 @@ class Session:
         out = [tuple(r.get(key, "") for _, key in proj)
                for r in rows[st.offset:st.offset + lim]]
         return QLResult(columns=[d for d, _ in proj], rows=out)
+
+    def _apply_multiplier_meta(self, batch_stmts: list) -> None:
+        """SHOW META 'multiplier' row: the number of queries that shared
+        ONE scan pass when the multi-queue / facet-queue optimization
+        applied (searchd.cpp:5759 sets m_iMultiplier=iQueries; BuildMeta
+        emits the row only when >1, searchd.cpp:8673). Emulated over the
+        parsed batch: a SELECT with FACETs is a facet queue of
+        1+len(facets) queries (searchd.cpp:6581); a multi-statement of
+        SELECTs shares a pass when index set, MATCH text and attr filters
+        all agree (CheckMultiQuery, searchd.cpp:6140)."""
+        sels: list[SelectStmt] = [st for st in batch_stmts
+                                  if isinstance(st, SelectStmt)]
+        if not sels:
+            return
+        n = sum(1 + len(st.facets) for st in sels)
+        if n <= 1:
+            return
+        # agent-backed distributed tables never share a pass (the
+        # optimization lives in the local SearchHandler; remote fan-out
+        # runs per-query — test_226: facetdemo4/agent shows no
+        # multiplier, facetdemo3/local-only dist shows 2)
+        for st in sels:
+            for tn in st.indexes:
+                t = self.catalog.tables.get(tn)
+                if t is None:
+                    return
+                af = getattr(t, "agent_flags", None)
+                if af and any(af):
+                    return
+                if self.catalog.table_type(t) == "distributed" \
+                        and getattr(t, "agents", None):
+                    return
+        if len(sels) > 1:
+            def mq_key(st: SelectStmt):
+                match = next((c.value for c in st.conds
+                              if c.kind == "match"), "")
+                filt = tuple(repr(c) for c in st.conds if c.kind != "match")
+                opts = tuple(sorted(
+                    (k2, repr(v)) for k2, v in st.options.items()))
+                return (tuple(st.indexes), match, filt, opts)
+            k0 = mq_key(sels[0])
+            if any(mq_key(s) != k0 for s in sels[1:]):
+                return
+        if self.last_meta and not any(k2 == "multiplier"
+                                      for k2, _ in self.last_meta):
+            pos = next((i + 1 for i, (k2, _) in enumerate(self.last_meta)
+                        if k2 == "time"), len(self.last_meta))
+            self.last_meta.insert(pos, ("multiplier", str(n)))
 
     def _store_meta(self, res) -> None:
         self.last_weights = {m.docid: m.weight for m in res.matches}
@@ -1761,8 +1995,15 @@ class Session:
                 rows=[(n, self.catalog.table_type(self.catalog.tables[n]))
                       for n in sorted(self.catalog.tables)])
         if k == "show_meta":
-            return QLResult(columns=["Variable_name", "Value"],
-                            rows=list(self.last_meta))
+            rows = list(self.last_meta)
+            like = st.args[0] if st.args else None
+            if like:
+                # VectorLike filtering (searchd.cpp BuildMeta feeds a
+                # VectorLike constructed from the LIKE pattern)
+                import fnmatch as _fn
+                pat = like.replace("%", "*").replace("_", "?")
+                rows = [r for r in rows if _fn.fnmatchcase(r[0], pat)]
+            return QLResult(columns=["Variable_name", "Value"], rows=rows)
         if k == "show_warnings":
             rows = []
             if self.last_warning:

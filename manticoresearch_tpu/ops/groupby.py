@@ -163,27 +163,35 @@ def _build_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
                 raise NotImplementedError(f"aggregate {a.kind}")
 
         # ---- order groups, take top-k (boundary rows represent groups) ----
+        # implicit final tie-break: the group REPRESENTATIVE's rowid asc —
+        # the reference's grouped comparators (MatchRelevanceLt_fn /
+        # MatchGeneric*_fn, sphinxsort.cpp:4541,4678) always fall through
+        # to a.m_tRowID > b.m_tRowID, and a grouped entry carries the
+        # rowid of its best within-group member (PushIntoExistingGroup
+        # clones the better match wholesale, sphinxsort.cpp:3136)
+        def order_top(okey):
+            tie = jnp.where(new_group, s_row, INT32_MAX)
+            nk, _tie_s, pos_s = jax.lax.sort(
+                (~okey, tie, jnp.arange(Z, dtype=jnp.int32)), num_keys=2)
+            return ~nk[:k], pos_s[:k]
+
         if gspec.order[0] == "rel":
             okey = jnp.where(new_group, s_w, INT32_MIN)
-            top_key, top_pos = jax.lax.top_k(okey, k)
         elif gspec.order[0] == "gkey":
             asc = gspec.order[1]
             okey = jnp.where(new_group, s_key if not asc else ~s_key,
                              INT32_MIN)
-            top_key, top_pos = jax.lax.top_k(okey, k)
         elif gspec.order[0] == "count":
             asc = gspec.order[1]
             cnt_b = counts[gid]
             okey = jnp.where(new_group, cnt_b if not asc else ~cnt_b,
                              INT32_MIN)
-            top_key, top_pos = jax.lax.top_k(okey, k)
         elif gspec.order[0] == "rowid":
             # groups ordered by their representative row's id (the
             # boundary row: best weight, lowest rowid within the group)
             asc = gspec.order[1]
             okey = jnp.where(new_group, ~s_row if asc else s_row,
                              INT32_MIN)
-            top_key, top_pos = jax.lax.top_k(okey, k)
         elif gspec.order[0] == "attr":
             _, name, asc, is_float = gspec.order
             v = attrs[name][s_idx]
@@ -192,9 +200,9 @@ def _build_groupby_fn(sig: PlanSig, gspec: GroupSpec, n_rows: int,
             else:
                 vi = v.astype(jnp.int32)
             okey = jnp.where(new_group, vi if not asc else ~vi, INT32_MIN)
-            top_key, top_pos = jax.lax.top_k(okey, k)
         else:
             raise NotImplementedError(f"group order {gspec.order}")
+        top_key, top_pos = order_top(okey)
 
         valid_out = top_key != INT32_MIN
         out_gid = gid[top_pos]

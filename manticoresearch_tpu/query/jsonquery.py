@@ -16,6 +16,12 @@ from ..exec.searcher import SearchQuery
 from ..query.planner import AttrFilterDef
 
 
+class JsonSearchError(Exception):
+    """Search-time query error: rendered with the per-index prefix and
+    HTTP 500 (the reference's AddError 'index %s: query error: %s' +
+    SPH_HTTP_STATUS_500)."""
+
+
 class JsonQueryError(ValueError):
     pass
 
@@ -49,9 +55,19 @@ def _match_to_ft(clause: Any, phrase: bool = False) -> str:
     if field_name in ("_all", "*", ""):
         return f"({body})" if len(words) > 1 else body
     if "," in field_name:
-        flist = ",".join(f.strip() for f in field_name.split(",")
-                         if f.strip())
-        return f"(@({flist}) {body})"
+        # the reference's field-list parser allows NO whitespace around
+        # commas (ParseFieldList; golden test_334 'content, title' is a
+        # query error, HTTP 500)
+        import re as _re
+        mm = _re.match(r"[A-Za-z_][A-Za-z_0-9]*(,[A-Za-z_][A-Za-z_0-9]*)*",
+                       field_name)
+        if not mm or mm.end() != len(field_name):
+            near = field_name[mm.end():] if mm else field_name
+            near = near.lstrip(",")
+            raise JsonSearchError(
+                "query error: error parsing field list: invalid field "
+                f"block operator syntax near '{near}'")
+        return f"(@({field_name}) {body})"
     return f"(@{field_name} {body})"
 
 
@@ -71,13 +87,14 @@ def _walk_query(q: dict, ft_parts: list[str], filters: list[AttrFilterDef],
         elif kind == "bool":
             def _aslist(x):
                 return [x] if isinstance(x, dict) else (x or [])
+            must_ft: list[str] = []
             for must in _aslist(body.get("must")):
-                _walk_query(must, ft_parts, filters, negate_ft)
+                _walk_query(must, must_ft, filters, negate_ft)
             for flt in _aslist(body.get("filter")):
-                _walk_query(flt, ft_parts, filters, negate_ft)
+                _walk_query(flt, must_ft, filters, negate_ft)
             should = _aslist(body.get("should"))
+            sub_ft: list[str] = []
             if should:
-                sub_ft: list[str] = []
                 sub_f: list[AttrFilterDef] = []
                 for sh in should:
                     _walk_query(sh, sub_ft, sub_f, negate_ft)
@@ -93,8 +110,15 @@ def _walk_query(q: dict, ft_parts: list[str], filters: list[AttrFilterDef],
                     raise JsonQueryError(
                         "attribute conditions under 'should' are not "
                         "supported yet (OR of filters)")
-                if sub_ft:
-                    ft_parts.append("(" + " | ".join(sub_ft) + ")")
+            if sub_ft and must_ft:
+                # must + should combine with MAYBE: should only boosts
+                # (ConstructBoolNode, sphinxjsonquery.cpp:553-557)
+                ft_parts.append("((" + " ".join(must_ft) + ") MAYBE ("
+                                + " | ".join(sub_ft) + "))")
+            elif sub_ft:
+                ft_parts.append("(" + " | ".join(sub_ft) + ")")
+            else:
+                ft_parts.extend(must_ft)
             for mn in _aslist(body.get("must_not")):
                 sub_ft2: list[str] = []
                 sub_f2: list[AttrFilterDef] = []
@@ -135,7 +159,10 @@ def parse_json_query(body: dict) -> tuple[str, SearchQuery, dict]:
     filters: list[AttrFilterDef] = []
     negate_ft: list[str] = []
     q = body.get("query") or {"match_all": {}}
-    _walk_query(q, ft_parts, filters, negate_ft)
+    try:
+        _walk_query(q, ft_parts, filters, negate_ft)
+    except JsonSearchError as e:
+        raise JsonSearchError(f"index {index}: {e}") from None
 
     match = " ".join(p for p in ft_parts if p)
     if negate_ft:

@@ -119,7 +119,7 @@ class SelectStmt:
 @dataclass
 class FacetStmt:
     items: list[SelectItem]
-    by: str | None
+    by: list[str] | None      # BY expr list; None = group by the items
     order: list[tuple[str, bool]]
     offset: int
     limit: int
@@ -465,7 +465,11 @@ class SqlParser:
             if k is None:
                 break
             if depth == 0:
-                if k == "name" and v.upper() in stop_kw:
+                if k == "name" and v.upper() in stop_kw and not (
+                        v.upper() == "FACET"
+                        and self.peek(1) == ("op", "(")):
+                    # FACET( is the facet() sort function inside a facet's
+                    # ORDER BY (sphinxql.y sort_by_item), not the clause
                     break
                 if k == "op" and v in stop_op:
                     break
@@ -674,8 +678,16 @@ class SqlParser:
             items.append(self.parse_select_item())
         by = None
         if self.eat_kw("BY"):
-            by = self.parse_expr_text(stop_kw=("ORDER", "LIMIT", "FACET"),
-                                      stop_comma=False).strip()
+            # BY expr [, expr ...] — multi-attribute facet grouping
+            # (sphinxql.y facet_by_items_list)
+            by = [self.parse_expr_text(
+                stop_kw=("ORDER", "LIMIT", "FACET"),
+                stop_comma=True).strip()]
+            while self.peek() == ("op", ","):
+                self.next()
+                by.append(self.parse_expr_text(
+                    stop_kw=("ORDER", "LIMIT", "FACET"),
+                    stop_comma=True).strip())
         order: list[tuple[str, bool]] = []
         if self.eat_kw("ORDER"):
             self.expect_kw("BY")
@@ -889,7 +901,13 @@ class SqlParser:
         if self.eat_kw("TABLES"):
             return SimpleStmt("show_tables")
         if self.eat_kw("META"):
-            return SimpleStmt("show_meta")
+            like = None
+            if self.eat_kw("LIKE"):
+                k, v = self.next()
+                if k != "str":
+                    raise SqlParseError("LIKE needs a quoted pattern")
+                like = _unquote(v)
+            return SimpleStmt("show_meta", [like] if like else [])
         if self.eat_kw("WARNINGS"):
             return SimpleStmt("show_warnings")
         if self.eat_kw("STATUS"):

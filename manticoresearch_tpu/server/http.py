@@ -15,8 +15,8 @@ import urllib.parse
 from typing import Any
 
 from ..exec.session import Catalog, Session
-from ..query.jsonquery import (JsonQueryError, parse_json_query,
-                               render_result)
+from ..query.jsonquery import (JsonQueryError, JsonSearchError,
+                               parse_json_query, render_result)
 
 
 def _hl_query_text(hq: dict) -> str:
@@ -154,6 +154,11 @@ class HttpServer:
             return ("404 Not Found", "application/json",
                     json.dumps({"error": f"unknown endpoint {route}"})
                     .encode())
+        except JsonSearchError as e:
+            # query-time errors: 500 with the per-index message
+            # (searchdhttp SPH_HTTP_STATUS_500)
+            return ("500 Internal Server Error", "application/json",
+                    json.dumps({"error": str(e)}).encode())
         except (JsonQueryError, ValueError, KeyError,
                 json.JSONDecodeError) as e:
             return ("400 Bad Request", "application/json",
@@ -313,11 +318,13 @@ class HttpServer:
             if not terms:
                 raise JsonQueryError(f"unsupported agg {name!r}")
             from dataclasses import replace as dc_replace
+            # bucket order: group key DESC (searchdhttp.cpp:580 sets
+            # m_sGroupSortBy="@groupby desc" for every terms agg)
             gq = dc_replace(
                 sq, group_by=terms["field"],
                 select=["count(*)"], offset=0,
                 limit=int(terms.get("size", 20)),
-                sort=[("count(*)", False)])
+                sort=[("@groupby", False)])
             gres = table.search(gq)
             if gres.error:
                 raise JsonQueryError(gres.error)

@@ -221,20 +221,26 @@ def load_test(dirname: str, root: str = TESTROOT) -> GoldenTest:
             for q in legacy:
                 gt.queries.append(ApiQuery(q.text or ""))
 
-    # old-fashioned separate blocks
-    sph = _get_first(tree, "sphqueries")
-    if sph is not None:
-        for q in sph:
-            if _tag(q) == "sphinxql":
-                for v in _expand_query_variants(q):
-                    for piece in _split_sphinxql(v):
-                        gt.queries.append(QlQuery(piece, dict(q.attrib)))
-    httpq = _get_first(tree, "httpqueries")
-    if httpq is not None:
-        for q in httpq:
-            if _tag(q) == "query":
-                gt.queries.append(ApiQuery((q.text or "").strip(),
-                                           dict(q.attrib), type="http"))
+    # old-fashioned separate blocks — gathered in DOCUMENT order: the
+    # reference harness walks top-level children sequentially and appends
+    # every <sphqueries>/<httpqueries> block as it appears
+    # (helpers.inc:1745 ExtractQueries), so an <httpqueries> before a
+    # <sphqueries> runs first (test_334)
+    for blk in tree:
+        t0 = _tag(blk)
+        if t0 == "sphqueries":
+            for q in blk:
+                if _tag(q) == "sphinxql":
+                    for v in _expand_query_variants(q):
+                        for piece in _split_sphinxql(v):
+                            gt.queries.append(QlQuery(piece,
+                                                      dict(q.attrib)))
+        elif t0 == "httpqueries":
+            for q in blk:
+                if _tag(q) == "query":
+                    gt.queries.append(ApiQuery((q.text or "").strip(),
+                                               dict(q.attrib),
+                                               type="http"))
 
     gt.config_root = _get_first(tree, "config")
     _gather_dynamics(gt.config_root, gt.dynamics)

@@ -371,6 +371,10 @@ class TestQueryCache:
         s.execute("CREATE TABLE qc (body text, grp uint)")
         s.execute("INSERT INTO qc (id, body, grp) VALUES "
                   "(1, 'aa bb', 1), (2, 'aa cc', 2)")
+        # the qcache only covers DISK chunks (reference ties entries to a
+        # CSphIndex+TID; RAM chunks are excluded — golden test_229): seal
+        # the RAM segment into a disk chunk first
+        s.execute("FLUSH RAMCHUNK qc")
         # default threshold is 3000ms -> nothing cached
         s.execute("SELECT id FROM qc WHERE MATCH('aa')")
         assert self._qstatus(s)["qcache_cached_queries"] == "0"
@@ -553,8 +557,10 @@ class TestAggregateExtras:
     def test_group_concat(self, sess):
         assert self.q(sess, "SELECT grp, GROUP_CONCAT(id) FROM ag "
                             "GROUP BY grp") == [(1, '1,2'), (2, '3')]
+        # default grouped order ties (weight desc) break by the group
+        # REP's rowid asc (sphinxsort.cpp:4678): 'r' (rep doc 1) first
         assert self.q(sess, "SELECT tag, GROUP_CONCAT(id) FROM ag "
-                            "GROUP BY tag") == [('g', '2'), ('r', '1,3')]
+                            "GROUP BY tag") == [('r', '1,3'), ('g', '2')]
 
     def test_group_concat_respects_match(self, sess):
         assert self.q(sess, "SELECT grp, GROUP_CONCAT(id) FROM ag "
@@ -566,7 +572,7 @@ class TestAggregateExtras:
 
     def test_group_by_string_attr_shows_values(self, sess):
         assert self.q(sess, "SELECT tag, count(*) FROM ag GROUP BY tag") == \
-            [('g', 1), ('r', 2)]
+            [('r', 2), ('g', 1)]
 
     def test_order_by_expression_alias(self, sess):
         rows = self.q(sess, "SELECT id, GEODIST(lat, lon, 0.65, 0.15) AS d "

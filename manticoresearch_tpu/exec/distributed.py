@@ -39,7 +39,12 @@ class _AgentPart:
                                  retry_delay=self.retry_delay)
         except AgentError as e:
             return SearchResult([], 0, 0, 0.0, [], error=str(e))
-        return payload_to_result(reply)
+        res = payload_to_result(reply)
+        for m in res.matches:
+            # wire matches carry no rowid (ParseMatch, searchd.cpp:1775):
+            # the master's final sorter tiebreak sees them all equal
+            m._remote = True
+        return res
 
 
 class _LocalPart:
@@ -49,6 +54,13 @@ class _LocalPart:
     def __init__(self, catalog, name: str):
         self.catalog = catalog
         self.name = name
+
+    @property
+    def schema(self):
+        try:
+            return self.catalog.get(self.name).schema
+        except (ValueError, KeyError):
+            return None
 
     def search(self, q):
         from .searcher import SearchResult
@@ -215,9 +227,15 @@ class DistributedTable:
         pass
 
     def _parts(self):
-        parts: list = [_LocalPart(self.catalog, n) for n in self.locals_]
-        parts += [_AgentPart(a, self.timeout, self.retry_count,
-                             self.retry_delay) for a in self.agents]
+        """Tag order = merge order: the reference assigns store tags to
+        AGENTS first, then locals (searchd.cpp:6484 agents, :6492+
+        locals), and KillPlainDupes keeps the copy with the LARGEST tag
+        (MatchIterator IsLess, searchd.cpp:3906) — so a docid present
+        both locally and on an agent keeps the LOCAL row (golden
+        test_163 dist2). Later entries in this list win dedup."""
+        parts: list = [_AgentPart(a, self.timeout, self.retry_count,
+                                  self.retry_delay) for a in self.agents]
+        parts += [_LocalPart(self.catalog, n) for n in self.locals_]
         return parts
 
     # -- search ----------------------------------------------------------
@@ -246,10 +264,9 @@ class DistributedTable:
             # remote agents don't share the master's uservars: @var
             # filters match nothing on agent parts (golden test_039)
             from .searcher import SearchResult as _SR
-            loc = [p for p in parts if isinstance(p, _LocalPart)]
-            results = [p.search(part_q) for p in loc] + [
-                _SR([], 0, 0, 0.0, [])
-                for p in parts if not isinstance(p, _LocalPart)]
+            results = [p.search(part_q) if isinstance(p, _LocalPart)
+                       else _SR([], 0, 0, 0.0, [])
+                       for p in parts]
             return merge_part_results(results, q, self.schema,
                                       agent_mode=bool(self.agents))
         if len(parts) == 1:

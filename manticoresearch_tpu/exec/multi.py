@@ -73,6 +73,15 @@ def ref_queue_order(keys, size):
         if keys[a][0] != keys[b][0]:
             return keys[a][0] < keys[b][0]
         return keys[a][1] > keys[b][1]
+    return ref_queue_order_cmp(len(keys), comp_less, size)
+
+
+def ref_queue_order_cmp(n, comp_less, size):
+    """ref_queue_order with an arbitrary IsLess(a, b) over push indices —
+    the same CSphMatchQueue heap, usable for generic multi-key sorters
+    (MatchGeneric*_fn): full-key ties pop in the heap's artifact order,
+    which IS the reference's observable result order (golden test_163
+    dist3 'order by str1 desc, idd1 desc' tie runs)."""
 
     def fn_less(i, j):              # InvCompareIndex_fn: inverted operands
         return comp_less(heap[j], heap[i])
@@ -101,7 +110,7 @@ def ref_queue_order(keys, size):
         sift_down()
         return removed
 
-    for e in range(len(keys)):
+    for e in range(n):
         if len(heap) == size:
             if comp_less(e, heap[0]):
                 continue
@@ -268,23 +277,82 @@ def merge_word_stats(results):
     return [WordStat(w, *stats_map[w]) for w in order]
 
 
+_ATTR_BITS = {"bool": 1, "uint": 32, "timestamp": 32, "float": 32,
+              "bigint": 64}
+
+
+def _unify_attr_type(a: str, b: str) -> str | None:
+    """MinimizeSchema's seamless conversions (searchd.cpp:2038-2062):
+    bool<->float, and any pair within {bool, int, bigint}; the wider
+    bitcount wins, equal bitcounts keep the first. None = incompatible
+    (the attr is REMOVED from the aggregate schema)."""
+    if a == b:
+        return a
+    pair = {a, b}
+    same = pair <= {"bool", "float"} \
+        or pair <= {"bool", "uint", "timestamp", "bigint"}
+    if not same:
+        return None
+    if _ATTR_BITS.get(b, 0) > _ATTR_BITS.get(a, 0):
+        return b
+    return a
+
+
 def minimize_result_schema(results, part_schemas):
     """Minimized schema over the parts that returned MATCHES — empty
     result sets don't constrain it (MinimizeSchemas, searchd.cpp:4305:
-    'skip empty result set'). Returns None when nothing matched."""
-    live = [s for s, r in zip(part_schemas, results)
-            if r is not None and not r.error and r.matches]
+    'skip empty result set'). Same-name attrs of different types unify
+    per MinimizeSchema (searchd.cpp:2011): bool<->float and the int
+    family widen seamlessly; anything else drops the attr (golden
+    test_163 `select * from u_float, u_uint` keeps only id). Match
+    values are remapped in place like RemapResult (searchd.cpp:3640):
+    bool -> float becomes 0.0/1.0, uint widening reads unsigned bits.
+    Returns None when nothing matched."""
+    live = [(s, r) for s, r in zip(part_schemas, results)
+            if r is not None and not r.error and r.matches and s is not None]
     if not live:
         return None
-    base = live[0]
-    common = {a.name for a in base.attrs}
-    for s in live[1:]:
-        common &= {a.name for a in s.attrs}
-    if common == {a.name for a in base.attrs}:
+    base = live[0][0]
+    # name -> unified type (None = dropped), seeded from the first live part
+    utypes: dict[str, str | None] = {a.name: a.type.value
+                                     for a in base.attrs}
+    for s, _ in live[1:]:
+        have = {a.name: a.type.value for a in s.attrs}
+        for name in list(utypes):
+            cur = utypes[name]
+            if name not in have:
+                del utypes[name]
+                continue
+            if cur is not None:
+                utypes[name] = _unify_attr_type(cur, have[name])
+    kept = [a.name for a in base.attrs
+            if utypes.get(a.name) is not None]
+    # remap part match values onto the unified types
+    for s, r in live:
+        ptypes = {a.name: a.type.value for a in s.attrs}
+        conv = {}
+        for name in kept:
+            src, dst = ptypes.get(name), utypes[name]
+            if src == dst or src is None:
+                continue
+            if dst == "float":
+                conv[name] = lambda v: (1.0 if v > 0 else 0.0) \
+                    if isinstance(v, (int, bool)) else v
+            elif src in ("uint", "timestamp", "bool"):
+                conv[name] = lambda v: (int(v) & 0xFFFFFFFF) \
+                    if isinstance(v, (int, bool)) else v
+        if conv:
+            for m in r.matches:
+                for name, fn in conv.items():
+                    if name in m.attrs and m.attrs[name] is not None:
+                        m.attrs[name] = fn(m.attrs[name])
+    from ..schema import AttrDef, AttrType, Schema
+    if all(utypes.get(a.name) == a.type.value for a in base.attrs) \
+            and len(kept) == len(base.attrs):
         return base
-    from ..schema import Schema
     return Schema(fields=list(base.fields),
-                  attrs=[a for a in base.attrs if a.name in common])
+                  attrs=[AttrDef(a.name, AttrType(utypes[a.name]))
+                         for a in base.attrs if a.name in kept])
 
 
 def merge_part_results(results, q, schema, agent_mode: bool = False,
@@ -297,9 +365,21 @@ def merge_part_results(results, q, schema, agent_mode: bool = False,
     test_323 dist fullscan surfaces the later agent's rows first)."""
     from .searcher import SearchResult
 
-    err = next((r.error for r in results if r.error), None)
-    if err:
-        return SearchResult([], 0, 0, 0.0, [], error=err)
+    # per-part failures (a part whose schema can't build the sorter, a
+    # dead agent) drop that part and keep serving — the reference's
+    # RunLocalSearches collects per-index errors and only fails the
+    # whole query when NO part succeeded (searchd.cpp RunLocalSearches;
+    # golden test_163 'order by str2' over dist1 returns just the
+    # str2-carrying part's rows)
+    errs = [r.error for r in results if r.error]
+    part_warning = None
+    if errs:
+        if len(errs) == len(results):
+            return SearchResult([], 0, 0, 0.0, [], error=errs[0])
+        results = [r for r in results if not r.error]
+        # surviving-part merges carry the failures as a WARNING
+        # (BuildReport -> m_sWarning, searchd.cpp:5303)
+        part_warning = errs[0]
     # docid dupes across parts: the copy from the LAST part wins and the
     # kills shrink the totals (KillPlainDupes tag ordering inside
     # KillDupesAndFlatten, searchd.cpp:3990). Duplicate docids WITHIN one
@@ -313,6 +393,12 @@ def merge_part_results(results, q, schema, agent_mode: bool = False,
             if prev is not None and prev[0] == pi:
                 prev[1].append(m)
             else:
+                if prev is not None:
+                    # re-insert so the winning copy takes ITS part's
+                    # arrival position, not the killed copy's slot
+                    # (stability of the final sort depends on it —
+                    # golden test_163 dist2 tie runs)
+                    del seen[m.docid]
                 seen[m.docid] = (pi, [m])
             n_copies += 1
     # full-key ties across parts surface the LATER part's rows first
@@ -344,6 +430,53 @@ def merge_part_results(results, q, schema, agent_mode: bool = False,
         from dataclasses import replace as _rp
         _apply_sort(all_matches, _rp(q, sort=[("weight", False)]),
                     presort_docid=False)
+    elif q.sort and list(q.sort) != DEFAULT_SORT \
+            and not any("." in c for c, _ in q.sort):
+        # explicit attr sorts replay the reference's master merge
+        # EXACTLY: KillPlainDupes pushes the surviving copies in global
+        # docid-asc order into the final sorter queue (searchd.cpp:3910),
+        # and full-key ties surface in the queue's heap-artifact order
+        # (golden test_163 dist3 'order by str1 desc, idd1 desc' tie run
+        # pops id 8 before 7)
+        push = sorted(all_matches, key=lambda m: m.docid)
+        skeys = []
+        for col, asc in q.sort:
+            cl = col.lower()
+            if cl in ("weight", "@weight", "weight()"):
+                skeys.append((lambda m: m.weight, asc))
+            elif cl in ("id", "@id"):
+                skeys.append((lambda m: m.docid, asc))
+            else:
+                zero = next((type(m.attrs[col])()
+                             for m in push
+                             if m.attrs.get(col) is not None), 0)
+
+                def _get(m, _c=col, _z=zero):
+                    v = m.attrs.get(_c)
+                    return _z if v is None else v
+                skeys.append((_get, asc))
+
+        def _rowkey(m):
+            # final MatchGeneric*_fn key: rowid asc (sphinxsort.cpp:4718
+            # `a.m_tRowID > b.m_tRowID`). Remote matches never get a
+            # rowid over the wire (ParseMatch, searchd.cpp:1775) so they
+            # all tie at INVALID_ROWID — their order is the queue's heap
+            # artifact; local matches tie deterministically by rowid.
+            if getattr(m, "_remote", False):
+                return (1, 0)
+            return (0, getattr(m, "_rowid", m.docid))
+
+        def is_less(a, b, _p=push, _k=skeys):
+            # IsLess(a, b): a is WORSE than b (pops earlier)
+            for get, asc in _k:
+                va, vb = get(_p[a]), get(_p[b])
+                if va != vb:
+                    return (va < vb) if not asc else (va > vb)
+            ra, rb = _rowkey(_p[a]), _rowkey(_p[b])
+            return ra > rb
+        order = ref_queue_order_cmp(len(push), is_less,
+                                    max(q.max_matches, 1))
+        all_matches = [push[i] for i in order]
     else:
         _apply_sort(all_matches, q, presort_docid=False)
     total_found = sum(r.total_found for r in results) - killed
@@ -352,6 +485,8 @@ def merge_part_results(results, q, schema, agent_mode: bool = False,
     t = sum(r.time_ms for r in results)
     out = SearchResult(window, min(total_found, q.max_matches), total_found,
                        t, stats)
+    if part_warning and not getattr(out, "warning", None):
+        out.warning = part_warning
     out.warm_plan = all(getattr(r, "warm_plan", True) for r in results)
     out.profile = list(getattr(results[0], "profile", []))
     out.plan_repr = getattr(results[0], "plan_repr", None)
@@ -543,7 +678,8 @@ def search_grouped_parts(parts, q, schema, single_part_hint="",
                         matches.append(m)
             matches.sort(key=lambda m: (-m.weight, m.docid))
             from .searcher import host_group_matches
-            rows, total = host_group_matches(matches, q)
+            rows, total = host_group_matches(matches, q,
+                                             shared_grouper=segments)
             dt = (time.perf_counter() - t0) * 1000.0
             return SearchResult(rows, total, total, dt,
                                 merge_word_stats(results))

@@ -53,6 +53,10 @@ class SearchQuery:
     # WITHIN GROUP ORDER BY: which member represents the group
     # (sphinxsort m_sSortBy vs m_sGroupSortBy); None = weight desc, id asc
     within_sort: list[tuple[str, bool]] | None = None
+    # aggregates without GROUP BY (CSphImplicitGroupSorter): the rep-row
+    # replace rule compares ROWID only (CheckReplaceEntry,
+    # sphinxsort.cpp:4420), unlike explicit groupers
+    implicit_group: bool = False
 
 
 @dataclass
@@ -389,7 +393,9 @@ class SearchIndex:
 
 
     def _host_group_body(self, matches, q):
-        return host_group_matches(matches, q)
+        # one index = one grouper streaming matches in scan order: the
+        # rep-row rules are the sorter's own push rules (shared_grouper)
+        return host_group_matches(matches, q, shared_grouper=True)
 
     def _search_grouped(self, q: SearchQuery, _defer: bool = False):
         """GROUP BY execution (CSphKBufferGroupSorter semantics via the
@@ -877,7 +883,10 @@ def _resolve_order(q: SearchQuery, schema) -> tuple:
         return ("attr_id", asc)
     ad = schema.attr(primary)
     if ad is None:
-        raise ValueError(f"unknown sort attr {primary!r}")
+        # per-index sorter setup failure (sortsetup.cpp:407); over a
+        # multi-part FROM this drops just this part from the merge
+        # (golden test_163 'order by str2' over dist1)
+        raise ValueError(f"sort-by attribute '{primary}' not found")
     is_float = ad.type.value == "float"
     return ("attr", primary, asc, is_float)
 
@@ -966,11 +975,16 @@ def run_late_filtered(search_fn, q, late):
     return res
 
 
-def host_group_matches(matches, q):
+def host_group_matches(matches, q, shared_grouper=False):
     """Host-side GROUP BY over an already-fetched match list (bounded
     by max_matches upstream). Serves the JSON-path fallback and exact
     COUNT(DISTINCT) merging over multiple RT segments/parts
-    (search_grouped_parts). Returns (rows, n_groups)."""
+    (search_grouped_parts). Returns (rows, n_groups).
+
+    shared_grouper: the parts are chunks of ONE index streamed through a
+    single sorter (a COUNT(DISTINCT) sorter can't be cloned —
+    CanBeCloned(), sphinxsort.cpp:4360): the group rep follows the
+    push-order replace rules instead of the per-part group merge."""
     import re as _re
 
     from ..query.expr import ExprError, eval_expr_host, parse_expr
@@ -1032,6 +1046,22 @@ def host_group_matches(matches, q):
     for key, ms in groups.items():
         if q.within_sort:
             ms = _within_sorted(ms)
+        elif shared_grouper:
+            # ONE sorter over all parts: rep starts at the first push
+            # and is replaced per the grouper's rule — explicit groups
+            # need the entry to beat the rep STRICTLY on (weight desc,
+            # rowid asc) (PushIntoExistingGroup MatchIsGreater,
+            # sphinxsort.cpp:3127); the implicit grouper compares ONLY
+            # rowids (CheckReplaceEntry, sphinxsort.cpp:4420) — golden
+            # test_412 keeps the later insert as rep. ms is already in
+            # push order, so a stable sort keeps first-push tie wins.
+            if getattr(q, "implicit_group", False):
+                ms = sorted(ms, key=lambda m: getattr(m, "_rowid",
+                                                      m.docid))
+            else:
+                ms = sorted(ms, key=lambda m: (-m.weight,
+                                               getattr(m, "_rowid",
+                                                       m.docid)))
         else:
             # default rep mirrors the reference's grouped MERGE: each
             # part groups first, then group rows merge by key keeping

@@ -361,6 +361,20 @@ class Session:
                 except (ValueError, ExprError, NotImplementedError,
                         KeyError) as e:
                     out.append(QLResult.err(str(e)))
+                except Exception as e:  # noqa: BLE001 — crash-query dump
+                    # unexpected faults must not kill the serving loop:
+                    # dump the offending statement + backtrace to the
+                    # daemon log and keep serving (SphCrashLogger_c
+                    # crash-query dump, searchd.cpp:17886 'query dump'
+                    # + watchdog keep-alive, threadutils.h:181)
+                    import logging
+                    import traceback as _tb
+                    logging.getLogger("manticoresearch_tpu.daemon").error(
+                        "CRASH DUMP\n--- crashed SphinxQL request dump ---"
+                        "\n%s\n--- request dump end ---\n%s",
+                        piece.strip(), _tb.format_exc())
+                    out.append(QLResult.err(
+                        f"internal error: {type(e).__name__}: {e}"))
         if prefix_open:
             self._apply_multiplier_meta(sel_prefix)
         self.last_job_took = time.perf_counter() - t0
@@ -571,8 +585,18 @@ class Session:
                         f"non-scalar attribute '{m2.group(2)}'")]
         expr_sort = None
         if q.sort and not q.group_by and tables:
-            expr_sort = self._resolve_expr_sort(st, q, tables[0].schema,
-                                                tables[0])
+            # over a multi-part FROM, an ORDER BY attr that only SOME
+            # parts carry stays a plain sort: each part builds its own
+            # sorter and the ones lacking the attr fail out of the merge
+            # (searchd.cpp RunLocalSearches; golden test_163) — it must
+            # NOT be re-routed into the host expression sort
+            prim0 = q.sort[0][0]
+            if not (tables[0].schema.attr(prim0) is None
+                    and re.match(r"^[A-Za-z_]\w*$", prim0 or "")
+                    and any(s.attr(prim0) is not None
+                            for s in _part_schemas(tables))):
+                expr_sort = self._resolve_expr_sort(
+                    st, q, tables[0].schema, tables[0])
         group_agg_sort = None
         if q.group_by and q.sort:
             # ORDER BY an aggregate (AVG/SUM/MIN/MAX alias): the device
@@ -604,11 +628,14 @@ class Session:
             from .multi import search_grouped_parts
             res = search_grouped_parts(tables, q, tables[0].schema)
         else:
-            from .multi import merge_part_results
+            from .multi import merge_part_results, minimize_result_schema
             parts = [t.search(dc_replace(q, offset=0,
                                          limit=q.offset + q.limit))
                      for t in tables]
             res = merge_part_results(parts, q, tables[0].schema)
+            if res.error is None:
+                res.schema = minimize_result_schema(
+                    parts, [t.schema for t in tables])
         if group_agg_sort is not None and res.error is None:
             prim, asc0, off0, lim0, mm0 = group_agg_sort
             key = next((k for k in (res.matches[0].attrs if res.matches
@@ -653,7 +680,11 @@ class Session:
             for it in st.items:
                 e = it.expr.lower().replace(" ", "")
                 attrs[it.expr] = 0 if e.startswith("count(") else None
-            res.matches.append(Match(0, 0, attrs))
+            # id and plain attrs render as wire NULLs on this row
+            # (golden test_163 q37: select *, count(*) over no matches)
+            nm = Match(None, 0, attrs)
+            nm._null_row = True
+            res.matches.append(nm)
         self.queries_done += 1
         if res.error:
             return [QLResult.err(res.error)]
@@ -931,6 +962,7 @@ class Session:
             if exprs and any(_is_aggregate_expr(e) for e in exprs):
                 st = dc_replace(st, group_by="1")
                 q.group_by = "1"
+                q.implicit_group = True
         if st.group_by:
             # aggregates are recognized from raw expr text; args that
             # reference select aliases resolve to the aliased expressions
@@ -1135,6 +1167,10 @@ class Session:
                     getters[-1]._attr_ref = raw
             else:
                 tree = parse_expr(raw)
+                exerr = _exist_type_error(tree, schema)
+                if exerr:
+                    return QLResult.err(
+                        f"index {st.indexes[0]}: parse error: {exerr}")
                 # int-typed functions render unsigned (%u int display,
                 # SendMysqlRow): CRC32's signed i32 shows as u32
                 u32 = (isinstance(tree, tuple) and tree
@@ -1164,10 +1200,20 @@ class Session:
                 vals = []
                 gi = 0
                 for g in getters:
-                    if getattr(g, "_wants_extra", False):
-                        v = g(m, extra)
-                    else:
-                        v = g(m)
+                    try:
+                        if getattr(g, "_wants_extra", False):
+                            v = g(m, extra)
+                        else:
+                            v = g(m)
+                    except ExprError:
+                        # the synthetic empty-aggregate row: attr-fed
+                        # expressions are wire NULLs, constants still
+                        # evaluate (golden test_163 q72 sin(idd) -> NULL,
+                        # sin(1.0) -> value)
+                        if getattr(m, "_null_row", False):
+                            v = None
+                        else:
+                            raise
                     al = galias[gi] if gi < len(galias) else None
                     if al:
                         extra[al] = v
@@ -1753,15 +1799,22 @@ class Session:
             import fnmatch as _fn
             import zlib as _zl
 
+            ds = t.dict_settings
+            wc_enabled = (getattr(ds, "min_prefix_len", 0) > 0
+                          or getattr(ds, "min_infix_len", 0) > 0)
+
             def _tokens_keeping_wildcards(s: str):
                 # the reference's keyword tokenizer keeps wildcard chars
-                # when the index allows expansion (AddPlainKeywords with
-                # the star-enabled tokenizer clone); our charset-driven
-                # tokenizer drops them, so wildcard-bearing pieces pass
-                # through case-folded as single tokens
+                # only when the index allows expansion (AddPlainKeywords
+                # clones the star-enabled tokenizer iff min_prefix_len or
+                # min_infix_len > 0); otherwise '*' is a separator and
+                # 'test*' tokenizes to plain 'test' (golden test_041
+                # plain_nostar1). Our charset-driven tokenizer drops wild
+                # chars, so wildcard-bearing pieces pass through
+                # case-folded as single tokens when expansion is on.
                 from types import SimpleNamespace
                 for piece in s.split():
-                    if any(c in piece for c in "*?%"):
+                    if wc_enabled and any(c in piece for c in "*?%"):
                         yield SimpleNamespace(text=piece.lower())
                     else:
                         yield from tok.tokenize(piece)
@@ -2369,6 +2422,63 @@ class Session:
         for n in self.txn_tables:
             self.catalog.get(n).commit()
         self.txn_tables = set()
+
+
+def _exist_type_error(tree, schema) -> str | None:
+    """EXIST('name', default) over an MVA or string-family attr is a
+    per-index parse error (EXIST typecheck, sphinxexpr.cpp: 'MVA and
+    STRING in EXIST() prohibited'; golden test_163 q30/31)."""
+    if not isinstance(tree, tuple):
+        return None
+    if tree[0] == "call" and len(tree) >= 3:
+        if tree[1] == "EXIST" and tree[2]:
+            a0 = tree[2][0]
+            if isinstance(a0, tuple) and len(a0) >= 2 \
+                    and a0[0] in ("str", "attr"):
+                ad = schema.attr(str(a0[1]).strip().lower())
+                if ad is not None and ad.type.value in (
+                        "multi", "multi64", "string", "json"):
+                    return "MVA and STRING in EXIST() prohibited"
+        for a in tree[2]:
+            e = _exist_type_error(a, schema)
+            if e:
+                return e
+        return None
+    for sub in tree[1:]:
+        e = _exist_type_error(sub, schema)
+        if e:
+            return e
+    return None
+
+
+def _part_schemas(tables) -> list:
+    """Every individual-part schema behind a FROM list: plain tables
+    contribute their own schema; distributed tables contribute each
+    LOCAL part's schema (remote agents check sort attrs on their own
+    daemon). Used to decide whether an ORDER BY key is a real per-part
+    attr vs a host expression sort (RunLocalSearches per-index sorter
+    failures, searchd.cpp; golden test_163)."""
+    out = []
+    for t in tables:
+        if hasattr(t, "_tables"):            # harness cross-env dist
+            try:
+                out.extend(p.schema for p in t._tables())
+                continue
+            except Exception:
+                pass
+        if hasattr(t, "_parts"):             # DistributedTable
+            try:
+                for p in t._parts():
+                    s = getattr(p, "schema", None)
+                    if s is not None:
+                        out.append(s)
+                continue
+            except Exception:
+                pass
+        s = getattr(t, "schema", None)
+        if s is not None:
+            out.append(s)
+    return out
 
 
 def _fold_expr_case(expr: str) -> str:

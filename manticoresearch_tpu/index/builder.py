@@ -146,10 +146,20 @@ class PackedIndex:
         return self._pstore
 
     def rowid_of_docid(self, docid: int) -> int:
-        """docid -> rowid lookup (.spt analog, secondaryindex.h:52)."""
-        i = int(np.searchsorted(self.doc_ids, docid))
-        if i < self.n_docs and self.doc_ids[i] == docid:
-            return i
+        """docid -> rowid lookup (.spt analog, secondaryindex.h:52).
+        Rows need not be docid-ordered (a flushed disk chunk keeps
+        segment-concatenation order, SaveDiskChunk sphinxrt.cpp:3014);
+        like the reference's dLookup.Sort, the lookup table is sorted
+        separately."""
+        lk = getattr(self, "_docid_lookup", None)
+        if lk is None:
+            perm = np.argsort(self.doc_ids, kind="stable")
+            lk = (self.doc_ids[perm], perm)
+            self._docid_lookup = lk
+        svals, perm = lk
+        i = int(np.searchsorted(svals, docid))
+        if i < self.n_docs and svals[i] == docid:
+            return int(perm[i])
         return -1
 
     def str_ordinals(self, name: str, ci: bool = False):

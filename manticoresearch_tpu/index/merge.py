@@ -20,17 +20,26 @@ from .builder import SPH_BM25_K1, PackedIndex, _pack_mva
 
 
 def merge_packed(segments: list[PackedIndex],
-                 live_docids: list[set] | None = None) -> PackedIndex:
+                 live_docids: list[set] | None = None,
+                 row_order: str = "docid") -> PackedIndex:
     """Merge segments into one PackedIndex.
 
     live_docids[i]: the set of docids of segment i that are still alive
     (REPLACE/DELETE kills excluded). None = all rows live.
+
+    row_order: "docid" = global ascending docid order (RT segment merges,
+    whose accumulators are docid-sorted); "concat" = segment-concatenation
+    order, each segment's live rows in their existing rowid order — the
+    disk-chunk save layout (SaveDiskChunk walks m_dRamChunks in order and
+    assigns tNextRowID sequentially, sphinxrt.cpp:3014; the docid lookup
+    is a SEPARATE sorted table, :3056). Rowid order is observable through
+    sorter tie artifacts (golden test_412 post-FLUSH-RAMCHUNK).
     """
     assert segments, "nothing to merge"
     schema = segments[0].schema
     K = len(segments)
 
-    # ---- row space: global ascending docid order --------------------------
+    # ---- row space ---------------------------------------------------------
     seg_live_rows: list[np.ndarray] = []      # old rowids kept, ascending
     seg_docids: list[np.ndarray] = []
     for i, p in enumerate(segments):
@@ -45,7 +54,10 @@ def merge_packed(segments: list[PackedIndex],
         seg_live_rows.append(rows)
         seg_docids.append(p.doc_ids[rows])
     all_docids = np.concatenate(seg_docids) if K else np.zeros(0, np.int64)
-    doc_order = np.argsort(all_docids, kind="stable")
+    if row_order == "concat":
+        doc_order = np.arange(len(all_docids), dtype=np.int64)
+    else:
+        doc_order = np.argsort(all_docids, kind="stable")
     doc_ids = all_docids[doc_order]
     n_new = len(doc_ids)
     # new rowid for each entry of the concatenated live-doc list

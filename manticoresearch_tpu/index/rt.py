@@ -152,6 +152,19 @@ class RtIndex:
             si = len(self.segments) - 1
             for d in docs:
                 self.docid_seg[d] = si
+            # every new-segment commit re-sorts the RAM segments by merge
+            # factor (= row count) DESC (MergeSegments, sphinxrt.cpp:2633)
+            # via sphSort, whose insertion sort REVERSES equal elements —
+            # same-size segments surface newest-first. Observable: the
+            # implicit-group rep row and FLUSH RAMCHUNK's rowid order
+            # (golden test_412 keeps j.id=7, the later insert).
+            from ..exec.multi import sph_sort_indices
+            chunks = [s for s in self.segments if s.chunk_id is not None]
+            rams = [s for s in self.segments if s.chunk_id is None]
+            order = sph_sort_indices(
+                len(rams),
+                lambda a, b: rams[a].packed.n_docs > rams[b].packed.n_docs)
+            self._set_segments(chunks + [rams[i] for i in order])
 
         if len(self.segments) > self.MERGE_SEGMENT_LIMIT:
             self._merge_segments()
@@ -293,8 +306,12 @@ class RtIndex:
         if len(rams) == 1:
             packed, search = rams[0].packed, rams[0].search
         else:
+            # disk-chunk save keeps segment-concatenation rowid order
+            # (SaveDiskChunk tNextRowID walk, sphinxrt.cpp:3014) — NOT
+            # global docid order; observable via sorter rowid ties
             packed = merge_packed([s.packed for s in rams],
-                                  [set(s.docs) for s in rams])
+                                  [set(s.docs) for s in rams],
+                                  row_order="concat")
             search = SearchIndex(packed)
         cid = self.next_chunk_id
         self.next_chunk_id += 1
@@ -655,9 +672,12 @@ class RtIndex:
         # the reference's qcache keys disk-chunk identity only
         # (sphinxqcache.cpp ties entries to a CSphIndex+TID; RAM chunks
         # are excluded — golden test_229's counters stay 0 pre-flush).
+        # (with qcache_thresh_msec=0 everything caches, cold compiles
+        # included — golden test_401 counts the first SELECT's entry)
         if qc is not None and res.error is None and \
-                getattr(res, "warm_plan", True) and \
-                res.time_ms >= qc.thresh_msec and \
+                (qc.thresh_msec == 0
+                 or (getattr(res, "warm_plan", True)
+                     and res.time_ms >= qc.thresh_msec)) and \
                 self.segments and not self._ram_segs():
             qc.put(key, res)
         return res

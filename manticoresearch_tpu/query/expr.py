@@ -733,10 +733,16 @@ def eval_expr_host(tree: tuple, row: dict, weight: int = 0, docid: int = 0):
         name, args = tree[1], tree[2]
         if name == "EXIST":
             # EXIST('attr', default): by-name lookup with a fallback for
-            # schema-less multi-index unions (Expr_GetInt_c wrapper)
+            # schema-less multi-index unions (Expr_GetInt_c wrapper).
+            # The name is trimmed + case-folded like any attr reference
+            # (golden test_163: EXIST(' aTTr2', 11) finds attr2)
             key = args[0][1] if args[0][0] in ("str", "attr") else None
-            if key is not None and key in row and row[key] is not None:
-                return row[key]
+            if key is not None:
+                if key in row and row[key] is not None:
+                    return row[key]
+                k = key.strip().lower()
+                if k in row and row[k] is not None:
+                    return row[k]
             return eval_expr_host(args[1], row, weight, docid)
         vals = [eval_expr_host(a, row, weight, docid) for a in args]
         if name == "TO_STRING" and args \

@@ -28,8 +28,12 @@ def check_index(path: str) -> list[str]:
 
     n, P, H, T = p.n_docs, p.n_postings, len(p.hit_packed), p.n_terms
     chk(len(p.doc_ids) == n, "doc_ids length != n_docs")
-    chk(bool(np.all(np.diff(p.doc_ids) > 0)) if n > 1 else True,
-        "doc_ids not strictly ascending")
+    # rows may be in segment-concatenation order (a flushed disk chunk,
+    # SaveDiskChunk sphinxrt.cpp:3014); the sorted docid->rowid lookup is
+    # a separate table (.spt analog) — every row must resolve through it
+    chk(all(p.doc_ids[p.rowid_of_docid(int(d))] == d
+            for d in p.doc_ids[:min(n, 1000)]),
+        "docid lookup inconsistent with rows")
     chk(len(p.term_offsets) == T + 1, "term_offsets length != n_terms+1")
     chk(int(p.term_offsets[0]) == 0 and int(p.term_offsets[-1]) == P,
         "term_offsets bounds broken")

@@ -107,6 +107,40 @@ def _unescape_mysql_strings(sql: str) -> str:
     return "".join(out)
 
 
+_DIV_RE = re.compile(r"(\b[A-Za-z_]\w*|\d+(?:\.\d+)?)\s*/\s*(\d+(?:\.\d+)?)")
+
+
+def _mysql_div_rewrite(sql: str) -> str:
+    """MySQL integer/decimal division carries div_precision_increment=4
+    extra decimal digits (so `idd1/1.73` INDEXES as 0.5780, not
+    0.57803468) — sqlite full-precision floats diverge from the golden
+    daemon's stored attrs (test_163 u_float). Rewrites arithmetic `a/b`
+    (outside string literals) to the MYSQLDIV() UDF."""
+    out = []
+    for i, seg in enumerate(sql.split("'")):
+        # even segments are outside single-quoted literals
+        out.append(_DIV_RE.sub(r"MYSQLDIV(\1, \2)", seg) if i % 2 == 0
+                   else seg)
+    return "'".join(out)
+
+
+def _mysql_div(a, b):
+    """DECIMAL division, scale = scale(dividend) + 4, half-up (MySQL
+    div_precision_increment default)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    if a is None or b is None:
+        return None
+    try:
+        da, db = Decimal(str(a)), Decimal(str(b))
+        if db == 0:
+            return None
+        scale = max(0, -da.as_tuple().exponent) + 4
+        return float((da / db).quantize(Decimal(1).scaleb(-scale),
+                                        rounding=ROUND_HALF_UP))
+    except ArithmeticError:
+        return None
+
+
 def _mysql_ts(s) -> int:
     import calendar
     import time as _time
@@ -130,6 +164,7 @@ def open_db(gt: GoldenTest) -> sqlite3.Connection:
     import time as _time
     con.create_function("UNIX_TIMESTAMP", 0, lambda: int(_time.time()))
     con.create_function("UNIX_TIMESTAMP", 1, _mysql_ts)
+    con.create_function("MYSQLDIV", 2, _mysql_div)
     con.create_function("COMPRESS", 1, lambda s: s)
     con.create_function("CRC32", 1,
                         lambda s: zlib.crc32(str(s).encode()) & 0xFFFFFFFF)
@@ -357,6 +392,7 @@ def read_source(src: dict, con: sqlite3.Connection) -> SourceDef:
     q = src.get("sql_query", [None])[0]
     if q is None:
         raise GoldenUnsupported("source has no sql_query")
+    q = _mysql_div_rewrite(q)
     if "$start" in q or "$end" in q:
         # ranged fetch: sql_query_range yields (min, max); one shot
         # covers the whole range (step iteration is an io detail)
@@ -921,6 +957,15 @@ class _CrossEnvDistributed:
             return search_grouped_parts(ordered, q, self.schema,
                                         agent_mode=True)
         part_q = _dc(q, offset=0, limit=q.offset + q.limit)
+        # tag order = merge order: agents are tagged BEFORE locals
+        # (searchd.cpp:6484/6492) and dedup keeps the largest tag
+        # (KillPlainDupes) — reorder so locals come last and win
+        # docid dupes (golden test_163 dist2: local delta2 beats
+        # agent delta1)
+        ordix = [i for i in range(len(parts)) if self.agent_flags[i]] + \
+                [i for i in range(len(parts)) if not self.agent_flags[i]]
+        parts = [parts[i] for i in ordix]
+        flags = [self.agent_flags[i] for i in ordix]
         # remote agents don't share the master's uservars: a @var-sourced
         # filter matches nothing there (the agent-side 'undefined
         # variable' failure is swallowed into an empty part result —
@@ -928,9 +973,15 @@ class _CrossEnvDistributed:
         from manticoresearch_tpu.exec.searcher import SearchResult as _SR
         has_uv = any(getattr(f, "uservar", False) for f in q.filters)
         results = [(_SR([], 0, 0, 0.0, [])
-                    if has_uv and self.agent_flags[i3]
+                    if has_uv and flags[i3]
                     else p.search(part_q))
                    for i3, p in enumerate(parts)]
+        for is_agent, r in zip(flags, results):
+            if is_agent:
+                for m in r.matches:
+                    # wire matches carry no rowid (ParseMatch,
+                    # searchd.cpp:1775): master sorter ties see them equal
+                    m._remote = True
         # emulate the wire for remote parts: replies prune to the select
         # list and respect max_packet_size (the reference master rejects
         # oversized agent replies — golden test_220)
@@ -939,7 +990,7 @@ class _CrossEnvDistributed:
             import json as _json
             from manticoresearch_tpu.server.agent import (
                 prune_attrs_for_select, result_to_payload)
-            for is_agent, r, tbl in zip(self.agent_flags, results, parts):
+            for is_agent, r, tbl in zip(flags, results, parts):
                 if not is_agent or r.error:
                     continue
                 prune_attrs_for_select(r.matches, part_q)
@@ -953,7 +1004,7 @@ class _CrossEnvDistributed:
                               f" invalid packet size (status=0, "
                               f"len={ln}, max_packet_size={mp})")
         merged = merge_part_results(results, q, self.schema,
-                                    agent_mode=any(self.agent_flags))
+                                    agent_mode=any(flags))
         from manticoresearch_tpu.exec.multi import minimize_result_schema
         merged.schema = minimize_result_schema(
             results, [p.schema for p in parts])
@@ -2131,9 +2182,11 @@ def _strip_http_reply(obj):
     return obj
 
 
-def _render_cell(v) -> str:
+def _render_cell(v):
     if v is None:
-        return "NULL"
+        # a wire NULL (PutNULL, searchd.cpp:12220) reaches the php
+        # harness as mysqli null, recorded as php null — keep it None
+        return None
     if isinstance(v, list):
         # MVA/JSON-array render over the SQL wire: comma-joined; values
         # may be strings from JSON arrays (test_396 '5all')

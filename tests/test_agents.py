@@ -209,9 +209,11 @@ class TestMirrorFailover:
                          timeout=0.5, retry_count=1)
 
     def test_distributed_table_partial_agent_failure_reported(self, remote):
-        """A distributed table whose agent is down reports the error
-        (reference default: missing agent answers produce an error unless
-        the agent is optional)."""
+        """A distributed table whose agent is down still serves the local
+        part's rows and reports the agent failure as a WARNING — the
+        reference only fails the query when NO part succeeded
+        (searchd.cpp:5298 !m_iSuccesses -> error, else BuildReport ->
+        m_sWarning; failed agents are skipped at :6725)."""
         catalog = _make_catalog(DOCS_A)
         import socket as pysock
         sock = pysock.socket()
@@ -223,6 +225,23 @@ class TestMirrorFailover:
             agent_query_timeout_ms=300, retry_count=0)
         from manticoresearch_tpu.exec.searcher import SearchQuery
         r = catalog.tables["d2"].search(SearchQuery(match="quick"))
+        assert r.error is None
+        assert r.warning            # agent failure surfaced in meta
+        assert r.matches            # local part still answered
+
+    def test_distributed_table_all_parts_dead_is_error(self):
+        """No part succeeded -> the query errors (searchd.cpp:5298)."""
+        catalog = _make_catalog(DOCS_A)
+        import socket as pysock
+        sock = pysock.socket()
+        sock.bind(("127.0.0.1", 0))
+        dead_port = sock.getsockname()[1]
+        sock.close()
+        catalog.tables["d3"] = DistributedTable(
+            "d3", catalog, [], [f"127.0.0.1:{dead_port}:t"],
+            agent_query_timeout_ms=300, retry_count=0)
+        from manticoresearch_tpu.exec.searcher import SearchQuery
+        r = catalog.tables["d3"].search(SearchQuery(match="quick"))
         assert r.error is not None
 
 

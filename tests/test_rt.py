@@ -75,6 +75,11 @@ class TestRtBasics:
         rt.commit()
         assert len(rt.segments) == 2
         r = rt.search(SearchQuery(match="apple"))
+        # MergeSegments re-sorts RAM segments by row count desc on every
+        # commit (sphinxrt.cpp:2633), so the 2-row segment (docs 2,3)
+        # leads; doc 1 and doc 2 then tie on (weight, rowid=0) and the
+        # shared match queue's flatten order resolves the tie
+        # (CSphMatchQueue artifact; golden test_066/test_412 pin this)
         assert [m.docid for m in r.matches] == [1, 2]
         # same weight in both segments (global df=2, total=3)
         assert r.matches[0].weight == r.matches[1].weight

@@ -166,6 +166,9 @@ def open_db(gt: GoldenTest) -> sqlite3.Connection:
     con.create_function("UNIX_TIMESTAMP", 1, _mysql_ts)
     con.create_function("MYSQLDIV", 2, _mysql_div)
     con.create_function("COMPRESS", 1, lambda s: s)
+    con.create_function(
+        "UNHEX", 1,
+        lambda s: bytes.fromhex(str(s)).decode("utf-8", "surrogateescape"))
     con.create_function("CRC32", 1,
                         lambda s: zlib.crc32(str(s).encode()) & 0xFFFFFFFF)
     con.create_function("CONCAT", -1,

@@ -45,8 +45,7 @@ def scan_one(dirname: str, time_budget: float = 120.0) -> dict:
         gt = load_test(dirname)
     except Exception as e:
         return {"status": "loaderror", "detail": f"{type(e).__name__}: {e}"}
-    if gt.has_custom:
-        return {"status": "skip", "detail": "custom php test"}
+
     try:
         model = load_model(os.path.join(TESTROOT, dirname, "model.bin"))
     except Exception as e:
@@ -61,7 +60,11 @@ def scan_one(dirname: str, time_budget: float = 120.0) -> dict:
                 if time.time() - t0 > time_budget:
                     return {"status": "timeout",
                             "detail": f"{ran}/{n} subtests in budget"}
-                f = run_subtest(gt, st, model[st], td)
+                if gt.has_custom:
+                    from .phpcustom import run_custom_subtest
+                    f = run_custom_subtest(gt, st, model[st], td)
+                else:
+                    f = run_subtest(gt, st, model[st], td)
                 ran += 1
                 fails.extend(f"[st{st}] {x}" for x in f)
     except GoldenUnsupported as e:
@@ -96,7 +99,8 @@ def main():
         results[d] = r
         counts[r["status"]] = counts.get(r["status"], 0) + 1
         print(f"{d}: {r['status']} — {r['detail']}", flush=True)
-        with open("/tmp/golden_scan.json", "w") as f:
+        with open(os.environ.get("GOLDEN_SCAN_OUT",
+          "/tmp/golden_scan.json"), "w") as f:
             json.dump({"counts": counts, "results": results}, f, indent=1)
     print(json.dumps(counts))
 

@@ -51,6 +51,7 @@ class GoldenTest:
     num_agents: int = 1
     skip_indexer: bool = False
     has_custom: bool = False
+    custom_test: str = ""
     query_attributes: list[str] = field(default_factory=list)
     indexer_runs: list[str] = field(default_factory=list)
     query_settings: str = ""          # <query_settings> PHP block
@@ -195,7 +196,9 @@ def load_test(dirname: str, root: str = TESTROOT) -> GoldenTest:
 
     name = _get_first(tree, "name")
     gt.name = (name.text or "").strip() if name is not None else dirname
-    gt.has_custom = _get_first(tree, "custom_test") is not None
+    _ct = _get_first(tree, "custom_test")
+    gt.has_custom = _ct is not None
+    gt.custom_test = (_ct.text or "") if _ct is not None else ""
 
     qs = _get_first(tree, "queries")
     if qs is not None:

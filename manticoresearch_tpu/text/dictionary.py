@@ -103,11 +103,26 @@ class Dictionary:
         elif self._wordforms and term in self._wordforms:
             term = self._wordforms[term]
         elif len(term) >= s.min_stemming_len:
+            extra_lemmas: list[str] = []
             for m in self._morphs:
                 stemmed = m(term)
+                if getattr(m, "emits_all", False):
+                    # lemmatize_*_all: every candidate indexes at the
+                    # same position (sphinxaot.cpp dual-form emission)
+                    cands = list(stemmed)
+                    stemmed = cands[0] if cands else term
+                    extra_lemmas = [c for c in cands[1:] if c]
                 if stemmed != term:
                     term = stemmed
                     break
+            if extra_lemmas:
+                out = [term] + [c for c in extra_lemmas if c != term]
+                exact_on2 = s.index_exact_words and (self._morphs
+                                                     or self._wordforms)
+                if exact_on2 or (s.min_prefix_len > 0
+                                 or s.min_infix_len > 0):
+                    out.append("=" + token)
+                return [t for t in out if t not in s.stopwords]
         if term in s.stopwords or not term:
             return []
         # nonstemmed shadow entries (MAGIC_WORD_HEAD_NONSTEMMED analog):

@@ -170,6 +170,8 @@ _MORPHS: dict[str, Callable[[str], str]] = {
 
 
 def _register_late():
+    _MORPHS["lemmatize_en"] = lemmatize_en
+    _MORPHS["lemmatize_en_all"] = lemmatize_en_all
     _MORPHS["stem_ru"] = russian_stem
     _MORPHS["metaphone"] = metaphone
     _MORPHS["stem_enru"] = lambda w: (russian_stem(w) if any(
@@ -691,3 +693,162 @@ def metaphone(word: str) -> str:
         else:
             i += 1
     return "".join(pri)
+
+
+# ---------------------------------------------------------------------------
+# English lemmatizer (reference: sphinxaot.cpp CLemmatizer — dictionary-
+# driven AOT lemmatization over en.pak). The .pak dictionary packs are not
+# redistributable data and do not ship in this environment, so this is a
+# rule/exception analog with the same interface and the same pipeline
+# semantics: `lemmatize_en` emits the primary lemma, `lemmatize_en_all`
+# emits every candidate at the same position (sphinxaot.cpp
+# CSphAotTokenizer dual-form emission). The ru/de/uk packs stay
+# data-gated (get_morph raises for them).
+
+_EN_IRREGULAR = {
+    # plurals
+    "men": "man", "women": "woman", "children": "child", "mice": "mouse",
+    "feet": "foot", "teeth": "tooth", "geese": "goose", "people": "people",
+    "oxen": "ox", "lice": "louse", "dice": "die", "data": "datum",
+    "criteria": "criterion", "phenomena": "phenomenon",
+    # be / irregular verbs (most common forms)
+    "is": "be", "are": "be", "am": "be", "was": "be", "were": "be",
+    "been": "be", "being": "be",
+    "has": "have", "had": "have", "having": "have",
+    "does": "do", "did": "do", "done": "do", "doing": "do",
+    "went": "go", "gone": "go", "goes": "go", "going": "go",
+    "saw": "see", "seen": "see", "ran": "run", "running": "run",
+    "came": "come", "coming": "come", "took": "take", "taken": "take",
+    "taking": "take", "made": "make", "making": "make",
+    "said": "say", "got": "get", "gotten": "get", "getting": "get",
+    "gave": "give", "given": "give", "giving": "give",
+    "found": "find", "thought": "think", "told": "tell", "knew": "know",
+    "known": "know", "wrote": "write", "written": "write",
+    "writing": "write", "left": "leave", "felt": "feel", "kept": "keep",
+    "held": "hold", "brought": "bring", "began": "begin",
+    "begun": "begin", "showed": "show", "shown": "show",
+    "heard": "hear", "meant": "mean", "met": "meet", "paid": "pay",
+    "sat": "sit", "stood": "stand", "lost": "lose", "led": "lead",
+    "read": "read", "grew": "grow", "grown": "grow", "flew": "fly",
+    "flown": "fly", "drew": "draw", "drawn": "draw", "spoke": "speak",
+    "spoken": "speak", "sent": "send", "built": "build", "spent": "spend",
+    "fell": "fall", "fallen": "fall", "bought": "buy", "caught": "catch",
+    "taught": "teach", "sought": "seek", "fought": "fight",
+    "sold": "sell", "wore": "wear", "worn": "wear", "chose": "choose",
+    "chosen": "choose", "broke": "break", "broken": "break",
+    "ate": "eat", "eaten": "eat", "drove": "drive", "driven": "drive",
+    "rode": "ride", "ridden": "ride", "rose": "rise", "risen": "rise",
+    "sang": "sing", "sung": "sing", "swam": "swim", "swum": "swim",
+    "threw": "throw", "thrown": "throw", "woke": "wake", "woken": "wake",
+    "won": "win", "laid": "lay", "lain": "lie", "lay": "lie",
+    "slept": "sleep", "struck": "strike", "hung": "hang",
+    # adjectives
+    "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+    "further": "far", "farther": "far", "furthest": "far",
+    "farthest": "far",
+}
+
+# nouns whose -ves plural restores -f / -fe
+_EN_VES_F = {"wolves": "wolf", "leaves": "leaf", "knives": "knife",
+             "wives": "wife", "lives": "life", "shelves": "shelf",
+             "halves": "half", "selves": "self", "calves": "calf",
+             "loaves": "loaf", "thieves": "thief", "scarves": "scarf"}
+
+_EN_VOWELS = "aeiou"
+
+# words ending -ss/-us/-is keep their s (glass, virus, basis)
+_EN_KEEP_S = ("ss", "us", "is", "news")
+
+
+def _en_candidates(word: str) -> list[str]:
+    """Every plausible lemma for an inflected English surface form,
+    most-likely first; [word] when no rule applies."""
+    w = word
+    out: list[str] = []
+    if not w.isascii() or len(w) < 3 or not w.isalpha():
+        return [w]
+    if w in _EN_IRREGULAR:
+        return [_EN_IRREGULAR[w]]
+    if w in _EN_VES_F:
+        return [_EN_VES_F[w]]
+
+    def add(c):
+        if c and len(c) >= 2 and c not in out:
+            out.append(c)
+
+    # --- plural / 3rd person -s family
+    if w.endswith("ies") and len(w) > 4:
+        add(w[:-3] + "y")            # cities -> city
+        add(w[:-1])                  # ties -> tie
+    elif w.endswith(("ches", "shes", "sses", "xes", "zes", "oes")) \
+            and len(w) > 4:
+        add(w[:-2])                  # boxes -> box, heroes -> hero
+        add(w[:-1])                  # (horse-like: uses -> use)
+    elif w.endswith("es") and len(w) > 3:
+        add(w[:-1])                  # makes -> make
+        add(w[:-2])                  # axes -> ax
+    elif w.endswith("s") and not w.endswith(_EN_KEEP_S) and len(w) > 3:
+        add(w[:-1])                  # dogs -> dog
+    # --- past tense -ed
+    if w.endswith("ied") and len(w) > 4:
+        add(w[:-3] + "y")            # tried -> try
+    elif w.endswith("ed") and len(w) > 3:
+        stem = w[:-2]
+        if len(stem) > 2 and stem[-1] == stem[-2] \
+                and stem[-1] not in _EN_VOWELS + "ls":
+            add(stem[:-1])           # stopped -> stop
+        elif _cvc(stem):
+            add(stem + "e")          # liked -> like
+            add(stem)
+        else:
+            add(stem)                # walked -> walk
+            add(stem + "e")
+    # --- progressive -ing
+    if w.endswith("ing") and len(w) > 4:
+        stem = w[:-3]
+        if len(stem) > 2 and stem[-1] == stem[-2] \
+                and stem[-1] not in _EN_VOWELS + "ls":
+            add(stem[:-1])           # running -> run
+        elif _cvc(stem):
+            add(stem + "e")          # making -> make
+            if _has_vowel(stem):
+                add(stem)
+        else:
+            if _has_vowel(stem):
+                add(stem)            # walking -> walk
+            add(stem + "e")
+    # --- comparatives / superlatives
+    if w.endswith("iest") and len(w) > 5:
+        add(w[:-4] + "y")            # happiest -> happy
+    elif w.endswith("est") and len(w) > 4:
+        if _cvc(w[:-3]):
+            add(w[:-2])              # nicest -> nice
+            add(w[:-3])
+        else:
+            add(w[:-3])              # fastest -> fast
+            add(w[:-2])
+    if w.endswith("ier") and len(w) > 4:
+        add(w[:-3] + "y")            # happier -> happy
+    elif w.endswith("er") and len(w) > 4:
+        if _cvc(w[:-2]):
+            add(w[:-1])              # nicer -> nice
+            add(w[:-2])
+        else:
+            add(w[:-2])              # faster -> fast
+            add(w[:-1])
+    if not out:
+        return [w]
+    return out
+
+
+def lemmatize_en(word: str) -> str:
+    return _en_candidates(word)[0]
+
+
+def lemmatize_en_all(word: str) -> list[str]:
+    c = _en_candidates(word)
+    return c if word in c or word in _EN_IRREGULAR \
+        or word in _EN_VES_F else c + [word]
+
+
+lemmatize_en_all.emits_all = True     # Dictionary: index every candidate

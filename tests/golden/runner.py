@@ -810,9 +810,10 @@ def index_options(idx: dict) -> tuple[dict, dict]:
     o: dict[str, str] = {}
     qdef: dict = {}
     morph = " ".join(idx.get("morphology", []))
-    if "lemmatize" in morph or "icu" in morph:
-        # AOT lemmatizers need .pak dictionaries and ICU needs its
-        # segmentation data — neither ships in this environment
+    if re.search(r"lemmatize_(ru|de|uk)", morph) or "icu" in morph:
+        # ru/de/uk AOT lemmatizers need .pak dictionaries and ICU needs
+        # its segmentation data — neither ships in this environment;
+        # lemmatize_en runs on the built-in rule analog
         raise GoldenUnsupported(f"morphology {morph!r} (no dictionaries)")
 
     def one(key, default=None):

@@ -147,6 +147,12 @@ class _Return(Exception):
         self.value = value
 
 
+class Closure:
+    def __init__(self, params, body):
+        self.params = params
+        self.body = body
+
+
 _CONSTS = {
     "true": True, "TRUE": True, "True": True,
     "false": False, "FALSE": False, "False": False,
@@ -282,6 +288,9 @@ class Interp:
                 key, _ = self.expr(t, i + 1)
                 v = self._index(v, key)
                 i = close + 1
+            elif t[i] == ("op", "(") and isinstance(v, Closure):
+                args, i = self._args(t, i + 1)
+                v = self._call_closure(v, args)
             elif t[i] == ("op", "->") and i + 1 < len(t) \
                     and t[i + 1][0] == "name":
                 meth = t[i + 1][1]
@@ -341,6 +350,21 @@ class Interp:
                 raise PhpError("expected )")
             return r, i + 1
         if k == "name":
+            if v.lower() == "function" and i + 1 < len(t) \
+                    and t[i + 1] == ("op", "("):
+                close = self._find_close(t, i + 1, "(", ")")
+                params = []
+                j = i + 2
+                while j < close:
+                    if t[j] == ("op", "&"):
+                        j += 1
+                        params.append((t[j][1], True))
+                    elif t[j][0] == "var":
+                        params.append((t[j][1], False))
+                    j += 1
+                bstart = close + 1
+                bclose = self._find_close(t, bstart, "{", "}")
+                return Closure(params, t[bstart + 1:bclose]), bclose + 1
             if v in _CONSTS:
                 return _CONSTS[v], i + 1
             if i + 1 < len(t) and t[i + 1] == ("op", "("):
@@ -423,8 +447,14 @@ class Interp:
                 return False
         return True
 
+    def _call_closure(self, c: "Closure", args):
+        return self._frame_call(c.params, c.body, args)
+
     def _user_call(self, name, args):
         params, body = self.funcs[name]
+        return self._frame_call(params, body, args)
+
+    def _frame_call(self, params, body, args):
         frame = {}
         for (pname, _byref), a in zip(params, args):
             frame[pname] = a

@@ -53,6 +53,9 @@ class SearchQuery:
     # WITHIN GROUP ORDER BY: which member represents the group
     # (sphinxsort m_sSortBy vs m_sGroupSortBy); None = weight desc, id asc
     within_sort: list[tuple[str, bool]] | None = None
+    # OPTION not_terms_only_allowed=1 (searchdsql.cpp:744): a pure-NOT
+    # query evaluates as fullscan-minus-matches instead of erroring
+    not_only_allowed: bool = False
     # aggregates without GROUP BY (CSphImplicitGroupSorter): the rep-row
     # replace rule compares ROWID only (CheckReplaceEntry,
     # sphinxsort.cpp:4420), unlike explicit groupers
@@ -136,7 +139,7 @@ class SearchIndex:
             tuple(q.sort or ()), q.idf_plain, q.tfidf_normalized,
             emit_factors,
             q.expansion_limit, q.boolean_simplify, q.expand_keywords,
-            q.collation,
+            q.collation, q.not_only_allowed,
             tuple(sorted(q.field_weights.items())),
             tuple((f.attr, f.kind, tuple(f.values), f.lo, f.hi, f.exclude,
                    f.lo_excl, f.hi_excl) for f in q.filters),
@@ -145,7 +148,8 @@ class SearchIndex:
         cached = self._plan_cache.get(key)
         if cached is not None:
             return cached
-        ast = self.parser.parse(q.match)
+        ast = self.parser.parse(q.match,
+                                not_only_allowed=q.not_only_allowed)
         order = _resolve_order(q, self.schema)
         cq = plan_query(
             ast, self.packed,
@@ -503,7 +507,8 @@ class SearchIndex:
         from ..ops.groupby import AggSpec, GroupSpec
         from ..query.expr import infer_is_float, parse_expr
 
-        ast = self.parser.parse(q.match)
+        ast = self.parser.parse(q.match,
+                                not_only_allowed=q.not_only_allowed)
         cq = plan_query(
             ast, self.packed,
             filters=q.filters, ranker=q.ranker,

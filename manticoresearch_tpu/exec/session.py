@@ -953,6 +953,11 @@ class Session:
             group_n=int(getattr(st, "group_n", 1) or 1),
             having=st.having,
             within_sort=(st.within_order or None),
+            not_only_allowed=(
+                str(opts.get(
+                    "not_terms_only_allowed",
+                    getattr(self.catalog, "searchd_opts", {}).get(
+                        "not_terms_only_allowed", "0"))) == "1"),
         )
         if not st.group_by:
             # implicit single-group aggregation: SELECT COUNT(*)/SUM(x)...

@@ -122,6 +122,13 @@ def _lex(q: str, word_chars: frozenset = frozenset()) -> list[_Tok]:
             # separator) — the reference only field-parses '@' at term
             # start (golden test_203)
             kind = "word"
+        if kind == "stray" and text == "@":
+            # '@' followed by a char that can't start a field spec is
+            # silently dropped and lexing resumes at the next char
+            # (ParseFields bIgnore re-parse, sphinxquery.cpp:110-116):
+            # '@@title test' field-limits to title, '-word@#1215' sheds
+            # the '@' and keeps '#1215' as a keyword chunk
+            continue
         if kind == "not" and out and out[-1].kind == "word" \
                 and m.start() == last_word_end:
             # '-'/'!' directly after a word char is part of the word
@@ -168,7 +175,8 @@ class FtQueryParser:
             self._op_word_chars = frozenset(chars)
         return self._op_word_chars
 
-    def parse(self, query: str):
+    def parse(self, query: str, not_only_allowed: bool = False):
+        self.not_only_allowed = not_only_allowed
         if not query.strip():
             return QAll()
         self._exc_dsts: list[str] = []
@@ -190,12 +198,75 @@ class FtQueryParser:
         node = self._parse_and_list()
         if self.i < len(self.toks):
             raise QueryParseError(f"unexpected {self.toks[self.i].text!r}")
+        pruned = self._prune_fieldless(node)
+        if pruned is None:
+            # the reference never deletes the ROOT node itself
+            # (DeleteNodesWOFields only removes children): a lone leaf
+            # limited to zero fields stays in the tree — it matches
+            # nothing but its keyword stats are still reported
+            node = node if isinstance(node, (QTerm, QPhrase, QQuorum)) \
+                else QTerm(word="\x00")
+        else:
+            node = pruned
         if node is None:
             # non-empty query whose every keyword was removed (stopwords,
             # overshort): matches NOTHING, unlike an empty MATCH('') which
             # is a fullscan (reference: a fully-stopped query tree yields
             # no matches). Use an impossible term (df=0 on any index).
             return QTerm(word="\x00")
+        return node
+
+    def _prune_fieldless(self, node):
+        """DeleteNodesWOFields analog (sphinxquery.cpp:576): subtrees whose
+        field limit resolved to an EMPTY field set (@@relaxed with every
+        named field unknown, or @!(all fields)) are REMOVED from the tree
+        and their parents re-collapse — '@@relaxed ((@bad a)|(@bad b))
+        (@body x)' evaluates as '@body x', not as match-nothing."""
+        from .ast import QAndNot, QNot
+        p = self._prune_fieldless
+        if node is None:
+            return None
+        if isinstance(node, (QTerm, QPhrase, QQuorum)):
+            return None if node.fields == () else node
+        if isinstance(node, (QAnd, QOr)):
+            kids = [k for k in (p(c) for c in node.children)
+                    if k is not None]
+            if not kids:
+                return None
+            if len(kids) == 1:
+                return kids[0]
+            if len(kids) == len(node.children):
+                return node
+            return type(node)(tuple(kids))
+        if isinstance(node, QAndNot):
+            left = p(node.left)
+            if left is None:
+                return None
+            right = p(node.right)
+            if right is None:
+                return left
+            return node if (left is node.left and right is node.right) \
+                else QAndNot(left, right)
+        if isinstance(node, QNot):
+            child = p(node.child)
+            return None if child is None else \
+                (node if child is node.child else QNot(child))
+        if isinstance(node, QMaybe):
+            left = p(node.left)
+            if left is None:
+                return None
+            right = p(node.right)
+            if right is None:
+                return left
+            return node if (left is node.left and right is node.right) \
+                else QMaybe(left, right)
+        if isinstance(node, (QNear, QSentence)):
+            left, right = p(node.left), p(node.right)
+            if left is None:
+                return right
+            if right is None:
+                return left
+            return node
         return node
 
     def _merge_exceptions(self, toks: list[_Tok]) -> list[_Tok]:
@@ -391,7 +462,18 @@ class FtQueryParser:
                 if isinstance(child, QGap):
                     pos_children.append(child)
                 elif child is not None:
-                    neg_children.append(child)
+                    if isinstance(child, QAnd) \
+                            and getattr(self, "_chunk_split_and", False):
+                        # one syntax word that split into several
+                        # consecutive keywords ('-word@#1215' ->
+                        # word, 1215): the grammar's '-' binds ONE
+                        # keyword token (sphinxquery.y:83 '-' orlist of
+                        # one atom); the remaining emissions continue
+                        # the implicit AND list as positives
+                        neg_children.append(child.children[0])
+                        pos_children.extend(child.children[1:])
+                    else:
+                        neg_children.append(child)
                 continue
             child = self._parse_or_expr()
             # NEAR/N, NOTNEAR/N, SENTENCE, PARAGRAPH infix operators
@@ -421,9 +503,17 @@ class FtQueryParser:
 
         if all(isinstance(c, QGap) for c in pos_children) \
                 and neg_children:
-            raise QueryParseError(
-                "query is non-computable (single NOT operator)"
-            )  # reference error unless not_terms_only_allowed
+            if getattr(self, "not_only_allowed", False):
+                # OPTION not_terms_only_allowed=1 (searchd.cpp:18470,
+                # searchdsql.cpp:744): a pure-NOT query evaluates as
+                # fullscan-minus-matches
+                pos_children = [c for c in pos_children
+                                if not isinstance(c, QGap)]
+                pos_children.append(QAll())
+            else:
+                raise QueryParseError(
+                    "query is non-computable (single NOT operator)"
+                )
         if not pos_children:
             return None
         if all(isinstance(c, QGap) for c in pos_children):
@@ -457,6 +547,7 @@ class FtQueryParser:
         return left
 
     def _parse_atom(self):
+        self._chunk_split_and = False
         t = self._peek()
         if t is None:
             return None
@@ -470,6 +561,7 @@ class FtQueryParser:
             self._next()
             self.cur_fields = saved
             self.cur_zones = saved_z
+            self._chunk_split_and = False
             return node
         if t.kind == "quote":
             return self._parse_quoted()
@@ -586,6 +678,7 @@ class FtQueryParser:
                               field_start=fstart and i2 == 0,
                               field_end=fend and i2 == len(terms) - 1,
                               max_field_pos=self.cur_maxpos))
+        self._chunk_split_and = True
         return QAnd(tuple(kids))
 
     def _parse_quoted(self, exact: bool = False):
@@ -669,26 +762,52 @@ class FtQueryParser:
                     base += 1
                     entries.append((chunk.lower(), base, chunk.lower()))
                     continue
-            toks = self.tokenizer.tokenize(chunk)
-            maxpos = max((t.position for t in toks), default=0)
-            if (len(toks) > 1 and toks[0].position == toks[1].position
-                    and toks[0].start <= toks[1].start
-                    and toks[0].end >= toks[-1].end):
-                # blended chunk inside a phrase: search the whole form
-                # only; it still covers its parts' positions
-                toks = [toks[0]]
-            for tk in toks:
-                term = self.dictionary.process_query_term(tk.text,
-                                                          exact=exact)
-                if term is not None:
-                    entries.append((term, base + tk.position, tk.text))
-            if toks:
-                base += maxpos
-            elif any(c.isalnum() for c in chunk):
-                # a word-ish chunk whose tokens all dropped (overshort/
-                # stopword) keeps its position gap
-                base += self.tokenizer.settings.overshort_step
-            # pure-special chunks ('(', '!') consume no position
+            # '~'/'/' directly followed by digits inside a phrase: the
+            # reference lexer's number check (GetNumber,
+            # sphinxquery.cpp:1236-1276, armed by the '~'/'/' specials)
+            # turns the digit run into TOK_INT, and the grammar's keyword
+            # rule (sphinxquery.y:110-112) adds it as a keyword — a NULL
+            # one AT THE PREVIOUS atom position when the digits can't
+            # tokenize (overshort under min_word_len), which makes the
+            # phrase unmatchable: '"phrase (query)/3 ~on steroids"'
+            # matches nothing under min_word_len=2
+            segs = (re.split(r"[~/](\d+(?:\.\d+)?)(?![\w*?])", chunk)
+                    if ("/" in chunk or "~" in chunk) else [chunk])
+            for si, seg in enumerate(segs):
+                if si % 2 == 1:
+                    nt = self.tokenizer.tokenize(seg)
+                    nterm = (self.dictionary.process_query_term(
+                        nt[0].text, exact=exact) if nt else None)
+                    if nterm is not None:
+                        base += 1
+                        entries.append((nterm, base, seg))
+                    else:
+                        entries.append(("\x00",
+                                        base if entries else base + 1,
+                                        seg))
+                    continue
+                if not seg:
+                    continue
+                toks = self.tokenizer.tokenize(seg)
+                maxpos = max((t.position for t in toks), default=0)
+                if (len(toks) > 1 and toks[0].position == toks[1].position
+                        and toks[0].start <= toks[1].start
+                        and toks[0].end >= toks[-1].end):
+                    # blended chunk inside a phrase: search the whole form
+                    # only; it still covers its parts' positions
+                    toks = [toks[0]]
+                for tk in toks:
+                    term = self.dictionary.process_query_term(tk.text,
+                                                              exact=exact)
+                    if term is not None:
+                        entries.append((term, base + tk.position, tk.text))
+                if toks:
+                    base += maxpos
+                elif any(c.isalnum() for c in seg):
+                    # a word-ish chunk whose tokens all dropped (overshort/
+                    # stopword) keeps its position gap
+                    base += self.tokenizer.settings.overshort_step
+                # pure-special chunks ('(', '!') consume no position
         words = [e[0] for e in entries]
         raws = tuple(e[2] for e in entries)
         if not words:

@@ -92,6 +92,13 @@ def _unescape_mysql_strings(sql: str) -> str:
                         out.append("\n")
                     elif nxt == "t":
                         out.append("\t")
+                    elif nxt == "0":
+                        # MySQL \0 is a NUL byte; sqlite3 rejects NUL in
+                        # SQL text, so stand in a control char the
+                        # tokenizer equally treats as a separator
+                        out.append("\x1a")
+                    elif nxt == "r":
+                        out.append("\r")
                     else:
                         out.append(nxt)
                     i += 2
